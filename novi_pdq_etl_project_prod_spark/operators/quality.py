@@ -1,0 +1,134 @@
+"""Data-quality suite (SURVEY.md §2.2 P6-P8, §2.4 A3/A5, §2.5 J1, §2.7 U1).
+
+The reference's correctness mechanism is three runtime DQ gates executed as
+raw SQL in Postgres (reference ``dags/pdq_etl_dag.py:254-429``):
+
+1. **non-negativity** of the four measures (hard fail) — P8/A5;
+2. **grain uniqueness** of (entity, month) (hard fail) — P7/A5;
+3. **rollup reconciliation** (soft, log-only): operator-reported totals vs
+   lease-level rollups by operator / district / field, ±0.5 absolute
+   tolerance per measure — A3 (6 aggregations) + J1 (3 left joins) +
+   P6 (tolerance predicate) + U1 (union all) + O1 (order by).
+
+Here each check is a pure function returning a *violation DataFrame*
+(empty ⇒ pass) plus a raising wrapper, so the same logic serves as a
+pipeline gate, a test oracle, and an ad-hoc query.
+
+Scale notes: each rollup aggregates before joining, so the join inputs are
+at key cardinality (small); AQE broadcasts them. The checks short-circuit
+with ``limit(1)`` for the raising wrappers — no full materialization of
+violations at 100 TB just to decide pass/fail.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: ±0.5 absolute tolerance per measure (reference ``dags/pdq_etl_dag.py:325-330``).
+ROLLUP_TOLERANCE = 0.5
+
+
+class DataQualityError(RuntimeError):
+    """Raised by the hard-fail wrappers, mirroring the reference's
+    task-failing ``raise`` (reference ``dags/pdq_etl_dag.py:398-400,427-429``)."""
+
+
+def negative_measures(df: DataFrame, measures: tuple[str, ...]) -> DataFrame:
+    """P8 — rows violating the non-negativity invariant (the DDL
+    ``CHECK (col >= 0)`` twin, reference ``sql/schema.sql:32-35``)."""
+    pred = None
+    for m in measures:
+        c = F.col(m) < 0
+        pred = c if pred is None else (pred | c)
+    return df.where(pred)
+
+
+def duplicate_keys(df: DataFrame, keys: tuple[str, ...]) -> DataFrame:
+    """P7/A5 — key groups with more than one row (PK-uniqueness twin,
+    reference ``dags/pdq_etl_dag.py:402-429``)."""
+    return (
+        df.groupBy(*[F.col(k) for k in keys])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+    )
+
+
+def assert_non_negative(df: DataFrame, measures: tuple[str, ...]) -> None:
+    """A5 hard gate — existence check via ``limit(1)``, not a full count."""
+    if negative_measures(df, measures).limit(1).count() > 0:
+        raise DataQualityError(f"negative values found in measures {measures}")
+
+
+def assert_unique_grain(df: DataFrame, keys: tuple[str, ...]) -> None:
+    if duplicate_keys(df, keys).limit(1).count() > 0:
+        raise DataQualityError(f"duplicate rows at grain {keys}")
+
+
+def _sum_measures(df: DataFrame, group_keys: list[str], measures: tuple[str, ...], prefix: str) -> DataFrame:
+    """A3 — ``SUM(COALESCE(m, 0))`` grouped by the rollup key (reference
+    ``dags/pdq_etl_dag.py:257-316``). Decimal accumulation keeps the sums
+    exact and order-independent (doubles would make the comparison flaky)."""
+    aggs = [
+        F.sum(F.coalesce(F.col(m), F.lit(0)).cast("decimal(28,2)")).alias(f"{prefix}{m}")
+        for m in measures
+    ]
+    return df.groupBy(*[F.col(k) for k in group_keys]).agg(*aggs)
+
+
+def rollup_reconciliation(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    key: str,
+    measures: tuple[str, ...],
+    check_type: str,
+    tolerance: float = ROLLUP_TOLERANCE,
+) -> DataFrame:
+    """A3+J1+P6 — reconcile two independent aggregations of the same
+    economic quantity (a metamorphic oracle, SURVEY.md §5).
+
+    ``side_a`` / ``side_b`` are row-level inputs; both are aggregated by
+    ``key`` here, left-joined (a-side preserved, reference
+    ``dags/pdq_etl_dag.py:323-324``), and filtered to rows where any
+    measure differs by more than ``tolerance`` absolute (P6).
+    """
+    a = _sum_measures(side_a, [key], measures, "a_")
+    b = _sum_measures(side_b, [key], measures, "b_")
+    joined = a.join(b, on=key, how="left")
+    pred = None
+    for m in measures:
+        c = (
+            F.abs(
+                F.coalesce(F.col(f"a_{m}"), F.lit(0))
+                - F.coalesce(F.col(f"b_{m}"), F.lit(0))
+            )
+            > tolerance
+        )
+        pred = c if pred is None else (pred | c)
+    out = joined.where(pred).withColumn("check_type", F.lit(check_type))
+    return out.select(
+        "check_type",
+        F.col(key).cast("long").alias("key"),
+        *[F.col(f"a_{m}").cast("double").alias(f"a_{m}") for m in measures],
+        *[F.col(f"b_{m}").cast("double").alias(f"b_{m}") for m in measures],
+    )
+
+
+def rollup_reconciliation_suite(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    keys: tuple[str, ...],
+    measures: tuple[str, ...],
+    tolerance: float = ROLLUP_TOLERANCE,
+) -> DataFrame:
+    """U1+O1 — run one reconciliation per key, union-all the mismatch sets
+    with aligned schemas, order by check_type (reference
+    ``dags/pdq_etl_dag.py:320-365``: operator/district/field blocks)."""
+    parts = [
+        rollup_reconciliation(side_a, side_b, k, measures, check_type=f"by_{k}", tolerance=tolerance)
+        for k in keys
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("check_type", "key")

@@ -1,0 +1,90 @@
+"""Partitioned-Parquet medallion layers with idempotent month loads
+(SURVEY.md §2.1 S3, S5-S8; §1.4 mapping table).
+
+The reference's three Postgres schemas (raw/staging/curated) become three
+Parquet directory trees partitioned by the ``yyyymm`` month key. That single
+layout decision replaces three reference mechanisms at once:
+
+- the b-tree month index (reference ``sql/schema.sql:17,25``) → partition
+  directories (partition pruning is automatic);
+- the hand-written JDBC pushdown subquery ``(SELECT ... WHERE yyyymm = {y}) x``
+  (reference ``spark_jobs/transform_operator.py:41-52``) → a plain
+  ``.where(col("yyyymm") == y)`` that Catalyst prunes to one partition;
+- the psycopg2 ``DELETE FROM t WHERE yyyymm = %s`` + append idempotency dance
+  (reference ``spark_jobs/transform_operator.py:16-31``, done outside Spark
+  because "Spark JDBC doesn't support deletes") → dynamic partition overwrite.
+
+At 100 TB: one partition per month keeps rewrite units bounded; within a
+partition, files split across executors. For very large months add a
+secondary bucket column (e.g. hash of the entity key) — ``write_month_
+idempotent`` accepts extra partition columns for that.
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MedallionLayer(str, enum.Enum):
+    RAW = "raw"
+    STAGING = "staging"
+    CURATED = "curated"
+
+
+def table_path(root: str, layer: MedallionLayer | str, table: str) -> str:
+    layer_name = layer.value if isinstance(layer, MedallionLayer) else layer
+    return os.path.join(root, layer_name, table)
+
+
+def write_month_idempotent(
+    df: DataFrame,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    partition_cols: tuple[str, ...] = ("yyyymm",),
+) -> str:
+    """Overwrite exactly the month partitions present in ``df`` (S5/S6/S7).
+
+    Requires ``spark.sql.sources.partitionOverwriteMode=dynamic`` (set by
+    ``session.get_spark``): partitions not present in ``df`` are untouched,
+    so re-running a month is idempotent — the declarative replacement for
+    the reference's delete-then-append.
+    """
+    path = table_path(root, layer, table)
+    (
+        df.write.mode("overwrite")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return path
+
+
+def read_month(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    yyyymm: int | None = None,
+) -> DataFrame:
+    """Partition-pruned month-slice read (S3).
+
+    The ``where`` on the partition column compiles to partition pruning —
+    verify with ``.explain()``: the scan's ``PartitionFilters`` carries the
+    predicate and only one directory is listed.
+    """
+    df = spark.read.parquet(table_path(root, layer, table))
+    if yyyymm is not None:
+        df = df.where(F.col("yyyymm") == F.lit(int(yyyymm)))
+    return df
+
+
+def overwrite_snapshot(df: DataFrame, root: str, layer: MedallionLayer | str, table: str) -> str:
+    """Full-snapshot overwrite — used for dimension tables (S8 truncate+load
+    analogue; the upsert itself is operators.modeling.upsert_dim)."""
+    path = table_path(root, layer, table)
+    df.write.mode("overwrite").parquet(path)
+    return path

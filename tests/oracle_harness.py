@@ -1,0 +1,91 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+Stricter than the driver: exact value equality after aligning columns by
+name and sorting rows canonically. If this passes, any order-insensitive
+value-hash comparison passes too.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _canon(v):
+    """Canonicalize a scalar for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, pd.Timestamp):
+        return v.to_pydatetime().replace(tzinfo=None).isoformat()
+    if hasattr(v, "isoformat"):
+        try:
+            return v.replace(tzinfo=None).isoformat()
+        except TypeError:
+            return v.isoformat()
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, (int, str, bool, bytes)):
+        return v
+    return str(v)
+
+
+def _frame_to_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(_canon(v) for v in row) for row in df.itertuples(index=False, name=None)]
+    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    return rows
+
+
+def compare_query(spark, fn, sql: str, sf_dir: str) -> dict:
+    """Run Spark query + DuckDB oracle, return a comparison report."""
+    sdf = fn(spark, sf_dir).toPandas()
+    con = duckdb_con(sf_dir)
+    odf = con.execute(sql).df()
+    con.close()
+    report = {
+        "spark_rows": len(sdf),
+        "oracle_rows": len(odf),
+        "spark_cols": sorted(sdf.columns),
+        "oracle_cols": sorted(odf.columns),
+        "match": False,
+        "detail": "",
+    }
+    if sorted(sdf.columns) != sorted(odf.columns):
+        report["detail"] = "column mismatch"
+        return report
+    if len(sdf) != len(odf):
+        report["detail"] = "row count mismatch"
+        return report
+    a, b = _frame_to_rows(sdf), _frame_to_rows(odf)
+    if a == b:
+        report["match"] = True
+        return report
+    diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+    report["detail"] = f"value mismatch; first diffs: {diffs}"
+    return report
