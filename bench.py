@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action so the full plan runs
+(scan → shuffle → aggregate) without collecting result payloads to the
+driver. A warmup pass on sf0.001 triggers JVM/codegen warmup so the
+numbers reflect steady-state execution, not JIT cold start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from novi_pdq_etl_project_prod_spark.catalog import QUERIES  # noqa: E402
+from novi_pdq_etl_project_prod_spark.session import get_spark  # noqa: E402
+
+#: Headline queries: the flagship transform, the heaviest joins/aggs, and
+#: one of each north-star family as they land.
+HEADLINE = [
+    "a1_monthly_fact",
+    "j1_star_join",
+    "dq_rollup_recon",
+    "a4_dedup_latest",
+    "e1_robust_casts",
+    "a2_duplicate_groups",
+]
+
+WARMUP_SF = "/root/testdata/sf0.001"
+
+
+def _run(fn, spark, sf_dir) -> float:
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # force full execution without driver-side payload: cheap count action
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warmup: run each once at tiny scale (codegen + class loading)
+    for n in names:
+        try:
+            _run(QUERIES[n], spark, WARMUP_SF)
+        except Exception:
+            pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        timings[n] = round(_run(QUERIES[n], spark, sf_dir), 3)
+
+    out = {
+        "metric": "headline_wall_clock",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
