@@ -1,0 +1,90 @@
+"""Window-function analytics (SURVEY.md §2.8, §7.2 M6).
+
+The reference uses no window functions (SURVEY.md §2.8) but its star
+schema implies them downstream (rankings, month-over-month deltas,
+moving averages over the ``yyyymm`` grain). This module supplies the
+general operators; the deterministic-upsert path in ``modeling`` already
+introduced ``row_number``.
+
+Determinism: every ordering a caller relies on for value-level
+reproducibility must include a unique tie-break key — ranking functions
+are deterministic *as (key, rank) sets* under ties, but ``lag``/``lead``
+and frame aggregates are not.
+
+Scale notes: a window shuffles on its partition keys once; multiple
+windows sharing the same partitioning reuse the exchange. Avoid
+``Window.partitionBy()`` with no keys (single-partition global sort) on
+big data — for global ranking use top-k (orderBy+limit) instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ranked(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    method: str = "rank",
+    alias: str = "rnk",
+) -> DataFrame:
+    """rank / dense_rank / row_number within groups."""
+    fn = {"rank": F.rank, "dense_rank": F.dense_rank, "row_number": F.row_number}[method]
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(alias, fn().over(w))
+
+
+def top_n_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    n: int,
+) -> DataFrame:
+    """Per-group top-k via row_number — the distributed idiom (each group's
+    k survivors are found map-side-ish within one shuffle; no global sort)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def with_lag_delta(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    alias_prev: str = "prev_value",
+    alias_delta: str = "delta",
+) -> DataFrame:
+    """Month-over-month style lag + delta."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    prev = F.lag(F.col(value_col)).over(w)
+    return df.withColumn(alias_prev, prev).withColumn(
+        alias_delta, F.col(value_col) - prev
+    )
+
+
+def with_moving_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    preceding: int,
+    agg: str = "sum",
+    alias: str = "moving",
+) -> DataFrame:
+    """Trailing-window aggregate over the last ``preceding``+current rows
+    (rows-frame; use exact decimal values for reproducibility)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-preceding, 0)
+    )
+    fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[agg]
+    return df.withColumn(alias, fn(F.col(value_col)).over(w))
