@@ -1,14 +1,323 @@
-"""Training-data pipeline operators (SURVEY.md §7.2 M6): dedup (exact +
-near), similarity search, text analysis, multimodal plumbing — over the
-``documents`` and ``embeddings`` fixture tables.
+"""Training-data pipeline operators (SURVEY.md §7.2 M6) over the
+``documents`` and ``embeddings`` fixture tables: dedup (exact + near),
+similarity search, text analysis, fingerprinting.
 
-Populated incrementally; SQL-expressible ops ship with DuckDB oracles,
-genuinely approximate ops (MinHash-LSH, SimHash) are registered without an
-oracle (driver records a rows-only check) and are instead validated against
-exact similarity ground truth in ``tests/``.
+SQL-expressible ops ship with DuckDB oracles (the fixture near-dups have
+Jaccard ≈ 0.99, so thresholded queries return real pairs). Genuinely
+approximate ops (MinHash-LSH, SimHash, hyperplane LSH) are registered
+without an oracle — the driver records a rows-only check — and are
+validated against exact ground truth in ``tests/test_llm_ops.py``.
 """
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators import text as TX
+from novi_pdq_etl_project_prod_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+#: Wordlists for the language-ID heuristic demo (drawn from the fixture
+#: vocabulary so hits actually occur; an engine user supplies real lists).
+LANG_WORDLISTS = {
+    "en": ("the", "a", "fast", "data", "row"),
+    "es": ("table", "join", "query"),
+}
+
+
+# ---------------------------------------------------------------------------
+# M1 — exact duplicate groups (hash-groupBy dedup)
+# ---------------------------------------------------------------------------
+
+def m1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs).select(
+        "fingerprint", "canonical_id", "n_copies", "member_ids"
+    )
+
+
+M1_SQL = """
+WITH fp AS (
+  SELECT doc_id,
+         md5(lower(array_to_string(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), ' '
+         ))) AS fingerprint
+  FROM documents
+)
+SELECT fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*) AS n_copies,
+       list_sort(list(doc_id)) AS member_ids
+FROM fp GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# M2 — exact n-gram Jaccard near-dup pairs (inverted-index self-join)
+# ---------------------------------------------------------------------------
+
+def m2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, df_cap=None
+    )
+
+
+M2_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+       CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# M3 — token statistics (counting + quality signals)
+# ---------------------------------------------------------------------------
+
+def m3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        TX.bpe_ish_token_count("text").alias("n_pieces"),
+        TX.distinct_token_ratio("text").alias("distinct_ratio"),
+        TX.stopword_ratio("text").alias("stopword_frac"),
+        TX.mean_token_length("text").alias("mean_tok_len"),
+    )
+
+
+M3_SQL = """
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT)
+         AS n_pieces,
+       CASE WHEN len(t) = 0 THEN 1.0
+            ELSE CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS distinct_ratio,
+       CASE WHEN len(t) = 0 THEN 0.0
+            ELSE CAST(len(list_filter(t, x -> list_contains(
+                   ['the','a','of','and','to','in','is','it'], lower(x)))) AS DOUBLE)
+                 / len(t) END AS stopword_frac,
+       CASE WHEN len(t) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                 / len(t) END AS mean_tok_len
+FROM toks
+"""
+
+
+# ---------------------------------------------------------------------------
+# M4 — language-ID heuristic (wordlist argmax, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+def m4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.language_score("text", LANG_WORDLISTS["en"]).alias("hits_en"),
+        TX.language_score("text", LANG_WORDLISTS["es"]).alias("hits_es"),
+        TX.detect_language("text", LANG_WORDLISTS).alias("pred_lang"),
+    )
+
+
+M4_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(len(list_filter(t, x -> list_contains(
+           ['the','a','fast','data','row'], lower(x)))) AS INT) AS hits_en,
+         CAST(len(list_filter(t, x -> list_contains(
+           ['table','join','query'], lower(x)))) AS INT) AS hits_es
+  FROM toks
+)
+SELECT doc_id, hits_en, hits_es,
+       CASE WHEN hits_en = 0 AND hits_es = 0 THEN 'und'
+            WHEN hits_es > hits_en THEN 'es'
+            ELSE 'en' END AS pred_lang
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# M5 — quality filter (the gating application of M3's signals)
+# ---------------------------------------------------------------------------
+
+def m5_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = m3_token_stats(spark, sf_dir)
+    return stats.where(
+        (F.col("n_tokens") >= 20)
+        & (F.col("n_tokens") <= 1000)
+        & (F.col("distinct_ratio") >= 0.1)
+        & (F.col("mean_tok_len") >= 2.0)
+        & (F.col("mean_tok_len") <= 12.0)
+    ).select("doc_id", "n_tokens", "distinct_ratio", "mean_tok_len")
+
+
+M5_SQL = f"""
+WITH stats AS ({M3_SQL})
+SELECT doc_id, n_tokens, distinct_ratio, mean_tok_len
+FROM stats
+WHERE n_tokens BETWEEN 20 AND 1000
+  AND distinct_ratio >= 0.1
+  AND mean_tok_len BETWEEN 2.0 AND 12.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# M6 — document fingerprinting (whole-doc md5 + 1-perm MinHash component)
+# ---------------------------------------------------------------------------
+
+def m6_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.document_fingerprint("text").alias("fingerprint"),
+        TX.min_shingle_hash("text", n=3).alias("min_shingle_md5"),
+    )
+
+
+M6_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+minsh AS (SELECT doc_id, MIN(md5(sh)) AS min_shingle_md5 FROM sh GROUP BY 1)
+SELECT toks.doc_id,
+       md5(lower(array_to_string(t, ' '))) AS fingerprint,
+       minsh.min_shingle_md5
+FROM toks LEFT JOIN minsh ON toks.doc_id = minsh.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M7 — exact embedding similarity top-k (brute-force baseline;
+# bit-identical to DuckDB list_dot_product arithmetic)
+# ---------------------------------------------------------------------------
+
+def m7_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return brute_force_topk(emb, q, k=5, metric="cosine")
+
+
+M7_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 10
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS score
+  FROM c, q WHERE query_id <> neighbor_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, neighbor_id ASC) AS INT) AS rank
+FROM scored
+QUALIFY rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# M8-M10 — approximate ops: rows-only driver check, ground-truth-validated
+# in tests/test_llm_ops.py
+# ---------------------------------------------------------------------------
+
+def m8_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, n=3, num_hashes=64, bands=16, threshold=0.5
+    )
+
+
+def m9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    sigs = simhash_signatures(docs)
+    return simhash_near_duplicates(sigs, max_hamming=3)
+
+
+def m10_lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return hyperplane_lsh_topk(emb, q, k=5, dim=64, nbits=4, n_tables=16)
+
+
+QUERIES = {
+    "m1_exact_dedup_groups": m1_exact_dedup_groups,
+    "m2_ngram_jaccard_pairs": m2_ngram_jaccard_pairs,
+    "m3_token_stats": m3_token_stats,
+    "m4_lang_id": m4_lang_id,
+    "m5_quality_filter": m5_quality_filter,
+    "m6_fingerprints": m6_fingerprints,
+    "m7_embedding_topk": m7_embedding_topk,
+    "m8_minhash_near_dups": m8_minhash_near_dups,
+    "m9_simhash_near_dups": m9_simhash_near_dups,
+    "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
+}
+
+ORACLES = {
+    "m1_exact_dedup_groups": M1_SQL,
+    "m2_ngram_jaccard_pairs": M2_SQL,
+    "m3_token_stats": M3_SQL,
+    "m4_lang_id": M4_SQL,
+    "m5_quality_filter": M5_SQL,
+    "m6_fingerprints": M6_SQL,
+    "m7_embedding_topk": M7_SQL,
+    # m8-m10: approximate — rows-only checks by design
+}

@@ -1,0 +1,329 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §7.2 M6):
+exact (hash-groupBy), n-gram Jaccard (exact near-dup), MinHash + LSH
+(approximate near-dup at scale), SimHash (bitwise near-dup).
+
+Scale design (the whole point of these operators):
+
+- **exact_duplicates** — one shuffle on a 128-bit fingerprint; the
+  canonical survivor is min(doc_id), deterministic.
+- **ngram_jaccard_pairs** — the *exact* baseline. Inverted-index self-join
+  on shingles: cost ∝ Σ_shingle df², so extremely common shingles are
+  dropped with a document-frequency cap first (standard "stop-shingle"
+  removal — they carry no discriminative signal and quadratic cost).
+  Use for validation and small corpora; at 100 TB use MinHash-LSH.
+- **minhash_signatures / lsh_candidate_pairs** — signatures are computed
+  per-row with JVM-side higher-order functions (xxhash64 × k seeds over
+  the shingle array): NO shuffle, no Python. Banding explodes each doc
+  into b band rows, one shuffle groups equal band-hashes; candidate pair
+  count ≈ true-near-dup count + tunable false positives, so the verify
+  join touches candidates only — never the n² pair space.
+- **simhash_signatures** — one 64-bit signature per doc computed from
+  token hashes; hamming-ball candidate search via 16-bit band exact-match
+  (any pair within hamming distance 3 of 64 shares at least one of 4
+  bands — pigeonhole).
+
+Determinism: all hashing is seeded xxhash64 / md5 — reproducible across
+runs and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.text import (
+    document_fingerprint,
+    shingles,
+)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact-duplicate groups: fingerprint → (canonical_id, n_copies,
+    member ids). One hash-shuffle; survivor = min(id) (deterministic)."""
+    fp = df.select(
+        F.col(id_col), document_fingerprint(text_col).alias("fingerprint")
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one deterministic survivor per fingerprint (min id)."""
+    w_fp = document_fingerprint(text_col).alias("__fp")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", w_fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (inverted-index self-join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = 10_000,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard ≥ threshold.
+
+    ``df_cap`` drops shingles appearing in more than that many documents
+    before pairing (quadratic-cost control; None disables). Set sizes are
+    computed on the *un-capped* shingle sets so Jaccard stays exact for
+    surviving pairs as long as capped shingles are rare in true near-dups.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if df_cap is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("df") > df_cap)), "sh", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """k-permutation MinHash signature per document, computed entirely
+    row-local (array transform + xxhash64(seed, shingle) + array_min):
+    no shuffle, no UDF. Docs with no shingles get a null signature."""
+    # Single-pass fold: one traversal of the shingle array updates all k
+    # minima via nested higher-order functions. Building k separate
+    # array_min(transform(...)) columns instead would inline (and
+    # recompute) the shingle expression k times — measured ~60× slower.
+    sh_df = df.select(
+        F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh")
+    )
+    init = F.array_repeat(F.lit(2**63 - 1).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        F.col("__sh"),
+        init,
+        lambda acc, s: F.zip_with(
+            acc, seeds, lambda a, i: F.least(a, F.xxhash64(i, s))
+        ),
+    )
+    return sh_df.select(
+        "id",
+        F.when(F.size(F.col("__sh")) > 0, sig).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs (a < b) that collide in
+    ≥1 band, with the signature-agreement Jaccard estimate.
+
+    Two shuffles total: band-hash grouping (via self-join on the banded
+    rows) and pair dedup. For a threshold t, choose bands so that
+    (1/bands)^(rows_per_band) straddles t: more bands ⇒ lower effective
+    threshold, more candidates.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    banded = signatures.where(F.col("signature").isNotNull()).select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band"),
+                        F.xxhash64(
+                            F.lit(j), *[F.col("signature")[j * r + k] for k in range(r)]
+                        ).alias("bh"),
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bandrow"),
+    ).select("id", "signature", F.col("bandrow.band").alias("band"), F.col("bandrow.bh").alias("bh"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+    )
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup detection: signatures → LSH candidates →
+    signature-estimate filter. The verify-with-exact-Jaccard refinement is
+    ``ngram_jaccard_pairs`` restricted to these candidates."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    return cands.where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (term-frequency weighted by
+    repetition, since the token array keeps duplicates). Row-local:
+    64 bit-sums over the token-hash array via higher-order functions."""
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    # Same single-pass-fold shape as minhash_signatures: hash each token
+    # once, then one traversal updates all 64 bit-sums.
+    th_df = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    bits = F.sequence(F.lit(0), F.lit(63))
+    bit_sums = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bits,
+            lambda a, b: a + (F.bit_get(h, b) * 2 - 1).cast("int"),
+        ),
+    )
+    # Assemble the 64-bit value as two 32-bit halves: a single fold with
+    # acc*2+bit would overflow signed long on the top bit (ANSI throws).
+    sig_bits = F.transform(bit_sums, lambda s: (s > 0).cast("long"))
+    half = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+    )
+    hi = half(F.slice(sig_bits, 1, 32))
+    lo = half(F.slice(sig_bits, 33, 32))
+    sig = F.shiftleft(hi, 32).bitwiseOR(lo)
+    return th_df.select(
+        "id",
+        F.when(F.size(F.col("__th")) > 0, sig).alias("simhash"),
+    )
+
+
+def simhash_near_duplicates(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs within a hamming ball: band the 64-bit signature
+    into 4 × 16-bit chunks; by pigeonhole any pair with hamming ≤ 3
+    matches exactly on ≥1 chunk. Exact-match join per chunk, then filter
+    by true hamming distance (bit_count of xor)."""
+    chunks = signatures.where(F.col("simhash").isNotNull()).select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("ch"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.ch").alias("ch"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ch") == F.col("b.ch"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

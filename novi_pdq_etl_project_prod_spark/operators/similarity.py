@@ -1,0 +1,169 @@
+"""Embedding similarity search (SURVEY.md §7.2 M6): brute-force cosine
+top-k as the exact baseline, random-hyperplane LSH bucketing as the scale
+path.
+
+Scale design:
+
+- **brute_force_topk** — exact. The query set is broadcast (it's the
+  small side); each executor scans its corpus partitions once computing
+  dot products with JVM higher-order functions (zip_with + aggregate —
+  sequential, deterministic double arithmetic), then per-query top-k via
+  window. Cost O(|queries| × |corpus| × dim) — right answer for
+  |queries| ≪ |corpus|. Never materializes the full similarity matrix
+  when k is small: the window keeps k rows per query per partition
+  before the final shuffle.
+- **hyperplane_lsh_topk** — approximate. Both sides get a ``nbits``-bit
+  sign-pattern bucket from fixed pseudo-random hyperplanes (seeded
+  numpy, driver-side constants). Join on bucket equality (optionally
+  with multiple probe tables / fewer bits for higher recall), score only
+  within buckets. Cost drops to O(collisions × dim) — the IVF-style
+  recall/cost dial is ``nbits``.
+
+Embeddings are cast to double before any arithmetic: float32 summation
+order would otherwise make results partition-order dependent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors for each query over the corpus.
+
+    Output: (query_id, neighbor_id, score, rank) with rank 1..k, score
+    descending, ties broken by neighbor id ascending (deterministic).
+    Self-matches (same id) are excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    score = {
+        "cosine": cosine(F.col("qv"), F.col("cv")),
+        "dot": dot(F.col("qv"), F.col("cv")),
+    }[metric]
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic hyperplane normals for sign-LSH (driver-side
+    constants, broadcast with the plan)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((nbits, dim)).tolist()
+
+
+def hyperplane_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit b = sign(vec · plane_b)."""
+    bits = [
+        (dot(vec_col, F.array(*[F.lit(float(x)) for x in plane])) > 0).cast("long")
+        for plane in planes
+    ]
+    return F.aggregate(
+        F.array(*bits), F.lit(0).cast("long"), lambda acc, bit: acc * 2 + bit
+    )
+
+
+def hyperplane_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    nbits: int = 6,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (OR-amplification).
+
+    A single nbits-bit table has per-neighbor collision probability
+    (1 - θ/π)^nbits — too low for useful recall. With L independent
+    tables a pair collides if it matches in ANY table:
+    1 - (1 - p^nbits)^L. The recall/cost dials: nbits ↑ ⇒ smaller
+    buckets (fewer false candidates); n_tables ↑ ⇒ higher recall
+    (more candidates). Exact cosine is computed on the candidate union
+    only; output schema matches ``brute_force_topk`` (rank may stop
+    short of k when buckets are small — the approximation showing).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    buckets = lambda vec: F.array(  # noqa: E731
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                hyperplane_bucket(
+                    vec, random_hyperplanes(dim, nbits, seed + 1000 * t)
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    qb = q.select(
+        "query_id", "qv", F.explode(buckets(F.col("qv"))).alias("b")
+    ).select("query_id", "qv", "b.tbl", "b.bucket")
+    cb = c.select(
+        "neighbor_id", "cv", F.explode(buckets(F.col("cv"))).alias("b")
+    ).select("neighbor_id", "cv", "b.tbl", "b.bucket")
+    cands = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

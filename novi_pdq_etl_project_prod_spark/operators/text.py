@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §7.2 M6):
+tokenization, token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All hot-path logic is built-in ``pyspark.sql.functions`` (split / lambda
+higher-order functions / md5) — JVM-side, codegen'd, no Python workers.
+Cross-engine determinism: hashing uses md5 (identical output in DuckDB),
+ratios use exact integer counts divided as doubles at the end.
+
+Scale notes: everything here is a narrow per-row projection — no shuffle
+at all. At 100 TB these pipeline stages fuse into the scan via
+whole-stage codegen; the only cost is CPU, which scales linearly with
+executors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default whitespace tokenizer pattern (split on runs of whitespace).
+WS_PATTERN = r"\s+"
+
+#: Small stopword list used by quality scoring / lang-ID demos. An
+#: engine user supplies their own per-language lists.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(col: Column | str, pattern: str = WS_PATTERN) -> Column:
+    """Whitespace tokenization → array<string>; empty strings removed
+    (split on a blank document yields [''] otherwise)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), pattern), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count — the cheap proxy for LLM token budgeting."""
+    return F.size(tokens(col))
+
+
+#: RE2-compatible piece pattern (no lookarounds — portable to DuckDB's
+#: regexp_extract_all for oracle parity): word/number runs, else any
+#: single non-space symbol.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish piece count: word/digit runs + individual punctuation marks
+    (a regex approximation of byte-pair tokenizer output size —
+    deliberately simple, deterministic, and JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def distinct_token_ratio(col: Column | str) -> Column:
+    """Vocabulary diversity: |distinct tokens| / |tokens| (1.0 for empty).
+    Low values flag boilerplate/repetitive documents."""
+    t = tokens(col)
+    return F.when(F.size(t) == 0, F.lit(1.0)).otherwise(
+        F.size(F.array_distinct(t)).cast("double") / F.size(t)
+    )
+
+
+def stopword_ratio(col: Column | str, stopwords: Sequence[str] = STOPWORDS_EN) -> Column:
+    """Share of tokens that are stopwords — a classic fluency heuristic
+    (natural prose has a stable stopword rate; keyword spam does not)."""
+    t = tokens(col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(t, lambda x: F.array_contains(sw, F.lower(x))))
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(t)
+    )
+
+
+def mean_token_length(col: Column | str) -> Column:
+    t = tokens(col)
+    total = F.aggregate(t, F.lit(0), lambda acc, x: acc + F.length(x))
+    return F.when(F.size(t) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(t)
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard quality-signal columns. Pure projection — no
+    shuffle; fuses into the scan."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_chars_measured", F.length(F.col(text_col)))
+        .withColumn("distinct_ratio", distinct_token_ratio(text_col))
+        .withColumn("stopword_frac", stopword_ratio(text_col))
+        .withColumn("mean_tok_len", mean_token_length(text_col))
+    )
+
+
+def language_score(col: Column | str, wordlist: Sequence[str]) -> Column:
+    """Hit count of ``wordlist`` members among the tokens — the building
+    block of the n-gram/wordlist language-ID heuristic."""
+    t = tokens(col)
+    wl = F.array(*[F.lit(w) for w in wordlist])
+    return F.size(F.filter(t, lambda x: F.array_contains(wl, F.lower(x))))
+
+
+def detect_language(
+    col: Column | str, wordlists: dict[str, Sequence[str]], default: str = "und"
+) -> Column:
+    """Argmax language over wordlist hit counts, deterministic tie-break by
+    language code order. Rule-based and cheap; swap in a real model via the
+    multimodal pandas-UDF path when fidelity matters."""
+    scores = [(lang, language_score(col, wl)) for lang, wl in sorted(wordlists.items())]
+    best = None
+    best_score = None
+    for lang, score in scores:
+        if best is None:
+            best, best_score = F.lit(lang), score
+        else:
+            take = score > best_score
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_score = F.when(take, score).otherwise(best_score)
+    return F.when(best_score > 0, best).otherwise(F.lit(default))
+
+
+def document_fingerprint(col: Column | str) -> Column:
+    """Whole-document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text. Identical fingerprints ⇔ exact (normalized)
+    duplicates; the groupBy key for exact dedup."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.concat_ws(" ", tokens(c))))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingle array (distinct) — the unit of near-dup
+    similarity. Built with transform over token index offsets; stays
+    JVM-side."""
+    t = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + F.lit(j + 1)) for j in range(n)]
+    )
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(F.transform(idx, gram))
+    )
+
+
+def min_shingle_hash(col: Column | str, n: int = 3) -> Column:
+    """1-permutation MinHash: lexicographic min of md5(shingle). A single
+    deterministic, SQL-expressible signature component (the k-permutation
+    generalization lives in operators.dedup)."""
+    return F.array_min(F.transform(shingles(col, n), F.md5))

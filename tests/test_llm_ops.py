@@ -1,0 +1,99 @@
+"""Ground-truth validation for the approximate dedup/similarity operators
+(the ones the driver only rows-checks): MinHash-LSH and SimHash against
+exact n-gram Jaccard; hyperplane LSH against brute-force cosine top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+    simhash_signatures,
+)
+from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    brute_force_topk,
+    hyperplane_lsh_topk,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+
+
+def test_minhash_recall_against_exact_jaccard(spark):
+    docs = _docs(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8, df_cap=None).collect()
+    }
+    assert truth, "fixture should contain planted near-duplicates"
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.9, f"minhash recall {recall} over {len(truth)} true pairs"
+    # precision against a looser exact threshold: everything we claim at
+    # est>=0.5 should be genuinely similar (jaccard >= 0.3)
+    loose = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, df_cap=None).collect()
+    }
+    precision = len(found & loose) / max(len(found), 1)
+    assert precision >= 0.9, f"minhash precision {precision} on {len(found)} pairs"
+
+
+def test_simhash_finds_near_dups(spark):
+    docs = _docs(spark)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9, df_cap=None).collect()
+    }
+    sigs = simhash_signatures(docs)
+    found = {
+        (r.id_a, r.id_b) for r in simhash_near_duplicates(sigs, max_hamming=3).collect()
+    }
+    # simhash hamming<=3 is a tighter notion than jaccard>=0.9; require
+    # that what it finds is real and that it finds a meaningful share
+    assert found, "simhash should find some near-dup pairs in the fixture"
+    hit = len(truth & found) / len(truth)
+    assert hit >= 0.5, f"simhash found only {hit} of jaccard>=0.9 pairs"
+
+
+def test_simhash_signature_is_deterministic(spark):
+    docs = _docs(spark).limit(50)
+    a = {r.id: r.simhash for r in simhash_signatures(docs).collect()}
+    b = {r.id: r.simhash for r in simhash_signatures(docs.repartition(7)).collect()}
+    assert a == b
+
+
+def test_lsh_topk_recall_vs_brute_force(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = hyperplane_lsh_topk(emb, q, k=5, dim=64, nbits=4, n_tables=16)
+    t = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    f = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & f) / len(t)
+    # OR-amplified (16 tables × 4 bits): recall is partial by design but
+    # must stay far above chance on the fixture
+    assert recall >= 0.7, f"LSH recall {recall}"
+
+
+def test_exact_dedup_survivor_is_min_id(spark):
+    docs = _docs(spark)
+    groups = exact_duplicates(docs).collect()
+    for g in groups:
+        assert g.canonical_id == min(g.member_ids)
+    survivors = drop_exact_duplicates(docs)
+    assert survivors.count() == len(groups)
