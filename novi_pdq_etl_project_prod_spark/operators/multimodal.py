@@ -1,0 +1,156 @@
+"""Multimodal column plumbing (SURVEY.md §7.2 M6): image/audio/video as
+opaque ``binary`` columns with typed metadata, processed in Arrow batches
+via ``mapInPandas``.
+
+The decode step itself is STUBBED — the container has no image/audio
+libraries — behind ``DECODERS``: each modality gets a deterministic fake
+decoder so the Spark-side plumbing (schema contract, batch shape,
+partition sizing) is real and tested; swapping in Pillow/torchaudio is a
+one-function change that does not touch any Spark code.
+
+Scale notes (the part that matters at 100 TB):
+- binary payloads ride *with* the rows — size partitions by bytes, not
+  row count (``spark.sql.files.maxPartitionBytes``), or store payloads
+  out-of-band (object-store URIs) and fetch inside the batch fn.
+- ``mapInPandas`` streams Arrow record batches: peak executor memory is
+  one batch, not one partition (``spark.sql.execution.arrow.
+  maxRecordsPerBatch`` caps it — set it low for fat rows).
+- feature extraction emits small fixed-width vectors; do it as early as
+  possible so shuffles move features, never raw media bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Schema of decoded-image feature rows produced by ``decode_and_featurize``.
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def _fake_image_decoder(payload: bytes) -> dict:
+    """Deterministic stand-in for a real decoder: derives dimensions and a
+    16-dim feature from the payload hash. Replace with Pillow + a vision
+    model; the signature (bytes -> dict matching IMAGE_FEATURES_SCHEMA
+    fields) is the swap point."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + h[0] % 192
+    height = 64 + h[1] % 192
+    feature = [((h[i] / 255.0) * 2 - 1) for i in range(16)]
+    return {"width": width, "height": height, "feature": feature}
+
+
+def _unimplemented_decoder(payload: bytes) -> dict:
+    raise NotImplementedError(
+        "real media decoding requires libraries not present in this "
+        "container; register one via DECODERS['<modality>']"
+    )
+
+
+#: Modality registry. 'image' ships the deterministic fake so plumbing is
+#: testable end-to-end; audio/video raise until a real decoder is plugged.
+DECODERS: dict[str, Callable[[bytes], dict]] = {
+    "image": _fake_image_decoder,
+    "audio": _unimplemented_decoder,
+    "video": _unimplemented_decoder,
+}
+
+
+def attach_binary_metadata(
+    df: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Cheap JVM-side metadata over opaque binary: byte length + sha256.
+    No Python, no decode — this is the projection you run over 100 TB to
+    build manifests and exact-dup maps of media."""
+    return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long")).withColumn(
+        "sha256", F.sha2(F.col(payload_col), 256)
+    )
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    modality_col: str = "modality",
+    batch_size_hint: int = 256,
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction via ``mapInPandas``.
+
+    Unknown/failing decodes yield null width/height/feature rather than
+    failing the job (poison-pill media is a fact of life at scale).
+    """
+
+    def _process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf[id_col].astype("int64"),
+                "modality": pdf[modality_col],
+                "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                "sha256": pdf[payload_col].map(
+                    lambda b: hashlib.sha256(b).hexdigest()
+                ),
+            }
+            widths, heights, feats = [], [], []
+            for modality, payload in zip(pdf[modality_col], pdf[payload_col]):
+                decoder = DECODERS.get(modality)
+                try:
+                    d = decoder(payload) if decoder else None
+                except NotImplementedError:
+                    d = None
+                widths.append(d["width"] if d else None)
+                heights.append(d["height"] if d else None)
+                feats.append(d["feature"] if d else None)
+            out["width"] = pd.array(widths, dtype="Int32")
+            out["height"] = pd.array(heights, dtype="Int32")
+            out["feature"] = pd.Series(feats, dtype="object")
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_process, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_frames_col: str = "n_frames",
+    every_nth: int = 30,
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media, frame_count) into
+    (media, frame_index) rows JVM-side with ``sequence`` + ``explode`` —
+    the shuffle-light manifest a downstream decoder consumes. Decoding
+    the sampled frames is the pandas-UDF step above."""
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every_nth)
+    )
+    return df.select(
+        F.col(id_col), F.explode(idx).alias("frame_index")
+    )
+
+
+def synthetic_media(spark, n: int = 64, modality: str = "image") -> DataFrame:
+    """Deterministic fake media table for tests/demos: payload bytes are a
+    function of the id (md5-expanded)."""
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("media_id"),
+            F.lit(modality).alias("modality"),
+            F.sha2(F.col("id").cast("string"), 256)
+            .cast("binary")
+            .alias("payload"),
+        )
+    )

@@ -1,0 +1,110 @@
+"""Streaming event analytics: file-source ingestion, watermarked windowed
+aggregation, and a stateful sessionization operator.
+
+Mirrors the batch month-slice semantics incrementally: the tumbling
+window + watermark pair is the streaming equivalent of the reference's
+idempotent month reload (late rows within the watermark update their
+window; rows later than that are dropped rather than corrupting closed
+months).
+
+Scale notes: windowed aggregation state is per (window × keys) — bounded
+by the watermark horizon; shuffle partitions set state-store parallelism
+(one RocksDB/memory store per partition). ``availableNow`` triggers give
+batch-sized catch-up runs with streaming semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The events fixture shape with a proper timestamp (TESTDATA.md; the
+#: parquet stores nanos — see session.read_events for the batch path).
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source event stream with explicit schema (streaming reads
+    never infer). New files landing in ``path`` become micro-batches."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA).format(fmt)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type.
+
+    Works identically on a batch DataFrame (window() is just an
+    expression there) — the same logical query serves both engines, which
+    is also how the tests oracle it: run streaming with availableNow,
+    compare against the batch run of this very function.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def monthly_event_rollup(events: DataFrame, watermark: str = "35 days") -> DataFrame:
+    """The reference's monthly grain (E4), streaming: yyyymm derived from
+    event time inside a month-long tumbling window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "30 days").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            (F.year("w.start") * 100 + F.month("w.start")).alias("yyyymm"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    query_name: str,
+    output_mode: str = "complete",
+) -> None:
+    """Execute a streaming query over all currently-available input
+    (availableNow trigger) into an in-memory table named ``query_name``,
+    blocking until done. Test/demo harness — production sinks are
+    partitioned parquet via writeStream.format('parquet')."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

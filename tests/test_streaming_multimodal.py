@@ -1,0 +1,121 @@
+"""Streaming (windowed agg, sessionization) and multimodal plumbing tests.
+
+Streaming correctness strategy: run the same logical query in streaming
+mode (availableNow over a file source) and batch mode; results must
+match — the metamorphic oracle for the streaming engine.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+    attach_binary_metadata,
+    decode_and_featurize,
+    frame_sample_plan,
+    synthetic_media,
+)
+from novi_pdq_etl_project_prod_spark.session import read_events
+from novi_pdq_etl_project_prod_spark.streaming.events import (
+    read_event_stream,
+    run_to_memory_sink,
+    windowed_event_counts,
+)
+from novi_pdq_etl_project_prod_spark.streaming.sessions import (
+    sessionize_batch,
+    sessionize_stream,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Re-materialize the events fixture as micro-second-timestamp parquet
+    (streaming file source can't read the nanos original)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    read_events(spark, SF_SMOKE).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_streaming_windowed_counts_match_batch(spark, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    assert stream.isStreaming
+    run_to_memory_sink(
+        windowed_event_counts(stream), "win_counts", output_mode="complete"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.table("win_counts").collect()
+    }
+    batch = windowed_event_counts(spark.read.parquet(events_dir))
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_streaming_sessionization_matches_batch(spark, events_dir):
+    events = spark.read.parquet(events_dir)
+    batch = sessionize_batch(events, gap_minutes=30)
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in batch.collect()
+    }
+    assert want, "fixture should produce sessions"
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory_sink(
+        sessionize_stream(stream, watermark="0 seconds"),
+        "sessions_out",
+        output_mode="append",
+    )
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions_out").collect()
+    }
+    # the final (unclosed) session per user stays in state when input ends;
+    # everything emitted must be a true session and most sessions emit
+    assert got <= want
+    assert len(got) >= len(want) * 0.5, (len(got), len(want))
+
+
+def test_multimodal_metadata_and_decode(spark):
+    media = synthetic_media(spark, n=64)
+    meta = attach_binary_metadata(media, "payload")
+    rows = meta.select("media_id", "n_bytes", "sha256").collect()
+    assert all(r.n_bytes > 0 and len(r.sha256) == 64 for r in rows)
+
+    feats = decode_and_featurize(media).collect()
+    assert len(feats) == 64
+    for r in feats:
+        assert r.modality == "image"
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+        assert len(r.feature) == 16
+    # determinism across partitionings
+    feats2 = decode_and_featurize(media.repartition(7)).collect()
+    assert {(r.media_id, r.sha256, r.width) for r in feats} == {
+        (r.media_id, r.sha256, r.width) for r in feats2
+    }
+
+
+def test_multimodal_unknown_modality_yields_nulls(spark):
+    media = synthetic_media(spark, n=8, modality="audio")
+    feats = decode_and_featurize(media).collect()
+    assert len(feats) == 8
+    assert all(r.width is None and r.feature is None for r in feats)
+    assert all(r.sha256 for r in feats)  # metadata still computed
+
+
+def test_frame_sample_plan(spark):
+    df = spark.range(3).select(
+        F.col("id").alias("media_id"), (F.col("id") * 45 + 40).cast("int").alias("n_frames")
+    )
+    plan = frame_sample_plan(df, every_nth=30).collect()
+    got = {(r.media_id, r.frame_index) for r in plan}
+    assert got == {(0, 0), (0, 30), (1, 0), (1, 30), (1, 60), (2, 0), (2, 30), (2, 60), (2, 90), (2, 120)}
