@@ -37,6 +37,10 @@ HEADLINE = [
     "w3_moving_sum",
     "r2_cube",
     "d1_count_distinct",
+    # temporal / skew
+    "x1_asof_join",
+    "x3_sessionize",
+    "x2_salted_agg",
     # training-data pipeline ops
     "m1_exact_dedup_groups",
     "m3_token_stats",

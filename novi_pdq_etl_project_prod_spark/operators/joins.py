@@ -1,0 +1,113 @@
+"""Temporal join operators beyond plain equi-joins: as-of join and
+range-bucket join. The reference has only equi-joins (SURVEY.md §2.5);
+these are the standard temporal extensions its event/time-series data
+model implies — and operators Spark lacks natively, composed here from
+shuffle-once window primitives (SURVEY.md custom-operator rule (a):
+composition of existing DataFrame ops).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys.
+
+    Implementation: union both sides with a side tag, one shuffle on the
+    keys, then ``last(value, ignorenulls=True)`` over the event-time
+    order carries the most recent right values forward onto left rows.
+    Cost: a single shuffle + sort per key group — no range cross-product,
+    no per-row probe; this is the 100 TB-safe shape (the naive
+    ``left.ts >= right.ts`` theta-join explodes quadratically).
+
+    Ordering within equal timestamps is made deterministic by
+    ``tie_break`` (a column present on both sides, e.g. an event id);
+    right rows at the same (ts, tie) sort before the left row only if
+    their tie value is smaller.
+    """
+    lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
+    rt_cols = list(on) + [right_ts] + list(value_cols) + ([tie_break] if tie_break else [])
+    rt = (
+        right.select(*[F.col(c) for c in dict.fromkeys(rt_cols)])
+        .withColumn("__side", F.lit(0))
+        .withColumn("__ts", F.col(right_ts))
+    )
+    rt = rt.select(
+        *[F.col(c) for c in on],
+        "__side",
+        "__ts",
+        *([F.col(tie_break)] if tie_break else []),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    lt = lt.select(
+        "*",
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
+    )
+    stacked = lt.unionByName(rt, allowMissingColumns=True)
+    order = [F.col("__ts").asc()]
+    if tie_break:
+        order.append(F.col(tie_break).asc_nulls_first())
+    order.append(F.col("__side").asc())  # right row wins at exact tie position
+    w = (
+        Window.partitionBy(*[F.col(k) for k in on])
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = stacked.select(
+        "*",
+        *[
+            F.last(F.col(f"__v_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    drop = ["__side", "__ts"] + [f"__v_{c}" for c in value_cols]
+    return carried.where(F.col("__side") == 1).drop(*drop)
+
+
+def range_bucket_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Point-in-interval join without a cross product: both sides are
+    bucketed by ``bucket_width`` (intervals explode into the buckets they
+    overlap), the join runs on bucket equality, and the exact range
+    predicate filters the handful of in-bucket candidates. Choose
+    ``bucket_width`` ≈ typical interval length so each interval lands in
+    O(1) buckets."""
+    lb = left.withColumn(
+        "__bucket", F.floor(F.col(left_point) / F.lit(bucket_width)).cast("long")
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .where(
+            (F.col(left_point) >= F.col(right_lo))
+            & (F.col(left_point) <= F.col(right_hi))
+        )
+        .drop("__bucket")
+    )

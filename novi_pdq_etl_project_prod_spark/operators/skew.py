@@ -1,0 +1,84 @@
+"""Skew-mitigation operators (SURVEY.md §4 shuffle/spill row, §7.3).
+
+The reference *manufactures* skew: null operator numbers collapse to a
+``0`` sentinel (reference ``spark_jobs/transform_operator.py:89``), so
+one group key can hold a large share of all rows. AQE's skew-join
+splitting handles the join case automatically (enabled in
+``session.get_spark``); these operators cover the aggregation case,
+where AQE cannot help — a hot groupBy key lands on one reducer.
+
+``salted_agg`` is semantics-preserving for any algebraic aggregate
+(sum/count/min/max + avg via sum/count): stage 1 aggregates on
+(key, salt) spreading the hot key over N reducers; stage 2 merges the
+N partials per key. Two small shuffles instead of one skewed one.
+
+Honesty note: for purely algebraic aggregates Spark's map-side partial
+HashAggregate already blunts most groupBy skew; salting earns its keep
+when partial aggregation degrades — very wide value payloads, hash-agg
+fallback to sort, or as the building block for holistic aggregates
+(collect/distinct-style) where no map-side combine exists.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: (merge_fn, partial_alias) per supported algebraic aggregate
+_MERGES = {
+    "sum": F.sum,
+    "count": F.sum,  # counts merge by summing partial counts
+    "min": F.min,
+    "max": F.max,
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation.
+
+    ``aggs`` maps output alias -> (kind, input column) with kind in
+    {sum, count, min, max}. Example::
+
+        salted_agg(li, ["l_suppkey"],
+                   {"sum_qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
+                    "n": ("count", F.lit(1))})
+    """
+    salt = (F.spark_partition_id() % n_salts).alias("__salt")
+    stage1_aggs = []
+    for alias, (kind, col) in aggs.items():
+        fn = F.sum if kind == "count" else _MERGES[kind]
+        first = F.count(col) if kind == "count" else fn(col)
+        stage1_aggs.append(first.alias(f"__p_{alias}"))
+    partial = df.select("*", salt).groupBy(*keys, "__salt").agg(*stage1_aggs)
+    stage2_aggs = [
+        _MERGES[kind](F.col(f"__p_{alias}")).alias(alias)
+        for alias, (kind, _) in aggs.items()
+    ]
+    return partial.groupBy(*keys).agg(*stage2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi-join without AQE: the big side gets a random-ish salt
+    (derived from partition id — deterministic per task layout), the
+    small side is replicated ``n_salts`` times so every salted big key
+    finds its match. Use when the small side is too large to broadcast
+    but the big side's keys are skewed. Prefer AQE skew-join when
+    available; this is the explicit fallback."""
+    bs = big.withColumn("__salt", F.spark_partition_id() % n_salts)
+    ss = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return bs.join(ss, [key, "__salt"], how).drop("__salt")

@@ -84,9 +84,9 @@ def read_events(spark: SparkSession, sf_dir: str):
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer division: epoch-nanos (~1.7e18) exceed double's 2^53 mantissa,
+    # so `/ 1000` through double arithmetic drifts by ±1µs
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
