@@ -1,0 +1,96 @@
+"""Physical-plan assertions: the scale design claims, checked mechanically.
+
+These tests read `.explain`-style plan text and assert the optimizations
+the 100 TB story depends on actually fire: column pruning + filter
+pushdown into the parquet scan, partition pruning on the medallion month
+layout, broadcast joins for dims, map-side partial aggregation, and
+top-k compiling to TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+from novi_pdq_etl_project_prod_spark.sources.layers import (
+    read_month,
+    write_month_idempotent,
+)
+from tests.conftest import SF_ORACLE
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_prunes_columns_and_pushes_filters(spark):
+    df = QUERIES["p3_month_filter"](spark, SF_ORACLE)
+    plan = plan_of(df)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    # projection pruned to the 4 referenced columns (of 16)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", scan)
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"}
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in scan
+
+
+def test_month_partition_pruning(spark, tmp_path):
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").withColumn(
+        "yyyymm", F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    )
+    root = str(tmp_path / "wh")
+    write_month_idempotent(li.where("yyyymm in (200101, 200102)"), root, "staging", "t")
+    pruned = read_month(spark, root, "staging", "t", 200102)
+    plan = plan_of(pruned)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PartitionFilters" in scan and "yyyymm" in scan
+    # only one of the two month directories is listed
+    assert pruned.count() == li.where("yyyymm = 200102").count()
+
+
+def test_star_join_broadcasts_dims(spark):
+    plan = plan_of(QUERIES["j1_star_join"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_aggregation_is_partial_then_final(spark):
+    plan = plan_of(QUERIES["a1_monthly_fact"](spark, SF_ORACLE))
+    # map-side combine: two HashAggregate levels around the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial" in plan.lower()
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    plan = plan_of(QUERIES["o3_topk"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
+    # no global Sort node — the whole point of top-k pushdown
+    assert not re.search(r"\bSort\b(?!MergeJoin)", plan)
+
+
+def test_no_python_udfs_in_reference_queries(spark):
+    """Reference-faithful operators must stay JVM-side (SURVEY.md §2.8
+    policy): no BatchEvalPython / ArrowEvalPython stages in their plans."""
+    for name in (
+        "a1_monthly_fact", "p3_month_filter", "e1_robust_casts",
+        "e4_yyyymm_derive", "j1_star_join", "dq_rollup_recon",
+        "t1_pricing_summary", "w3_moving_sum", "m3_token_stats",
+        "m1_exact_dedup_groups",
+    ):
+        plan = plan_of(QUERIES[name](spark, SF_ORACLE))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_whole_stage_codegen_covers_hot_path(spark):
+    # AQE wraps the plan before execution and hides codegen annotations;
+    # inspect the statically-planned version
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["t1_pricing_summary"](spark, SF_ORACLE))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # '*(n)' prefixes mark whole-stage-codegen spans; both aggregate
+    # levels and the projection must be inside one
+    assert plan.startswith("*(") and plan.count("*(") >= 2
