@@ -573,6 +573,138 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# T3 — TPC-H Q6-style selective scan (filter pushdown showcase: the whole
+# query is scan → filter → one global agg, no shuffle but the final merge)
+# ---------------------------------------------------------------------------
+
+def t3_selective_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount").between(0.02, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+T3_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# D3 — exact order statistics + moment-based dispersion. Exact percentile
+# (interpolated) matches quantile_cont; stddev is computed from DECIMAL
+# moments so it is order-independent (stock stddev_samp accumulates
+# doubles in partition order — unreproducible across engines).
+# ---------------------------------------------------------------------------
+
+def d3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = _dec("l_quantity")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(q, F.lit(0.5)).alias("median_qty"),
+        F.percentile(q, F.lit(0.9)).alias("p90_qty"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "median_qty",
+        "p90_qty",
+        F.sqrt((s2 - s1 * s1 / n) / (n - 1)).alias("stddev_qty"),
+        "n",
+    )
+
+
+D3_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_quantity AS DECIMAL(18,2)), 0.5) AS median_qty,
+         quantile_cont(CAST(l_quantity AS DECIMAL(18,2)), 0.9) AS p90_qty,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS s1,
+         SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS s2,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(median_qty AS DOUBLE) AS median_qty,
+       CAST(p90_qty AS DOUBLE) AS p90_qty,
+       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+            / (CAST(n AS DOUBLE) - 1)) AS stddev_qty,
+       n
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL1 — the spark.sql surface: the reference's rollup-reconciliation CTE
+# shape run as SQL text over registered views (SURVEY.md §3.3: "the CTE
+# text can run nearly verbatim"). Same logical plan as the DataFrame
+# variant — Catalyst does not care which API built it.
+# ---------------------------------------------------------------------------
+
+def sql1_rollup_recon_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        WITH hdr AS (
+          SELECT o_custkey AS key, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS a_val
+          FROM v_orders GROUP BY o_custkey
+        ), lines AS (
+          SELECT o.o_custkey AS key, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS b_val
+          FROM v_lineitem l JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_custkey
+        )
+        SELECT 'by_custkey' AS check_type,
+               CAST(hdr.key AS BIGINT) AS key,
+               CAST(a_val AS DOUBLE) AS a_val,
+               CAST(b_val AS DOUBLE) AS b_val
+        FROM hdr LEFT JOIN lines ON hdr.key = lines.key
+        WHERE ABS(COALESCE(a_val, 0) - COALESCE(b_val, 0)) > 0.5
+        """
+    )
+
+
+SQL1_SQL = """
+WITH hdr AS (
+  SELECT o_custkey AS key, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS a_val
+  FROM orders GROUP BY 1
+), lines AS (
+  SELECT o.o_custkey AS key, SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS b_val
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT 'by_custkey' AS check_type,
+       CAST(hdr.key AS BIGINT) AS key,
+       CAST(a_val AS DOUBLE) AS a_val,
+       CAST(b_val AS DOUBLE) AS b_val
+FROM hdr LEFT JOIN lines ON hdr.key = lines.key
+WHERE ABS(COALESCE(a_val, 0) - COALESCE(b_val, 0)) > 0.5
+"""
+
+
 QUERIES = {
     "w1_rank_in_nation": w1_rank_in_nation,
     "w2_month_over_month": w2_month_over_month,
@@ -589,6 +721,9 @@ QUERIES = {
     "d2_approx_distinct": d2_approx_distinct,
     "t1_pricing_summary": t1_pricing_summary,
     "t2_shipping_priority": t2_shipping_priority,
+    "t3_selective_revenue": t3_selective_revenue,
+    "d3_percentiles": d3_percentiles,
+    "sql1_rollup_recon_sql_api": sql1_rollup_recon_sql_api,
     "f1_scalar_surface": f1_scalar_surface,
     "f2_datetime_surface": f2_datetime_surface,
 }
@@ -608,6 +743,9 @@ ORACLES = {
     "d1_count_distinct": D1_SQL,
     "t1_pricing_summary": T1_SQL,
     "t2_shipping_priority": T2_SQL,
+    "t3_selective_revenue": T3_SQL,
+    "d3_percentiles": D3_SQL,
+    "sql1_rollup_recon_sql_api": SQL1_SQL,
     "f1_scalar_surface": F1_SQL,
     "f2_datetime_surface": F2_SQL,
     # d2_approx_distinct intentionally has no oracle (approximate)

