@@ -17,11 +17,18 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     analytics_queries,
     llm_queries,
     reference_queries,
+    surface_queries,
     temporal_queries,
 )
 
 QUERIES = {}
 ORACLES = {}
-for _mod in (reference_queries, analytics_queries, llm_queries, temporal_queries):
+for _mod in (
+    reference_queries,
+    analytics_queries,
+    llm_queries,
+    temporal_queries,
+    surface_queries,
+):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,236 @@
+"""Function-surface breadth queries: window navigation, regex, arrays /
+explode, correlated subqueries, and the full multi-key reconciliation
+suite (the reference's three-block union shape).
+
+All oracled. Regex patterns are RE2-safe (no lookarounds) so Spark's
+Java regex and DuckDB's RE2 agree.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.quality import (
+    rollup_reconciliation_suite,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+# ---------------------------------------------------------------------------
+# W5 — window navigation: first/last/nth value, ntile, cume_dist
+# ---------------------------------------------------------------------------
+
+def w5_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format(
+            F.first("o_orderdate").over(w_full), "yyyy-MM-dd"
+        ).alias("first_order"),
+        F.date_format(
+            F.last("o_orderdate").over(w_full), "yyyy-MM-dd"
+        ).alias("last_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+W5_SQL = """
+SELECT o_custkey, o_orderkey,
+       strftime(first_value(o_orderdate) OVER w_full, '%Y-%m-%d') AS first_order,
+       strftime(last_value(o_orderdate) OVER w_full, '%Y-%m-%d') AS last_order,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       CAST(row_number() OVER w AS INT) AS order_seq
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# ---------------------------------------------------------------------------
+# F3 — regex surface (RE2-compatible patterns only)
+# ---------------------------------------------------------------------------
+
+def f3_regex_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", r"\s+", "_").alias("type_snake"),
+        F.col("p_name").rlike(r"(red|blue|green)").alias("has_color"),
+        F.size(F.regexp_extract_all("p_type", F.lit(r"[A-Z]+"), F.lit(0))).alias(
+            "n_upper_runs"
+        ),
+        F.split(F.col("p_type"), r"\s+").getItem(0).alias("type_first_word"),
+    )
+
+
+F3_SQL = """
+SELECT p_partkey,
+       COALESCE(regexp_extract(p_brand, 'Brand#(\\d+)', 1), '') AS brand_num,
+       regexp_replace(p_type, '\\s+', '_', 'g') AS type_snake,
+       regexp_matches(p_name, '(red|blue|green)') AS has_color,
+       CAST(len(regexp_extract_all(p_type, '[A-Z]+')) AS INT) AS n_upper_runs,
+       string_split_regex(p_type, '\\s+')[1] AS type_first_word
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# A6 — array aggregation / explode round-trip: collect per-group sorted
+# arrays, then explode back (lateral-view shape)
+# ---------------------------------------------------------------------------
+
+def a6_array_agg_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    arrays = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_linenumber")).alias("lines"),
+        F.size(F.collect_set("l_suppkey")).alias("n_supps"),
+    )
+    return arrays.select(
+        "l_orderkey",
+        "n_supps",
+        F.size(F.col("lines")).alias("n_lines"),
+        F.explode(F.col("lines")).alias("linenumber"),
+    )
+
+
+A6_SQL = """
+WITH arrays AS (
+  SELECT l_orderkey,
+         list_sort(list(l_linenumber)) AS lines,
+         CAST(count(DISTINCT l_suppkey) AS INT) AS n_supps
+  FROM lineitem WHERE l_orderkey < 1000
+  GROUP BY 1
+)
+SELECT l_orderkey, n_supps,
+       CAST(len(lines) AS INT) AS n_lines,
+       unnest(lines) AS linenumber
+FROM arrays
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL2 — correlated scalar subquery (SQL feature surface; Catalyst
+# rewrites it to an aggregate + join)
+# ---------------------------------------------------------------------------
+
+def sql2_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders2")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+        FROM v_orders2 o
+        WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM v_orders2 i
+                              WHERE i.o_custkey = o.o_custkey)
+        """
+    )
+
+
+SQL2_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
+FROM orders o
+WHERE o_totalprice = (SELECT MAX(o_totalprice) FROM orders i
+                      WHERE i.o_custkey = o.o_custkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DQ2 — the reference's full three-block reconciliation union (A3+J1+P6+
+# U1+O1 as ONE suite): order totals vs line rollups reconciled by
+# customer AND by nation, mismatch blocks union-all'd with aligned
+# schemas and ordered (reference dags/pdq_etl_dag.py:320-365 shape)
+# ---------------------------------------------------------------------------
+
+def dq2_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    c = _t(spark, sf_dir, "customer")
+    side_a = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        _dec("o_totalprice").alias("val"),
+    )
+    side_b = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+            _dec("l_extendedprice").alias("val"),
+        )
+    )
+    return rollup_reconciliation_suite(
+        side_a, side_b, keys=("custkey", "nationkey"), measures=("val",)
+    )
+
+
+DQ2_SQL = """
+WITH a_rows AS (
+  SELECT o_custkey AS custkey, c_nationkey AS nationkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS val
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+b_rows AS (
+  SELECT o.o_custkey AS custkey, c.c_nationkey AS nationkey,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) AS val
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+by_cust AS (
+  SELECT 'by_custkey' AS check_type, CAST(a.custkey AS BIGINT) AS key,
+         CAST(a.s AS DOUBLE) AS a_val, CAST(b.s AS DOUBLE) AS b_val
+  FROM (SELECT custkey, SUM(COALESCE(val, 0)) AS s FROM a_rows GROUP BY 1) a
+  LEFT JOIN (SELECT custkey, SUM(COALESCE(val, 0)) AS s FROM b_rows GROUP BY 1) b
+    ON a.custkey = b.custkey
+  WHERE ABS(COALESCE(a.s, 0) - COALESCE(b.s, 0)) > 0.5
+),
+by_nation AS (
+  SELECT 'by_nationkey' AS check_type, CAST(a.nationkey AS BIGINT) AS key,
+         CAST(a.s AS DOUBLE) AS a_val, CAST(b.s AS DOUBLE) AS b_val
+  FROM (SELECT nationkey, SUM(COALESCE(val, 0)) AS s FROM a_rows GROUP BY 1) a
+  LEFT JOIN (SELECT nationkey, SUM(COALESCE(val, 0)) AS s FROM b_rows GROUP BY 1) b
+    ON a.nationkey = b.nationkey
+  WHERE ABS(COALESCE(a.s, 0) - COALESCE(b.s, 0)) > 0.5
+)
+SELECT check_type, key, a_val AS a_val, b_val AS b_val
+FROM (SELECT * FROM by_cust UNION ALL SELECT * FROM by_nation)
+ORDER BY check_type, key
+"""
+
+
+QUERIES = {
+    "w5_window_navigation": w5_window_navigation,
+    "f3_regex_surface": f3_regex_surface,
+    "a6_array_agg_explode": a6_array_agg_explode,
+    "sql2_correlated_subquery": sql2_correlated_subquery,
+    "dq2_rollup_suite": dq2_rollup_suite,
+}
+
+ORACLES = {
+    "w5_window_navigation": W5_SQL,
+    "f3_regex_surface": F3_SQL,
+    "a6_array_agg_explode": A6_SQL,
+    "sql2_correlated_subquery": SQL2_SQL,
+    "dq2_rollup_suite": DQ2_SQL,
+}

@@ -29,6 +29,7 @@ def read_dsv(
     path: str,
     sep: str = "}",
     scrub_null_tokens: bool = True,
+    corrupt_record_col: str | None = None,
 ) -> DataFrame:
     """Read a ``sep``-delimited text file with header, all-string columns.
 
@@ -40,18 +41,26 @@ def read_dsv(
     - null tokens ``"" NULL null NaN nan`` → null, values trimmed
       (reference ``dags/pdq_etl_dag.py:198-199``).
     """
-    df = (
+    reader = (
         spark.read.option("sep", sep)
         .option("header", True)
         .option("quote", QUOTE_NONE)
         .option("inferSchema", False)
         .option("mode", "PERMISSIVE")
-        .csv(path)
     )
+    if corrupt_record_col:
+        # capture short/garbled lines instead of silently null-padding:
+        # PERMISSIVE + columnNameOfCorruptRecord routes the raw line into
+        # a side column the caller can quarantine (poison-line hygiene —
+        # at 100 TB there is always a torn line somewhere)
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_record_col)
+    df = reader.csv(path)
     # S2: trim header whitespace
     df = df.toDF(*[c.strip() for c in df.columns])
     if scrub_null_tokens:
+        keep = [c for c in df.columns if c != corrupt_record_col]
         df = df.select(
-            *[normalize_null_tokens(F.col(c)).alias(c) for c in df.columns]
+            *[normalize_null_tokens(F.col(c)).alias(c) for c in keep],
+            *([F.col(corrupt_record_col)] if corrupt_record_col and corrupt_record_col in df.columns else []),
         )
     return df
