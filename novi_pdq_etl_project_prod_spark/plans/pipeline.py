@@ -180,3 +180,21 @@ def run_monthly_pipeline(
         rollup_mismatches=mismatches.count(),
         dims=dim_counts,
     )
+
+
+def run_backfill(
+    spark: SparkSession,
+    operator_dsv: str,
+    lease_dsv: str,
+    root: str,
+    months: list[int],
+) -> list[PipelineResult]:
+    """G2 generalized: sequential parameterized runs over a month list
+    (the reference triggers one manual DAG run per month; partition
+    overwrite makes re-running any subset safe). Months are independent
+    partitions, so a scheduler may also fan these out across concurrent
+    Spark jobs — writes never touch the same partition."""
+    return [
+        run_monthly_pipeline(spark, operator_dsv, lease_dsv, root, m)
+        for m in months
+    ]

@@ -1,0 +1,50 @@
+"""Unit tests for the raising DQ gates (the reference's hard-fail tasks)
+and the backfill runner."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.quality import (
+    DataQualityError,
+    assert_non_negative,
+    assert_unique_grain,
+)
+from novi_pdq_etl_project_prod_spark.plans.pipeline import run_backfill
+from tests.test_reference_pipeline import LEASE_DSV, OPERATOR_DSV
+
+
+def test_non_negative_gate_raises_on_violation(spark):
+    good = spark.createDataFrame([(1, 2.0), (2, 0.0)], "k int, m double")
+    assert_non_negative(good, ("m",))  # passes silently
+    bad = spark.createDataFrame([(1, 2.0), (2, -0.5)], "k int, m double")
+    with pytest.raises(DataQualityError, match="negative"):
+        assert_non_negative(bad, ("m",))
+
+
+def test_unique_grain_gate_raises_on_duplicates(spark):
+    good = spark.createDataFrame([(1, 202401), (2, 202401)], "k int, yyyymm int")
+    assert_unique_grain(good, ("k", "yyyymm"))
+    bad = good.unionByName(
+        spark.createDataFrame([(1, 202401)], "k int, yyyymm int")
+    )
+    with pytest.raises(DataQualityError, match="duplicate"):
+        assert_unique_grain(bad, ("k", "yyyymm"))
+
+
+def test_backfill_runs_month_list(spark, tmp_path):
+    op = tmp_path / "op.dsv"
+    lease = tmp_path / "lease.dsv"
+    op.write_text(OPERATOR_DSV)
+    lease.write_text(LEASE_DSV)
+    root = str(tmp_path / "wh")
+    results = run_backfill(
+        spark, str(op), str(lease), root, months=[202401, 202402]
+    )
+    assert [r.yyyymm for r in results] == [202401, 202402]
+    fact = spark.read.parquet(f"{root}/curated/fact_operator_monthly")
+    assert {r.yyyymm for r in fact.select("yyyymm").distinct().collect()} == {
+        202401,
+        202402,
+    }

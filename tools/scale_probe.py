@@ -1,0 +1,92 @@
+"""Scale probe: measure headline-query scaling beyond the provided
+fixtures by self-replicating sf0.1 with key offsets (10× ≈ sf1: 6M
+lineitem rows) into /tmp, then timing the same catalog queries.
+
+This validates the 100 TB design claims empirically at the largest scale
+the machine holds: wall-clock should grow ~linearly for scans/aggs and
+stay shuffle-bound (not quadratic) for joins and LSH ops. Results land
+in SCALE.md.
+
+Usage: python tools/scale_probe.py [replication_factor]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+from novi_pdq_etl_project_prod_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "a1_monthly_fact",
+    "j1_star_join",
+    "t1_pricing_summary",
+    "x2_salted_agg",
+    "m1_exact_dedup_groups",
+    "m8_minhash_near_dups",
+]
+
+
+def replicate(spark, out_dir: str, k: int) -> None:
+    """k copies of the fact tables with shifted keys; dims stay single
+    (star-schema semantics: facts grow, dims don't)."""
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    o = spark.read.parquet(f"{SRC}/orders.parquet")
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    def shifted(df, col, step, i):
+        return df.withColumn(col, F.col(col) + F.lit(i * step))
+
+    li_k = li
+    o_k = o
+    d_k = docs
+    for i in range(1, k):
+        li_k = li_k.unionByName(shifted(li, "l_orderkey", max_ok, i))
+        o_k = o_k.unionByName(shifted(o, "o_orderkey", max_ok, i))
+        d_k = d_k.unionByName(shifted(docs, "doc_id", max_doc, i))
+    li_k.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+    o_k.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+    d_k.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    for t in ("customer", "supplier", "part", "nation", "region", "embeddings", "events"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale_probe")
+    out_dir = tempfile.mkdtemp(prefix=f"sfx{k}_")
+    t0 = time.perf_counter()
+    replicate(spark, out_dir, k)
+    print(f"replicated x{k} in {time.perf_counter()-t0:.1f}s -> {out_dir}")
+
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), (f"sf0.1x{k}", out_dir)):
+        timings = {}
+        for name in PROBE_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        results[sf_label] = timings
+        print(sf_label, json.dumps(timings))
+
+    print("\nscaling factor per query (x{} data):".format(k))
+    for name in PROBE_QUERIES:
+        a, b = results["sf0.1"][name], results[f"sf0.1x{k}"][name]
+        print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x rows)")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
