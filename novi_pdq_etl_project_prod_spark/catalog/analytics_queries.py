@@ -609,6 +609,159 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 
 
 # ---------------------------------------------------------------------------
+# T4 — TPC-H Q12-style conditional counting (CASE aggregation in a join)
+# ---------------------------------------------------------------------------
+
+def t4_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("yyyymm", F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .where(F.col("yyyymm").between(200001, 200012))
+        .groupBy("yyyymm")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_lines"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_lines"),
+        )
+    )
+
+
+T4_SQL = """
+SELECT year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_lines,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) * 100 + month(l_shipdate) BETWEEN 200001 AND 200012
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T5 — TPC-H Q14: promo revenue share (conditional ratio over a join)
+# ---------------------------------------------------------------------------
+
+def t5_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01"))
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("promo_dec"),
+        F.sum(rev).alias("total_dec"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.col("promo_dec").cast("double")
+            / F.col("total_dec").cast("double")
+        ).alias("promo_share_pct"),
+        F.col("promo_dec").cast("double").alias("promo_revenue"),
+        F.col("total_dec").cast("double").alias("total_revenue"),
+    )
+
+
+T5_SQL = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             END) AS promo_dec,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_dec
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-02-01 00:00:00'
+)
+SELECT 100.0 * CAST(promo_dec AS DOUBLE) / CAST(total_dec AS DOUBLE) AS promo_share_pct,
+       CAST(promo_dec AS DOUBLE) AS promo_revenue,
+       CAST(total_dec AS DOUBLE) AS total_revenue
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# T6 — TPC-H Q18-style: large-volume orders (HAVING subselect + semi join)
+# ---------------------------------------------------------------------------
+
+def t6_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("qty_dec").cast("double").alias("total_qty"),
+        )
+    )
+
+
+T6_SQL = """
+SELECT c_custkey, c_name, l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(qty_dec AS DOUBLE) AS total_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+) big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# T7 — TPC-H Q22-style: above-average customers per nation (uncorrelated
+# scalar subquery as a cross-joined aggregate)
+# ---------------------------------------------------------------------------
+
+def t7_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal").cast("double") > F.col("avg_bal"))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rich"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+T7_SQL = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_rich,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, avg_bal
+WHERE CAST(c_acctbal AS DOUBLE) > avg_bal
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # D3 — exact order statistics + moment-based dispersion. Exact percentile
 # (interpolated) matches quantile_cont; stddev is computed from DECIMAL
 # moments so it is order-independent (stock stddev_samp accumulates
@@ -722,6 +875,10 @@ QUERIES = {
     "t1_pricing_summary": t1_pricing_summary,
     "t2_shipping_priority": t2_shipping_priority,
     "t3_selective_revenue": t3_selective_revenue,
+    "t4_priority_lines": t4_priority_lines,
+    "t5_promo_revenue": t5_promo_revenue,
+    "t6_big_orders": t6_big_orders,
+    "t7_rich_customers": t7_rich_customers,
     "d3_percentiles": d3_percentiles,
     "sql1_rollup_recon_sql_api": sql1_rollup_recon_sql_api,
     "f1_scalar_surface": f1_scalar_surface,
@@ -744,6 +901,10 @@ ORACLES = {
     "t1_pricing_summary": T1_SQL,
     "t2_shipping_priority": T2_SQL,
     "t3_selective_revenue": T3_SQL,
+    "t4_priority_lines": T4_SQL,
+    "t5_promo_revenue": T5_SQL,
+    "t6_big_orders": T6_SQL,
+    "t7_rich_customers": T7_SQL,
     "d3_percentiles": D3_SQL,
     "sql1_rollup_recon_sql_api": SQL1_SQL,
     "f1_scalar_surface": F1_SQL,

@@ -279,6 +279,36 @@ QUALIFY rank <= 5
 # in tests/test_llm_ops.py
 # ---------------------------------------------------------------------------
 
+def m12_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.tfidf_top_terms(docs, k=5)
+
+
+M12_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id AS id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS c FROM documents),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf,
+         tf.tf * (ln((n.c + 1.0) / (dfreq.df + 1.0)) + 1) AS tfidf
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT id, term, tf, tfidf, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+WHERE rank <= 5
+"""
+
+
 def m8_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return minhash_near_duplicates(
@@ -306,6 +336,7 @@ QUERIES = {
     "m5_quality_filter": m5_quality_filter,
     "m6_fingerprints": m6_fingerprints,
     "m7_embedding_topk": m7_embedding_topk,
+    "m12_tfidf_top_terms": m12_tfidf_top_terms,
     "m8_minhash_near_dups": m8_minhash_near_dups,
     "m9_simhash_near_dups": m9_simhash_near_dups,
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
@@ -319,5 +350,6 @@ ORACLES = {
     "m5_quality_filter": M5_SQL,
     "m6_fingerprints": M6_SQL,
     "m7_embedding_topk": M7_SQL,
+    "m12_tfidf_top_terms": M12_SQL,
     # m8-m10: approximate — rows-only checks by design
 }

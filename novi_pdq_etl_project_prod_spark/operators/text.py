@@ -143,6 +143,54 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """TF-IDF with per-document top-k terms — the classic relevance /
+    keyword-extraction primitive, entirely JVM-side.
+
+    tf = term count within the document; idf = ln((N+1)/(df+1)) + 1
+    (smoothed, sklearn-style). Plan shape: one explode + two shuffles
+    (term-count groupBy, df groupBy) + a broadcast join of the term→df
+    map + per-doc top-k window. At 100 TB the df map is the only global
+    state and it is |vocabulary|-sized — broadcastable for any natural-
+    language vocab; the rest is embarrassingly parallel.
+
+    Deterministic: integer counts, ln over integer ratios, score ties
+    broken by term string ascending.
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        (
+            F.log((F.lit(n_docs).cast("double") + 1) / (F.col("df").cast("double") + 1))
+            + 1
+        ).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "id", "term", "tf", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", "term", "tf", "tfidf", "rank")
+    )
+
+
 def min_shingle_hash(col: Column | str, n: int = 3) -> Column:
     """1-permutation MinHash: lexicographic min of md5(shingle). A single
     deterministic, SQL-expressible signature component (the k-permutation
