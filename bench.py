@@ -43,6 +43,7 @@ HEADLINE = [
     "x2_salted_agg",
     # training-data pipeline ops
     "m1_exact_dedup_groups",
+    "m12_tfidf_top_terms",
     "m3_token_stats",
     "m7_embedding_topk",
     "m8_minhash_near_dups",

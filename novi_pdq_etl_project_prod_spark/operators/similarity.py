@@ -89,6 +89,41 @@ def brute_force_topk(
     )
 
 
+def grouped_zscore_normalize(
+    df: DataFrame,
+    group_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group z-score normalization of embedding vectors via
+    ``applyInPandas`` (grouped-map Pandas UDF — the third Arrow surface
+    next to mapInPandas and applyInPandasWithState).
+
+    Each group's vectors are stacked into a numpy matrix, normalized by
+    the group's per-dimension mean/std (ddof=0; zero-variance dims pass
+    through), and returned with the same ids. Group-sized state is the
+    scaling unit: a group must fit one executor's Arrow batch — for
+    groups of unbounded size, compute moments with DataFrame aggs and
+    join instead (same math, two shuffles, no size limit).
+    """
+    import pandas as pd
+
+    schema = df.select(id_col, group_col, vec_col).schema
+
+    def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+        std = m.std(axis=0)
+        std[std == 0] = 1.0
+        normed = (m - m.mean(axis=0)) / std
+        out = pdf[[id_col, group_col]].copy()
+        out[vec_col] = list(normed.astype("float32"))
+        return out
+
+    return df.select(id_col, group_col, vec_col).groupBy(group_col).applyInPandas(
+        _normalize, schema=schema
+    )
+
+
 def random_hyperplanes(dim: int, nbits: int, seed: int = 42) -> list[list[float]]:
     """Deterministic hyperplane normals for sign-LSH (driver-side
     constants, broadcast with the plan)."""

@@ -97,3 +97,25 @@ def test_exact_dedup_survivor_is_min_id(spark):
         assert g.canonical_id == min(g.member_ids)
     survivors = drop_exact_duplicates(docs)
     assert survivors.count() == len(groups)
+
+
+def test_grouped_zscore_normalize(spark):
+    import numpy as np
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        grouped_zscore_normalize,
+    )
+
+    emb = _emb(spark)
+    out = grouped_zscore_normalize(emb)
+    pdf = out.toPandas()
+    assert len(pdf) == emb.count()
+    # verify one group against a local numpy computation
+    src = emb.where("label = 3").toPandas()
+    m = np.vstack(src.embedding.to_numpy()).astype("float64")
+    want = (m - m.mean(axis=0)) / m.std(axis=0)
+    got_rows = pdf[pdf.label == 3].set_index("vec_id")
+    got = np.vstack(got_rows.loc[src.vec_id].embedding.to_numpy())
+    assert np.allclose(got, want, atol=1e-6)
+    # per-dimension group stats are ~N(0,1) after normalization
+    assert abs(got.mean(axis=0)).max() < 1e-6
+    assert np.allclose(got.std(axis=0), 1.0, atol=1e-5)
