@@ -322,6 +322,17 @@ def m9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(sigs, max_hamming=3)
 
 
+def m13_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of MinHash near-dup pairs → dedup clusters.
+    Iterative (min-label propagation) — not SQL-expressible, so no
+    oracle; validated against a union-find model in tests."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    return near_dup_clusters(pairs).orderBy("id")
+
+
 def m10_lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 10)
@@ -340,6 +351,7 @@ QUERIES = {
     "m8_minhash_near_dups": m8_minhash_near_dups,
     "m9_simhash_near_dups": m9_simhash_near_dups,
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
+    "m13_near_dup_clusters": m13_near_dup_clusters,
 }
 
 ORACLES = {

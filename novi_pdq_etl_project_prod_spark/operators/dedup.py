@@ -318,6 +318,93 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Transitive clustering of near-dup pairs
+# ---------------------------------------------------------------------------
+
+def near_dup_clusters(
+    pairs: DataFrame,
+    ids: DataFrame | None = None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list → dedup
+    clusters (a ~ b and b ~ c ⇒ one group even if a ≁ c directly). The
+    step that turns MinHash/SimHash/Jaccard *pairs* into deduplication
+    *decisions*: keep ``min(cluster)``, drop the rest.
+
+    Iterative min-label propagation: every node repeatedly adopts the
+    smallest label among itself and its neighbors until fixpoint —
+    O(diameter) joins, each a key-partitioned shuffle; near-dup clusters
+    are tiny (diameter ≤ a few hops), so 3-4 iterations typically
+    converge. localCheckpoint per round truncates the growing lineage
+    (without it, iteration i replays all prior joins).
+
+    Input: ``pairs`` with columns (id_a, id_b); optional ``ids`` (one
+    ``id`` column) adds singleton nodes. Output: (id, cluster_id) where
+    cluster_id = min id of the component — deterministic.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    if ids is not None:
+        labels = (
+            ids.select(F.col(ids.columns[0]).alias("id"))
+            .distinct()
+            .withColumn("cluster_id", F.col("id"))
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+    labels = labels.localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_by_clusters(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Apply clustering decisions: keep only each cluster's canonical
+    (min-id) member; rows absent from ``clusters`` are unique and kept."""
+    keep = clusters.where(F.col("id") == F.col("cluster_id")).select("id")
+    in_clusters = clusters.select("id")
+    uniques = df.join(in_clusters, df[id_col] == in_clusters.id, "left_anti")
+    keepers = df.join(keep, df[id_col] == keep.id, "left_semi")
+    return uniques.unionByName(keepers)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -91,6 +91,21 @@ def monthly_event_rollup(events: DataFrame, watermark: str = "35 days") -> DataF
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the training-pipeline ingestion guard:
+    drop re-delivered events by key, keeping state only within the
+    watermark horizon (``dropDuplicatesWithinWatermark``), so state
+    stays bounded no matter how long the stream runs. The batch twin is
+    ``dropDuplicates(key_cols)``."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,
