@@ -216,8 +216,114 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# X5 — funnel analysis: per-user first-touch times per stage, conversion
+# flags, and time-to-convert (event-sequence analytics)
+# ---------------------------------------------------------------------------
+
+def x5_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    first_of = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        first_of("signup").alias("first_signup"),
+        first_of("click").alias("first_click"),
+        first_of("purchase").alias("first_purchase"),
+    )
+    converted = (
+        F.col("first_signup").isNotNull()
+        & F.col("first_click").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_click") > F.col("first_signup"))
+        & (F.col("first_purchase") > F.col("first_click"))
+    )
+    return per_user.select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        converted.alias("full_funnel"),
+        F.when(
+            converted,
+            (F.unix_micros("first_purchase") - F.unix_micros("first_signup")) / 1_000_000.0,
+        ).alias("secs_to_convert"),
+    )
+
+
+X5_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+         min(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+  FROM events GROUP BY 1
+)
+SELECT user_id, first_signup, first_purchase,
+       (first_signup IS NOT NULL AND first_click IS NOT NULL
+        AND first_purchase IS NOT NULL
+        AND first_click > first_signup
+        AND first_purchase > first_click) AS full_funnel,
+       CASE WHEN first_signup IS NOT NULL AND first_click IS NOT NULL
+                 AND first_purchase IS NOT NULL
+                 AND first_click > first_signup
+                 AND first_purchase > first_click
+            THEN (epoch_us(first_purchase) - epoch_us(first_signup)) / 1000000.0
+       END AS secs_to_convert
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
+# T8 — TPC-H Q10-style: returned-item revenue by customer (join + filter
+# + agg + deterministic top-k)
+# ---------------------------------------------------------------------------
+
+def t8_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("rev_dec"))
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey", "c_name", "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+    )
+
+
+T8_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2, 3
+ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) DESC,
+         c_custkey ASC
+LIMIT 20
+"""
+
+
 QUERIES = {
     "x1_asof_join": x1_asof_join,
+    "x5_event_funnel": x5_event_funnel,
+    "t8_returned_revenue": t8_returned_revenue,
     "x2_salted_agg": x2_salted_agg,
     "x3_sessionize": x3_sessionize,
     "x4_event_windows": x4_event_windows,
@@ -226,6 +332,8 @@ QUERIES = {
 
 ORACLES = {
     "x1_asof_join": X1_SQL,
+    "x5_event_funnel": X5_SQL,
+    "t8_returned_revenue": T8_SQL,
     "x2_salted_agg": X2_SQL,
     "x3_sessionize": X3_SQL,
     "x4_event_windows": X4_SQL,

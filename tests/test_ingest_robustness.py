@@ -121,3 +121,52 @@ def test_streaming_parquet_sink_with_checkpoint(spark, tmp_path):
     )
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == n1
+
+
+def _py_to_num_zero_default(s):
+    """Python model of to_num_zero_default (reference to_num semantics:
+    blank/null-token/unparseable -> 0.0)."""
+    if s is None:
+        return 0.0
+    t = s.strip()
+    if t in NULL_TOKENS:
+        return 0.0
+    try:
+        v = float(t)
+    except ValueError:
+        return 0.0
+    if v != v or v in (float("inf"), float("-inf")):  # NaN/Inf tokens differ per engine
+        return None  # sentinel: excluded from comparison
+    return v
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.sampled_from(list(NULL_TOKENS)),
+            st.floats(
+                min_value=-1e6, max_value=1e6, allow_nan=False
+            ).map(lambda f: f"{f:.4f}"),
+            st.text(alphabet="0123456789 .eE+-abz", max_size=10),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_to_num_zero_default_matches_python_model(shared_spark, values):
+    from novi_pdq_etl_project_prod_spark.functions.casts import to_num_zero_default
+
+    pdf = pd.DataFrame({"s": pd.Series(values, dtype="object")})
+    df = shared_spark.createDataFrame(pdf)
+    got = [r.v for r in df.select(to_num_zero_default("s").alias("v")).collect()]
+    for g, s in zip(got, values):
+        w = _py_to_num_zero_default(s)
+        if w is None:
+            continue  # engine-specific inf/nan literal handling: skip
+        assert g == pytest.approx(w, abs=0.0), (s, g, w)
