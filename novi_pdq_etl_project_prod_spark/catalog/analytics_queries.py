@@ -272,6 +272,78 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# R4 — explicit GROUPING SETS (the grouping-combination control cube/
+# rollup can't express: exactly {(status), (priority)} and nothing else)
+# ---------------------------------------------------------------------------
+
+def r4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+R4_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       COUNT(*) AS n,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""
+
+
+# ---------------------------------------------------------------------------
+# G1 — calendar dimension generator (the date spine the reference's
+# yyyymm star schema implies): sequence + explode, zero input tables
+# ---------------------------------------------------------------------------
+
+def g1_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2000-01-01").cast("date"),
+                F.lit("2001-12-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    return days.select(
+        F.date_format("d", "yyyy-MM-dd").alias("iso_day"),
+        (F.year("d") * 100 + F.month("d")).alias("yyyymm"),
+        F.year("d").alias("yr"),
+        F.quarter("d").alias("qtr"),
+        F.month("d").alias("mo"),
+        F.dayofmonth("d").alias("dom"),
+        (F.dayofweek("d")).alias("dow"),
+        (F.dayofweek("d").isin(1, 7)).alias("is_weekend"),
+    )
+
+
+G1_SQL = """
+SELECT strftime(d, '%Y-%m-%d') AS iso_day,
+       CAST(year(d) * 100 + month(d) AS INT) AS yyyymm,
+       CAST(year(d) AS INT) AS yr,
+       CAST(quarter(d) AS INT) AS qtr,
+       CAST(month(d) AS INT) AS mo,
+       CAST(day(d) AS INT) AS dom,
+       CAST(CASE WHEN dayofweek(d) = 0 THEN 1 ELSE dayofweek(d) + 1 END AS INT) AS dow,
+       dayofweek(d) IN (0, 6) AS is_weekend
+FROM (SELECT unnest(generate_series(DATE '2000-01-01', DATE '2001-12-31',
+                                    INTERVAL 1 DAY))::DATE AS d)
+"""
+
+
+# ---------------------------------------------------------------------------
 # J2 — left-semi join (EXISTS)
 # ---------------------------------------------------------------------------
 
@@ -866,6 +938,8 @@ QUERIES = {
     "r1_rollup": r1_rollup,
     "r2_cube": r2_cube,
     "r3_pivot": r3_pivot,
+    "r4_grouping_sets": r4_grouping_sets,
+    "g1_calendar_dim": g1_calendar_dim,
     "j2_semi_join": j2_semi_join,
     "j3_anti_join": j3_anti_join,
     "u2_intersect": u2_intersect,
@@ -893,6 +967,8 @@ ORACLES = {
     "r1_rollup": R1_SQL,
     "r2_cube": R2_SQL,
     "r3_pivot": R3_SQL,
+    "r4_grouping_sets": R4_SQL,
+    "g1_calendar_dim": G1_SQL,
     "j2_semi_join": J2_SQL,
     "j3_anti_join": J3_SQL,
     "u2_intersect": U2_SQL,

@@ -41,6 +41,27 @@ from novi_pdq_etl_project_prod_spark.operators.text import (
 )
 
 
+def plan_lsh_bands(num_hashes: int, threshold: float) -> tuple[int, int]:
+    """Choose (bands, rows_per_band) for a target Jaccard threshold.
+
+    A pair with Jaccard s collides in ≥1 band with probability
+    1 - (1 - s^r)^b; the curve's inflection sits near (1/b)^(1/r).
+    Picks the divisor pair whose inflection lands closest to
+    ``threshold`` — the standard MMDS band-planning rule, exposed so
+    callers don't hand-tune bands when they change thresholds.
+    """
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        inflection = (1.0 / b) ** (1.0 / r)
+        err = abs(inflection - threshold)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]
+
+
 def _spread_small_input(df: DataFrame) -> DataFrame:
     """Repartition a narrow-partitioned input across the cluster before a
     CPU-heavy per-row stage. A single small parquet file scans as ONE

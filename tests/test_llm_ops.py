@@ -119,3 +119,19 @@ def test_grouped_zscore_normalize(spark):
     # per-dimension group stats are ~N(0,1) after normalization
     assert abs(got.mean(axis=0)).max() < 1e-6
     assert np.allclose(got.std(axis=0), 1.0, atol=1e-5)
+
+
+def test_plan_lsh_bands():
+    from novi_pdq_etl_project_prod_spark.operators.dedup import plan_lsh_bands
+
+    # classic MMDS example: 64 hashes, t=0.5 → inflection near 0.5
+    b, r = plan_lsh_bands(64, 0.5)
+    assert b * r == 64
+    inflection = (1.0 / b) ** (1.0 / r)
+    assert abs(inflection - 0.5) < 0.15
+    # higher threshold → fewer, longer bands (more selective)
+    b_hi, r_hi = plan_lsh_bands(64, 0.9)
+    assert r_hi > r and b_hi < b
+    # lower threshold → more, shorter bands (more candidates)
+    b_lo, r_lo = plan_lsh_bands(64, 0.2)
+    assert b_lo > b
