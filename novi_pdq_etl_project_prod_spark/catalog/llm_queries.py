@@ -322,6 +322,36 @@ def m9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(sigs, max_hamming=3)
 
 
+def m14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+M14_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE CAST(ceil((len(t) - 64) / 56.0) AS INT) + 1 END AS n_chunks
+  FROM toks
+),
+idx AS (
+  SELECT doc_id, t, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM sized
+)
+SELECT doc_id AS id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       array_to_string(list_slice(t, chunk_id * 56 + 1, chunk_id * 56 + 64), ' ')
+         AS chunk_text,
+       CAST(least(n - chunk_id * 56, 64) AS INT) AS n_tokens
+FROM idx
+"""
+
+
 def m13_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → dedup clusters.
     Iterative (min-label propagation) — not SQL-expressible, so no
@@ -348,6 +378,7 @@ QUERIES = {
     "m6_fingerprints": m6_fingerprints,
     "m7_embedding_topk": m7_embedding_topk,
     "m12_tfidf_top_terms": m12_tfidf_top_terms,
+    "m14_chunk_documents": m14_chunk_documents,
     "m8_minhash_near_dups": m8_minhash_near_dups,
     "m9_simhash_near_dups": m9_simhash_near_dups,
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
@@ -363,5 +394,6 @@ ORACLES = {
     "m6_fingerprints": M6_SQL,
     "m7_embedding_topk": M7_SQL,
     "m12_tfidf_top_terms": M12_SQL,
+    "m14_chunk_documents": M14_SQL,
     # m8-m10: approximate — rows-only checks by design
 }

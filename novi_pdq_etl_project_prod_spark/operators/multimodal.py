@@ -141,6 +141,39 @@ def frame_sample_plan(
     )
 
 
+def train_test_split(
+    df: DataFrame,
+    id_col: str,
+    test_fraction: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic, content-addressed train/test split: the split
+    decision is a pure function of (id, seed) via xxhash64, so it is
+    stable across runs, partitionings, and even re-ingestions of the
+    same ids — the property a training pipeline needs to avoid
+    test-set leakage when data is reprocessed. Adds a ``split`` column
+    ('train'/'test'); no shuffle."""
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(1_000_000))
+    return df.withColumn(
+        "split",
+        F.when(
+            bucket < int(test_fraction * 1_000_000), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum sampling via ``sampleBy`` (Bernoulli per row). Use for
+    class-balanced subsets; exact-size sampling needs a window over
+    random order instead."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
 def synthetic_media(spark, n: int = 64, modality: str = "image") -> DataFrame:
     """Deterministic fake media table for tests/demos: payload bytes are a
     function of the id (md5-expanded)."""

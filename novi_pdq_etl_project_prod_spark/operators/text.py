@@ -191,6 +191,53 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard LLM context-window preprocessing step.
+
+    Chunk i covers tokens [i·stride, i·stride + chunk_tokens) with
+    stride = chunk_tokens - overlap; the final partial window is kept.
+    JVM-side: token array → index sequence → slice per index → explode.
+    No shuffle; output rows carry (id, chunk_id, chunk_text, n_tokens)
+    so downstream dedup/quality operators run per-chunk unchanged.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    # chunk start offsets: 0, stride, 2*stride, ... while start < n
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + 1
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1), lambda i: i * stride
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("start"),
+            F.concat_ws(" ", F.slice(t, s + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"), F.posexplode(chunks).alias("chunk_id", "c")
+    )
+    return out.select(
+        "id",
+        "chunk_id",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
 def min_shingle_hash(col: Column | str, n: int = 3) -> Column:
     """1-permutation MinHash: lexicographic min of md5(shingle). A single
     deterministic, SQL-expressible signature component (the k-permutation

@@ -119,3 +119,40 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(df, every_nth=30).collect()
     got = {(r.media_id, r.frame_index) for r in plan}
     assert got == {(0, 0), (0, 30), (1, 0), (1, 30), (1, 60), (2, 0), (2, 30), (2, 60), (2, 90), (2, 120)}
+
+
+def test_train_test_split_is_content_addressed(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        train_test_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r.doc_id: r.split for r in train_test_split(docs, "doc_id").collect()}
+    # stable across partitionings (content-addressed, not row-order)
+    b = {
+        r.doc_id: r.split
+        for r in train_test_split(docs.repartition(13), "doc_id").collect()
+    }
+    assert a == b
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.04 < frac < 0.2  # ~10% with binomial noise at n=500
+    # different seed -> different assignment
+    c = {r.doc_id: r.split for r in train_test_split(docs, "doc_id", seed=7).collect()}
+    assert a != c
+
+
+def test_stratified_sample_respects_fractions(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        stratified_sample,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    out = stratified_sample(
+        emb, "label", fractions={i: (0.5 if i < 5 else 0.1) for i in range(10)}
+    )
+    counts = {r.label: r.n for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    totals = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for lbl in range(10):
+        frac = counts.get(lbl, 0) / totals[lbl]
+        want = 0.5 if lbl < 5 else 0.1
+        assert abs(frac - want) < 0.15, (lbl, frac, want)
