@@ -34,6 +34,11 @@ def _canon(v):
     """Canonicalize a scalar for cross-engine comparison."""
     if v is None:
         return None
+    # numpy scalars: unwrap BEFORE the isinstance chain (np.int64 is not a
+    # Python int, and str()-ing it would diverge from a plain int column
+    # produced by a non-Arrow toPandas)
+    if type(v).__module__ == "numpy" and getattr(v, "shape", None) == ():
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
