@@ -219,8 +219,37 @@ ORDER BY check_type, key
 """
 
 
+# ---------------------------------------------------------------------------
+# F4 — map-type surface: construction, key/value extraction, lookup, size
+# ---------------------------------------------------------------------------
+
+def f4_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        F.map_keys(m).alias("ks"),
+        F.map_values(m).alias("vs"),
+        F.element_at(m, "brand").alias("brand_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+F4_SQL = """
+SELECT p_partkey,
+       map_keys(m) AS ks,
+       map_values(m) AS vs,
+       m['brand'][1] AS brand_val,
+       CAST(cardinality(m) AS INT) AS n_entries
+FROM (SELECT p_partkey, map(['brand', 'type'], [p_brand, p_type]) AS m FROM part)
+"""
+
+
 QUERIES = {
     "w5_window_navigation": w5_window_navigation,
+    "f4_map_surface": f4_map_surface,
     "f3_regex_surface": f3_regex_surface,
     "a6_array_agg_explode": a6_array_agg_explode,
     "sql2_correlated_subquery": sql2_correlated_subquery,
@@ -229,6 +258,7 @@ QUERIES = {
 
 ORACLES = {
     "w5_window_navigation": W5_SQL,
+    "f4_map_surface": F4_SQL,
     "f3_regex_surface": F3_SQL,
     "a6_array_agg_explode": A6_SQL,
     "sql2_correlated_subquery": SQL2_SQL,

@@ -106,6 +106,56 @@ def streaming_dedup(
     )
 
 
+def stream_to_medallion(
+    events: DataFrame,
+    root: str,
+    table: str,
+    checkpoint_dir: str,
+    watermark: str = "35 days",
+) -> None:
+    """Streaming → medallion bridge: continuously maintain the monthly
+    staging table from an event stream.
+
+    ``foreachBatch`` turns each micro-batch into the SAME idempotent
+    month-partition overwrite the batch pipeline uses
+    (``sources.layers.write_month_idempotent``) — late events within the
+    watermark simply rewrite their month partition, which is exactly the
+    reference's delete-month-and-reload semantics made incremental.
+    Restart safety comes from the checkpoint: a replayed batch rewrites
+    identical partitions (idempotent), so the sink needs no transaction
+    log. Blocks until available input is processed (availableNow).
+    """
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        write_month_idempotent,
+    )
+
+    monthly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_month_idempotent(batch_df, root, "staging", table)
+
+    q = (
+        monthly.writeStream.foreachBatch(_write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

@@ -170,3 +170,34 @@ def test_to_num_zero_default_matches_python_model(shared_spark, values):
         if w is None:
             continue  # engine-specific inf/nan literal handling: skip
         assert g == pytest.approx(w, abs=0.0), (s, g, w)
+
+
+def test_json_lines_source_roundtrip(spark, tmp_path):
+    """S-surface breadth: the raw layer's JSON rows are readable as a
+    first-class JSON-lines source (schema'd read, no inference surprises)."""
+    from pyspark.sql import types as T
+    from novi_pdq_etl_project_prod_spark.sources.json_raw import (
+        encode_raw_json,
+        parse_raw_json,
+        tolerant_string_schema,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(100)
+    src = li.select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
+        F.col("l_orderkey").cast("string").alias("OK"),
+        F.col("l_quantity").cast("string").alias("QTY"),
+    )
+    raw = encode_raw_json(src)
+    # write raw layer out as JSON-lines, read back as a JSON source
+    d = str(tmp_path / "jl")
+    raw.select("yyyymm", "raw").write.json(d)
+    schema = T.StructType(
+        [T.StructField("yyyymm", T.IntegerType()), T.StructField("raw", T.StringType())]
+    )
+    back = spark.read.schema(schema).json(d)
+    assert back.count() == 100
+    parsed = parse_raw_json(back, tolerant_string_schema(["OK", "QTY"]))
+    got = {(r.yyyymm, r.OK, r.QTY) for r in parsed.collect()}
+    want = {(r.yyyymm, r.OK, r.QTY) for r in src.collect()}
+    assert got == want

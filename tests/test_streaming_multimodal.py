@@ -156,3 +156,33 @@ def test_stratified_sample_respects_fractions(spark):
         frac = counts.get(lbl, 0) / totals[lbl]
         want = 0.5 if lbl < 5 else 0.1
         assert abs(frac - want) < 0.15, (lbl, frac, want)
+
+
+def test_stream_to_medallion_matches_batch(spark, events_dir, tmp_path):
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        read_event_stream,
+        stream_to_medallion,
+    )
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+    stream_to_medallion(
+        read_event_stream(spark, events_dir), root, "event_monthly", chk
+    )
+    got = spark.read.parquet(f"{root}/staging/event_monthly")
+    ev = spark.read.parquet(events_dir)
+    want = (
+        ev.groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    g = {(r.yyyymm, r.user_id): (r.n_events, r.sum_value) for r in got.collect()}
+    w = {(r.yyyymm, r.user_id): (r.n_events, r.sum_value) for r in want.collect()}
+    assert g == w and len(w) > 0
+    # month directory layout (partition pruning works on the streamed table)
+    import os
+    assert any(d.startswith("yyyymm=") for d in os.listdir(f"{root}/staging/event_monthly"))
