@@ -48,6 +48,8 @@ HEADLINE = [
     "m7_embedding_topk",
     "m8_minhash_near_dups",
     "m10_lsh_embedding_topk",
+    "m14_chunk_documents",
+    "x5_event_funnel",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
