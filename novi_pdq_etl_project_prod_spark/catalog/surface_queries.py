@@ -247,9 +247,125 @@ FROM (SELECT p_partkey, map(['brand', 'type'], [p_brand, p_type]) AS m FROM part
 """
 
 
+# ---------------------------------------------------------------------------
+# J4 — TPC-H Q5 proper: local-supplier volume (the join condition between
+# two dims — supplier nation must equal customer nation)
+# ---------------------------------------------------------------------------
+
+def j4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(F.col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+J4_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name IN ('ASIA', 'EUROPE')
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# F5 — null-semantics surface: null-safe equality, nullif/nvl2, null
+# ordering, boolean three-valued logic
+# ---------------------------------------------------------------------------
+
+def f5_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    maybe = F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        maybe.alias("maybe_status"),
+        # booleans stringified: pandas renders a null boolean as float NaN
+        # on one engine and None on the other, breaking value comparison
+        maybe.eqNullSafe(F.lit("O")).cast("string").alias("nullsafe_is_o"),
+        (maybe == F.lit("O")).cast("string").alias("plain_is_o"),
+        F.nullif(maybe, F.lit("F")).alias("f_to_null"),
+        F.nvl2(maybe, F.lit("present"), F.lit("absent")).alias("presence"),
+        F.coalesce(maybe, F.lit("?")).alias("status_or_q"),
+    )
+
+
+F5_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END AS maybe_status,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END
+            IS NOT DISTINCT FROM 'O' AS VARCHAR) AS nullsafe_is_o,
+       CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END = 'O' AS VARCHAR)
+         AS plain_is_o,
+       nullif(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END, 'F') AS f_to_null,
+       CASE WHEN (CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END) IS NOT NULL
+            THEN 'present' ELSE 'absent' END AS presence,
+       COALESCE(CASE WHEN o_orderkey % 3 = 0 THEN o_orderstatus END, '?')
+         AS status_or_q
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# E12 — fuzzy entity matching: blocked candidate pairs + edit distance
+# (operators/entity.py; names perturbed deterministically so real typo
+# pairs exist in the fixture)
+# ---------------------------------------------------------------------------
+
+def e12_fuzzy_entity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.entity import (
+        blocked_fuzzy_pairs,
+    )
+
+    # bounded registry subset; sequential-ID names make distance-1 pairs
+    # the realistic near-match structure (ids differing in one digit)
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") < 300)
+    return blocked_fuzzy_pairs(
+        c, id_col="c_custkey", name_col="c_name", prefix_len=13, max_edit_distance=1
+    )
+
+
+E12_SQL = """
+WITH base AS (
+  SELECT c_custkey AS id,
+         regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS name,
+         substring(regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g'), 1, 13)
+           AS block
+  FROM customer WHERE c_custkey < 300
+)
+SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance
+FROM base a JOIN base b ON a.block = b.block AND a.id < b.id
+WHERE levenshtein(a.name, b.name) <= 1
+"""
+
+
 QUERIES = {
     "w5_window_navigation": w5_window_navigation,
     "f4_map_surface": f4_map_surface,
+    "j4_local_supplier_volume": j4_local_supplier_volume,
+    "f5_null_semantics": f5_null_semantics,
+    "e12_fuzzy_entity_pairs": e12_fuzzy_entity_pairs,
     "f3_regex_surface": f3_regex_surface,
     "a6_array_agg_explode": a6_array_agg_explode,
     "sql2_correlated_subquery": sql2_correlated_subquery,
@@ -259,6 +375,9 @@ QUERIES = {
 ORACLES = {
     "w5_window_navigation": W5_SQL,
     "f4_map_surface": F4_SQL,
+    "j4_local_supplier_volume": J4_SQL,
+    "f5_null_semantics": F5_SQL,
+    "e12_fuzzy_entity_pairs": E12_SQL,
     "f3_regex_surface": F3_SQL,
     "a6_array_agg_explode": A6_SQL,
     "sql2_correlated_subquery": SQL2_SQL,
