@@ -360,8 +360,89 @@ WHERE levenshtein(a.name, b.name) <= 1
 """
 
 
+# ---------------------------------------------------------------------------
+# W6 — monthly gap-fill + forward-fill (time-series densification over
+# the reference's yyyymm integer grain, incl. the year-boundary step)
+# ---------------------------------------------------------------------------
+
+def w6_densify_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.windows import densify_months
+
+    li = _t(spark, sf_dir, "lineitem")
+    # sparse base: one supplier-month value, restricted so gaps exist
+    base = (
+        li.where((F.col("l_suppkey") <= 20) & (F.col("l_quantity") > 45))
+        .groupBy(
+            "l_suppkey",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+    )
+    out = densify_months(base, "l_suppkey", "yyyymm", value_cols=["qty"])
+    return out.select("l_suppkey", "yyyymm", "qty")
+
+
+W6_SQL = """
+WITH base AS (
+  SELECT l_suppkey,
+         year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem
+  WHERE l_suppkey <= 20 AND l_quantity > 45
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT l_suppkey,
+         min(CAST(yyyymm / 100 AS INT) * 12 + yyyymm % 100 - 1) AS lo,
+         max(CAST(yyyymm / 100 AS INT) * 12 + yyyymm % 100 - 1) AS hi
+  FROM base GROUP BY 1
+),
+spine AS (
+  SELECT l_suppkey,
+         CAST((ord // 12) * 100 + (ord % 12 + 1) AS INT) AS yyyymm
+  FROM (SELECT l_suppkey, unnest(generate_series(lo, hi)) AS ord FROM bounds)
+)
+SELECT s.l_suppkey, s.yyyymm,
+       last_value(b.qty IGNORE NULLS) OVER (
+         PARTITION BY s.l_suppkey ORDER BY s.yyyymm
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qty
+FROM spine s LEFT JOIN base b
+  ON s.l_suppkey = b.l_suppkey AND s.yyyymm = b.yyyymm
+"""
+
+
+# ---------------------------------------------------------------------------
+# D4 — histogram binning (fixed-width buckets via floor arithmetic —
+# engine-portable, no width_bucket dialect differences)
+# ---------------------------------------------------------------------------
+
+def d4_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_dec("o_totalprice")).cast("double").alias("lo"),
+            F.max(_dec("o_totalprice")).cast("double").alias("hi"),
+        )
+    )
+
+
+D4_SQL = """
+SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS hi
+FROM orders
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "w5_window_navigation": w5_window_navigation,
+    "w6_densify_forward_fill": w6_densify_forward_fill,
+    "d4_histogram": d4_histogram,
     "f4_map_surface": f4_map_surface,
     "j4_local_supplier_volume": j4_local_supplier_volume,
     "f5_null_semantics": f5_null_semantics,
@@ -374,6 +455,8 @@ QUERIES = {
 
 ORACLES = {
     "w5_window_navigation": W5_SQL,
+    "w6_densify_forward_fill": W6_SQL,
+    "d4_histogram": D4_SQL,
     "f4_map_surface": F4_SQL,
     "j4_local_supplier_volume": J4_SQL,
     "f5_null_semantics": F5_SQL,

@@ -70,6 +70,54 @@ def with_lag_delta(
     )
 
 
+def densify_months(
+    df: DataFrame,
+    entity_col: str,
+    month_col: str = "yyyymm",
+    value_cols: Sequence[str] = (),
+    fill: str = "forward",
+) -> DataFrame:
+    """Gap-fill a monthly-grain table: every entity gets a row for every
+    month between its first and last observation; missing months carry
+    the last observed value forward (``fill='forward'``) or stay null
+    (``fill='none'``).
+
+    The month spine is generated per entity from min/max (sequence over
+    month arithmetic — no calendar table join needed), left-joined back,
+    then one window pass fills. Two shuffles total (spine join + window),
+    both on the entity key. The reference's yyyymm integer encoding makes
+    month stepping non-trivial (201712 + 1 ≠ 201801) — the spine converts
+    through a month ordinal: ord = y*12 + (m-1).
+    """
+    ord_col = (F.col(month_col) / 100).cast("int") * 12 + (
+        F.col(month_col) % 100 - 1
+    )
+    bounds = df.groupBy(entity_col).agg(
+        F.min(ord_col).alias("__lo"), F.max(ord_col).alias("__hi")
+    )
+    spine = bounds.select(
+        entity_col,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__ord"),
+    ).select(
+        entity_col,
+        (
+            F.floor(F.col("__ord") / 12) * 100 + (F.col("__ord") % 12 + 1)
+        ).cast("int").alias(month_col),
+    )
+    joined = spine.join(df, [entity_col, month_col], "left")
+    if fill == "none" or not value_cols:
+        return joined
+    w = (
+        Window.partitionBy(entity_col)
+        .orderBy(month_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined
+    for c in value_cols:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
 def with_moving_agg(
     df: DataFrame,
     partition_by: Sequence[str],
