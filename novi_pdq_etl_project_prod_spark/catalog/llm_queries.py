@@ -352,6 +352,84 @@ FROM idx
 """
 
 
+def m15_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = TX.gopher_quality_flags(docs)
+    return out.select(
+        "doc_id", "n_words",
+        F.col("ok_word_count").cast("string").alias("ok_word_count"),
+        F.col("ok_mean_word_len").cast("string").alias("ok_mean_word_len"),
+        F.col("ok_repetition").cast("string").alias("ok_repetition"),
+        F.col("passes_gopher").cast("string").alias("passes_gopher"),
+    )
+
+
+M15_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         CASE WHEN len(t) = 0 THEN 0.0
+              ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / len(t) END AS mean_len,
+         CASE WHEN len(t) = 0 THEN 1.0
+              ELSE CAST((SELECT max(c) FROM (
+                     SELECT count(*) AS c FROM unnest(t) AS u(w) GROUP BY w))
+                   AS DOUBLE) / len(t) END AS rep
+  FROM toks
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_words >= 50 AND n_words <= 100000 AS VARCHAR) AS ok_word_count,
+       CAST(mean_len >= 3 AND mean_len <= 10 AS VARCHAR) AS ok_mean_word_len,
+       CAST(rep <= 0.2 AS VARCHAR) AS ok_repetition,
+       CAST(n_words >= 50 AND n_words <= 100000 AND mean_len >= 3
+            AND mean_len <= 10 AND rep <= 0.2 AS VARCHAR) AS passes_gopher
+FROM stats
+"""
+
+
+def m16_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    # plant PII deterministically so the scrubber has real work
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+        ).alias("dirty_text"),
+    )
+    return dirty.select(
+        "doc_id",
+        TX.redact_pii(F.col("dirty_text")).alias("clean_text"),
+    )
+
+
+M16_SQL = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 ssn 123-45-'
+              || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS dirty_text
+  FROM documents WHERE doc_id < 100
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(dirty_text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[REDACTED]', 'g'),
+           '\\+?[0-9][0-9()\\-. ]{7,}[0-9]', '[REDACTED]', 'g'),
+         '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[REDACTED]', 'g') AS clean_text
+FROM dirty
+"""
+
+
 def m13_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → dedup clusters.
     Iterative (min-label propagation) — not SQL-expressible, so no
@@ -379,6 +457,8 @@ QUERIES = {
     "m7_embedding_topk": m7_embedding_topk,
     "m12_tfidf_top_terms": m12_tfidf_top_terms,
     "m14_chunk_documents": m14_chunk_documents,
+    "m15_gopher_quality": m15_gopher_quality,
+    "m16_pii_redaction": m16_pii_redaction,
     "m8_minhash_near_dups": m8_minhash_near_dups,
     "m9_simhash_near_dups": m9_simhash_near_dups,
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
@@ -395,5 +475,7 @@ ORACLES = {
     "m7_embedding_topk": M7_SQL,
     "m12_tfidf_top_terms": M12_SQL,
     "m14_chunk_documents": M14_SQL,
+    "m15_gopher_quality": M15_SQL,
+    "m16_pii_redaction": M16_SQL,
     # m8-m10: approximate — rows-only checks by design
 }

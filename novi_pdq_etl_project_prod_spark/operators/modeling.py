@@ -21,7 +21,7 @@ don't change.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -80,6 +80,111 @@ def upsert_dim(
         .where(F.col("__rn") == 1)
         .drop("__rn", "__is_new")
     )
+
+
+def merge_into_snapshot(
+    existing: DataFrame | None,
+    source: DataFrame,
+    pk: tuple[str, ...],
+    update_cols: tuple[str, ...] | None = None,
+    delete_condition: Column | None = None,
+) -> DataFrame:
+    """MERGE semantics over a snapshot table, as a pure DataFrame op:
+
+    - matched + ``delete_condition`` → row removed;
+    - matched otherwise → ``update_cols`` taken from source (others kept);
+    - not matched → source row inserted.
+
+    This is the general form of ``upsert_dim`` (which is latest-wins on
+    every column). The result is the new snapshot; persist it with
+    ``overwrite_snapshot``. On a transactional table format the same
+    call-site becomes a real MERGE — the operator signature is the
+    contract, the storage swap is mechanical.
+    """
+    if existing is None:
+        return source if delete_condition is None else source.where(
+            ~F.coalesce(delete_condition, F.lit(False))
+        )
+    update_cols = tuple(
+        update_cols
+        if update_cols is not None
+        else [c for c in source.columns if c not in pk]
+    )
+    keep_cols = [c for c in existing.columns if c not in pk and c not in update_cols]
+    src = source.select(
+        *[F.col(k) for k in pk],
+        *[F.col(c).alias(f"__src_{c}") for c in update_cols],
+        F.lit(True).alias("__matched_src"),
+    )
+    joined = existing.join(src, list(pk), "full_outer")
+    is_matched = F.col("__matched_src") & existing[pk[0]].isNotNull()
+    merged = joined.select(
+        *[F.col(k) for k in pk],
+        *[
+            F.when(F.col("__matched_src").isNotNull(), F.col(f"__src_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in update_cols
+        ],
+        *[F.col(c) for c in keep_cols],
+    )
+    if delete_condition is not None:
+        # delete applies to matched rows only
+        was_matched = joined.select(
+            *[F.col(k) for k in pk], F.col("__matched_src").isNotNull().alias("__m")
+        )
+        merged = (
+            merged.join(was_matched, list(pk))
+            .where(~(F.col("__m") & F.coalesce(delete_condition, F.lit(False))))
+            .drop("__m")
+        )
+    return merged
+
+
+def scd2_apply(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    pk: tuple[str, ...],
+    attrs: tuple[str, ...],
+    effective_col: str = "effective_yyyymm",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2: keep full attribute history.
+
+    ``incoming`` carries (pk, attrs, effective_col). Rows whose attrs
+    differ from the key's current version close that version
+    (``valid_to`` = new effective) and open a new current one
+    (``valid_to`` null, ``is_current`` true). Unchanged keys are left
+    untouched; brand-new keys open their first version.
+
+    Implementation: union existing versions + incoming candidates, one
+    window per key ordered by effective month, dedup consecutive
+    identical attr versions, then derive valid_to via lead(). One
+    shuffle on the pk.
+    """
+    inc = incoming.select(
+        *[F.col(k) for k in pk],
+        *[F.col(a) for a in attrs],
+        F.col(effective_col).alias("valid_from"),
+    )
+    if existing is None:
+        versions = inc
+    else:
+        versions = existing.select(
+            *[F.col(k) for k in pk], *[F.col(a) for a in attrs], "valid_from"
+        ).unionByName(inc)
+    w = Window.partitionBy(*[F.col(k) for k in pk]).orderBy("valid_from")
+    fingerprint = F.concat_ws("\x1f", *[F.col(a).cast("string") for a in attrs])
+    deduped = (
+        versions.dropDuplicates([*pk, "valid_from"])
+        .withColumn("__prev_fp", F.lag(fingerprint).over(w))
+        .where(F.col("__prev_fp").isNull() | (fingerprint != F.col("__prev_fp")))
+        .drop("__prev_fp")
+    )
+    w2 = Window.partitionBy(*[F.col(k) for k in pk]).orderBy("valid_from")
+    return deduped.select(
+        "*",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
 
 
 def project_fact(

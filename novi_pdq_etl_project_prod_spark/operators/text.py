@@ -143,6 +143,73 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+#: RE2-safe PII-ish patterns (portable to the DuckDB oracle).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ssn_like": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+}
+
+
+def redact_pii(col: Column | str, replacement: str = "[REDACTED]") -> Column:
+    """Regex scrubbing of email/phone/SSN-like spans — the minimum PII
+    hygiene pass a training corpus gets before anything else. Patterns
+    are RE2-safe and deliberately conservative (precision over recall);
+    swap in a model-based NER scrubber via the multimodal pandas-UDF
+    path when recall matters."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = c
+    for pattern in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def max_term_frequency_ratio(col: Column | str) -> Column:
+    """Share of the document occupied by its single most frequent token —
+    the Gopher-style repetition signal (boilerplate and keyword spam
+    score high). Row-local: sort the token array, fold counting the
+    longest run. 1.0 for empty docs (maximally degenerate)."""
+    t = F.array_sort(tokens(col))
+    # fold: (best_run, cur_run, prev_token)
+    acc = F.aggregate(
+        t,
+        F.struct(
+            F.lit(0).alias("best"), F.lit(0).alias("cur"), F.lit(None).cast("string").alias("prev")
+        ),
+        lambda a, x: F.struct(
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["cur"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            F.when(x == a["prev"], a["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            x.alias("prev"),
+        ),
+    )
+    return F.when(F.size(t) == 0, F.lit(1.0)).otherwise(
+        acc["best"].cast("double") / F.size(t)
+    )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rules-style quality gate: attach boolean flags for the
+    classic reject conditions; ``passes_gopher`` is their conjunction.
+    Thresholds follow the published Gopher heuristics where the fixture
+    permits (word count, mean word length, repetition)."""
+    n = token_count(text_col)
+    mean_len = mean_token_length(text_col)
+    rep = max_term_frequency_ratio(text_col)
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("ok_word_count", (n >= 50) & (n <= 100_000))
+        .withColumn("ok_mean_word_len", (mean_len >= 3) & (mean_len <= 10))
+        .withColumn("ok_repetition", rep <= 0.2)
+        .withColumn(
+            "passes_gopher",
+            (n >= 50) & (n <= 100_000) & (mean_len >= 3) & (mean_len <= 10) & (rep <= 0.2),
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -106,6 +106,58 @@ def streaming_dedup(
     )
 
 
+def click_purchase_attribution(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the same user's
+    clicks within the preceding ``attribution_window``.
+
+    Both sides are the one event stream filtered by type; watermarks on
+    both bound the join state (clicks older than purchase-watermark +
+    window are dropped from the state store — without the time-range
+    condition the state would grow forever). Works identically on a
+    batch DataFrame, which the tests use as the oracle.
+    """
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def stream_to_medallion(
     events: DataFrame,
     root: str,

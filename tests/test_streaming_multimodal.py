@@ -186,3 +186,27 @@ def test_stream_to_medallion_matches_batch(spark, events_dir, tmp_path):
     # month directory layout (partition pruning works on the streamed table)
     import os
     assert any(d.startswith("yyyymm=") for d in os.listdir(f"{root}/staging/event_monthly"))
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_dir):
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        click_purchase_attribution,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    stream = click_purchase_attribution(read_event_stream(spark, events_dir))
+    assert stream.isStreaming
+    run_to_memory_sink(stream, "attrib_out", output_mode="append")
+    got = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in spark.table("attrib_out").collect()
+    }
+    batch = click_purchase_attribution(spark.read.parquet(events_dir))
+    want = {
+        (r.user_id, r.click_id, r.purchase_id) for r in batch.collect()
+    }
+    assert want, "fixture should contain attributable purchases"
+    # stream may hold back pairs near the end-of-input watermark frontier
+    assert got <= want
+    assert len(got) >= len(want) * 0.8, (len(got), len(want))
