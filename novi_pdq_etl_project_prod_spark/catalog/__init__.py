@@ -19,6 +19,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     reference_queries,
     surface_queries,
     temporal_queries,
+    tpch_queries,
 )
 
 QUERIES = {}
@@ -29,6 +30,7 @@ for _mod in (
     llm_queries,
     temporal_queries,
     surface_queries,
+    tpch_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

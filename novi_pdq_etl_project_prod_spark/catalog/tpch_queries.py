@@ -1,0 +1,625 @@
+"""Remaining TPC-H query shapes (Q4, Q7-Q10, Q13, Q15-Q17, Q19-Q21),
+adapted to the driver fixtures' trimmed star schema (no ``partsupp``, no
+``l_commitdate``/``l_receiptdate``/``l_shipmode``, no ``p_container`` —
+see TESTDATA.md). Together with ``analytics_queries`` (Q1/Q3/Q5/Q6/Q12/
+Q14/Q18/Q22 shapes) this completes the 22-query benchmark surface a
+reference user would expect from a warehouse engine (SURVEY.md §7.2 M6).
+
+Adaptations where a source column is missing:
+- "late" lineitems (Q4/Q21's commit-vs-receipt lag) become
+  ``l_shipdate > o_orderdate + INTERVAL 30/60 DAYS``;
+- Q9's ``ps_supplycost`` becomes ``0.5 * p_retailprice``;
+- Q16/Q20's partsupp supplier relation is derived from observed
+  ``lineitem`` (suppkey, partkey) pairs;
+- Q13's comment filter becomes an ``o_orderpriority`` filter.
+
+Every query keeps the determinism contract: DECIMAL aggregation, double
+cast at the edge, unique-key tie-breaks on any LIMIT.
+
+Scale notes (100 TB honesty): nation/region/supplier are broadcast
+explicitly (they stay dim-sized at any SF); part/customer/orders joins are
+left to AQE, which picks broadcast at small SF and sort-merge at large SF.
+Semi/anti joins are expressed as ``left_semi``/``left_anti`` so Catalyst
+plans them without materializing the probe side.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col, prec: int = 18, scale: int = 2):
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+#: revenue expression — exact decimal, shared by most queries below
+def _rev():
+    return _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# T8 — Q4: order-priority checking via EXISTS (left-semi join with a
+# non-equi conjunct). Reference analogue: the existence-count checks A5.
+# ---------------------------------------------------------------------------
+
+def t8_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01"))
+        )
+        .join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+T8_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T9 — Q7: volume shipping between two nations (5-way join, disjunctive
+# nation-pair predicate, year rollup)
+# ---------------------------------------------------------------------------
+
+def t9_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+
+
+T9_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# T10 — Q8: national market share inside a region (7-way join + conditional
+# ratio per year)
+# ---------------------------------------------------------------------------
+
+def t10_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "STANDARD")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+    )
+    zero = F.lit(0).cast("decimal(38,4)")
+    agg = base.groupBy("o_year").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", _rev())), zero
+        ).alias("nat_dec"),
+        F.sum(_rev()).alias("tot_dec"),
+    )
+    return agg.select(
+        "o_year",
+        (F.col("nat_dec").cast("double") / F.col("tot_dec").cast("double")).alias(
+            "mkt_share"
+        ),
+        F.col("tot_dec").cast("double").alias("total_revenue"),
+    )
+
+
+T10_SQL = f"""
+WITH base AS (
+  SELECT year(o_orderdate) AS o_year,
+         n1.n_name AS supp_nation,
+         {_REV_SQL} AS rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+)
+SELECT o_year,
+       CAST(COALESCE(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev END),
+                     CAST(0 AS DECIMAL(38,4))) AS DOUBLE)
+         / CAST(SUM(rev) AS DOUBLE) AS mkt_share,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+FROM base
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T11 — Q9: product-type profit by supplier nation and year. No partsupp ⇒
+# supply cost proxied as 0.5 * p_retailprice (kept in exact DECIMAL).
+# ---------------------------------------------------------------------------
+
+def t11_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = _t(spark, sf_dir, "nation")
+    amount = _rev() - _dec("l_quantity") * _dec("p_retailprice") * F.lit("0.5").cast(
+        "decimal(2,1)"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+T11_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM({_REV_SQL}
+                - CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(p_retailprice AS DECIMAL(18,2))
+                  * CAST('0.5' AS DECIMAL(2,1))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# T12 — Q10: returned-item reporting, top-20 customers by lost revenue
+# (deterministic LIMIT: unique grouping key in the tie-break)
+# ---------------------------------------------------------------------------
+
+def t12_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_rev()).alias("rev_dec"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            F.col("rev_dec").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("rev_dec").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+T12_SQL = f"""
+SELECT c_custkey, c_name, n_name AS nation,
+       CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY SUM({_REV_SQL}) DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# T13 — Q13: customer order-count distribution (left outer join + two-level
+# aggregation; zero-order customers must survive)
+# ---------------------------------------------------------------------------
+
+def t13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+T13_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY 1
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# T14 — Q15: top supplier(s) by quarterly revenue (scalar-max subquery
+# joined back on exact DECIMAL equality — deterministic even with ties)
+# ---------------------------------------------------------------------------
+
+def t14_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("rev_dec"))
+    top = rev.agg(F.max("rev_dec").alias("max_dec"))
+    return (
+        rev.join(F.broadcast(top), rev.rev_dec == top.max_dec)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("rev_dec").cast("double").alias("revenue")
+        )
+    )
+
+
+T14_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T15 — Q16: supplier-relation count per part attribute group. partsupp is
+# derived from observed lineitem (suppkey, partkey) pairs; COUNT(DISTINCT)
+# exercises the distinct-agg shuffle path.
+# ---------------------------------------------------------------------------
+
+def t15_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+T15_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+GROUP BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# T16 — Q17: small-quantity-order revenue (per-part correlated average,
+# decorrelated into an aggregate + broadcast re-join)
+# ---------------------------------------------------------------------------
+
+def t16_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#12")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = lines.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        lines.join(F.broadcast(avg_qty), F.col("l_partkey") == F.col("a_partkey"))
+        .where(F.col("l_quantity").cast("double") < 0.5 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+T16_SQL = """
+WITH lines AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12'
+), avg_qty AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lines GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lines JOIN avg_qty ON l_partkey = a_partkey
+WHERE CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# T17 — Q19: disjunctive multi-attribute predicate (brand × size × quantity
+# blocks). Catalyst pushes the common join key and per-block filters.
+# ---------------------------------------------------------------------------
+
+def t17_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    blocks = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#18")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(blocks)
+        .agg(
+            F.sum(_rev()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+T17_SQL = f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#18' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T18 — Q20: suppliers with heavy shipments of a part family (aggregate
+# threshold → left-semi chain → dim filter)
+# ---------------------------------------------------------------------------
+
+def t18_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_5")
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+        .where(F.col("qty_dec") > 30)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+T18_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 30
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T19 — Q21: suppliers who alone were late on multi-supplier orders
+# (EXISTS + NOT EXISTS ⇒ left-semi + left-anti at distinct
+# (order, supplier) grain; "late" = shipped >60 days after order date)
+# ---------------------------------------------------------------------------
+
+def t19_lonely_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late_lines = (
+        _t(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    all_pairs = li.distinct()
+    other = all_pairs.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp")
+    )
+    other_late = late_lines.select(
+        F.col("l_orderkey").alias("x_key"), F.col("l_suppkey").alias("x_supp")
+    )
+    lonely = (
+        late_lines.join(
+            other,
+            (F.col("l_orderkey") == F.col("o_key"))
+            & (F.col("l_suppkey") != F.col("o_supp")),
+            "left_semi",
+        ).join(
+            other_late,
+            (F.col("l_orderkey") == F.col("x_key"))
+            & (F.col("l_suppkey") != F.col("x_supp")),
+            "left_anti",
+        )
+    )
+    return (
+        lonely.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+T19_SQL = """
+WITH late AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+), pairs AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM pairs p
+              WHERE p.l_orderkey = l1.l_orderkey
+                AND p.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+"""
+
+
+QUERIES = {
+    "t8_order_priority": t8_order_priority,
+    "t9_volume_shipping": t9_volume_shipping,
+    "t10_market_share": t10_market_share,
+    "t11_product_profit": t11_product_profit,
+    "t12_returned_items": t12_returned_items,
+    "t13_order_count_dist": t13_order_count_dist,
+    "t14_top_supplier": t14_top_supplier,
+    "t15_supplier_cnt": t15_supplier_cnt,
+    "t16_small_qty_revenue": t16_small_qty_revenue,
+    "t17_disjunctive_revenue": t17_disjunctive_revenue,
+    "t18_promo_suppliers": t18_promo_suppliers,
+    "t19_lonely_late_suppliers": t19_lonely_late_suppliers,
+}
+
+ORACLES = {
+    "t8_order_priority": T8_SQL,
+    "t9_volume_shipping": T9_SQL,
+    "t10_market_share": T10_SQL,
+    "t11_product_profit": T11_SQL,
+    "t12_returned_items": T12_SQL,
+    "t13_order_count_dist": T13_SQL,
+    "t14_top_supplier": T14_SQL,
+    "t15_supplier_cnt": T15_SQL,
+    "t16_small_qty_revenue": T16_SQL,
+    "t17_disjunctive_revenue": T17_SQL,
+    "t18_promo_suppliers": T18_SQL,
+    "t19_lonely_late_suppliers": T19_SQL,
+}
