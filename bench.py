@@ -48,6 +48,10 @@ HEADLINE = [
     "m7_embedding_topk",
     "m8_minhash_near_dups",
     "m10_lsh_embedding_topk",
+    "m17_ivf_embedding_topk",
+    "t9_volume_shipping",
+    "t12_returned_items",
+    "t19_lonely_late_suppliers",
     "m14_chunk_documents",
     "x5_event_funnel",
 ]

@@ -27,6 +27,7 @@ from novi_pdq_etl_project_prod_spark.operators.dedup import (
 from novi_pdq_etl_project_prod_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 
 
@@ -447,6 +448,16 @@ def m10_lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, q, k=5, dim=64, nbits=4, n_tables=16)
 
 
+def m17_ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN (approximate — no oracle): recall vs brute force is
+    pinned in test_llm_ops. nprobe/n_lists = 1/2 because the fixture
+    embeddings are near-random (neighbors barely separated from noise);
+    clustered real-world corpora sustain much lower probe ratios."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    return ivf_topk(emb, q, k=5, n_lists=16, nprobe=8)
+
+
 QUERIES = {
     "m1_exact_dedup_groups": m1_exact_dedup_groups,
     "m2_ngram_jaccard_pairs": m2_ngram_jaccard_pairs,
@@ -462,6 +473,7 @@ QUERIES = {
     "m8_minhash_near_dups": m8_minhash_near_dups,
     "m9_simhash_near_dups": m9_simhash_near_dups,
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
+    "m17_ivf_embedding_topk": m17_ivf_embedding_topk,
     "m13_near_dup_clusters": m13_near_dup_clusters,
 }
 

@@ -1,6 +1,6 @@
 """Embedding similarity search (SURVEY.md §7.2 M6): brute-force cosine
-top-k as the exact baseline, random-hyperplane LSH bucketing as the scale
-path.
+top-k as the exact baseline, random-hyperplane LSH bucketing and an
+IVF-Flat coarse quantizer as the two scale paths.
 
 Scale design:
 
@@ -12,6 +12,15 @@ Scale design:
   |queries| ≪ |corpus|. Never materializes the full similarity matrix
   when k is small: the window keeps k rows per query per partition
   before the final shuffle.
+- **ivf_topk** — approximate, FAISS-IVF-Flat-shaped. A spherical
+  k-means coarse quantizer (trained driver-side on a small deterministic
+  sample — the one legitimate ``collect`` in this module) partitions the
+  corpus into ``n_lists`` inverted lists; each query probes its
+  ``nprobe`` nearest lists and scores exactly within them. Cost
+  O(|corpus| × n_lists × dim) for one-off assignment plus
+  O(|corpus| × nprobe/n_lists × |queries| × dim) for scoring. Unlike
+  LSH, list sizes are data-adaptive (centroids follow density), so skew
+  is bounded without tuning bit counts.
 - **hyperplane_lsh_topk** — approximate. Both sides get a ``nbits``-bit
   sign-pattern bucket from fixed pseudo-random hyperplanes (seeded
   numpy, driver-side constants). Join on bucket equality (optionally
@@ -217,6 +226,129 @@ def hyperplane_lsh_topk(
     )
     scored = cands.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat: spherical k-means coarse quantizer + probed exact scoring
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train unit-norm centroids for an IVF index (driver-side Lloyd).
+
+    The training sample is the ``sample_size`` lowest-id vectors —
+    deterministic across partitionings (a hash-sample would also work; at
+    100 TB swap in ``TABLESAMPLE`` + limit, the sample stays bounded
+    either way). k-means++ seeding + Lloyd iterations run on the driver
+    in numpy: O(sample × n_lists × dim) — milliseconds for any sane
+    configuration, and the only driver-side compute in the IVF path.
+    Centroids are L2-normalized each round (spherical k-means) so
+    nearest-centroid-by-dot-product == nearest-by-cosine.
+    """
+    rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    m = np.array([list(r[1]) for r in rows], dtype="float64")
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sphere (distance = 1 - cosine)
+    centroids = [m[rng.integers(len(m))]]
+    for _ in range(1, n_lists):
+        d = 1.0 - np.max(np.vstack(centroids) @ m.T, axis=0)
+        d = np.maximum(d, 0.0)
+        probs = d / d.sum() if d.sum() > 0 else np.full(len(m), 1.0 / len(m))
+        centroids.append(m[rng.choice(len(m), p=probs)])
+    cents = np.vstack(centroids)
+
+    for _ in range(n_iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for j in range(n_lists):
+            members = m[assign == j]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    cents[j] = c / n
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    sample_size: int = 2048,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via an IVF-Flat index (train → assign → probe).
+
+    Corpus vectors are assigned to their nearest centroid's inverted
+    list (one vectorized Arrow pass); each query probes its ``nprobe``
+    nearest lists. Exact cosine is computed only for (query, corpus)
+    pairs sharing a probed list — recall misses only neighbors whose
+    list the query didn't probe, so ``nprobe/n_lists`` is the recall/
+    cost dial. Output schema matches ``brute_force_topk``.
+
+    At scale the corpus side can be written out partitioned by
+    ``list_id`` once and re-probed by many query batches — the index is
+    a DataFrame, not driver state.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    cents = train_ivf_centroids(
+        corpus, id_col, vec_col, n_lists, sample_size, seed=seed
+    )
+
+    @pandas_udf("int")
+    def nearest_list(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+
+    @pandas_udf("array<int>")
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype("float64")
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ cents.T
+        # top-nprobe lists, ties broken by list id (argsort is stable on
+        # the negated, index-tagged key)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype("int32")))
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("list_id", nearest_list(F.col("cv")))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("list_id", F.explode(probe_lists(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), "list_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -18,6 +18,7 @@ from novi_pdq_etl_project_prod_spark.operators.dedup import (
 from novi_pdq_etl_project_prod_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
+    ivf_topk,
 )
 from tests.conftest import SF_ORACLE
 
@@ -88,6 +89,24 @@ def test_lsh_topk_recall_vs_brute_force(spark):
     # OR-amplified (16 tables × 4 bits): recall is partial by design but
     # must stay far above chance on the fixture
     assert recall >= 0.7, f"LSH recall {recall}"
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, q, k=5)
+    approx = ivf_topk(emb, q, k=5, n_lists=16, nprobe=8)
+    t = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    f = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(t & f) / len(t)
+    # probing half the lists on near-random fixture vectors: recall must
+    # clearly beat the ~0.5 random-probe floor
+    assert recall >= 0.65, f"IVF recall {recall}"
+    # centroid training samples by sorted id, so results are invariant
+    # to input partitioning
+    again = ivf_topk(emb.repartition(7), q, k=5, n_lists=16, nprobe=8)
+    f2 = {(r.query_id, r.neighbor_id) for r in again.collect()}
+    assert f == f2
 
 
 def test_exact_dedup_survivor_is_min_id(spark):
