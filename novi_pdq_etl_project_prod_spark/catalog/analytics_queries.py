@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from novi_pdq_etl_project_prod_spark.operators.rollup import (
     cube_agg,
+    grouping_sets_agg,
     pivot_agg,
     rollup_agg,
 )
@@ -232,6 +233,34 @@ SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# ---------------------------------------------------------------------------
+# R2b — explicit GROUPING SETS (only the requested combinations — cost
+# scales with the set count, not 2^n like cube)
+# ---------------------------------------------------------------------------
+
+def r4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return grouping_sets_agg(
+        li,
+        sets=[["l_returnflag"], ["l_linestatus"], []],
+        aggs=[
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+
+
+R4_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_l_returnflag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_l_linestatus
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
@@ -939,6 +968,7 @@ QUERIES = {
     "r2_cube": r2_cube,
     "r3_pivot": r3_pivot,
     "r4_grouping_sets": r4_grouping_sets,
+    "r4_grouping_sets": r4_grouping_sets,
     "g1_calendar_dim": g1_calendar_dim,
     "j2_semi_join": j2_semi_join,
     "j3_anti_join": j3_anti_join,
@@ -967,6 +997,7 @@ ORACLES = {
     "r1_rollup": R1_SQL,
     "r2_cube": R2_SQL,
     "r3_pivot": R3_SQL,
+    "r4_grouping_sets": R4_SQL,
     "r4_grouping_sets": R4_SQL,
     "g1_calendar_dim": G1_SQL,
     "j2_semi_join": J2_SQL,

@@ -41,3 +41,20 @@ def pivot_agg(
     scale: without it Spark runs an extra distinct job over the data to
     discover the domain before planning."""
     return df.groupBy(*group_by).pivot(pivot_col, list(pivot_values)).agg(agg)
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: Sequence[Sequence[str]],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    """Exactly the requested grouping combinations (rollup/cube are the
+    special cases) in one shuffle — the planner expands rows once per
+    set, so cost scales with len(sets), not 2^n."""
+    dims = []
+    for s in sets:
+        for d in s:
+            if d not in dims:
+                dims.append(d)
+    flags = [F.grouping(d).cast("int").alias(f"g_{d}") for d in dims]
+    return df.groupingSets([list(s) for s in sets], *dims).agg(*aggs, *flags)

@@ -94,3 +94,25 @@ def test_whole_stage_codegen_covers_hot_path(spark):
     # '*(n)' prefixes mark whole-stage-codegen spans; both aggregate
     # levels and the projection must be inside one
     assert plan.startswith("*(") and plan.count("*(") >= 2
+
+
+def test_tpch_multiway_join_broadcasts_all_dims(spark):
+    # t9 (Q7 shape): 5 joins, every one should be broadcast at oracle SF —
+    # the probe-side lineitem is never shuffled before the final agg
+    plan = plan_of(QUERIES["t9_volume_shipping"](spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # final agg only
+
+
+def test_q21_rewrite_uses_two_narrow_shuffles(spark):
+    # t19's window decorrelation: one grouped pass + one window, not the
+    # 6-shuffle semi/anti-join plan of the textbook EXISTS form
+    plan = plan_of(QUERIES["t19_lonely_late_suppliers"](spark, SF_ORACLE))
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_q10_limit_compiles_to_take_ordered(spark):
+    plan = plan_of(QUERIES["t12_returned_items"](spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in plan
