@@ -53,6 +53,7 @@ HEADLINE = [
     "t12_returned_items",
     "t19_lonely_late_suppliers",
     "m14_chunk_documents",
+    "m19_decontaminate",
     "x5_event_funnel",
 ]
 

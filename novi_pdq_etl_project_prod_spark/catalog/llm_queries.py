@@ -18,12 +18,14 @@ from pyspark.sql import functions as F
 
 from novi_pdq_etl_project_prod_spark.operators import text as TX
 from novi_pdq_etl_project_prod_spark.operators.dedup import (
+    contamination_pairs,
     exact_duplicates,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
     simhash_signatures,
 )
+from novi_pdq_etl_project_prod_spark.operators.multimodal import mixture_sample
 from novi_pdq_etl_project_prod_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
@@ -448,6 +450,65 @@ def m10_lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_topk(emb, q, k=5, dim=64, nbits=4, n_tables=16)
 
 
+#: Target domain mixture for m18 — explicit rates for four sources, a
+#: floor rate for the long tail. Thresholds are 4-hex-digit md5 prefixes
+#: shared verbatim with the oracle SQL below.
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+MIXTURE_DEFAULT = 0.05
+
+
+def m18_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_sample(
+        docs, MIXTURE_RATES, default_rate=MIXTURE_DEFAULT
+    ).select("doc_id", "source")
+
+
+M18_SQL = """
+SELECT doc_id, source FROM documents
+WHERE CASE
+  WHEN source = 'src0' THEN TRUE
+  WHEN source = 'src1'
+    THEN substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+  WHEN source = 'src2'
+    THEN substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+  WHEN source = 'src3'
+    THEN substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+  ELSE substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd'
+END
+"""
+
+
+def m19_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train docs (doc_id % 97 != 0) sharing
+    >= 2 distinct word 3-grams with the held-out eval split."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    return contamination_pairs(train, ev, n=3, min_overlap=2)
+
+
+M19_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+)
+SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id, COUNT(*) AS n_common
+FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) tr
+JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) ev ON tr.sh = ev.sh
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
 def m17_ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (approximate — no oracle): recall vs brute force is
     pinned in test_llm_ops. nprobe/n_lists = 1/2 because the fixture
@@ -474,6 +535,8 @@ QUERIES = {
     "m9_simhash_near_dups": m9_simhash_near_dups,
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
     "m17_ivf_embedding_topk": m17_ivf_embedding_topk,
+    "m18_mixture_sample": m18_mixture_sample,
+    "m19_decontaminate": m19_decontaminate,
     "m13_near_dup_clusters": m13_near_dup_clusters,
 }
 
@@ -485,6 +548,8 @@ ORACLES = {
     "m5_quality_filter": M5_SQL,
     "m6_fingerprints": M6_SQL,
     "m7_embedding_topk": M7_SQL,
+    "m18_mixture_sample": M18_SQL,
+    "m19_decontaminate": M19_SQL,
     "m12_tfidf_top_terms": M12_SQL,
     "m14_chunk_documents": M14_SQL,
     "m15_gopher_quality": M15_SQL,

@@ -522,3 +522,55 @@ def simhash_near_duplicates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def contamination_pairs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    df_cap: int | None = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination: (train doc, eval doc) pairs sharing at
+    least ``min_overlap`` distinct word n-grams — the standard
+    contamination test run before training on scraped corpora (an
+    asymmetric variant of ``ngram_jaccard_pairs``: overlap count, not
+    Jaccard, because eval items are usually much shorter than documents).
+
+    Scale shape: the eval side is tiny (benchmarks are thousands of
+    items, the corpus is billions of docs), so its exploded shingle set
+    is broadcast and the whole check is one map-side join + one
+    aggregation over the matching grams only. ``df_cap`` drops
+    ubiquitous grams from the *train* side first (stopword phrases match
+    everything and carry no contamination signal).
+    """
+    tr = _spread_small_input(train).select(
+        F.col(id_col).alias("train_id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("eval_id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    # Semi-join to the (broadcast) eval grams FIRST: only matching train
+    # grams survive into the frequency cap and the pairing join, so the
+    # expensive shingle explode is consumed once, map-side, and never
+    # shuffled at corpus width.
+    matched = tr.join(F.broadcast(ev), "sh")
+    if df_cap is not None:
+        # matched feeds two consumers (frequency cap + pairing); persist
+        # with an eager count so the shingle explode runs exactly once
+        # (without the count the two plans race and both recompute).
+        matched = matched.persist()
+        matched.count()
+        freq = matched.groupBy("sh").agg(
+            F.count_distinct("train_id").alias("df")
+        )
+        matched = matched.join(
+            F.broadcast(freq.where(F.col("df") > df_cap)), "sh", "left_anti"
+        )
+    return (
+        matched.groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_overlap)
+    )

@@ -187,3 +187,54 @@ def synthetic_media(spark, n: int = 64, modality: str = "image") -> DataFrame:
             .alias("payload"),
         )
     )
+
+
+def mixture_thresholds(rates: dict) -> dict:
+    """Per-source 4-hex-digit thresholds for ``mixture_sample`` (65536
+    buckets; rate >= 1.0 keeps everything)."""
+    return {
+        src: format(min(max(int(round(rate * 65536)), 0), 65535), "04x")
+        for src, rate in rates.items()
+        if rate < 1.0
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic domain-mixture sampling: keep each row with its
+    source's target rate, decided by a pure function of (source, id) —
+    md5's first 4 hex digits compared against a per-source threshold
+    string. Like ``train_test_split`` this is content-addressed: stable
+    across runs, partitionings, and engines (md5 and lexicographic hex
+    compare agree everywhere), so a rebalanced corpus is reproducible
+    bit-for-bit. No shuffle — a row-local filter.
+
+    Training pipelines use this to hit a target domain mixture (e.g.
+    down-weight web crawl against books/code) without a global sort or
+    per-source count pass.
+    """
+    u = F.substring(
+        F.md5(F.concat_ws(":", F.col(source_col), F.col(id_col).cast("string"))),
+        1,
+        4,
+    )
+    thresholds = mixture_thresholds(rates)
+    keep = None
+    for src, rate in rates.items():
+        cond = (
+            F.lit(True) if rate >= 1.0 else u < F.lit(thresholds[src])
+        )
+        branch = F.when(F.col(source_col) == src, cond)
+        keep = branch if keep is None else keep.when(F.col(source_col) == src, cond)
+    default = (
+        F.lit(True)
+        if default_rate >= 1.0
+        else u < F.lit(format(min(max(int(round(default_rate * 65536)), 0), 65535), "04x"))
+    )
+    keep = default if keep is None else keep.otherwise(default)
+    return df.where(keep)

@@ -154,3 +154,38 @@ def test_plan_lsh_bands():
     # lower threshold → more, shorter bands (more candidates)
     b_lo, r_lo = plan_lsh_bands(64, 0.2)
     assert b_lo > b
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import mixture_sample
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    out = mixture_sample(docs, rates, default_rate=0.2)
+    got = {r.source: r.cnt for r in out.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    per_source = {r.source: r.cnt for r in docs.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert got["src0"] == per_source["src0"]          # rate 1.0 keeps all
+    assert "src2" not in got                          # rate 0.0 drops all
+    assert 0 < got.get("src1", 0) < per_source["src1"]
+    # content-addressed: invariant to partitioning
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mixture_sample(docs.repartition(13), rates, default_rate=0.2)
+        .select("doc_id")
+        .collect()
+    )
+    assert ids == ids2
+
+
+def test_contamination_pairs_finds_planted_overlap(spark):
+    from novi_pdq_etl_project_prod_spark.operators.dedup import contamination_pairs
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    # a doc is always contaminated against itself: self-check with the
+    # eval side being an exact subset of train
+    ev = docs.where(F.col("doc_id") < 5)
+    pairs = contamination_pairs(docs, ev, n=3, min_overlap=2)
+    hits = {(r.train_id, r.eval_id) for r in pairs.collect()}
+    for i in range(5):
+        assert (i, i) in hits
