@@ -210,3 +210,37 @@ def test_stream_stream_attribution_matches_batch(spark, events_dir):
     # stream may hold back pairs near the end-of-input watermark frontier
     assert got <= want
     assert len(got) >= len(want) * 0.8, (len(got), len(want))
+
+
+def test_stream_upsert_dim_latest_wins_across_batches(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.streaming.events import stream_upsert_dim
+
+    # two "days" of dim updates arriving as separate files = separate
+    # micro-batches under maxFilesPerTrigger=1 (ordering is by file mtime)
+    import time as _time
+
+    updates_dir = str(tmp_path / "updates")
+    day1 = spark.createDataFrame(
+        [(1, "alice", 100), (2, "bob", 100), (2, "bob-dup", 99)],
+        "id int, name string, ver int",
+    )
+    day2 = spark.createDataFrame(
+        [(2, "bobby", 200), (3, "carol", 200)], "id int, name string, ver int"
+    )
+    day1.coalesce(1).write.mode("append").parquet(updates_dir)
+    _time.sleep(1.1)  # distinct mtimes so batch order is day1 then day2
+    day2.coalesce(1).write.mode("append").parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema("id int, name string, ver int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    stream_upsert_dim(
+        stream, root, "dim_user", pk=("id",), order_col="ver",
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    snap = {r.id: r.name for r in spark.read.parquet(f"{root}/curated/dim_user").collect()}
+    # within-batch dedup keeps highest ver; across batches day2 wins
+    assert snap == {1: "alice", 2: "bobby", 3: "carol"}

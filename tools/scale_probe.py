@@ -34,6 +34,9 @@ PROBE_QUERIES = [
     "x2_salted_agg",
     "m1_exact_dedup_groups",
     "m8_minhash_near_dups",
+    "t9_volume_shipping",
+    "t19_lonely_late_suppliers",
+    "m19_decontaminate",
 ]
 
 
