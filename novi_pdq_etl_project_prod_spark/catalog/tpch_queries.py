@@ -1,15 +1,18 @@
-"""Remaining TPC-H query shapes (Q4, Q7-Q10, Q13, Q15-Q17, Q19-Q21),
+"""Remaining TPC-H query shapes (Q2, Q4, Q7-Q11, Q13, Q15-Q17, Q19-Q21),
 adapted to the driver fixtures' trimmed star schema (no ``partsupp``, no
 ``l_commitdate``/``l_receiptdate``/``l_shipmode``, no ``p_container`` —
 see TESTDATA.md). Together with ``analytics_queries`` (Q1/Q3/Q5/Q6/Q12/
-Q14/Q18/Q22 shapes) this completes the 22-query benchmark surface a
-reference user would expect from a warehouse engine (SURVEY.md §7.2 M6).
+Q14/Q18/Q22 shapes) this completes all 22 TPC-H query shapes — the
+benchmark surface a reference user would expect from a warehouse engine
+(SURVEY.md §7.2 M6). Every one is DuckDB-oracled.
 
 Adaptations where a source column is missing:
 - "late" lineitems (Q4/Q21's commit-vs-receipt lag) become
   ``l_shipdate > o_orderdate + INTERVAL 30/60 DAYS``;
-- Q9's ``ps_supplycost`` becomes ``0.5 * p_retailprice``;
-- Q16/Q20's partsupp supplier relation is derived from observed
+- Q9's ``ps_supplycost`` becomes ``0.5 * p_retailprice``; Q2's
+  min-supply-cost pick becomes max supplier account balance; Q11's
+  stock value becomes shipped revenue;
+- Q2/Q16/Q20's partsupp supplier relation is derived from observed
   ``lineitem`` (suppkey, partkey) pairs;
 - Q13's comment filter becomes an ``o_orderpriority`` filter.
 
@@ -592,6 +595,112 @@ GROUP BY 1
 """
 
 
+
+
+
+# ---------------------------------------------------------------------------
+# T20 — Q2: best supplier per part (correlated-min decorrelated into a
+# groupBy + equality re-join). partsupp's supply cost is absent, so "best"
+# = highest account balance among suppliers observed shipping the part.
+# ---------------------------------------------------------------------------
+
+def t20_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    sup_eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", _dec("s_acctbal").alias("bal_dec"))
+    )
+    ps = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(sup_eu), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = ps.groupBy("l_partkey").agg(F.max("bal_dec").alias("best_bal"))
+    return (
+        ps.join(F.broadcast(best), "l_partkey")
+        .where(F.col("bal_dec") == F.col("best_bal"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("bal_dec").cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+T20_SQL = """
+WITH sup_eu AS (
+  SELECT s_suppkey, s_name, n_name,
+         CAST(s_acctbal AS DECIMAL(18,2)) AS bal_dec
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+), ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'LARGE'
+)
+SELECT l_partkey AS p_partkey, s_name, n_name AS nation,
+       CAST(bal_dec AS DOUBLE) AS s_acctbal
+FROM ps JOIN sup_eu ON l_suppkey = s_suppkey
+WHERE bal_dec = (SELECT MAX(bal_dec) FROM ps p2 JOIN sup_eu s2
+                 ON p2.l_suppkey = s2.s_suppkey
+                 WHERE p2.l_partkey = ps.l_partkey)
+"""
+
+
+# ---------------------------------------------------------------------------
+# T21 — Q11: important part stock per nation (global-total scalar subquery
+# as a cross-joined aggregate; shipped value proxies ps_supplycost*availqty)
+# ---------------------------------------------------------------------------
+
+def t21_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_4")
+    value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev()).alias("value_dec"))
+    )
+    total = value.agg(F.sum("value_dec").alias("total_dec"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double")
+            > 0.01 * F.col("total_dec").cast("double")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_dec").cast("double").alias("value"),
+        )
+    )
+
+
+T21_SQL = f"""
+WITH value AS (
+  SELECT l_partkey, SUM({_REV_SQL}) AS value_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, CAST(value_dec AS DOUBLE) AS value
+FROM value
+WHERE CAST(value_dec AS DOUBLE)
+      > 0.01 * (SELECT CAST(SUM(value_dec) AS DOUBLE) FROM value)
+"""
+
+
 QUERIES = {
     "t8_order_priority": t8_order_priority,
     "t9_volume_shipping": t9_volume_shipping,
@@ -605,6 +714,8 @@ QUERIES = {
     "t17_disjunctive_revenue": t17_disjunctive_revenue,
     "t18_promo_suppliers": t18_promo_suppliers,
     "t19_lonely_late_suppliers": t19_lonely_late_suppliers,
+    "t20_best_supplier": t20_best_supplier,
+    "t21_important_stock": t21_important_stock,
 }
 
 ORACLES = {
@@ -620,4 +731,6 @@ ORACLES = {
     "t17_disjunctive_revenue": T17_SQL,
     "t18_promo_suppliers": T18_SQL,
     "t19_lonely_late_suppliers": T19_SQL,
+    "t20_best_supplier": T20_SQL,
+    "t21_important_stock": T21_SQL,
 }

@@ -139,3 +139,39 @@ def overwrite_snapshot(df: DataFrame, root: str, layer: MedallionLayer | str, ta
     path = table_path(root, layer, table)
     df.write.mode("overwrite").parquet(path)
     return path
+
+
+def cluster_write(
+    df: DataFrame,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    cluster_cols: tuple[str, ...],
+    partition_cols: tuple[str, ...] = (),
+    files_per_partition: int = 8,
+) -> str:
+    """Clustered (sorted) write — the data-skipping layout operator.
+
+    ``repartitionByRange`` + ``sortWithinPartitions`` on the cluster
+    keys gives each output file a narrow, non-overlapping min/max range
+    per key, so Parquet row-group statistics answer selective predicates
+    without reading data pages (Spark's analogue of Delta OPTIMIZE
+    ZORDER for the single-key-prefix case). At 100 TB this is the
+    difference between a key-range lookup scanning one file and
+    scanning the whole table: partition pruning handles the coarse
+    (e.g. month) dimension, clustering handles the fine one (e.g.
+    entity id) inside each partition.
+
+    Range partitioning samples the key distribution, so skewed keys get
+    proportionate file counts (no manual salting for layout).
+    """
+    path = table_path(root, layer, table)
+    cluster = [F.col(c) for c in cluster_cols]
+    out = df.repartitionByRange(files_per_partition, *cluster).sortWithinPartitions(
+        *cluster
+    )
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+    return path

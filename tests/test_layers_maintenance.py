@@ -81,3 +81,42 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_cluster_write_enables_row_group_skipping(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.sources.layers import cluster_write
+
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    root = str(tmp_path / "wh")
+    cluster_write(li, root, "curated", "li_clustered",
+                  cluster_cols=("l_orderkey",), files_per_partition=8)
+
+    path = f"{root}/curated/li_clustered"
+    # each file's l_orderkey range must be disjoint (range partitioning +
+    # in-file sort) — the property row-group skipping depends on
+    import pyarrow.parquet as pq
+    import os as _os
+    ranges = []
+    for f in _os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(_os.path.join(path, f)).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "l_orderkey"
+        )
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping file ranges: {ranges}"
+
+    # a selective key-range read pushes the filter and returns the same
+    # rows as the unclustered source
+    sel = spark.read.parquet(path).where("l_orderkey between 100 and 200")
+    want = li.where("l_orderkey between 100 and 200").count()
+    assert sel.count() == want
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_orderkey,100)" in plan
