@@ -116,3 +116,28 @@ def test_q21_rewrite_uses_two_narrow_shuffles(spark):
 def test_q10_limit_compiles_to_take_ordered(spark):
     plan = plan_of(QUERIES["t12_returned_items"](spark, SF_ORACLE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_in_catalog(spark):
+    # cross joins are only ever against broadcast single-row aggregates
+    # (scalar subqueries) or the brute-force baseline; anything else is a
+    # plan regression that would be quadratic at scale
+    allowed_nested_loop = {
+        "t7_rich_customers",     # scalar-avg cross join (1-row broadcast)
+        "t21_important_stock",   # scalar-total cross join (1-row broadcast)
+        "m7_embedding_topk",     # brute-force baseline: cross join by design
+        "m2_ngram_jaccard_pairs",
+        "m11_embedding_near_dup_pairs",
+        "sql2_correlated_subquery",
+        "d2_approx_distinct",
+    }
+    skipped = {"m13_near_dup_clusters"}  # iterative: builds many plans
+    for name, fn in QUERIES.items():
+        if name in skipped:
+            continue
+        plan = plan_of(fn(spark, SF_ORACLE))
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+        if name not in allowed_nested_loop:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name} plans a nested-loop join"
+            )
