@@ -284,3 +284,22 @@ def stream_upsert_dim(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: decorate each event with dimension
+    attributes (the streaming twin of the batch star join J1).
+
+    Structured Streaming re-plans the static side every micro-batch, so
+    a dim snapshot maintained by ``stream_upsert_dim`` is picked up
+    without restarting the query — the lakehouse pattern for slowly
+    changing enrichment. The static side is dim-sized ⇒ Spark plans a
+    broadcast hash join per batch; no state store involved (unlike
+    stream-stream joins, nothing needs watermark bookkeeping).
+    """
+    return stream.join(F.broadcast(dim), on, how)

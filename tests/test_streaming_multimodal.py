@@ -244,3 +244,30 @@ def test_stream_upsert_dim_latest_wins_across_batches(spark, tmp_path):
     snap = {r.id: r.name for r in spark.read.parquet(f"{root}/curated/dim_user").collect()}
     # within-batch dedup keeps highest ver; across batches day2 wins
     assert snap == {1: "alice", 2: "bobby", 3: "carol"}
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        enrich_stream_with_dim,
+        read_event_stream,
+        run_to_memory_sink,
+    )
+
+    dim = spark.createDataFrame(
+        [(uid, f"tier_{uid % 3}") for uid in range(50)], "user_id long, tier string"
+    )
+    enriched = enrich_stream_with_dim(
+        read_event_stream(spark, events_dir), dim, on="user_id"
+    )
+    counts = enriched.groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    run_to_memory_sink(counts, "enriched_counts")
+    got = {r.tier: r.n for r in spark.sql("SELECT * FROM enriched_counts").collect()}
+    ev = spark.read.parquet(events_dir)
+    want = {
+        r.tier: r.n
+        for r in ev.join(dim, "user_id", "left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(want) > 1
