@@ -57,11 +57,11 @@ _REV_SQL = (
 
 
 # ---------------------------------------------------------------------------
-# T8 — Q4: order-priority checking via EXISTS (left-semi join with a
+# T22 — Q4: order-priority checking via EXISTS (left-semi join with a
 # non-equi conjunct). Reference analogue: the existence-count checks A5.
 # ---------------------------------------------------------------------------
 
-def t8_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t22_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     late = (o.o_orderkey == li.l_orderkey) & (
@@ -78,7 +78,7 @@ def t8_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T8_SQL = """
+T22_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n_orders
 FROM orders
 WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -702,7 +702,7 @@ WHERE CAST(value_dec AS DOUBLE)
 
 
 QUERIES = {
-    "t8_order_priority": t8_order_priority,
+    "t22_order_priority": t22_order_priority,
     "t9_volume_shipping": t9_volume_shipping,
     "t10_market_share": t10_market_share,
     "t11_product_profit": t11_product_profit,
@@ -719,7 +719,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "t8_order_priority": T8_SQL,
+    "t22_order_priority": T22_SQL,
     "t9_volume_shipping": T9_SQL,
     "t10_market_share": T10_SQL,
     "t11_product_profit": T11_SQL,
