@@ -237,11 +237,53 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 
 
 # ---------------------------------------------------------------------------
-# R2b — explicit GROUPING SETS (only the requested combinations — cost
-# scales with the set count, not 2^n like cube)
+# W7 — share-of-total via an unpartitioned window over a pre-aggregated
+# frame (the two-pass percent-of-total idiom: heavy agg first, then a
+# window over the tiny grouped result — never a window over raw rows)
 # ---------------------------------------------------------------------------
 
-def r4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def w7_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_nation = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_quantity")).alias("qty_dec"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        F.col("n_name").alias("nation"),
+        F.col("qty_dec").cast("double").alias("qty"),
+        (
+            F.col("qty_dec").cast("double")
+            / F.sum("qty_dec").over(w).cast("double")
+        ).alias("share"),
+    )
+
+
+W7_SQL = """
+WITH per_nation AS (
+  SELECT n_name, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1
+)
+SELECT n_name AS nation,
+       CAST(qty_dec AS DOUBLE) AS qty,
+       CAST(qty_dec AS DOUBLE) / CAST(SUM(qty_dec) OVER () AS DOUBLE) AS share
+FROM per_nation
+"""
+
+
+# ---------------------------------------------------------------------------
+# R5 — GROUPING SETS via the DataFrame API (``df.groupingSets`` — the
+# programmatic twin of the SQL form in R4; includes the grand total set)
+# ---------------------------------------------------------------------------
+
+def r5_grouping_sets_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return grouping_sets_agg(
         li,
@@ -253,7 +295,7 @@ def r4_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-R4_SQL = """
+R5_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n,
@@ -968,7 +1010,8 @@ QUERIES = {
     "r2_cube": r2_cube,
     "r3_pivot": r3_pivot,
     "r4_grouping_sets": r4_grouping_sets,
-    "r4_grouping_sets": r4_grouping_sets,
+    "r5_grouping_sets_api": r5_grouping_sets_api,
+    "w7_share_of_total": w7_share_of_total,
     "g1_calendar_dim": g1_calendar_dim,
     "j2_semi_join": j2_semi_join,
     "j3_anti_join": j3_anti_join,
@@ -998,7 +1041,8 @@ ORACLES = {
     "r2_cube": R2_SQL,
     "r3_pivot": R3_SQL,
     "r4_grouping_sets": R4_SQL,
-    "r4_grouping_sets": R4_SQL,
+    "r5_grouping_sets_api": R5_SQL,
+    "w7_share_of_total": W7_SQL,
     "g1_calendar_dim": G1_SQL,
     "j2_semi_join": J2_SQL,
     "j3_anti_join": J3_SQL,

@@ -25,7 +25,10 @@ from novi_pdq_etl_project_prod_spark.operators.dedup import (
     simhash_near_duplicates,
     simhash_signatures,
 )
-from novi_pdq_etl_project_prod_spark.operators.multimodal import mixture_sample
+from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+    exact_stratified_sample,
+    mixture_sample,
+)
 from novi_pdq_etl_project_prod_spark.operators.similarity import (
     brute_force_topk,
     hyperplane_lsh_topk,
@@ -509,6 +512,29 @@ HAVING COUNT(*) >= 2
 """
 
 
+def m20_exact_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 docs per language, chosen by a content-addressed
+    pseudo-random order (md5) — deterministic across engines, so fully
+    oracle-able unlike Bernoulli sampling."""
+    docs = _t(spark, sf_dir, "documents")
+    return exact_stratified_sample(
+        docs, strata_col="lang", k=5, id_col="doc_id"
+    ).select("doc_id", "lang")
+
+
+M20_SQL = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('42' || ':' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 5
+"""
+
+
 def m17_ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (approximate — no oracle): recall vs brute force is
     pinned in test_llm_ops. nprobe/n_lists = 1/2 because the fixture
@@ -536,6 +562,7 @@ QUERIES = {
     "m10_lsh_embedding_topk": m10_lsh_embedding_topk,
     "m17_ivf_embedding_topk": m17_ivf_embedding_topk,
     "m18_mixture_sample": m18_mixture_sample,
+    "m20_exact_stratified_sample": m20_exact_stratified_sample,
     "m19_decontaminate": m19_decontaminate,
     "m13_near_dup_clusters": m13_near_dup_clusters,
 }
@@ -549,6 +576,7 @@ ORACLES = {
     "m6_fingerprints": M6_SQL,
     "m7_embedding_topk": M7_SQL,
     "m18_mixture_sample": M18_SQL,
+    "m20_exact_stratified_sample": M20_SQL,
     "m19_decontaminate": M19_SQL,
     "m12_tfidf_top_terms": M12_SQL,
     "m14_chunk_documents": M14_SQL,

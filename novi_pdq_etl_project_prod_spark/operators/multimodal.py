@@ -25,7 +25,7 @@ import hashlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -238,3 +238,28 @@ def mixture_sample(
     )
     keep = default if keep is None else keep.otherwise(default)
     return df.where(keep)
+
+
+def exact_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly-k-per-stratum sampling, deterministic and content-addressed:
+    rank rows within each stratum by md5(seed:id) — a pseudo-random but
+    stable total order — and keep the first k. Unlike Bernoulli
+    ``sampleBy`` the output size is exact, and unlike ``ORDER BY rand()``
+    it is reproducible across runs, partitionings, and engines.
+
+    One shuffle (the window partition); at 100 TB the rank never
+    materializes more than k rows per stratum past the filter.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
