@@ -54,6 +54,7 @@ HEADLINE = [
     "t19_lonely_late_suppliers",
     "m14_chunk_documents",
     "m19_decontaminate",
+    "m21_curation_pipeline",
     "x5_event_funnel",
 ]
 

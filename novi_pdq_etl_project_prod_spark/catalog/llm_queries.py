@@ -535,6 +535,52 @@ WHERE rk <= 5
 """
 
 
+def m21_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training curation flow (quality → exact dedup →
+    mixture → split) — every stage content-addressed, so the whole
+    pipeline hash-matches DuckDB end-to-end."""
+    from novi_pdq_etl_project_prod_spark.plans.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs,
+        min_tokens=20,
+        max_tokens=1000,
+        rates={"src1": 0.5, "src2": 0.25},
+        default_rate=1.0,
+        test_fraction=0.1,
+    )
+
+
+M21_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+), q AS (
+  SELECT doc_id, source, CAST(len(t) AS INT) AS n_tokens,
+         md5(lower(array_to_string(t, ' '))) AS fp
+  FROM toks WHERE len(t) BETWEEN 20 AND 1000
+), d AS (
+  SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id ASC) AS rn FROM q
+), s AS (
+  SELECT doc_id, source, n_tokens FROM d
+  WHERE rn = 1
+    AND CASE source
+          WHEN 'src1'
+            THEN substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '8000'
+          WHEN 'src2'
+            THEN substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+          ELSE TRUE
+        END
+)
+SELECT doc_id, source, n_tokens,
+       CASE WHEN substring(md5('42' || ':' || CAST(doc_id AS VARCHAR)), 1, 4) < '199a'
+            THEN 'test' ELSE 'train' END AS split
+FROM s
+"""
+
+
 def m17_ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat ANN (approximate — no oracle): recall vs brute force is
     pinned in test_llm_ops. nprobe/n_lists = 1/2 because the fixture
@@ -563,6 +609,7 @@ QUERIES = {
     "m17_ivf_embedding_topk": m17_ivf_embedding_topk,
     "m18_mixture_sample": m18_mixture_sample,
     "m20_exact_stratified_sample": m20_exact_stratified_sample,
+    "m21_curation_pipeline": m21_curation_pipeline,
     "m19_decontaminate": m19_decontaminate,
     "m13_near_dup_clusters": m13_near_dup_clusters,
 }
@@ -577,6 +624,7 @@ ORACLES = {
     "m7_embedding_topk": M7_SQL,
     "m18_mixture_sample": M18_SQL,
     "m20_exact_stratified_sample": M20_SQL,
+    "m21_curation_pipeline": M21_SQL,
     "m19_decontaminate": M19_SQL,
     "m12_tfidf_top_terms": M12_SQL,
     "m14_chunk_documents": M14_SQL,
