@@ -773,10 +773,10 @@ def t4_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 T4_SQL = """
 SELECT year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_lines,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_lines
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_lines,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE year(l_shipdate) * 100 + month(l_shipdate) BETWEEN 200001 AND 200012
 GROUP BY 1

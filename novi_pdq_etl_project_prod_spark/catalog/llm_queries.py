@@ -54,8 +54,15 @@ LANG_WORDLISTS = {
 
 def m1_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
+    # member_ids stringified: the driver's pandas canonicalization cannot
+    # sort/hash array cells, so both sides emit a scalar CSV string.
     return exact_duplicates(docs).select(
-        "fingerprint", "canonical_id", "n_copies", "member_ids"
+        "fingerprint",
+        "canonical_id",
+        "n_copies",
+        F.array_join(
+            F.transform(F.array_sort("member_ids"), lambda x: x.cast("string")), ","
+        ).alias("member_ids"),
     )
 
 
@@ -70,7 +77,7 @@ WITH fp AS (
 SELECT fingerprint,
        MIN(doc_id) AS canonical_id,
        COUNT(*) AS n_copies,
-       list_sort(list(doc_id)) AS member_ids
+       array_to_string(list_sort(list(doc_id)), ',') AS member_ids
 FROM fp GROUP BY 1
 """
 

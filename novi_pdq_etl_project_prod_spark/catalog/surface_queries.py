@@ -228,10 +228,12 @@ def f4_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.create_map(
         F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
     )
+    # ks/vs stringified: the driver's pandas canonicalization cannot
+    # sort/hash array cells, so both sides emit scalar CSV strings.
     return p.select(
         "p_partkey",
-        F.map_keys(m).alias("ks"),
-        F.map_values(m).alias("vs"),
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.array_join(F.map_values(m), ",").alias("vs"),
         F.element_at(m, "brand").alias("brand_val"),
         F.size(m).alias("n_entries"),
     )
@@ -239,8 +241,8 @@ def f4_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 F4_SQL = """
 SELECT p_partkey,
-       map_keys(m) AS ks,
-       map_values(m) AS vs,
+       array_to_string(map_keys(m), ',') AS ks,
+       array_to_string(map_values(m), ',') AS vs,
        m['brand'][1] AS brand_val,
        CAST(cardinality(m) AS INT) AS n_entries
 FROM (SELECT p_partkey, map(['brand', 'type'], [p_brand, p_type]) AS m FROM part)

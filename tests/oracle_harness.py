@@ -67,6 +67,44 @@ def _frame_to_rows(df: pd.DataFrame) -> list[tuple]:
     return rows
 
 
+def _driver_compat_issues(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Checks mirroring the DRIVER's (laxer-typed, stricter-hashed) compare.
+
+    The driver sorts with pandas ``sort_values`` and value-hashes without
+    numeric coercion, so two failure classes pass our exact comparison but
+    fail (or crash) the driver:
+
+    1. array/list/dict cells — ``sort_values`` factorizes object columns and
+       raises ``TypeError: unhashable type`` (round-1 ``m1`` crash);
+    2. int-vs-float dtype divergence with no nulls — e.g. DuckDB HUGEINT
+       materializes as float64 while Spark emits int64, and the driver's
+       hash distinguishes ``291.0`` from ``291`` (round-1 ``t4`` red row).
+       Null-driven float upcasts are excluded: both engines upcast the same
+       way and the driver canonicalizes those consistently.
+    """
+    issues: list[str] = []
+    for label, df in (("spark", sdf), ("oracle", odf)):
+        for c in df.columns:
+            if df[c].dtype.kind != "O":
+                continue
+            bad = df[c].map(
+                lambda v: isinstance(v, (list, dict, set))
+                or type(v).__name__ == "ndarray"
+            )
+            if bad.any():
+                issues.append(f"{label}.{c}: unhashable array/map cells")
+    for c in set(sdf.columns) & set(odf.columns):
+        ks, ko = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {ks, ko} == {"i", "f"}:
+            float_side = sdf[c] if ks == "f" else odf[c]
+            if not float_side.isna().any():
+                issues.append(
+                    f"{c}: dtype kind mismatch spark={sdf[c].dtype} "
+                    f"oracle={odf[c].dtype} with no nulls (driver hash diverges)"
+                )
+    return issues
+
+
 def compare_query(spark, fn, sql: str, sf_dir: str) -> dict:
     """Run Spark query + DuckDB oracle, return a comparison report."""
     sdf = fn(spark, sf_dir).toPandas()
@@ -86,6 +124,10 @@ def compare_query(spark, fn, sql: str, sf_dir: str) -> dict:
         return report
     if len(sdf) != len(odf):
         report["detail"] = "row count mismatch"
+        return report
+    compat = _driver_compat_issues(sdf, odf)
+    if compat:
+        report["detail"] = f"driver-compat: {compat}"
         return report
     a, b = _frame_to_rows(sdf), _frame_to_rows(odf)
     if a == b:
