@@ -67,9 +67,22 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     CPU-heavy per-row stage. A single small parquet file scans as ONE
     partition, which would serialize the whole signature computation on
     one core; the repartition shuffles only the raw text (cheap) to buy
-    full parallelism. No-op when the scan is already wide."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    full parallelism. No-op when the scan is already wide.
+
+    Width is judged from the optimizer's size estimate rather than
+    ``df.rdd.getNumPartitions()``: the RDD conversion splices a
+    DataFrame→RDD boundary into the reused plan, breaking whole-stage
+    codegen/Arrow reuse downstream. An input whose estimated bytes are
+    below ~16 MB/core cannot scan wide under any sane
+    ``maxPartitionBytes``, and at real scale the estimate is huge and
+    this is a no-op."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-JVM plan edge; spreading is always safe
+        return df.repartition(target)
+    if est_bytes < target * 16 * 1024 * 1024:
         return df.repartition(target)
     return df
 
