@@ -125,6 +125,44 @@ def drop_exact_duplicates(
     )
 
 
+def _exploded_shingles_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) rows of distinct word n-grams via Arrow batches.
+
+    Fast path for ``explode(shingles(...))``: the JVM ``shingles()``
+    expression is an interpreted higher-order function (transform +
+    element_at×n + array_distinct — not codegen'd, ~µs per lambda step),
+    which dominates wall time for shingle-explode consumers. A
+    vectorized-batch Python set build is ~6× faster end to end (same
+    measurement as ``minhash_signatures_arrow``). Semantics are identical:
+    whitespace tokenization, first-occurrence-distinct grams, docs with
+    fewer than ``n`` tokens contribute no rows.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh_udf(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            toks = text.split() if text else []
+            if len(toks) < n:
+                out.append([])
+                continue
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(sh_udf(F.col(text_col))).alias("sh")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard (inverted-index self-join)
 # ---------------------------------------------------------------------------
@@ -144,9 +182,10 @@ def ngram_jaccard_pairs(
     computed on the *un-capped* shingle sets so Jaccard stays exact for
     surviving pairs as long as capped shingles are rare in true near-dups.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    sh = _exploded_shingles_arrow(
+        _spread_small_input(df), id_col, text_col, n
     ).persist()  # referenced up to 4× below (sizes, df-cap, both join sides)
+    sh.count()  # eager fill: both self-join sides otherwise race the cache
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     if df_cap is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -559,11 +598,11 @@ def contamination_pairs(
     ubiquitous grams from the *train* side first (stopword phrases match
     everything and carry no contamination signal).
     """
-    tr = _spread_small_input(train).select(
-        F.col(id_col).alias("train_id"), F.explode(shingles(text_col, n)).alias("sh")
-    )
-    ev = eval_df.select(
-        F.col(id_col).alias("eval_id"), F.explode(shingles(text_col, n)).alias("sh")
+    tr = _exploded_shingles_arrow(
+        _spread_small_input(train), id_col, text_col, n
+    ).withColumnRenamed("id", "train_id")
+    ev = _exploded_shingles_arrow(eval_df, id_col, text_col, n).withColumnRenamed(
+        "id", "eval_id"
     )
     # Semi-join to the (broadcast) eval grams FIRST: only matching train
     # grams survive into the frequency cap and the pairing join, so the
