@@ -415,12 +415,29 @@ def near_dup_clusters(
     ``id`` column) adds singleton nodes. Output: (id, cluster_id) where
     cluster_id = min id of the component — deterministic.
     """
-    edges = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    # Symmetrize with a row-local explode, NOT a union of two selects: the
+    # two union branches would each re-evaluate the (possibly expensive)
+    # upstream pair pipeline — common subplans are not deduplicated across
+    # union branches. Pre-partition by dst so every iteration's
+    # neighbor join reuses the cached partitioning instead of re-shuffling
+    # the edge list each round.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition("dst")
+        .persist()
     )
-    sym = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
     labels = (
         sym.select(F.col("src").alias("id"))
         .distinct()
@@ -443,6 +460,9 @@ def near_dup_clusters(
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # The change flag rides along into the checkpoint, so convergence
+        # detection is a cheap agg over already-materialized rows instead
+        # of a third join per round.
         updated = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -450,17 +470,15 @@ def near_dup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).cast("int").alias("__changed"),
             )
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "id")
-            .where(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
         if changed == 0:
             break
     sym.unpersist()
