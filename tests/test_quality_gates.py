@@ -48,3 +48,15 @@ def test_backfill_runs_month_list(spark, tmp_path):
         202401,
         202402,
     }
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """d2_approx_distinct is no-oracle by design (HLL is approximate);
+    pin its relative error against the exact count instead, mirroring the
+    recall checks that back the other approximate operators."""
+    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    row = QUERIES["d2_approx_distinct"](spark, SF_ORACLE).collect()[0]
+    rel_err = abs(row.approx_parts - row.exact_parts) / row.exact_parts
+    assert rel_err < 0.05, f"HLL rel error {rel_err:.4f} out of bound"
