@@ -2,11 +2,18 @@
 opaque ``binary`` columns with typed metadata, processed in Arrow batches
 via ``mapInPandas``.
 
-The decode step itself is STUBBED — the container has no image/audio
-libraries — behind ``DECODERS``: each modality gets a deterministic fake
-decoder so the Spark-side plumbing (schema contract, batch shape,
-partition sizing) is real and tested; swapping in Pillow/torchaudio is a
-one-function change that does not touch any Spark code.
+Decoding is header-level but REAL for one container format per modality,
+pure-stdlib (no media libraries in this environment):
+
+- image: PNG signature + IHDR parse (width/height/bit depth) + a
+  16-bin byte-histogram feature; non-PNG payloads fall back to a
+  clearly-marked deterministic fake so plumbing tests stay hermetic.
+- audio: WAV RIFF chunk walk (fmt + data) → sample rate, duration, and
+  a 16-segment RMS energy envelope over the int16 samples.
+- video: MP4 box walk (ftyp, moov/mvhd) → timescale-normalized duration.
+
+Swapping in Pillow/torchaudio/ffmpeg is a one-function change via
+``DECODERS`` that does not touch any Spark code.
 
 Scale notes (the part that matters at 100 TB):
 - binary payloads ride *with* the rows — size partitions by bytes, not
@@ -21,7 +28,11 @@ Scale notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import array
 import hashlib
+import math
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -29,8 +40,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: Schema of decoded-image feature rows produced by ``decode_and_featurize``.
-IMAGE_FEATURES_SCHEMA = T.StructType(
+#: Schema of decoded media feature rows produced by ``decode_and_featurize``.
+#: Image rows fill width/height; audio fills sample_rate/duration_ms;
+#: video fills duration_ms; feature is modality-specific (see DECODERS).
+MEDIA_FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("modality", T.StringType()),
@@ -38,16 +51,51 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("sha256", T.StringType()),
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),
     ]
 )
 
+#: Backwards-compatible alias (pre-audio/video schema name).
+IMAGE_FEATURES_SCHEMA = MEDIA_FEATURES_SCHEMA
+
+
+def _byte_histogram(payload: bytes, bins: int = 16) -> list[float]:
+    """Normalized 16-bin byte histogram — a cheap, deterministic,
+    content-derived feature vector usable for any payload."""
+    counts = [0] * bins
+    for b in payload:
+        counts[b * bins // 256] += 1
+    total = max(len(payload), 1)
+    return [c / total for c in counts]
+
+
+def _png_decoder(payload: bytes) -> dict | None:
+    """Header-level PNG decode (pure stdlib): validate the 8-byte
+    signature, require the first chunk to be IHDR, and read width/height
+    (big-endian u32) + bit depth / color type. Feature = byte histogram
+    of the full payload."""
+    if len(payload) < 26 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    length, ctype = struct.unpack(">I4s", payload[8:16])
+    if ctype != b"IHDR" or length < 13:
+        return None
+    width, height = struct.unpack(">II", payload[16:24])
+    if not (0 < width < 1 << 24 and 0 < height < 1 << 24):
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "feature": _byte_histogram(payload),
+    }
+
 
 def _fake_image_decoder(payload: bytes) -> dict:
-    """Deterministic stand-in for a real decoder: derives dimensions and a
-    16-dim feature from the payload hash. Replace with Pillow + a vision
-    model; the signature (bytes -> dict matching IMAGE_FEATURES_SCHEMA
-    fields) is the swap point."""
+    """Deterministic stand-in for non-PNG images (no JPEG/WebP parser in
+    this environment): derives dimensions and a 16-dim feature from the
+    payload hash. The signature (bytes -> dict of MEDIA_FEATURES_SCHEMA
+    fields) is the swap point for Pillow + a vision model."""
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -55,19 +103,103 @@ def _fake_image_decoder(payload: bytes) -> dict:
     return {"width": width, "height": height, "feature": feature}
 
 
-def _unimplemented_decoder(payload: bytes) -> dict:
-    raise NotImplementedError(
-        "real media decoding requires libraries not present in this "
-        "container; register one via DECODERS['<modality>']"
+def _image_decoder(payload: bytes) -> dict | None:
+    return _png_decoder(payload) or _fake_image_decoder(payload)
+
+
+def _wav_decoder(payload: bytes) -> dict | None:
+    """Real WAV/RIFF decode (pure stdlib): walk the chunk list for
+    ``fmt `` and ``data``, yielding sample rate and duration; for 16-bit
+    PCM the feature is a 16-segment RMS energy envelope — the classic
+    cheap audio fingerprint."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        return None
+    _tag, n_ch, sample_rate, _brate, _balign, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
     )
+    if n_ch == 0 or bits == 0 or sample_rate == 0:
+        return None
+    bytes_per_frame = n_ch * bits // 8
+    n_frames = len(data) // max(bytes_per_frame, 1)
+    duration_ms = n_frames * 1000 // sample_rate
+    feature = None
+    if bits == 16 and len(data) >= 2:
+        samples = array.array("h")
+        samples.frombytes(data[: len(data) // 2 * 2])
+        seg = max(len(samples) // 16, 1)
+        feature = [
+            math.sqrt(
+                sum(s * s for s in samples[i * seg : (i + 1) * seg])
+                / max(len(samples[i * seg : (i + 1) * seg]), 1)
+            )
+            / 32768.0
+            for i in range(16)
+        ]
+    return {
+        "sample_rate": sample_rate,
+        "duration_ms": duration_ms,
+        "feature": feature,
+    }
 
 
-#: Modality registry. 'image' ships the deterministic fake so plumbing is
-#: testable end-to-end; audio/video raise until a real decoder is plugged.
-DECODERS: dict[str, Callable[[bytes], dict]] = {
-    "image": _fake_image_decoder,
-    "audio": _unimplemented_decoder,
-    "video": _unimplemented_decoder,
+def _mp4_decoder(payload: bytes) -> dict | None:
+    """Header-level MP4 decode (pure stdlib): top-level box walk requiring
+    ``ftyp``, then ``moov``/``mvhd`` for timescale-normalized duration."""
+    pos = 0
+    found_ftyp = False
+    moov = None
+    while pos + 8 <= len(payload):
+        size, btype = struct.unpack(">I4s", payload[pos : pos + 8])
+        if size < 8:
+            return None
+        if btype == b"ftyp":
+            found_ftyp = True
+        elif btype == b"moov":
+            moov = payload[pos + 8 : pos + size]
+        pos += size
+    if not found_ftyp or moov is None:
+        return None
+    pos = 0
+    while pos + 8 <= len(moov):
+        size, btype = struct.unpack(">I4s", moov[pos : pos + 8])
+        if size < 8:
+            return None
+        if btype == b"mvhd" and size >= 28:
+            body = moov[pos + 8 : pos + size]
+            if body[0] == 1:  # version 1: 64-bit times
+                timescale, duration = struct.unpack(">IQ", body[20:32])
+            else:
+                timescale, duration = struct.unpack(">II", body[12:20])
+            if timescale == 0:
+                return None
+            return {
+                "duration_ms": duration * 1000 // timescale,
+                "feature": _byte_histogram(payload),
+            }
+        pos += size
+    return None
+
+
+#: Modality registry. All three entries do real header-level decoding of
+#: their container format; malformed payloads yield null feature columns
+#: (the poison-pill path), and non-PNG images fall back to the
+#: deterministic fake so plumbing stays testable without media libs.
+DECODERS: dict[str, Callable[[bytes], dict | None]] = {
+    "image": _image_decoder,
+    "audio": _wav_decoder,
+    "video": _mp4_decoder,
 }
 
 
@@ -105,22 +237,28 @@ def decode_and_featurize(
                     lambda b: hashlib.sha256(b).hexdigest()
                 ),
             }
-            widths, heights, feats = [], [], []
+            cols: dict[str, list] = {
+                k: [] for k in ("width", "height", "sample_rate", "duration_ms")
+            }
+            feats = []
             for modality, payload in zip(pdf[modality_col], pdf[payload_col]):
                 decoder = DECODERS.get(modality)
                 try:
                     d = decoder(payload) if decoder else None
-                except NotImplementedError:
+                except Exception:  # poison-pill media must not fail the job
                     d = None
-                widths.append(d["width"] if d else None)
-                heights.append(d["height"] if d else None)
-                feats.append(d["feature"] if d else None)
-            out["width"] = pd.array(widths, dtype="Int32")
-            out["height"] = pd.array(heights, dtype="Int32")
+                d = d or {}
+                for k in cols:
+                    cols[k].append(d.get(k))
+                feats.append(d.get("feature"))
+            out["width"] = pd.array(cols["width"], dtype="Int32")
+            out["height"] = pd.array(cols["height"], dtype="Int32")
+            out["sample_rate"] = pd.array(cols["sample_rate"], dtype="Int32")
+            out["duration_ms"] = pd.array(cols["duration_ms"], dtype="Int64")
             out["feature"] = pd.Series(feats, dtype="object")
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(_process, schema=IMAGE_FEATURES_SCHEMA)
+    return df.mapInPandas(_process, schema=MEDIA_FEATURES_SCHEMA)
 
 
 def frame_sample_plan(
@@ -172,6 +310,73 @@ def stratified_sample(
     class-balanced subsets; exact-size sampling needs a window over
     random order instead."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def synthetic_png_bytes(seed: int) -> bytes:
+    """A real, spec-valid grayscale PNG whose content is a pure function
+    of ``seed`` (dimensions 8-23 px, deterministic pixel bytes). Built
+    with stdlib zlib only — lets tests drive the real PNG decoder without
+    image libraries."""
+    width = 8 + seed % 16
+    height = 8 + (seed // 16) % 16
+    digest = hashlib.sha256(str(seed).encode()).digest()
+    raw = b"".join(
+        b"\x00" + bytes((digest[(x + y) % 32] for x in range(width)))
+        for y in range(height)
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_wav_bytes(seed: int, sample_rate: int = 8000) -> bytes:
+    """A real 16-bit mono PCM WAV whose samples are a pure function of
+    ``seed`` (0.1-0.4 s). Drives the real RIFF decoder in tests."""
+    n_samples = sample_rate // 10 + (seed % 4) * sample_rate // 10
+    samples = array.array(
+        "h", (((i * (seed + 3)) % 256 - 128) * 100 for i in range(n_samples))
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synthetic_mp4_bytes(seed: int) -> bytes:
+    """A minimal MP4 (ftyp + moov/mvhd) with duration_ms == 1000 + seed.
+    Drives the real box-walk decoder in tests."""
+    mvhd_body = (
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification time
+        + struct.pack(">II", 1000, 1000 + seed)  # timescale, duration
+        + b"\x00" * 80  # rate/volume/matrix/next_track (unused)
+    )
+    mvhd = struct.pack(">I4s", 8 + len(mvhd_body), b"mvhd") + mvhd_body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    ftyp_body = b"isom" + struct.pack(">I", 512) + b"isomiso2"
+    ftyp = struct.pack(">I4s", 8 + len(ftyp_body), b"ftyp") + ftyp_body
+    return ftyp + moov
 
 
 def synthetic_media(spark, n: int = 64, modality: str = "image") -> DataFrame:

@@ -271,3 +271,84 @@ def test_stream_static_enrichment_matches_batch(spark, events_dir):
         .collect()
     }
     assert got == want and len(want) > 1
+
+
+def test_real_png_decode_end_to_end(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        synthetic_png_bytes,
+    )
+
+    payloads = [(i, "image", synthetic_png_bytes(i)) for i in range(20)]
+    media = spark.createDataFrame(
+        payloads, "media_id long, modality string, payload binary"
+    )
+    feats = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    assert len(feats) == 20
+    for i in range(20):
+        r = feats[i]
+        # dimensions must come from the actual IHDR, not the hash fake
+        assert r.width == 8 + i % 16 and r.height == 8 + (i // 16) % 16
+        assert len(r.feature) == 16 and abs(sum(r.feature) - 1.0) < 1e-6
+        assert r.sample_rate is None and r.duration_ms is None
+
+
+def test_real_wav_decode_end_to_end(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        synthetic_wav_bytes,
+    )
+
+    payloads = [(i, "audio", synthetic_wav_bytes(i)) for i in range(12)]
+    media = spark.createDataFrame(
+        payloads, "media_id long, modality string, payload binary"
+    )
+    feats = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    for i in range(12):
+        r = feats[i]
+        assert r.sample_rate == 8000
+        expected_ms = (800 + (i % 4) * 800) * 1000 // 8000
+        assert r.duration_ms == expected_ms
+        assert len(r.feature) == 16 and all(0.0 <= v <= 1.0 for v in r.feature)
+        assert r.width is None and r.height is None
+    # determinism across partitionings (Arrow batch boundaries shift)
+    feats2 = {
+        r.media_id: r for r in decode_and_featurize(media.repartition(5)).collect()
+    }
+    assert {(k, v.duration_ms, tuple(v.feature)) for k, v in feats.items()} == {
+        (k, v.duration_ms, tuple(v.feature)) for k, v in feats2.items()
+    }
+
+
+def test_real_mp4_decode_end_to_end(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        synthetic_mp4_bytes,
+    )
+
+    payloads = [(i, "video", synthetic_mp4_bytes(i * 7)) for i in range(8)]
+    media = spark.createDataFrame(
+        payloads, "media_id long, modality string, payload binary"
+    )
+    feats = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    for i in range(8):
+        assert feats[i].duration_ms == 1000 + i * 7
+
+
+def test_truncated_media_yields_nulls_not_failures(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        synthetic_wav_bytes,
+    )
+
+    good = synthetic_wav_bytes(1)
+    rows = [
+        (0, "audio", good),
+        (1, "audio", good[:20]),          # truncated mid-header
+        (2, "audio", b"\x00" * 100),      # not RIFF at all
+        (3, "video", b"junkjunkjunk"),    # not MP4
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, modality string, payload binary"
+    )
+    feats = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    assert feats[0].sample_rate == 8000
+    for i in (1, 2, 3):
+        assert feats[i].sample_rate is None and feats[i].feature is None
+        assert feats[i].sha256  # metadata still computed
