@@ -73,10 +73,19 @@ def read_jdbc_table(spark: SparkSession, url: str, table: str, **kw) -> DataFram
     return jdbc_reader(spark, url, table, **kw).load()
 
 
-def month_slice_query(table: str, yyyymm: int, columns: str = "*") -> str:
+def month_slice_query(
+    table: str, yyyymm: int, columns: str = "*", month_column: str = "yyyymm"
+) -> str:
     """The reference's pushdown-subquery idiom (S3) as a helper:
-    ``(SELECT <cols> FROM <table> WHERE yyyymm = <y>) src``."""
-    return f"(SELECT {columns} FROM {table} WHERE yyyymm = {int(yyyymm)}) src"
+    ``(SELECT <cols> FROM <table> WHERE yyyymm = <y>) src``.
+
+    ``month_column`` is emitted verbatim so callers can quote it for
+    case-sensitive dialects (Spark's JDBC writer quotes identifiers at
+    CREATE time, so e.g. Derby needs ``'"yyyymm"'``)."""
+    return (
+        f"(SELECT {columns} FROM {table} "
+        f"WHERE {month_column} = {int(yyyymm)}) src"
+    )
 
 
 def write_jdbc_append(
