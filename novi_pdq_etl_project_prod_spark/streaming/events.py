@@ -77,17 +77,23 @@ def windowed_event_counts(
 
 
 def monthly_event_rollup(events: DataFrame, watermark: str = "35 days") -> DataFrame:
-    """The reference's monthly grain (E4), streaming: yyyymm derived from
-    event time inside a month-long tumbling window."""
+    """The reference's monthly grain (E4), streaming: calendar yyyymm
+    derived directly from event time — the same group key
+    ``stream_to_medallion`` uses. (A fixed ``window("30 days")`` is NOT
+    a calendar month: windows drift off month boundaries and events near
+    them land in the wrong bucket.)
+
+    The group key is not an event-time window, so run this in update or
+    complete output mode (the medallion bridge pairs complete mode with
+    idempotent month-partition overwrite); the watermark still bounds
+    late arrivals."""
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", "30 days").alias("w"), F.col("user_id"))
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            (F.year("w.start") * 100 + F.month("w.start")).alias("yyyymm"),
-            "user_id",
-            "n_events",
+        .groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"),
+            F.col("user_id"),
         )
+        .agg(F.count(F.lit(1)).alias("n_events"))
     )
 
 

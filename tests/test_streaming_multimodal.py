@@ -352,3 +352,30 @@ def test_truncated_media_yields_nulls_not_failures(spark):
     for i in (1, 2, 3):
         assert feats[i].sample_rate is None and feats[i].feature is None
         assert feats[i].sha256  # metadata still computed
+
+
+def test_monthly_rollup_stream_matches_batch_calendar_months(spark, events_dir):
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        monthly_event_rollup,
+    )
+
+    stream = read_event_stream(spark, events_dir)
+    run_to_memory_sink(
+        monthly_event_rollup(stream), "monthly_rollup", output_mode="complete"
+    )
+    got = {
+        (r.yyyymm, r.user_id): r.n_events
+        for r in spark.table("monthly_rollup").collect()
+    }
+    events = spark.read.parquet(events_dir)
+    want = {
+        (r.yyyymm, r.user_id): r.n_events
+        for r in events.groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert got == want and len(want) > 0
+    # every bucket is a real calendar month
+    assert all(1 <= y % 100 <= 12 for y, _ in got)
