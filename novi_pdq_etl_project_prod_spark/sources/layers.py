@@ -94,36 +94,80 @@ def compact_table(
 
     Month-at-a-time incremental loads accrete one-file-per-write; at
     100 TB the scan-planning and open() overhead of millions of tiny
-    files dominates query time. Rewrites each partition into
-    ceil(bytes / target_file_mb) files. Returns the file count after.
+    files dominates query time. Rewrites EACH partition into its own
+    ceil(partition_bytes / target_file_mb) files — sizing is
+    per-partition, so a fat month gets many files while a thin month
+    gets one (a single global repartition on the partition columns
+    would collapse every month into exactly one task and one file,
+    ignoring the target entirely). Returns the file count after.
 
-    Uses on-disk byte size as the sizing signal (cheap, no data scan)
-    and a per-partition repartition before a dynamic-overwrite write, so
-    readers never see a partial partition.
+    Uses on-disk byte size as the sizing signal (cheap, no data scan):
+    the per-partition file counts join in as a broadcast plan and a
+    salt column spreads each partition's rows across that many tasks.
+
+    The final swap is two renames on the same filesystem; a crash
+    between them leaves the table momentarily absent (the backup dir
+    ``<path>__old`` still holds the data and the swap restores it on
+    failure). True atomic commits need a table format with a
+    transaction log (Delta/Iceberg) — this operator is the plain-
+    parquet approximation.
     """
     import math
+    import shutil
 
     path = table_path(root, layer, table)
-    sizes: dict[str, int] = {}
+    # leaf partition dirs -> parsed partition values + byte sizes
+    plan_rows: list[dict] = []
     for dirpath, _dirs, files in os.walk(path):
         pbytes = sum(
             os.path.getsize(os.path.join(dirpath, f))
             for f in files
             if f.endswith(".parquet")
         )
-        if pbytes:
-            sizes[dirpath] = pbytes
+        if not pbytes:
+            continue
+        values: dict[str, str] = {}
+        for seg in os.path.relpath(dirpath, path).split(os.sep):
+            if "=" in seg:
+                k, _, v = seg.partition("=")
+                values[k] = v
+        row = {f"__pv_{c}": values.get(c) for c in partition_cols}
+        row["__n_files"] = max(
+            1, math.ceil(pbytes / (target_file_mb * 1024 * 1024))
+        )
+        plan_rows.append(row)
     df = spark.read.parquet(path)
-    total = sum(sizes.values())
-    n_files = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
-    out = df.repartition(n_files, *[F.col(c) for c in partition_cols])
+    if not plan_rows:
+        return 0
+    plan_schema = (
+        ", ".join(f"`__pv_{c}` string" for c in partition_cols)
+        + ", `__n_files` int"
+    )
+    plan = spark.createDataFrame(plan_rows, plan_schema)
+    cond = [
+        df[c].cast("string").eqNullSafe(plan[f"__pv_{c}"]) for c in partition_cols
+    ]
+    # salt ∈ [0, n_files) per partition → that many shuffle groups, hence
+    # that many output files, per partition directory
+    out = (
+        df.join(F.broadcast(plan), cond, "left")
+        .withColumn(
+            "__salt",
+            F.floor(
+                F.rand(42) * F.coalesce(F.col("__n_files"), F.lit(1))
+            ).cast("int"),
+        )
+        .repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))
+        .drop("__salt", "__n_files", *[f"__pv_{c}" for c in partition_cols])
+    )
     out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path + "__compact")
-    # atomic-ish swap (same filesystem)
     bak = path + "__old"
     os.rename(path, bak)
-    os.rename(path + "__compact", path)
-    import shutil
-
+    try:
+        os.rename(path + "__compact", path)
+    except OSError:
+        os.rename(bak, path)  # restore the original table
+        raise
     shutil.rmtree(bak)
     return sum(
         1

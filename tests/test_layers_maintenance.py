@@ -120,3 +120,32 @@ def test_cluster_write_enables_row_group_skipping(spark, tmp_path):
     assert sel.count() == want
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(l_orderkey,100)" in plan
+
+
+def test_compaction_sizes_files_per_partition(spark, tmp_path):
+    """A fat partition must split into ceil(bytes/target) files while a
+    thin partition stays at one — the per-partition sizing contract (a
+    global repartition on the partition column would emit exactly one
+    file per month regardless of target)."""
+    import os
+
+    root = str(tmp_path / "wh")
+    fat = spark.range(120_000).selectExpr(
+        "id AS k", "CAST(202401 AS INT) AS yyyymm", "md5(CAST(id AS STRING)) AS payload"
+    )
+    thin = spark.range(100).selectExpr(
+        "id AS k", "CAST(202402 AS INT) AS yyyymm", "md5(CAST(id AS STRING)) AS payload"
+    )
+    write_month_idempotent(fat.unionAll(thin).repartition(16), root, "staging", "t")
+
+    compact_table(spark, root, "staging", "t", target_file_mb=1)
+    path = f"{root}/staging/t"
+
+    def files_in(month):
+        d = os.path.join(path, f"yyyymm={month}")
+        return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+    assert len(files_in(202401)) >= 2, "fat month should split by target size"
+    assert len(files_in(202402)) == 1, "thin month should compact to one file"
+    df = spark.read.parquet(path)
+    assert df.count() == 120_100
