@@ -66,7 +66,68 @@ def replicate(spark, out_dir: str, k: int) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
+def replicate_docs_distinct(spark, out_dir: str, k: int) -> None:
+    """k copies of documents with SHIFTED TOKENS, not just shifted ids:
+    every token in replica i gets an ``x<i>`` suffix, so replicas are
+    neither exact nor near duplicates of their source (all shingles
+    differ), while each replica preserves the original internal near-dup
+    structure (both members of a planted pair get the same suffix, so
+    their Jaccard is unchanged). This isolates algorithmic scaling of
+    m8/m19 from the replication artifact where key-only replication
+    makes every replica a true near-dup of its source (candidate pairs
+    then grow ~k² per original, which is a property of the synthetic
+    data, not the algorithm)."""
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    out = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * max_doc)
+        .withColumn(
+            "text",
+            F.when(F.col("rep") == 0, F.col("text")).otherwise(
+                F.expr(r"regexp_replace(text, '(\\S+)', concat('$1x', rep))")
+            ),
+        )
+        .drop("rep")
+    )
+    out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    for t in (
+        "lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "embeddings", "events",
+    ):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+
+
+def main_docs(k: int) -> None:
+    """100×-documents probe for the similarity ops (m8, m19)."""
+    spark = get_spark(app_name="scale_probe_docs")
+    out_dir = tempfile.mkdtemp(prefix=f"docsx{k}_")
+    t0 = time.perf_counter()
+    replicate_docs_distinct(spark, out_dir, k)
+    n = spark.read.parquet(f"{out_dir}/documents.parquet").count()
+    print(f"replicated docs x{k} ({n} rows) in {time.perf_counter()-t0:.1f}s")
+
+    probe = ["m8_minhash_near_dups", "m19_decontaminate"]
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), (f"docs x{k}", out_dir)):
+        timings = {}
+        for name in probe:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        results[sf_label] = timings
+        print(sf_label, json.dumps(timings))
+    for name in probe:
+        a, b = results["sf0.1"][name], results[f"docs x{k}"][name]
+        print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x docs)")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
+    if "--docs" in sys.argv:
+        main_docs(int(sys.argv[sys.argv.index("--docs") + 1]))
+        return
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     spark = get_spark(app_name="scale_probe")
     out_dir = tempfile.mkdtemp(prefix=f"sfx{k}_")
