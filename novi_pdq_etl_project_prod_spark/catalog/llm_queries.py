@@ -598,7 +598,128 @@ def m17_ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, q, k=5, n_lists=16, nprobe=8)
 
 
+# ---------------------------------------------------------------------------
+# M22 — cross-document boilerplate n-grams (C4-style cleaning signal)
+# ---------------------------------------------------------------------------
+
+def m22_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate fraction: share of its distinct 2-grams
+    that occur in >5% of all documents (templated phrases / chrome)."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        repeated_ngram_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngram_stats(docs, n=2, doc_fraction_cap=0.05).select(
+        F.col("id").alias("doc_id"), "n_grams", "n_boilerplate", "boilerplate_frac"
+    )
+
+
+M22_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS sh FROM idx),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+bp AS (
+  SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1), tot
+  WHERE df > n_docs * 0.05
+)
+SELECT s.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN s.sh IN (SELECT sh FROM bp) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boilerplate,
+       CAST(SUM(CASE WHEN s.sh IN (SELECT sh FROM bp) THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS boilerplate_frac
+FROM sh s GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# M23 — corpus report card (per-source curation stats)
+# ---------------------------------------------------------------------------
+
+def m23_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics every curation run reports: doc and
+    unique-doc counts (exact-dup rate via content fingerprint), token
+    totals, and mean document length. Two-level aggregation — one
+    shuffle to fingerprint grain, one to source grain."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source",
+        TX.document_fingerprint("text").alias("fp"),
+        F.size(TX.tokens(F.col("text"))).alias("n_tok"),
+        "n_chars",
+    )
+    per_fp = fp.groupBy("source", "fp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tok").alias("tok"),
+        F.sum("n_chars").alias("chars"),
+    )
+    return per_fp.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_unique"),
+        (
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("dup_rate"),
+        F.sum("tok").alias("total_tokens"),
+        (F.sum("chars").cast("double") / F.sum("n")).alias("avg_chars"),
+    )
+
+
+M23_SQL = """
+WITH f AS (
+  SELECT source,
+         md5(lower(array_to_string(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''), ' '
+         ))) AS fp,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+           AS n_tok,
+         n_chars
+  FROM documents
+),
+g AS (
+  SELECT source, fp, COUNT(*) AS n, SUM(n_tok) AS tok, SUM(n_chars) AS chars
+  FROM f GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_unique,
+       CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n) AS dup_rate,
+       CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(chars) AS DOUBLE) / SUM(n) AS avg_chars
+FROM g GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# M24 — embedding near-dup pairs via LSH buckets (the m11 scale path)
+# ---------------------------------------------------------------------------
+
+def m24_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production path for embedding-cosine near-dup detection: LSH
+    buckets → candidate pairs → exact cosine filter. Approximate (no
+    oracle); recall vs the m11 exact baseline pinned in test_llm_ops."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs_lsh(
+        emb, threshold=0.35, dim=64, nbits=4, n_tables=16
+    )
+
+
 QUERIES = {
+    "m22_boilerplate_ngrams": m22_boilerplate_ngrams,
+    "m23_corpus_report": m23_corpus_report,
+    "m24_embedding_lsh_pairs": m24_embedding_lsh_pairs,
     "m1_exact_dedup_groups": m1_exact_dedup_groups,
     "m2_ngram_jaccard_pairs": m2_ngram_jaccard_pairs,
     "m3_token_stats": m3_token_stats,
@@ -622,6 +743,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "m22_boilerplate_ngrams": M22_SQL,
+    "m23_corpus_report": M23_SQL,
+    # m24: approximate LSH pairs — rows-only check by design
     "m1_exact_dedup_groups": M1_SQL,
     "m2_ngram_jaccard_pairs": M2_SQL,
     "m3_token_stats": M3_SQL,

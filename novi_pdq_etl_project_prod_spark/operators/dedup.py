@@ -594,6 +594,58 @@ def simhash_near_duplicates(
     )
 
 
+def repeated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    doc_fraction_cap: float = 0.05,
+) -> DataFrame:
+    """Cross-document boilerplate measurement (the C4/RefinedWeb cleaning
+    signal generalized to n-grams): an n-gram appearing in more than
+    ``doc_fraction_cap`` of all documents is boilerplate (navigation
+    chrome, license headers, templated phrases); per document, report
+    how much of it is made of such grams.
+
+    Output: (id, n_grams, n_boilerplate, boilerplate_frac) — the frac is
+    the filter signal (drop or trim docs above a threshold).
+
+    Scale shape: one shuffle to build the document-frequency table, and
+    the boilerplate gram set is tiny by construction (few grams clear a
+    percentage-of-corpus bar), so it broadcasts back onto the exploded
+    grams; total-doc count rides in as a 1-row broadcast scalar. No
+    pair joins anywhere — linear in corpus size.
+    """
+    sh = _exploded_shingles_arrow(
+        _spread_small_input(df), id_col, text_col, n
+    ).persist()
+    sh.count()  # eager fill: df-table + per-doc counts otherwise race
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("__total_docs")
+    )  # 1-row broadcast scalar
+    freq = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("df") > F.col("__total_docs") * doc_fraction_cap)
+        .select("sh")
+    )
+    flagged = sh.join(
+        F.broadcast(freq).withColumn("__is_bp", F.lit(1)), "sh", "left"
+    )
+    return (
+        flagged.groupBy(F.col("id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__is_bp"), F.lit(0))).alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boilerplate_frac",
+            F.col("n_boilerplate").cast("double") / F.col("n_grams"),
+        )
+    )
+
+
 def contamination_pairs(
     train: DataFrame,
     eval_df: DataFrame,

@@ -236,6 +236,89 @@ def hyperplane_lsh_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    dim: int = 64,
+    nbits: int = 4,
+    n_tables: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS at scale — the production path for
+    which ``m11`` (bounded all-pairs cross join) is the validation
+    baseline. Multi-table sign-LSH buckets the corpus; only vectors
+    sharing a (table, bucket) cell are paired, then exact cosine filters
+    candidates to ``threshold``.
+
+    Scale shape: the self-join touches bucket cells, never the n² pair
+    space — expected candidates per vector ≈ n_tables × bucket
+    occupancy; the exploded bucket rows carry the vector once and are
+    persisted so the self-join doesn't recompute the hashing. Same
+    recall dials as ``hyperplane_lsh_topk``: nbits ↑ = fewer false
+    candidates, n_tables ↑ = higher recall.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    all_planes = np.vstack(
+        [random_hyperplanes(dim, nbits, seed + 1000 * t) for t in range(n_tables)]
+    )
+    weights = (2 ** np.arange(nbits - 1, -1, -1)).astype("int64")
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())
+        bits = (m @ all_planes.T) > 0
+        bits = bits.reshape(len(m), n_tables, nbits).astype("int64")
+        return pd.Series(list(bits @ weights))
+
+    tbl_idx = F.sequence(F.lit(0), F.lit(n_tables - 1))
+    banded = (
+        corpus.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+        )
+        .withColumn("buckets", bucket_ids(F.col("v")))
+        .select(
+            "id",
+            "v",
+            F.explode(
+                F.zip_with(
+                    F.col("buckets"),
+                    tbl_idx,
+                    lambda bkt, t: F.struct(t.alias("tbl"), bkt.alias("bucket")),
+                )
+            ).alias("b"),
+        )
+        .select("id", "v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+        .persist()
+    )
+    banded.count()  # eager fill: both self-join sides race the cache otherwise
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-Flat: spherical k-means coarse quantizer + probed exact scoring
 # ---------------------------------------------------------------------------

@@ -189,3 +189,35 @@ def test_contamination_pairs_finds_planted_overlap(spark):
     hits = {(r.train_id, r.eval_id) for r in pairs.collect()}
     for i in range(5):
         assert (i, i) in hits
+
+
+def test_embedding_lsh_pairs_recall_vs_exact(spark):
+    """m24 (LSH-bucketed pairs) must recover >=70% of the exact cosine
+    pairs the m11 baseline finds on the same subset, with no false
+    positives (the final filter recomputes exact cosine)."""
+    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_ORACLE
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["m11_embedding_near_dup_pairs"](
+            spark, SF_ORACLE
+        ).collect()
+    }
+    assert exact, "fixture should contain exact pairs"
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet").where(
+        F.col("vec_id") < 200
+    )
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs_lsh(
+            emb, threshold=0.35, dim=64, nbits=4, n_tables=16
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, f"LSH pair recall {recall:.2f} below bound"
+    assert approx <= exact, "cosine-filtered candidates cannot be false positives"
