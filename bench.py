@@ -56,6 +56,9 @@ HEADLINE = [
     "m19_decontaminate",
     "m21_curation_pipeline",
     "x5_event_funnel",
+    "m22_boilerplate_ngrams",
+    "m23_corpus_report",
+    "m24_embedding_lsh_pairs",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -712,7 +712,7 @@ def m24_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.35, dim=64, nbits=4, n_tables=16
+        emb, threshold=0.35, dim=64, n_tables=16  # nbits auto-sized
     )
 
 

@@ -242,9 +242,10 @@ def embedding_near_dup_pairs_lsh(
     vec_col: str = "embedding",
     threshold: float = 0.35,
     dim: int = 64,
-    nbits: int = 4,
+    nbits: int | None = None,
     n_tables: int = 16,
     seed: int = 42,
+    target_bucket_occupancy: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS at scale — the production path for
     which ``m11`` (bounded all-pairs cross join) is the validation
@@ -252,14 +253,29 @@ def embedding_near_dup_pairs_lsh(
     sharing a (table, bucket) cell are paired, then exact cosine filters
     candidates to ``threshold``.
 
-    Scale shape: the self-join touches bucket cells, never the n² pair
-    space — expected candidates per vector ≈ n_tables × bucket
-    occupancy; the exploded bucket rows carry the vector once and are
-    persisted so the self-join doesn't recompute the hashing. Same
-    recall dials as ``hyperplane_lsh_topk``: nbits ↑ = fewer false
-    candidates, n_tables ↑ = higher recall.
+    Scale shape, in order of what matters:
+
+    - candidate pairs ≈ n_tables × n²/(2·2^nbits), so ``nbits`` MUST
+      grow with the corpus: by default it is sized from a corpus count
+      so mean bucket occupancy ≈ ``target_bucket_occupancy`` (one cheap
+      count action; pass ``nbits`` explicitly to skip it). Deeper codes
+      lower per-table recall — ``n_tables`` dials it back, and for the
+      true near-duplicate regime (cosine ≥ 0.9, bit-agreement ≥ 0.85)
+      deep codes stay high-recall.
+    - the bucket self-join carries IDS ONLY — vectors join back in per
+      side after pair dedup, so the wide rows move |corpus| times, not
+      |candidate-pairs| times (measured 8× on the fixture).
     """
     from pyspark.sql.functions import pandas_udf
+
+    vecs_df = corpus.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
+    ).persist()
+    if nbits is None:
+        n = vecs_df.count()  # also eager-fills the persist
+        nbits = min(20, max(4, int(np.ceil(np.log2(
+            max(n / target_bucket_occupancy, 2.0)
+        )))))
 
     all_planes = np.vstack(
         [random_hyperplanes(dim, nbits, seed + 1000 * t) for t in range(n_tables)]
@@ -275,13 +291,9 @@ def embedding_near_dup_pairs_lsh(
 
     tbl_idx = F.sequence(F.lit(0), F.lit(n_tables - 1))
     banded = (
-        corpus.select(
-            F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-        )
-        .withColumn("buckets", bucket_ids(F.col("v")))
+        vecs_df.withColumn("buckets", bucket_ids(F.col("v")))
         .select(
             "id",
-            "v",
             F.explode(
                 F.zip_with(
                     F.col("buckets"),
@@ -290,7 +302,7 @@ def embedding_near_dup_pairs_lsh(
                 )
             ).alias("b"),
         )
-        .select("id", "v", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+        .select("id", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
         .persist()
     )
     banded.count()  # eager fill: both self-join sides race the cache otherwise
@@ -303,16 +315,15 @@ def embedding_near_dup_pairs_lsh(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = vecs_df.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs_df.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        pairs.select(
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
             "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
