@@ -527,6 +527,29 @@ def d2_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d5_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles next to their exact twins — the second
+    member of the approximate family (with d2's HLL): at 100 TB exact
+    percentiles need a full sort, while ``approx_percentile`` merges
+    bounded per-partition sketches in one pass. No oracle (sketch
+    algorithms differ across engines); the relative-error bound vs the
+    exact values is pinned in test_quality_gates."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx(
+            "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), 10_000
+        ).cast("array<double>").alias("approx_p"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))")
+        .cast("array<double>")
+        .alias("exact_p"),
+    ).select(
+        F.col("approx_p")[0].alias("approx_p50"),
+        F.col("approx_p")[1].alias("approx_p95"),
+        F.col("exact_p")[0].alias("exact_p50"),
+        F.col("exact_p")[1].alias("exact_p95"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # T1 — TPC-H Q1 pricing summary (the canonical reporting aggregation)
 # ---------------------------------------------------------------------------
@@ -1019,6 +1042,7 @@ QUERIES = {
     "u3_except": u3_except,
     "d1_count_distinct": d1_count_distinct,
     "d2_approx_distinct": d2_approx_distinct,
+    "d5_approx_percentiles": d5_approx_percentiles,
     "t1_pricing_summary": t1_pricing_summary,
     "t2_shipping_priority": t2_shipping_priority,
     "t3_selective_revenue": t3_selective_revenue,

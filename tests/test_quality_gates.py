@@ -60,3 +60,35 @@ def test_approx_count_distinct_error_bound(spark):
     row = QUERIES["d2_approx_distinct"](spark, SF_ORACLE).collect()[0]
     rel_err = abs(row.approx_parts - row.exact_parts) / row.exact_parts
     assert rel_err < 0.05, f"HLL rel error {rel_err:.4f} out of bound"
+
+
+def test_approx_percentile_error_bound(spark):
+    """d5_approx_percentiles has no oracle (sketches differ per engine);
+    pin relative error vs the exact percentiles instead."""
+    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    row = QUERIES["d5_approx_percentiles"](spark, SF_ORACLE).collect()[0]
+    for approx, exact in (
+        (row.approx_p50, row.exact_p50),
+        (row.approx_p95, row.exact_p95),
+    ):
+        assert abs(approx - exact) / exact < 0.01, (approx, exact)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be a pure physical rewrite: identical rows to the
+    unsalted equi-join on skewed data (one hot key holding half the big
+    side), for inner and left joins."""
+    from novi_pdq_etl_project_prod_spark.operators.skew import salted_join
+
+    big = spark.range(20_000).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN 0 ELSE id END AS k", "id AS payload"
+    )
+    small = spark.range(400).selectExpr("id AS k", "id * 10 AS attr")
+    for how in ("inner", "left"):
+        got = salted_join(big, small, "k", n_salts=8, how=how)
+        want = big.join(small, "k", how)
+        assert got.count() == want.count()
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
