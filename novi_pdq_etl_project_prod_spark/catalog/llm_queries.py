@@ -716,7 +716,35 @@ def m24_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# M25 — int8 embedding quantization fidelity (storage-compression op)
+# ---------------------------------------------------------------------------
+
+def m25_quantization_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantize → dequantize every embedding and report per-vector cosine
+    fidelity vs the original. No oracle (round-half modes differ across
+    engines); the ≥0.999 fidelity floor is pinned in test_llm_ops."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    orig = emb.select(
+        F.col("vec_id").alias("id"), _as_double("embedding").alias("orig")
+    )
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    return (
+        orig.join(deq, "id")
+        .select("id", cosine(F.col("orig"), F.col("v")).alias("cos_fidelity"))
+        .orderBy("id")
+    )
+
+
 QUERIES = {
+    "m25_quantization_fidelity": m25_quantization_fidelity,
     "m22_boilerplate_ngrams": m22_boilerplate_ngrams,
     "m23_corpus_report": m23_corpus_report,
     "m24_embedding_lsh_pairs": m24_embedding_lsh_pairs,

@@ -330,6 +330,39 @@ def embedding_near_dup_pairs_lsh(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization: q = round(x / scale) with
+    scale = max|x| / 127. At 100 TB of embeddings this is the storage
+    lever — 4× smaller than float32 (8× vs float64) for <0.1% cosine
+    error on typical embedding distributions — and it is a row-local JVM
+    transform: no shuffle, no Python. Output: (id, scale, q:array<tinyint>).
+    """
+    v = _as_double(vec_col)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-12),  # all-zero vectors: keep the division defined
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        scale.alias("scale"),
+        F.transform(v, lambda x: F.round(x / scale).cast("tinyint")).alias("q"),
+    )
+
+
+def dequantize_embeddings(df: DataFrame) -> DataFrame:
+    """Inverse of ``quantize_embeddings``: x ≈ q · scale (array<double>)."""
+    return df.select(
+        "id",
+        F.transform(
+            F.col("q"), lambda qi: qi.cast("double") * F.col("scale")
+        ).alias("v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF-Flat: spherical k-means coarse quantizer + probed exact scoring
 # ---------------------------------------------------------------------------

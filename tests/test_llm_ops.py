@@ -221,3 +221,20 @@ def test_embedding_lsh_pairs_recall_vs_exact(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, f"LSH pair recall {recall:.2f} below bound"
     assert approx <= exact, "cosine-filtered candidates cannot be false positives"
+
+
+def test_embedding_quantization_fidelity(spark):
+    """int8 quantize→dequantize must preserve cosine geometry (>=0.999
+    per vector) and shrink the payload to tinyint."""
+    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+    from tests.conftest import SF_ORACLE
+
+    rows = QUERIES["m25_quantization_fidelity"](spark, SF_ORACLE).collect()
+    assert rows and all(r.cos_fidelity >= 0.999 for r in rows)
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    q = quantize_embeddings(spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet"))
+    assert dict(q.dtypes)["q"] == "array<tinyint>"
