@@ -57,7 +57,26 @@ _R01_GREEN = (
     "m6_fingerprints m7_embedding_topk m12_tfidf_top_terms"
 ).split()
 
-_priority = [q for q in QUERIES if q not in _R01_GREEN]
-_order = _priority + [q for q in QUERIES if q in _R01_GREEN]
+#: The driver's verify budget is 50 queries; with 48 r01-green entries the
+#: priority block holds 51. Defer one no-oracle query whose evidence already
+#: lives in pytest (m9's precision/recall is pinned vs the exact-Jaccard
+#: baseline in test_llm_ops; its sibling m8 keeps a priority slot) so every
+#: oracled, not-yet-driver-verified query fits inside the budget.
+_DEFERRED = ["m9_simhash_near_dups"]
+
+#: Queries added in round 2 (no r01 row by definition). They queue BEHIND the
+#: r01-backlog tier so this round's 50-row driver budget lands rows for every
+#: query the round-1 verdict flagged as driver-unproven; the r02 additions
+#: rotate into the budget next round (each is covered by the repo's stricter
+#: exact-value parity test in the meantime).
+_R02_NEW: list[str] = []
+
+_tail = set(_R01_GREEN) | set(_DEFERRED)
+_backlog = [q for q in QUERIES if q not in _tail and q not in _R02_NEW]
+_order = (
+    _backlog
+    + [q for q in QUERIES if q in _R02_NEW]
+    + [q for q in QUERIES if q in _tail]
+)
 QUERIES = {q: QUERIES[q] for q in _order}
 ORACLES = {q: ORACLES[q] for q in _order if q in ORACLES}
