@@ -17,6 +17,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     analytics_queries,
     llm_queries,
     reference_queries,
+    round2_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -31,6 +32,7 @@ for _mod in (
     temporal_queries,
     surface_queries,
     tpch_queries,
+    round2_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
@@ -69,7 +71,7 @@ _DEFERRED = ["m9_simhash_near_dups"]
 #: query the round-1 verdict flagged as driver-unproven; the r02 additions
 #: rotate into the budget next round (each is covered by the repo's stricter
 #: exact-value parity test in the meantime).
-_R02_NEW: list[str] = []
+_R02_NEW: list[str] = list(round2_queries.QUERIES)
 
 _tail = set(_R01_GREEN) | set(_DEFERRED)
 _backlog = [q for q in QUERIES if q not in _tail and q not in _R02_NEW]

@@ -1,0 +1,135 @@
+"""Data-skipping layout: z-order clustering + file-level min/max pruning.
+
+At 100 TB the fastest scan is the one that never happens. Engines like
+Delta/Iceberg skip whole files using per-file column min/max statistics;
+the layout that makes those statistics selective for MULTI-column
+predicates is a space-filling curve (z-order). Parquet already stores
+the min/max footers — this module provides:
+
+- ``zorder_col``: a pure-expression Morton code (bit-interleave) of two
+  integer dimensions — JVM-side, codegen-friendly, no UDF;
+- ``write_zordered``: range-partition + sort the data by its z-value so
+  each output file covers a small rectangle of (x, y) space;
+- ``file_minmax_stats`` / ``pruned_read``: read parquet footer
+  statistics and plan a scan over only the files whose [min, max]
+  intervals intersect the predicate — the same skip a table format's
+  manifest would give, built from plain parquet.
+
+The z-value expression is reproducible in ANSI SQL (shift/and/or), so
+the layout decision itself is oracle-checkable (catalog query z1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def zorder_col(x: Column | str, y: Column | str, bits: int = 12) -> Column:
+    """Morton code: interleave the low ``bits`` bits of non-negative
+    integer columns ``x`` and ``y`` (x in even positions). Built as a
+    literal-shift expression tree — whole-stage-codegen'd, no UDF, and
+    expressible verbatim in any SQL dialect with >>, &, <<, |."""
+    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
+    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zorder_sql(x: str, y: str, bits: int = 12) -> str:
+    """The ANSI-SQL twin of :func:`zorder_col` (used by the z1 oracle)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    n_files: int,
+    bits: int = 12,
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered on the z-order
+    of (x, y): range-partition by z-value (contiguous curve segments per
+    file → tight per-file min/max rectangles on BOTH dimensions), sort
+    within each file so page-level stats are tight too. The helper
+    column is dropped before write; the layout survives in the file
+    boundaries."""
+    zdf = df.withColumn("__z", zorder_col(x, y, bits))
+    (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
+    """Per-file min/max for ``cols`` from parquet footers (no data read).
+    This is the manifest a table format would maintain; here it is
+    derived on demand. Footer reads are O(files), not O(bytes) — at
+    cluster scale the listing itself would live in a manifest table."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        fpath = os.path.join(path, name)
+        meta = pq.read_metadata(fpath)
+        stat: dict = {"file": fpath}
+        for col in cols:
+            lo, hi = None, None
+            idx = meta.schema.names.index(col)
+            for rg in range(meta.num_row_groups):
+                s = meta.row_group(rg).column(idx).statistics
+                if s is None or not s.has_min_max:
+                    lo, hi = None, None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            stat[col] = (lo, hi)
+        out.append(stat)
+    return out
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    predicates: dict[str, tuple],
+) -> tuple[DataFrame, int, int]:
+    """Scan only the files whose footer [min, max] interval intersects
+    every ``col: (lo, hi)`` predicate; the predicate is still applied to
+    the surviving rows (stats prune files, they don't filter rows).
+    Returns (dataframe, files_read, files_total). Files with missing
+    stats are conservatively kept."""
+    stats = file_minmax_stats(path, list(predicates))
+    keep = []
+    for st in stats:
+        ok = True
+        for col, (lo, hi) in predicates.items():
+            fmin, fmax = st[col]
+            if fmin is None:
+                continue  # unknown → must read
+            if fmax < lo or fmin > hi:
+                ok = False
+                break
+        if ok:
+            keep.append(st["file"])
+    df = spark.read.parquet(*keep) if keep else spark.read.parquet(path).limit(0)
+    for col, (lo, hi) in predicates.items():
+        df = df.where(F.col(col).between(lo, hi))
+    return df, len(keep), len(stats)
