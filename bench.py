@@ -59,6 +59,12 @@ HEADLINE = [
     "m22_boilerplate_ngrams",
     "m23_corpus_report",
     "m24_embedding_lsh_pairs",
+    # round-2 additions
+    "x6_click_attribution",
+    "m26_sequence_packing",
+    "d6_price_histogram",
+    "d7_monthly_anomalies",
+    "z1_zorder_values",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -1,0 +1,166 @@
+"""Invariant tests for the round-2 layout operators: sequence packing
+(operators/packing.py) and z-order + footer-stats file skipping
+(sources/skipping.py). The catalog parity test certifies values against
+DuckDB; these pin the *semantic invariants* the oracle can't express —
+pack budget bounds, partition-layout independence, and that pruning
+actually skips files without changing the answer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.packing import (
+    pack_fill_stats,
+    pack_sequences,
+)
+from novi_pdq_etl_project_prod_spark.sources.skipping import (
+    file_minmax_stats,
+    pruned_read,
+    write_zordered,
+    zorder_col,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+BUDGET = 512
+
+
+@pytest.fixture(scope="module")
+def assignments(spark):
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+    )
+    return pack_sequences(
+        sized, id_col="doc_id", token_count="tok", budget=BUDGET
+    ).cache()
+
+
+def test_pack_budget_invariant(assignments):
+    # Contiguous fill: every row STARTS inside its pack's budget window,
+    # so a pack exceeds the budget by at most its largest member minus 1.
+    stats = (
+        assignments.groupBy("pack_id")
+        .agg(
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.max("n_tokens").alias("max_tok"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    )
+    assert stats, "no packs produced"
+    for r in stats:
+        assert r.pack_tokens < BUDGET + r.max_tok, (
+            f"pack {r.pack_id} = {r.pack_tokens} tokens "
+            f"(max member {r.max_tok}) breaches the fill bound"
+        )
+
+
+def test_pack_oversize_flag(assignments):
+    flagged = assignments.where("oversize").where(
+        F.col("n_tokens") <= BUDGET
+    )
+    missed = assignments.where(~F.col("oversize")).where(
+        F.col("n_tokens") > BUDGET
+    )
+    assert flagged.count() == 0 and missed.count() == 0
+
+
+def test_pack_assignment_partition_independent(spark, assignments):
+    # Content-addressed bucketing + id ordering ⇒ the SAME pack for every
+    # row no matter how the input is partitioned (the 100 TB guarantee:
+    # re-running on a differently-split corpus reproduces the layout).
+    docs = spark.read.parquet(os.path.join(SF_SMOKE, "documents.parquet"))
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+    ).repartition(17, "text")
+    again = pack_sequences(sized, id_col="doc_id", token_count="tok", budget=BUDGET)
+    diff = (
+        assignments.select("doc_id", "pack_id")
+        .exceptAll(again.select("doc_id", "pack_id"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_pack_fill_stats_consistency(assignments):
+    fills = pack_fill_stats(assignments, budget=BUDGET)
+    row = fills.agg(
+        F.sum("n_docs").alias("docs"), F.sum("pack_tokens").alias("tok")
+    ).collect()[0]
+    src = assignments.agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tokens").alias("tok")
+    ).collect()[0]
+    assert (row.docs, row.tok) == (src.docs, src.tok)
+
+
+@pytest.fixture(scope="module")
+def zordered_orders(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("zorder") / "orders_z")
+    orders = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "orders.parquet"))
+        .withColumn("x", (F.col("o_custkey") % 256).cast("long"))
+        .withColumn(
+            "y",
+            ((F.year("o_orderdate") * 12 + F.month("o_orderdate")) % 256).cast(
+                "long"
+            ),
+        )
+    )
+    write_zordered(orders, path, x="x", y="y", n_files=8, bits=8)
+    return path
+
+
+def test_zorder_layout_written(spark, zordered_orders):
+    files = [
+        f for f in os.listdir(zordered_orders) if f.endswith(".parquet")
+    ]
+    assert len(files) > 1, "range partitioning produced a single file"
+    stats = file_minmax_stats(zordered_orders, ["x", "y"])
+    assert all(st["x"][0] is not None for st in stats)
+    # Clustering quality: each file covers a strict subset of the x range
+    # (the whole point of the curve — un-clustered writes give every file
+    # the full [0, 255] span and nothing can ever be skipped).
+    spans = [st["x"][1] - st["x"][0] for st in stats]
+    assert min(spans) < 255, f"no file has a sub-range x span: {spans}"
+
+
+def test_pruned_read_skips_files_and_matches_full_scan(spark, zordered_orders):
+    pred = {"x": (0, 31), "y": (0, 63)}
+    df, files_read, files_total = pruned_read(spark, zordered_orders, pred)
+    assert files_read < files_total, "footer stats pruned nothing"
+    full = (
+        spark.read.parquet(zordered_orders)
+        .where(F.col("x").between(0, 31))
+        .where(F.col("y").between(0, 63))
+    )
+    assert df.count() == full.count()
+    assert df.exceptAll(full).count() == 0 and full.exceptAll(df).count() == 0
+
+
+def test_pruned_read_empty_predicate_window(spark, zordered_orders):
+    # A window outside every file's range reads zero files and zero rows.
+    df, files_read, files_total = pruned_read(
+        spark, zordered_orders, {"x": (10_000, 20_000)}
+    )
+    assert files_read == 0 and df.count() == 0
+
+
+def test_zorder_col_interleaves_bits(spark):
+    # (x=0b11, y=0b00) -> even positions -> 0b0101 = 5;
+    # (x=0b00, y=0b11) -> odd positions  -> 0b1010 = 10.
+    rows = (
+        spark.range(1)
+        .select(
+            zorder_col(F.lit(3), F.lit(0), bits=2).alias("a"),
+            zorder_col(F.lit(0), F.lit(3), bits=2).alias("b"),
+            zorder_col(F.lit(3), F.lit(3), bits=2).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert (rows.a, rows.b, rows.c) == (5, 10, 15)
