@@ -18,8 +18,12 @@ from novi_pdq_etl_project_prod_spark.operators import text as TX
 from novi_pdq_etl_project_prod_spark.operators.packing import pack_sequences
 from novi_pdq_etl_project_prod_spark.operators.stats import (
     fixed_width_histogram,
+    grouped_correlation,
+    heavy_hitters,
+    profile_columns,
     zscore_outliers,
 )
+from novi_pdq_etl_project_prod_spark.operators.timeseries import gap_fill_monthly
 from novi_pdq_etl_project_prod_spark.session import read_events
 from novi_pdq_etl_project_prod_spark.sources.skipping import zorder_col, zorder_sql
 from novi_pdq_etl_project_prod_spark.streaming.events import (
@@ -221,12 +225,230 @@ FROM keyed
 """
 
 
+# ---------------------------------------------------------------------------
+# X7 — gap-filled monthly series: per-customer order totals densified to
+# every month between first and last activity, forward-filled
+# ---------------------------------------------------------------------------
+
+def x7_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    grain = o.groupBy(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("yyyymm"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("month_total"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    filled = gap_fill_monthly(
+        grain, ["o_custkey"], "yyyymm", ["month_total", "n_orders"]
+    )
+    return filled.select(
+        "o_custkey",
+        "yyyymm",
+        F.col("month_total").cast("double").alias("month_total"),
+        "n_orders",
+        "is_filled",
+    )
+
+
+X7_SQL = """
+WITH grain AS (
+  SELECT o_custkey,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS month_total,
+         COUNT(*) AS n_orders
+  FROM orders
+  GROUP BY 1, 2
+),
+mi AS (
+  SELECT *, (yyyymm // 100) * 12 + (yyyymm % 100) - 1 AS _mi FROM grain
+),
+bounds AS (
+  SELECT o_custkey, min(_mi) AS lo, max(_mi) AS hi FROM mi GROUP BY 1
+),
+spine AS (
+  SELECT o_custkey, unnest(generate_series(lo, hi)) AS _mi FROM bounds
+),
+j AS (
+  SELECT s.o_custkey, s._mi, g.month_total, g.n_orders
+  FROM spine s
+  LEFT JOIN mi g ON s.o_custkey = g.o_custkey AND s._mi = g._mi
+)
+SELECT o_custkey,
+       CAST((_mi // 12) * 100 + (_mi % 12) + 1 AS INT) AS yyyymm,
+       CAST(last_value(month_total IGNORE NULLS) OVER w AS DOUBLE) AS month_total,
+       last_value(n_orders IGNORE NULLS) OVER w AS n_orders,
+       month_total IS NULL AS is_filled
+FROM j
+WINDOW w AS (PARTITION BY o_custkey ORDER BY _mi
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# ---------------------------------------------------------------------------
+# R6 — unpivot (wide measures -> long): inverse of r3_pivot
+# ---------------------------------------------------------------------------
+
+def r6_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"],
+        ["sum_qty", "sum_price", "sum_disc"],
+        "measure_name",
+        "measure_value",
+    )
+
+
+R6_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS measure_name, sum_qty AS measure_value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+"""
+
+
+# ---------------------------------------------------------------------------
+# D8 — exact heavy hitters: top-15 suppliers by line count with share
+# (TakeOrderedAndProject, not a global sort; 1-row broadcast denominator)
+# ---------------------------------------------------------------------------
+
+def d8_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return heavy_hitters(li, ["l_suppkey"], k=15)
+
+
+D8_SQL = """
+WITH c AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1
+),
+t AS (SELECT COUNT(*) AS total FROM lineitem),
+k AS (SELECT l_suppkey, cnt FROM c ORDER BY cnt DESC, l_suppkey LIMIT 15)
+SELECT l_suppkey, cnt,
+       cnt / (SELECT total FROM t) AS share,
+       row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS "rank"
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# D9 — per-group Pearson correlation from exact decimal moments
+# ---------------------------------------------------------------------------
+
+def d9_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_correlation(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    )
+
+
+D9_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+           AS sxy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+           AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+           AS syy
+  FROM lineitem
+  GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS corr_xy
+FROM g
+"""
+
+
+# ---------------------------------------------------------------------------
+# D10 — deequ-style column profile of orders (single-pass exact metrics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def d10_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(o, _PROFILE_COLS)
+
+
+def _profile_col_sql(col: str, numeric: bool) -> str:
+    render = (
+        f"CAST(CAST(min({col}) AS DECIMAL(18,2)) AS VARCHAR)",
+        f"CAST(CAST(max({col}) AS DECIMAL(18,2)) AS VARCHAR)",
+    ) if numeric else (
+        f"CAST(min({col}) AS VARCHAR)",
+        f"CAST(max({col}) AS VARCHAR)",
+    )
+    # COUNT(*) - COUNT(col) keeps the null count BIGINT (SUM(CASE) would
+    # be HUGEINT -> float64 in pandas — the t4 driver-compat trap)
+    return (
+        f"SELECT '{col}' AS \"column\", COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({col}) AS n_null, "
+        f"COUNT(DISTINCT {col}) AS n_distinct, "
+        f"{render[0]} AS min_s, {render[1]} AS max_s FROM orders"
+    )
+
+
+D10_SQL = "\nUNION ALL\n".join(
+    _profile_col_sql(c, numeric=(c == "o_totalprice")) for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
     "d6_price_histogram": d6_price_histogram,
     "d7_monthly_anomalies": d7_monthly_anomalies,
     "z1_zorder_values": z1_zorder_values,
+    "x7_gap_fill": x7_gap_fill,
+    "r6_unpivot": r6_unpivot,
+    "d8_heavy_hitters": d8_heavy_hitters,
+    "d9_correlation": d9_correlation,
+    "d10_column_profile": d10_column_profile,
 }
 
 ORACLES = {
@@ -235,4 +457,9 @@ ORACLES = {
     "d6_price_histogram": D6_SQL,
     "d7_monthly_anomalies": D7_SQL,
     "z1_zorder_values": Z1_SQL,
+    "x7_gap_fill": X7_SQL,
+    "r6_unpivot": R6_SQL,
+    "d8_heavy_hitters": D8_SQL,
+    "d9_correlation": D9_SQL,
+    "d10_column_profile": D10_SQL,
 }

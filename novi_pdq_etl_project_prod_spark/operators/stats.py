@@ -53,6 +53,127 @@ def fixed_width_histogram(
     )
 
 
+def heavy_hitters(
+    df: DataFrame,
+    cols: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Exact top-``k`` most frequent ``cols`` combinations with their
+    share of all rows.
+
+    Scale shape: one hash aggregation for the counts, then
+    ``orderBy(...).limit(k)`` — which Spark compiles to
+    TakeOrderedAndProject (per-partition top-k, merge on the driver-side
+    single reducer), NOT a global sort. The share denominator is a
+    1-row broadcast scalar, and the rank window runs over just ``k``
+    rows. Ties break deterministically on the key columns ascending.
+    """
+    counts = df.groupBy(*cols).agg(F.count(F.lit(1)).alias("cnt"))
+    order = [F.desc("cnt"), *[F.asc(c) for c in cols]]
+    topk = counts.orderBy(*order).limit(int(k))
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)  # k rows only — single-task window is fine
+    return (
+        topk.crossJoin(F.broadcast(total))
+        .select(
+            *cols,
+            "cnt",
+            (F.col("cnt") / F.col("_total")).alias("share"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
+def grouped_correlation(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+) -> DataFrame:
+    """Per-group Pearson correlation of two measures, computed from
+    exact DECIMAL moments (n, Σx, Σy, Σxy, Σx², Σy²) with the division
+    in double only at the edge — unlike the builtin ``corr`` (a running
+    float aggregate), this is partition-order independent and therefore
+    oracle-matchable bit-for-bit. One shuffle; the moment accumulation
+    is map-side partial like any sum."""
+    xd = F.col(x).cast("decimal(18,2)")
+    yd = F.col(y).cast("decimal(18,2)")
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum((xd * yd).cast("decimal(38,4)")).alias("_sxy"),
+        F.sum((xd * xd).cast("decimal(38,4)")).alias("_sxx"),
+        F.sum((yd * yd).cast("decimal(38,4)")).alias("_syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx, syy = F.col("_sxx").cast("double"), F.col("_syy").cast("double")
+    cov = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    return g.select(
+        *keys,
+        F.col("n"),
+        F.when(vx * vy > 0, cov / F.sqrt(vx * vy)).alias("corr_xy"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str],
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """deequ-style column profiler: one row per column with row/null/
+    distinct counts and min/max rendered as strings.
+
+    Single scan: all per-column metrics are computed in ONE aggregation.
+    Exact multi-column COUNT(DISTINCT) makes Catalyst plan an Expand
+    (one duplicated stream per distinct column) — the honest exact cost;
+    at 100 TB pass ``approx_distinct=True`` to switch to HLL sketches,
+    which collapses the plan back to a single partial-aggregate pass.
+
+    Rendering: numeric min/max are cast DECIMAL(18,2) → string so both
+    engines print identical text (raw double → string diverges between
+    engines); timestamps/strings cast directly.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        dt = dict(df.dtypes)[c]
+        render = (
+            (lambda col: col.cast("decimal(18,2)").cast("string"))
+            if dt in ("double", "float") or dt.startswith("decimal")
+            else (lambda col: col.cast("string"))
+        )
+        nd = (
+            F.approx_count_distinct(c) if approx_distinct else F.countDistinct(c)
+        )
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            nd.alias(f"_nd_{c}"),
+            render(F.min(c)).alias(f"_min_{c}"),
+            render(F.max(c)).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                F.col(f"_min_{c}").alias("min_s"),
+                F.col(f"_max_{c}").alias("max_s"),
+            )
+            for c in cols
+        ]
+    )
+    return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
 def zscore_outliers(
     df: DataFrame,
     keys: Sequence[str],

@@ -1,0 +1,83 @@
+"""Time-series regularization: monthly spine generation and gap filling.
+
+The reference's curated model keeps only months that actually have rows
+(`/root/reference/spark_jobs/model_curated.py` groups by the derived
+yyyymm); downstream consumers of a monthly series — trend models, MoM
+deltas, training-data mixture curves — need a DENSE series where silent
+months are explicit (zero or carried-forward) rows. This module builds
+the per-key month spine and fills the gaps.
+
+Scale shape: the spine is `explode(sequence(lo, hi))` per key — output
+rows bounded by keys × global month span, never by input rows — then one
+equi-join back to the actuals and one window per key for the forward
+fill. Two shuffles total regardless of input size; the spine side is
+orders of magnitude smaller than a 100 TB fact scan.
+
+Determinism: month arithmetic is integer (yyyymm ↔ month-index), the
+fill is `last(measure) IGNORE NULLS` over a uniquely-ordered window, and
+measures stay DECIMAL until the final projection — bit-reproducible
+against the DuckDB oracle (catalog query x7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def month_index(yyyymm: Column | str) -> Column:
+    """Monotone integer month index: 199501 -> 23940+... (yyyymm div 100)
+    * 12 + month - 1. Integer-exact in every engine."""
+    c = F.col(yyyymm) if isinstance(yyyymm, str) else yyyymm
+    return (c.cast("long") / 100).cast("long") * 12 + (c.cast("long") % 100) - 1
+
+
+def index_to_yyyymm(idx: Column) -> Column:
+    """Inverse of :func:`month_index`."""
+    return ((idx / 12).cast("long") * 100 + (idx % 12) + 1).cast("int")
+
+
+def gap_fill_monthly(
+    grain: DataFrame,
+    keys: Sequence[str],
+    yyyymm_col: str,
+    measures: Sequence[str],
+    fill: str = "ffill",
+) -> DataFrame:
+    """Densify a per-(keys, month) aggregate to every month between each
+    key's first and last active month.
+
+    ``grain`` must already be aggregated to the (keys, yyyymm) grain.
+    Missing months appear with ``is_filled = true`` and each measure
+    either carried forward (``fill="ffill"``) or zeroed
+    (``fill="zero"``). Measures should still be exact (DECIMAL/int)
+    types; callers cast to double after filling.
+    """
+    if fill not in ("ffill", "zero"):
+        raise ValueError(f"unknown fill mode {fill!r}")
+    base = grain.withColumn("_mi", month_index(yyyymm_col)).drop(yyyymm_col)
+    bounds = base.groupBy(*keys).agg(
+        F.min("_mi").alias("_lo"), F.max("_mi").alias("_hi")
+    )
+    spine = bounds.select(
+        *keys, F.explode(F.sequence("_lo", "_hi")).alias("_mi")
+    )
+    joined = spine.join(base, [*keys, "_mi"], "left")
+    is_filled = F.col(measures[0]).isNull()
+    if fill == "ffill":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("_mi")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = [F.last(m, ignorenulls=True).over(w).alias(m) for m in measures]
+    else:
+        filled = [F.coalesce(F.col(m), F.lit(0)).alias(m) for m in measures]
+    return joined.select(
+        *keys,
+        index_to_yyyymm(F.col("_mi")).alias(yyyymm_col),
+        *filled,
+        is_filled.alias("is_filled"),
+    )

@@ -126,6 +126,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "t7_rich_customers",     # scalar-avg cross join (1-row broadcast)
         "t21_important_stock",   # scalar-total cross join (1-row broadcast)
         "m22_boilerplate_ngrams",  # scalar-doc-count cross join (1-row broadcast)
+        "d8_heavy_hitters",      # scalar-total cross join (1-row broadcast)
         "m7_embedding_topk",     # brute-force baseline: cross join by design
         "m2_ngram_jaccard_pairs",
         "m11_embedding_near_dup_pairs",
