@@ -379,3 +379,54 @@ def test_monthly_rollup_stream_matches_batch_calendar_months(spark, events_dir):
     assert got == want and len(want) > 0
     # every bucket is a real calendar month
     assert all(1 <= y % 100 <= 12 for y, _ in got)
+
+
+def test_checkpoint_resume_across_restarts(spark, tmp_path):
+    """Exactly-once across a stream RESTART: run stream_to_medallion,
+    stop, land new files, run a second independent query against the
+    SAME checkpoint — the curated result must equal one batch pass over
+    the full input (state restored, nothing reprocessed or doubled)."""
+    from novi_pdq_etl_project_prod_spark.session import read_events
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        read_event_stream,
+        stream_to_medallion,
+    )
+
+    src = str(tmp_path / "incoming")
+    ev = read_events(spark, SF_SMOKE)
+    first = ev.where(F.col("event_id") % 2 == 0)
+    second = ev.where(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(src)
+
+    root, chk = str(tmp_path / "wh"), str(tmp_path / "chk")
+    stream_to_medallion(
+        read_event_stream(spark, src), root, "ev_monthly", checkpoint_dir=chk
+    )
+    t1 = spark.read.parquet(f"{root}/staging/ev_monthly")
+    n1 = t1.agg(F.sum("n_events")).collect()[0][0]
+    assert n1 == first.count()
+
+    second.coalesce(1).write.mode("append").parquet(src)
+    stream_to_medallion(  # fresh query object, same checkpoint = restart
+        read_event_stream(spark, src), root, "ev_monthly", checkpoint_dir=chk
+    )
+    got = spark.read.parquet(f"{root}/staging/ev_monthly")
+    want = (
+        ev.groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    assert (
+        got.select("yyyymm", "user_id", "n_events", "sum_value")
+        .exceptAll(want)
+        .count()
+        == 0
+    )
