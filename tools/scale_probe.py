@@ -37,6 +37,10 @@ PROBE_QUERIES = [
     "t9_volume_shipping",
     "t19_lonely_late_suppliers",
     "m19_decontaminate",
+    "x7_gap_fill",
+    "m26_sequence_packing",
+    "d6_price_histogram",
+    "d8_heavy_hitters",
 ]
 
 
