@@ -438,6 +438,99 @@ D10_SQL = "\nUNION ALL\n".join(
 )
 
 
+# ---------------------------------------------------------------------------
+# X8 — NATIVE session windows: the same 30-minute-gap sessions as
+# x3_sessionize (gaps-and-islands windows) but through Spark's built-in
+# session_window aggregation — the streaming-capable merging-sessions
+# physical operator (MergingSessionsExec), one shuffle on user_id, no
+# per-row window sort pass. Spark ends a session at last_ts + gap; the
+# oracle mirrors that closed-session convention.
+# ---------------------------------------------------------------------------
+
+def x8_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+X8_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# W8 — distribution-rank window functions (ntile / percent_rank /
+# cume_dist) under a total order: feature binning for training data
+# ---------------------------------------------------------------------------
+
+def w8_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_extendedprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+W8_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+       ntile(10) OVER w AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -449,6 +542,8 @@ QUERIES = {
     "d8_heavy_hitters": d8_heavy_hitters,
     "d9_correlation": d9_correlation,
     "d10_column_profile": d10_column_profile,
+    "x8_native_session_window": x8_native_session_window,
+    "w8_decile_bins": w8_decile_bins,
 }
 
 ORACLES = {
@@ -462,4 +557,6 @@ ORACLES = {
     "d8_heavy_hitters": D8_SQL,
     "d9_correlation": D9_SQL,
     "d10_column_profile": D10_SQL,
+    "x8_native_session_window": X8_SQL,
+    "w8_decile_bins": W8_SQL,
 }
