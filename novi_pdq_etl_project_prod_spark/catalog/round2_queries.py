@@ -448,23 +448,14 @@ D10_SQL = "\nUNION ALL\n".join(
 # ---------------------------------------------------------------------------
 
 def x8_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_events(spark, sf_dir)
-    return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("session_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "session_value",
-        )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        session_window_rollup,
     )
+
+    ev = read_events(spark, sf_dir)
+    # watermark is a no-op on batch input: the IDENTICAL operator graph
+    # the stream runs, so the oracle certifies the streaming semantics
+    return session_window_rollup(ev, gap="30 minutes")
 
 
 X8_SQL = """

@@ -112,6 +112,40 @@ def streaming_dedup(
     )
 
 
+def session_window_rollup(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-user sessions via Spark's NATIVE session_window aggregation —
+    the merging-sessions stateful operator, no Python state function.
+
+    Same logical query serves batch (watermark is a no-op, every session
+    returned) and streaming (append mode: a session emits once the
+    watermark passes its end, i.e. it can no longer grow). The batch
+    form is oracled as catalog query ``x8_native_session_window``; the
+    stream==batch test closes the loop, so the streaming operator's
+    semantics are transitively DuckDB-certified.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 def click_purchase_attribution(
     events: DataFrame,
     attribution_window: str = "1 hour",

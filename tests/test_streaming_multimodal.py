@@ -430,3 +430,34 @@ def test_checkpoint_resume_across_restarts(spark, tmp_path):
         .count()
         == 0
     )
+
+
+def test_native_session_window_stream_matches_batch(spark, events_dir):
+    """Append-mode native session windows: every emitted session must
+    equal its batch twin exactly, and every session the final watermark
+    closed must have been emitted."""
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        session_window_rollup,
+    )
+
+    wm_hours = 2
+    stream = session_window_rollup(
+        read_event_stream(spark, events_dir), watermark=f"{wm_hours} hours"
+    )
+    run_to_memory_sink(stream, "native_sessions", output_mode="append")
+    got = spark.sql("SELECT * FROM native_sessions")
+    batch = session_window_rollup(spark.read.parquet(events_dir))
+
+    assert got.count() > 0
+    # emitted ⊆ batch, value-exact
+    assert got.exceptAll(batch).count() == 0
+    # sessions provably closed by the final watermark all emitted
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    closed = batch.where(
+        F.col("session_end")
+        < F.lit(max_ts) - F.expr(f"INTERVAL {wm_hours} HOURS")
+    )
+    assert closed.exceptAll(got).count() == 0
+    assert closed.count() > 0  # the assertion above isn't vacuous
