@@ -25,7 +25,12 @@ from novi_pdq_etl_project_prod_spark.operators.stats import (
 )
 from novi_pdq_etl_project_prod_spark.operators.timeseries import gap_fill_monthly
 from novi_pdq_etl_project_prod_spark.session import read_events
-from novi_pdq_etl_project_prod_spark.sources.skipping import zorder_col, zorder_sql
+from novi_pdq_etl_project_prod_spark.sources.skipping import (
+    zorder_col,
+    zorder_col_multi,
+    zorder_sql,
+    zorder_sql_multi,
+)
 from novi_pdq_etl_project_prod_spark.streaming.events import (
     click_purchase_attribution,
 )
@@ -522,6 +527,44 @@ WINDOW w AS (PARTITION BY l_returnflag
 """
 
 
+# ---------------------------------------------------------------------------
+# Z2 — 3-dimensional z-order over lineitem (supplier x part x ship
+# month): the clustering key for a three-predicate skipping layout
+# ---------------------------------------------------------------------------
+
+def z2_zorder3_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_suppkey") % 256).alias("a"),
+        (F.col("l_partkey") % 256).alias("b"),
+        F.month("l_shipdate").alias("c"),
+    )
+    return keyed.select(
+        "l_orderkey",
+        "l_linenumber",
+        "a",
+        "b",
+        "c",
+        zorder_col_multi(["a", "b", "c"], bits=8).alias("zval"),
+    )
+
+
+Z2_SQL = f"""
+WITH keyed AS (
+  SELECT l_orderkey, l_linenumber,
+         l_suppkey % 256 AS a,
+         l_partkey % 256 AS b,
+         month(l_shipdate) AS c
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, a, b, c,
+       {zorder_sql_multi(['a', 'b', 'c'], 8)} AS zval
+FROM keyed
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -535,6 +578,7 @@ QUERIES = {
     "d10_column_profile": d10_column_profile,
     "x8_native_session_window": x8_native_session_window,
     "w8_decile_bins": w8_decile_bins,
+    "z2_zorder3_values": z2_zorder3_values,
 }
 
 ORACLES = {
@@ -550,4 +594,5 @@ ORACLES = {
     "d10_column_profile": D10_SQL,
     "x8_native_session_window": X8_SQL,
     "w8_decile_bins": W8_SQL,
+    "z2_zorder3_values": Z2_SQL,
 }

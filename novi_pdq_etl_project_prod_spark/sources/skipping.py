@@ -27,47 +27,61 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def zorder_col(x: Column | str, y: Column | str, bits: int = 12) -> Column:
-    """Morton code: interleave the low ``bits`` bits of non-negative
-    integer columns ``x`` and ``y`` (x in even positions). Built as a
-    literal-shift expression tree — whole-stage-codegen'd, no UDF, and
-    expressible verbatim in any SQL dialect with >>, &, <<, |."""
-    xc = (F.col(x) if isinstance(x, str) else x).cast("long")
-    yc = (F.col(y) if isinstance(y, str) else y).cast("long")
+def zorder_col_multi(cols: list, bits: int = 12) -> Column:
+    """N-dimensional Morton code: round-robin-interleave the low
+    ``bits`` bits of each non-negative integer column (column ``j`` owns
+    bit positions ``i*n + j``). Built as a literal-shift expression tree
+    — whole-stage-codegen'd, no UDF, and expressible verbatim in any SQL
+    dialect with >>, &, <<, |. ``bits * len(cols)`` must stay < 63."""
+    n = len(cols)
+    if bits * n >= 63:
+        raise ValueError(f"{bits} bits x {n} cols overflows a long")
+    cast = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = z.bitwiseOR(
-            F.shiftleft(F.shiftright(xc, i).bitwiseAND(F.lit(1)), 2 * i)
-        ).bitwiseOR(
-            F.shiftleft(F.shiftright(yc, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        )
+        for j, c in enumerate(cast):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * n + j)
+            )
     return z
+
+
+def zorder_col(x: Column | str, y: Column | str, bits: int = 12) -> Column:
+    """2-D Morton code (x in even bit positions, y in odd)."""
+    return zorder_col_multi([x, y], bits)
+
+
+def zorder_sql_multi(cols: list[str], bits: int = 12) -> str:
+    """The ANSI-SQL twin of :func:`zorder_col_multi` (oracle queries)."""
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            terms.append(f"((({c} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)
 
 
 def zorder_sql(x: str, y: str, bits: int = 12) -> str:
     """The ANSI-SQL twin of :func:`zorder_col` (used by the z1 oracle)."""
-    terms = []
-    for i in range(bits):
-        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
-        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
-    return " | ".join(terms)
+    return zorder_sql_multi([x, y], bits)
 
 
 def write_zordered(
     df: DataFrame,
     path: str,
-    x: str,
-    y: str,
+    cols: list[str],
     n_files: int,
     bits: int = 12,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the z-order
-    of (x, y): range-partition by z-value (contiguous curve segments per
-    file → tight per-file min/max rectangles on BOTH dimensions), sort
-    within each file so page-level stats are tight too. The helper
-    column is dropped before write; the layout survives in the file
-    boundaries."""
-    zdf = df.withColumn("__z", zorder_col(x, y, bits))
+    of ``cols``: range-partition by z-value (contiguous curve segments
+    per file → tight per-file min/max hyper-rectangles on EVERY
+    dimension), sort within each file so page-level stats are tight too.
+    The helper column is dropped before write; the layout survives in
+    the file boundaries."""
+    zdf = df.withColumn("__z", zorder_col_multi(cols, bits))
     (
         zdf.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

@@ -22,6 +22,7 @@ from novi_pdq_etl_project_prod_spark.sources.skipping import (
     pruned_read,
     write_zordered,
     zorder_col,
+    zorder_col_multi,
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -112,7 +113,7 @@ def zordered_orders(spark, tmp_path_factory):
             ),
         )
     )
-    write_zordered(orders, path, x="x", y="y", n_files=8, bits=8)
+    write_zordered(orders, path, cols=["x", "y"], n_files=8, bits=8)
     return path
 
 
@@ -164,3 +165,32 @@ def test_zorder_col_interleaves_bits(spark):
         .collect()[0]
     )
     assert (rows.a, rows.b, rows.c) == (5, 10, 15)
+
+
+def test_zorder3_prune_three_predicates(spark, tmp_path):
+    # 3-D clustering: a point-ish predicate on all three dimensions
+    # should skip most files, and the surviving scan must equal the
+    # full-scan filter exactly.
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(os.path.join(SF_SMOKE, "lineitem.parquet"))
+        .withColumn("a", (F.col("l_suppkey") % 64).cast("long"))
+        .withColumn("b", (F.col("l_partkey") % 64).cast("long"))
+        .withColumn("c", F.month("l_shipdate").cast("long"))
+    )
+    path = str(tmp_path / "li_z3")
+    write_zordered(li, path, cols=["a", "b", "c"], n_files=16, bits=6)
+    pred = {"a": (0, 15), "b": (0, 15), "c": (1, 6)}
+    df, files_read, files_total = pruned_read(spark, path, pred)
+    assert files_total == 16 and files_read < files_total
+    full = spark.read.parquet(path)
+    for col, (lo, hi) in pred.items():
+        full = full.where(F.col(col).between(lo, hi))
+    assert df.count() == full.count() > 0
+    assert df.exceptAll(full).count() == 0
+
+
+def test_zorder_multi_bit_overflow_guard(spark):
+    with pytest.raises(ValueError):
+        zorder_col_multi(["a", "b", "c"], bits=21)
