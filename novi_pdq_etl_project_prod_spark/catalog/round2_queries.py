@@ -565,6 +565,26 @@ FROM keyed
 """
 
 
+# ---------------------------------------------------------------------------
+# M27 — content-addressed k-fold assignment for cross-validation
+# (fold = f(seed, id); row-local, engine-portable via md5 + hex->int)
+# ---------------------------------------------------------------------------
+
+def m27_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents")
+    return kfold_assign(docs.select("doc_id", "source"), "doc_id", k=5)
+
+
+M27_SQL = """
+SELECT doc_id, source,
+       CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+            % 5 AS INT) AS fold
+FROM documents
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -579,6 +599,7 @@ QUERIES = {
     "x8_native_session_window": x8_native_session_window,
     "w8_decile_bins": w8_decile_bins,
     "z2_zorder3_values": z2_zorder3_values,
+    "m27_kfold_assign": m27_kfold_assign,
 }
 
 ORACLES = {
@@ -595,4 +616,5 @@ ORACLES = {
     "x8_native_session_window": X8_SQL,
     "w8_decile_bins": W8_SQL,
     "z2_zorder3_values": Z2_SQL,
+    "m27_kfold_assign": M27_SQL,
 }

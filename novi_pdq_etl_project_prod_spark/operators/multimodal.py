@@ -300,6 +300,27 @@ def train_test_split(
     )
 
 
+def kfold_assign(
+    df: DataFrame,
+    id_col: str,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic, content-addressed k-fold assignment for
+    cross-validation: ``fold`` is a pure function of (seed, id) via md5,
+    so folds are stable across runs, partitionings, and re-ingestions —
+    and reproducible in any engine with md5 (the m27 oracle). Adds an
+    int ``fold`` in [0, k); no shuffle, row-local."""
+    hx = F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+        1,
+        8,
+    )
+    return df.withColumn(
+        "fold", (F.conv(hx, 16, 10).cast("long") % F.lit(int(k))).cast("int")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

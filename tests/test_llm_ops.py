@@ -238,3 +238,23 @@ def test_embedding_quantization_fidelity(spark):
 
     q = quantize_embeddings(spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet"))
     assert dict(q.dtypes)["q"] == "array<tinyint>"
+
+
+def test_kfold_assign_balanced_stable_disjoint(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import kfold_assign
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    k = 5
+    folds = kfold_assign(docs, "doc_id", k=k)
+    n = docs.count()
+    counts = {r.fold: r.n for r in folds.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # every fold present, covers all rows, roughly balanced (content-
+    # addressed md5 ~ uniform; 30% slack at this tiny n)
+    assert set(counts) == set(range(k)) and sum(counts.values()) == n
+    for f, c in counts.items():
+        assert abs(c - n / k) < 0.3 * n / k, f"fold {f} skewed: {c} of {n}"
+    # stable across partition layouts (the cross-validation guarantee)
+    again = kfold_assign(docs.repartition(17, "text"), "doc_id", k=k)
+    assert folds.select("doc_id", "fold").exceptAll(
+        again.select("doc_id", "fold")).count() == 0
