@@ -65,6 +65,10 @@ HEADLINE = [
     "d6_price_histogram",
     "d7_monthly_anomalies",
     "z1_zorder_values",
+    "x7_gap_fill",
+    "x8_native_session_window",
+    "w8_decile_bins",
+    "m27_kfold_assign",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
