@@ -82,7 +82,7 @@ def m26_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sized = docs.select("doc_id", TX.token_count("text").alias("tok"))
     return pack_sequences(
-        sized, id_col="doc_id", token_count="tok", budget=512, bucket_hex_chars=1
+        sized, id_col="doc_id", token_count="tok", budget=512, bucket_hex_chars=2
     )
 
 
@@ -91,7 +91,7 @@ WITH tok AS (
   SELECT doc_id,
          len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
            AS n_tokens,
-         substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
   FROM documents
 ),
 filled AS (

@@ -19,9 +19,11 @@ Key differences from the reference's usage, on purpose:
   medallion layout that operation is partition overwrite instead. For
   genuine JDBC idempotency, stage to a temp table and swap server-side.
 
-These functions build Spark's standard JDBC reader/writer options; they
-are exercised in tests only up to option construction (no database
-server ships in this environment).
+These functions build Spark's standard JDBC reader/writer options; the
+full read/write path runs live in ``tests/test_jdbc_roundtrip.py``
+against embedded Apache Derby (bundled with the Spark distribution), so
+append, read-back, pushdown subqueries, partitioned reads, and the
+idempotent month load below are all executed, not just constructed.
 """
 
 from __future__ import annotations
@@ -85,6 +87,64 @@ def month_slice_query(
     return (
         f"(SELECT {columns} FROM {table} "
         f"WHERE {month_column} = {int(yyyymm)}) src"
+    )
+
+
+def execute_jdbc_statement(spark: SparkSession, url: str, sql: str) -> None:
+    """Driver-side DDL/DML through the JVM's DriverManager — the
+    reference's psycopg2 side-channel (``dags/pdq_etl_dag.py:183-187``
+    month deletes) without leaving the JVM. One short-lived connection;
+    use only for metadata-sized statements (deletes by key, DDL), never
+    to move data."""
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            stmt.execute(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def write_jdbc_month_idempotent(
+    df: DataFrame,
+    url: str,
+    table: str,
+    user: str,
+    password: str,
+    driver: str = "org.postgresql.Driver",
+    month_column: str = "yyyymm",
+    batch_size: int = 10_000,
+) -> None:
+    """S7 over JDBC: delete-month-then-append, the reference's idempotent
+    month load (`transform_lease.py` delete_month + append) as one call.
+
+    The months present in ``df`` are collected driver-side (bounded: one
+    value per month, never data-sized), each deleted via
+    :func:`execute_jdbc_statement`, then the frame is appended. Re-running
+    with the same input rewrites identical rows — safe for retries and
+    for streaming foreachBatch replays. Quoting matches what Spark's
+    JDBC writer creates: the table name passes through UNQUOTED (the
+    database canonicalizes it), while column names are dialect-quoted
+    and stay case-sensitive."""
+    months = [r[0] for r in df.select(month_column).distinct().collect()]
+    spark = df.sparkSession
+    try:  # first load: the table only exists after the first append
+        execute_jdbc_statement(spark, url, f"SELECT 1 FROM {table} WHERE 1=0")
+        exists = True
+    except Exception:
+        exists = False
+    if exists:
+        for m in months:
+            execute_jdbc_statement(
+                spark,
+                url,
+                f'DELETE FROM {table} WHERE "{month_column}" = {int(m)}',
+            )
+    write_jdbc_append(
+        df, url, table, user=user, password=password, driver=driver,
+        batch_size=batch_size,
     )
 
 

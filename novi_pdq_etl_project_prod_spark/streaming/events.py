@@ -248,6 +248,60 @@ def stream_to_medallion(
     q.awaitTermination()
 
 
+def stream_to_jdbc_monthly(
+    events: DataFrame,
+    url: str,
+    table: str,
+    checkpoint_dir: str,
+    user: str,
+    password: str,
+    driver: str,
+    watermark: str = "35 days",
+) -> None:
+    """Streaming → warehouse bridge: maintain the monthly rollup in a
+    JDBC table (the reference's Postgres surface) from an event stream.
+
+    Same shape as :func:`stream_to_medallion`, but each micro-batch runs
+    the JDBC **delete-month-then-append** idempotent load
+    (``sources.jdbc.write_jdbc_month_idempotent``) instead of a partition
+    overwrite — so a checkpoint replay rewrites identical rows and the
+    warehouse never double-counts. Blocks until available input is
+    processed (availableNow)."""
+    from novi_pdq_etl_project_prod_spark.sources.jdbc import (
+        write_jdbc_month_idempotent,
+    )
+
+    monthly = (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+    def _write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_jdbc_month_idempotent(
+            batch_df, url, table, user=user, password=password, driver=driver
+        )
+
+    q = (
+        monthly.writeStream.foreachBatch(_write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_to_memory_sink(
     df: DataFrame,
     query_name: str,

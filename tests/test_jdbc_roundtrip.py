@@ -106,3 +106,67 @@ def test_jdbc_partitioned_read(spark, derby_url):
     # 4 concurrent embedded connections, one per partition
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 100
+
+
+def test_jdbc_month_idempotent_rerun(spark, derby_url):
+    from novi_pdq_etl_project_prod_spark.sources.jdbc import (
+        read_jdbc_table,
+        write_jdbc_month_idempotent,
+    )
+
+    df = _seed_df(spark).where("yyyymm IN (202401, 202402)")
+    for _ in range(3):  # re-running must never duplicate a month
+        write_jdbc_month_idempotent(
+            df, derby_url, "fact_idem", user="app", password="app",
+            driver=DERBY_DRIVER,
+        )
+    back = read_jdbc_table(
+        spark, derby_url, "fact_idem", user="app", password="app",
+        driver=DERBY_DRIVER,
+    )
+    assert back.count() == df.count()
+    assert back.exceptAll(df).count() == 0
+
+
+def test_stream_to_jdbc_exactly_once_across_restarts(spark, derby_url, tmp_path):
+    import pyspark.sql.functions as F
+
+    from novi_pdq_etl_project_prod_spark.session import read_events
+    from novi_pdq_etl_project_prod_spark.sources.jdbc import read_jdbc_table
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        read_event_stream,
+        stream_to_jdbc_monthly,
+    )
+
+    src = str(tmp_path / "incoming")
+    ev = read_events(spark, "/root/testdata/sf0.001")
+    ev.where("event_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+
+    chk = str(tmp_path / "chk")
+    kw = dict(user="app", password="app", driver=DERBY_DRIVER)
+    stream_to_jdbc_monthly(
+        read_event_stream(spark, src), derby_url, "ev_rollup",
+        checkpoint_dir=chk, **kw,
+    )
+    ev.where("event_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    stream_to_jdbc_monthly(  # restart on the same checkpoint
+        read_event_stream(spark, src), derby_url, "ev_rollup",
+        checkpoint_dir=chk, **kw,
+    )
+
+    got = read_jdbc_table(spark, derby_url, "ev_rollup", **kw)
+    want = (
+        ev.groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.agg(F.sum("n_events")).collect()[0][0] == ev.count()
+    assert got.selectExpr("CAST(yyyymm AS INT) yyyymm", "user_id", "n_events", "sum_value").exceptAll(want).count() == 0

@@ -112,7 +112,12 @@ def main_docs(k: int) -> None:
     n = spark.read.parquet(f"{out_dir}/documents.parquet").count()
     print(f"replicated docs x{k} ({n} rows) in {time.perf_counter()-t0:.1f}s")
 
-    probe = ["m8_minhash_near_dups", "m19_decontaminate"]
+    probe = [
+        "m8_minhash_near_dups",
+        "m19_decontaminate",
+        "m22_boilerplate_ngrams",
+        "m26_sequence_packing",
+    ]
     results = {}
     for sf_label, sf_dir in (("sf0.1", SRC), (f"docs x{k}", out_dir)):
         timings = {}
