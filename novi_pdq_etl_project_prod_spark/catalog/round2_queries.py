@@ -585,6 +585,49 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# DQ3 — referential integrity across the star schema: orphan FK counts
+# (left-anti joins; keys-only shuffle)
+# ---------------------------------------------------------------------------
+
+def dq3_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.quality import (
+        referential_suite,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    su = _t(spark, sf_dir, "supplier")
+    pa = _t(spark, sf_dir, "part")
+    return referential_suite(
+        [
+            (li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+            (li, pa, "l_partkey", "p_partkey", "lineitem->part"),
+            (li, su, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+            (o, c, "o_custkey", "c_custkey", "orders->customer"),
+        ]
+    ).orderBy("relation")
+
+
+DQ3_SQL = """
+SELECT * FROM (
+  SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_orphans
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+  UNION ALL
+  SELECT 'lineitem->part', COUNT(*)
+  FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+  UNION ALL
+  SELECT 'lineitem->supplier', COUNT(*)
+  FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+  UNION ALL
+  SELECT 'orders->customer', COUNT(*)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+)
+ORDER BY relation
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -600,6 +643,7 @@ QUERIES = {
     "w8_decile_bins": w8_decile_bins,
     "z2_zorder3_values": z2_zorder3_values,
     "m27_kfold_assign": m27_kfold_assign,
+    "dq3_referential_integrity": dq3_referential_integrity,
 }
 
 ORACLES = {
@@ -617,4 +661,5 @@ ORACLES = {
     "w8_decile_bins": W8_SQL,
     "z2_zorder3_values": Z2_SQL,
     "m27_kfold_assign": M27_SQL,
+    "dq3_referential_integrity": DQ3_SQL,
 }

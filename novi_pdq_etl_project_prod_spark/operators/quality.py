@@ -132,3 +132,41 @@ def rollup_reconciliation_suite(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("check_type", "key")
+
+
+def referential_orphans(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    relation: str,
+) -> DataFrame:
+    """FK integrity gate: one row (relation, n_orphans) counting child
+    rows whose ``fk`` has no matching ``pk`` in the parent — the check a
+    warehouse load runs before publishing a star schema (the reference's
+    dims are upserted before facts land for exactly this reason,
+    model_curated.py:72-101).
+
+    LeftAnti join: Spark broadcasts the parent key set when small, else
+    sort-merge — either way only keys shuffle, never payloads."""
+    from pyspark.sql import functions as F
+
+    orphans = child.select(F.col(fk).alias("_k")).join(
+        parent.select(F.col(pk).alias("_k")), "_k", "left_anti"
+    )
+    return orphans.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("n_orphans"),
+    )
+
+
+def referential_suite(
+    relations: list,
+) -> DataFrame:
+    """Union of :func:`referential_orphans` over (child, parent, fk, pk,
+    name) tuples — one pass per relation, one tiny row each."""
+    parts = [referential_orphans(*r) for r in relations]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -92,3 +92,25 @@ def test_salted_join_matches_plain_join(spark):
         assert got.count() == want.count()
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
+
+
+def test_referential_orphans_detects_planted_orphan(spark):
+    from novi_pdq_etl_project_prod_spark.operators.quality import (
+        referential_orphans,
+        referential_suite,
+    )
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "orphan"), (98, "orphan2")], ["fk", "v"]
+    )
+    row = referential_orphans(child, parent, "fk", "pk", "child->parent").collect()[0]
+    assert (row.relation, row.n_orphans) == ("child->parent", 2)
+    suite = referential_suite(
+        [
+            (child, parent, "fk", "pk", "bad"),
+            (parent, parent, "pk", "pk", "self"),
+        ]
+    )
+    got = {r.relation: r.n_orphans for r in suite.collect()}
+    assert got == {"bad": 2, "self": 0}
