@@ -1,6 +1,15 @@
-"""Round-2 catalog additions: interval-join attribution (the batch twin
-of the stream-stream join), sequence packing, distribution analytics,
-and the z-order layout expression.
+"""Round-2 catalog additions:
+
+- ``x6`` interval-join attribution (batch twin of the stream-stream join)
+- ``x7`` gap-filled monthly series (spine + IGNORE NULLS forward fill)
+- ``x8`` native session windows (MergingSessions, shared batch/stream graph)
+- ``w8`` ntile / percent_rank / cume_dist decile binning
+- ``r6`` unpivot (inverse of r3_pivot)
+- ``m26`` sequence packing, ``m27`` k-fold assignment
+- ``d6``-``d10`` distribution analytics (histogram, z-score anomalies,
+  heavy hitters, exact-moment correlation, column profiler)
+- ``z1``/``z2`` 2-D and 3-D Morton (z-order) layout expressions
+- ``dq3`` referential-integrity gate (orphan FKs across the star schema)
 
 Each query follows the determinism contract in catalog/__init__ (exact
 decimal aggregation, double only at the edge, engine-portable md5/bit

@@ -41,6 +41,8 @@ PROBE_QUERIES = [
     "m26_sequence_packing",
     "d6_price_histogram",
     "d8_heavy_hitters",
+    "x6_click_attribution",
+    "x8_native_session_window",
 ]
 
 
@@ -50,8 +52,15 @@ def replicate(spark, out_dir: str, k: int) -> None:
     li = spark.read.parquet(f"{SRC}/lineitem.parquet")
     o = spark.read.parquet(f"{SRC}/orders.parquet")
     docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    # events: read ts as raw long nanos (plain BIGINT in the replica —
+    # session.read_events handles either form); replicate by shifting
+    # user_id/event_id so months are unchanged but users/rows grow k×
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
     max_ok = o.agg(F.max("o_orderkey")).collect()[0][0] + 1
     max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    max_uid = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    max_eid = ev.agg(F.max("event_id")).collect()[0][0] + 1
 
     def shifted(df, col, step, i):
         return df.withColumn(col, F.col(col) + F.lit(i * step))
@@ -59,14 +68,19 @@ def replicate(spark, out_dir: str, k: int) -> None:
     li_k = li
     o_k = o
     d_k = docs
+    e_k = ev
     for i in range(1, k):
         li_k = li_k.unionByName(shifted(li, "l_orderkey", max_ok, i))
         o_k = o_k.unionByName(shifted(o, "o_orderkey", max_ok, i))
         d_k = d_k.unionByName(shifted(docs, "doc_id", max_doc, i))
+        e_k = e_k.unionByName(
+            shifted(shifted(ev, "user_id", max_uid, i), "event_id", max_eid, i)
+        )
     li_k.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
     o_k.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
     d_k.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
-    for t in ("customer", "supplier", "part", "nation", "region", "embeddings", "events"):
+    e_k.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+    for t in ("customer", "supplier", "part", "nation", "region", "embeddings"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
