@@ -637,6 +637,45 @@ ORDER BY relation
 """
 
 
+# ---------------------------------------------------------------------------
+# M28 — materialized packed sequences: m26's assignment joined back to
+# the corpus, one concatenated training sequence per pack
+# ---------------------------------------------------------------------------
+
+def m28_packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.packing import (
+        concat_packed_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    asg = m26_sequence_packing(spark, sf_dir)
+    return concat_packed_sequences(docs, asg, "doc_id", "text")
+
+
+M28_SQL = """
+WITH tok AS (
+  SELECT doc_id, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+           AS n_tokens,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents
+),
+filled AS (
+  SELECT doc_id, text, n_tokens, bucket,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM tok
+)
+SELECT bucket || '-' || CAST(((cum_tokens - n_tokens) // 512) AS VARCHAR) AS pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+       string_agg(text, ' <eos> ' ORDER BY doc_id) AS sequence
+FROM filled
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -653,6 +692,7 @@ QUERIES = {
     "z2_zorder3_values": z2_zorder3_values,
     "m27_kfold_assign": m27_kfold_assign,
     "dq3_referential_integrity": dq3_referential_integrity,
+    "m28_packed_sequences": m28_packed_sequences,
 }
 
 ORACLES = {
@@ -671,4 +711,5 @@ ORACLES = {
     "z2_zorder3_values": Z2_SQL,
     "m27_kfold_assign": M27_SQL,
     "dq3_referential_integrity": DQ3_SQL,
+    "m28_packed_sequences": M28_SQL,
 }

@@ -69,6 +69,38 @@ def pack_sequences(
     )
 
 
+def concat_packed_sequences(
+    docs: DataFrame,
+    assignments: DataFrame,
+    id_col: str,
+    text_col: str,
+    separator: str = " <eos> ",
+) -> DataFrame:
+    """Materialize training sequences: join the pack assignment back to
+    the corpus and concatenate each pack's documents (ordered by id,
+    ``separator``-joined) into one row per pack.
+
+    Determinism: ``collect_list`` order is partition-dependent, so the
+    list collects (id, text) structs and ``array_sort`` restores the id
+    order before concatenation — same output on any layout. Group
+    payload is bounded by the pack token budget, so the per-group state
+    stays small no matter how large the corpus is. One shuffle (the
+    pack_id aggregation) beyond the assignment join."""
+    joined = docs.select(F.col(id_col), F.col(text_col)).join(
+        assignments.select(id_col, "pack_id", "n_tokens"), id_col
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col).alias("i"), F.col(text_col).alias("t")))
+    )
+    return joined.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.concat_ws(
+            separator, F.transform(pairs, lambda s: s["t"])
+        ).alias("sequence"),
+    )
+
+
 def pack_fill_stats(assignments: DataFrame, budget: int) -> DataFrame:
     """Per-pack fill summary over ``pack_sequences`` output: document
     count, token total, and fill ratio against the budget. One hash
