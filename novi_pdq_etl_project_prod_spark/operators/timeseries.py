@@ -51,11 +51,14 @@ def gap_fill_monthly(
 
     ``grain`` must already be aggregated to the (keys, yyyymm) grain.
     Missing months appear with ``is_filled = true`` and each measure
-    either carried forward (``fill="ffill"``) or zeroed
-    (``fill="zero"``). Measures should still be exact (DECIMAL/int)
-    types; callers cast to double after filling.
+    either carried forward (``fill="ffill"``), zeroed (``fill="zero"``),
+    or left null (``fill="none"``). Measures should still be exact
+    (DECIMAL/int) types; callers cast to double after filling.
+
+    This is the single spine/fill implementation — the legacy
+    single-entity ``operators.windows.densify_months`` delegates here.
     """
-    if fill not in ("ffill", "zero"):
+    if fill not in ("ffill", "zero", "none"):
         raise ValueError(f"unknown fill mode {fill!r}")
     base = grain.withColumn("_mi", month_index(yyyymm_col)).drop(yyyymm_col)
     bounds = base.groupBy(*keys).agg(
@@ -73,8 +76,10 @@ def gap_fill_monthly(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         filled = [F.last(m, ignorenulls=True).over(w).alias(m) for m in measures]
-    else:
+    elif fill == "zero":
         filled = [F.coalesce(F.col(m), F.lit(0)).alias(m) for m in measures]
+    else:  # "none": densify only, gaps stay null
+        filled = [F.col(m).alias(m) for m in measures]
     return joined.select(
         *keys,
         index_to_yyyymm(F.col("_mi")).alias(yyyymm_col),

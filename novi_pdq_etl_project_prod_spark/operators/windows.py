@@ -82,40 +82,30 @@ def densify_months(
     the last observed value forward (``fill='forward'``) or stay null
     (``fill='none'``).
 
-    The month spine is generated per entity from min/max (sequence over
-    month arithmetic — no calendar table join needed), left-joined back,
-    then one window pass fills. Two shuffles total (spine join + window),
-    both on the entity key. The reference's yyyymm integer encoding makes
-    month stepping non-trivial (201712 + 1 ≠ 201801) — the spine converts
-    through a month ordinal: ord = y*12 + (m-1).
+    Thin single-entity wrapper over the canonical spine/fill
+    implementation, ``operators.timeseries.gap_fill_monthly`` (multi-key,
+    ffill/zero/none, is_filled flag). Two shuffles total (spine join +
+    window), both on the entity key. The reference's yyyymm integer
+    encoding makes month stepping non-trivial (201712 + 1 ≠ 201801) —
+    the spine converts through a month ordinal: ord = y*12 + (m-1).
     """
-    ord_col = (F.col(month_col) / 100).cast("int") * 12 + (
-        F.col(month_col) % 100 - 1
+    from novi_pdq_etl_project_prod_spark.operators.timeseries import (
+        gap_fill_monthly,
     )
-    bounds = df.groupBy(entity_col).agg(
-        F.min(ord_col).alias("__lo"), F.max(ord_col).alias("__hi")
+
+    if not value_cols:
+        # spine only: synthesize a probe measure so the join shape holds,
+        # then drop it
+        probed = df.withColumn("__probe", F.lit(1))
+        out = gap_fill_monthly(
+            probed, [entity_col], month_col, ["__probe"], fill="none"
+        )
+        return out.drop("__probe", "is_filled")
+    mode = {"forward": "ffill", "none": "none"}[fill]
+    out = gap_fill_monthly(
+        df, [entity_col], month_col, list(value_cols), fill=mode
     )
-    spine = bounds.select(
-        entity_col,
-        F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__ord"),
-    ).select(
-        entity_col,
-        (
-            F.floor(F.col("__ord") / 12) * 100 + (F.col("__ord") % 12 + 1)
-        ).cast("int").alias(month_col),
-    )
-    joined = spine.join(df, [entity_col, month_col], "left")
-    if fill == "none" or not value_cols:
-        return joined
-    w = (
-        Window.partitionBy(entity_col)
-        .orderBy(month_col)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    out = joined
-    for c in value_cols:
-        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
-    return out
+    return out.drop("is_filled")
 
 
 def with_moving_agg(
