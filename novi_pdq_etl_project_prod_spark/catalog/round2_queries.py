@@ -676,6 +676,107 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# U4/U5 — multiset set ops (EXCEPT ALL / INTERSECT ALL): keep
+# multiplicity, unlike u2/u3's distinct forms
+# ---------------------------------------------------------------------------
+
+def u4_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.year("l_shipdate") == 1995).select("l_suppkey")
+    b = li.where(F.year("l_shipdate") == 1996).select("l_suppkey")
+    return (
+        a.exceptAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("surplus_lines"))
+    )
+
+
+U4_SQL = """
+SELECT l_suppkey, COUNT(*) AS surplus_lines
+FROM (
+  SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995
+  EXCEPT ALL
+  SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1996
+)
+GROUP BY 1
+"""
+
+
+def u5_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.where(F.year("l_shipdate") == 1995).select("l_suppkey")
+    b = li.where(F.year("l_shipdate") == 1996).select("l_suppkey")
+    return (
+        a.intersectAll(b)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("common_lines"))
+    )
+
+
+U5_SQL = """
+SELECT l_suppkey, COUNT(*) AS common_lines
+FROM (
+  SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995
+  INTERSECT ALL
+  SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1996
+)
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# F6 — higher-order array function surface (transform / filter /
+# aggregate / zip_with / array_contains), all JVM-side lambdas
+# ---------------------------------------------------------------------------
+
+def f6_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_len"),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), F.upper), ","
+        ).alias("head3_upper"),
+        F.array_join(
+            F.zip_with(
+                F.slice(toks, 1, 3),
+                F.transform(F.slice(toks, 1, 3), F.length),
+                lambda t, n: F.concat_ws(":", t, n.cast("string")),
+            ),
+            ",",
+        ).alias("head3_sized"),
+        F.array_contains(toks, "the").alias("has_the"),
+    )
+
+
+F6_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(list_filter(toks, x -> len(x) > 5)) AS n_long,
+       CAST(list_sum(list_transform(toks, x -> len(x))) AS BIGINT) AS total_len,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), ',')
+         AS head3_upper,
+       array_to_string(
+         list_transform(toks[1:3], x -> x || ':' || CAST(len(x) AS VARCHAR)),
+         ','
+       ) AS head3_sized,
+       list_contains(toks, 'the') AS has_the
+FROM t
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -693,6 +794,9 @@ QUERIES = {
     "m27_kfold_assign": m27_kfold_assign,
     "dq3_referential_integrity": dq3_referential_integrity,
     "m28_packed_sequences": m28_packed_sequences,
+    "u4_except_all": u4_except_all,
+    "u5_intersect_all": u5_intersect_all,
+    "f6_hof_surface": f6_hof_surface,
 }
 
 ORACLES = {
@@ -712,4 +816,7 @@ ORACLES = {
     "m27_kfold_assign": M27_SQL,
     "dq3_referential_integrity": DQ3_SQL,
     "m28_packed_sequences": M28_SQL,
+    "u4_except_all": U4_SQL,
+    "u5_intersect_all": U5_SQL,
+    "f6_hof_surface": F6_SQL,
 }
