@@ -777,6 +777,71 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# F7 — JSON path surface over events.props: get_json_object and the
+# from_json map route certified against the same oracle extraction
+# ---------------------------------------------------------------------------
+
+def f7_json_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, MapType, StringType
+
+    ev = read_events(spark, sf_dir)
+    pmap = F.from_json("props", MapType(StringType(), IntegerType()))
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        pmap.getItem("k").alias("k_map"),
+        F.length("props").alias("props_len"),
+    )
+
+
+F7_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_path,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_map,
+       CAST(len(props) AS INT) AS props_len
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# W9 — value-RANGE window frame: trailing 90 calendar days per customer
+# (frame bounded by ORDER BY VALUE, not row count — rows on the same day
+# always share a frame, so the result is tie-order independent)
+# ---------------------------------------------------------------------------
+
+def w9_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-89, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_90d"),
+    )
+
+
+W9_SQL = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+         RANGE BETWEEN 89 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_90d
+FROM orders
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -797,6 +862,8 @@ QUERIES = {
     "u4_except_all": u4_except_all,
     "u5_intersect_all": u5_intersect_all,
     "f6_hof_surface": f6_hof_surface,
+    "f7_json_path": f7_json_path,
+    "w9_range_frame": w9_range_frame,
 }
 
 ORACLES = {
@@ -819,4 +886,6 @@ ORACLES = {
     "u4_except_all": U4_SQL,
     "u5_intersect_all": U5_SQL,
     "f6_hof_surface": F6_SQL,
+    "f7_json_path": F7_SQL,
+    "w9_range_frame": W9_SQL,
 }
