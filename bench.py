@@ -69,6 +69,8 @@ HEADLINE = [
     "x8_native_session_window",
     "w8_decile_bins",
     "m27_kfold_assign",
+    "m28_packed_sequences",
+    "w9_range_frame",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
