@@ -842,6 +842,50 @@ FROM orders
 """
 
 
+# ---------------------------------------------------------------------------
+# M29 — winnowing fingerprints (MOSS): k-gram rolling hashes, window
+# minima — guarantees shared fingerprints for any match >= k+w-1 tokens
+# ---------------------------------------------------------------------------
+
+def m29_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+
+
+M29_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+  FROM toks WHERE len(t) >= 5
+),
+grams AS (
+  SELECT doc_id, i,
+         ('0x' || substring(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT
+           AS h
+  FROM idx
+),
+wins AS (
+  SELECT doc_id, i,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         COUNT(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM wins WHERE i <= ng - 3
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_fp,
+       array_to_string(list_sort(list(fp)), ',') AS fingerprints
+FROM fps
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -864,6 +908,7 @@ QUERIES = {
     "f6_hof_surface": f6_hof_surface,
     "f7_json_path": f7_json_path,
     "w9_range_frame": w9_range_frame,
+    "m29_winnowing_fingerprints": m29_winnowing_fingerprints,
 }
 
 ORACLES = {
@@ -888,4 +933,5 @@ ORACLES = {
     "f6_hof_surface": F6_SQL,
     "f7_json_path": F7_SQL,
     "w9_range_frame": W9_SQL,
+    "m29_winnowing_fingerprints": M29_SQL,
 }

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Default whitespace tokenizer pattern (split on runs of whitespace).
@@ -310,3 +310,77 @@ def min_shingle_hash(col: Column | str, n: int = 3) -> Column:
     deterministic, SQL-expressible signature component (the k-permutation
     generalization lives in operators.dedup)."""
     return F.array_min(F.transform(shingles(col, n), F.md5))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-gram, slide a window of ``window``
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    match of length >= k + window - 1 tokens shares a fingerprint, with
+    ~2/(window+1) of hashes retained.
+
+    Shape: the k-gram array is built ONCE per row (a single transform —
+    O(tokens·k)), then posexplode + a row-frame MIN window compute the
+    winnow. One shuffle (the per-document window/regroup). Building the
+    window minima as nested array lambdas instead would inline the whole
+    hash chain into every window position — O(grams²) md5 calls per
+    document (measured 60s vs 2s on 500 docs) — which is why this is a
+    DataFrame operator, not a Column expression.
+
+    The hash is the first 8 md5 hex digits as an int — portable to the
+    DuckDB oracle via ``('0x' || hex)::BIGINT``. Documents shorter than
+    k + window - 1 tokens are dropped (no full window exists).
+
+    Output: (id_col, n_fp, fingerprints) with the fingerprint set
+    ascending, comma-joined (driver-compat: no array columns).
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t")).where(
+        F.size("_t") >= F.lit(k + window - 1)
+    )
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size("_t") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, k)),
+    )
+    g = base.select(
+        id_col, F.posexplode(grams_arr).alias("_i", "_gram")
+    ).select(
+        id_col,
+        "_i",
+        F.conv(F.substring(F.md5("_gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    w_min = (
+        Window.partitionBy(id_col)
+        .orderBy("_i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    w_cnt = Window.partitionBy(id_col)
+    wins = g.select(
+        id_col,
+        "_i",
+        F.min("_h").over(w_min).alias("_fp"),
+        F.count(F.lit(1)).over(w_cnt).alias("_ng"),
+    )
+    fps = (
+        wins.where(F.col("_i") <= F.col("_ng") - window)
+        .select(id_col, "_fp")
+        .distinct()
+    )
+    return fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_fp"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("_fp")),
+                lambda h: h.cast("string"),
+            ),
+            ",",
+        ).alias("fingerprints"),
+    )

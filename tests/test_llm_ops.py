@@ -258,3 +258,33 @@ def test_kfold_assign_balanced_stable_disjoint(spark):
     again = kfold_assign(docs.repartition(17, "text"), "doc_id", k=k)
     assert folds.select("doc_id", "fold").exceptAll(
         again.select("doc_id", "fold")).count() == 0
+
+
+def test_winnowing_guarantee_and_determinism(spark):
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(20))  # 20-token span
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma"),
+            (2, shared + " delta epsilon zeta"),
+            (3, " ".join(f"other{i}" for i in range(30))),
+            (4, "too short"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    fps = {r.doc_id: set(r.fingerprints.split(",")) for r in out.collect()}
+    # MOSS guarantee: a shared span of >= k + window - 1 tokens shares
+    # at least one fingerprint; disjoint docs share none; short docs drop
+    assert fps[1] & fps[2], "shared 20-token span produced no common fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert 4 not in fps
+    again = winnowing_fingerprints(
+        docs.repartition(7), "doc_id", "text", k=5, window=4
+    )
+    assert {(r.doc_id, r.fingerprints) for r in again.collect()} == {
+        (r.doc_id, r.fingerprints) for r in out.collect()
+    }
