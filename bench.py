@@ -71,6 +71,7 @@ HEADLINE = [
     "m27_kfold_assign",
     "m28_packed_sequences",
     "w9_range_frame",
+    "m29_winnowing_fingerprints",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
