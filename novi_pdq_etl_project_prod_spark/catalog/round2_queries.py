@@ -886,6 +886,38 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# X9 — unattributed clicks: the left-OUTER stream-stream interval join
+# (outer rows emit in streaming only after the watermark closes them)
+# ---------------------------------------------------------------------------
+
+def x9_unattributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        unattributed_clicks,
+    )
+
+    ev = read_events(spark, sf_dir)
+    return unattributed_clicks(ev, attribution_window="1 hour")
+
+
+X9_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts
+FROM ev c
+WHERE c.event_type = 'click'
+  AND NOT EXISTS (
+    SELECT 1 FROM ev p
+    WHERE p.event_type = 'purchase'
+      AND p.user_id = c.user_id
+      AND p.ts > c.ts
+      AND p.ts <= c.ts + INTERVAL 1 HOUR
+  )
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -909,6 +941,7 @@ QUERIES = {
     "f7_json_path": f7_json_path,
     "w9_range_frame": w9_range_frame,
     "m29_winnowing_fingerprints": m29_winnowing_fingerprints,
+    "x9_unattributed_clicks": x9_unattributed_clicks,
 }
 
 ORACLES = {
@@ -934,4 +967,5 @@ ORACLES = {
     "f7_json_path": F7_SQL,
     "w9_range_frame": W9_SQL,
     "m29_winnowing_fingerprints": M29_SQL,
+    "x9_unattributed_clicks": X9_SQL,
 }

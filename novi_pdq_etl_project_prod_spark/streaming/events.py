@@ -112,6 +112,71 @@ def streaming_dedup(
     )
 
 
+def unattributed_clicks(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Clicks that led to NO purchase within the attribution window —
+    the left-OUTER stream-stream join (anti joins are not stream-legal;
+    outer + null-filter is). In streaming, the null-padded row can only
+    emit once the watermark proves no matching purchase can still
+    arrive; on batch input the same graph evaluates eagerly, which is
+    how the x9 oracle certifies it."""
+    joined = click_purchase_attribution_joinable(
+        events, attribution_window, watermark, how="left_outer"
+    )
+    return joined.where(F.col("purchase_id").isNull()).select(
+        "user_id", "click_id", "click_ts"
+    )
+
+
+def click_purchase_attribution_joinable(
+    events: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Shared click↔purchase interval-join graph with a pluggable join
+    type (inner → attribution, left_outer → unattributed detection)."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
+        ),
+        how,
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def session_window_rollup(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -160,41 +225,8 @@ def click_purchase_attribution(
     condition the state would grow forever). Works identically on a
     batch DataFrame, which the tests use as the oracle.
     """
-    clicks = (
-        events.where(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        )
-        .withWatermark("click_ts", watermark)
-    )
-    purchases = (
-        events.where(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        )
-        .withWatermark("purchase_ts", watermark)
-    )
-    return clicks.join(
-        purchases,
-        (F.col("c_user") == F.col("p_user"))
-        & (F.col("purchase_ts") > F.col("click_ts"))
-        & (
-            F.col("purchase_ts")
-            <= F.col("click_ts") + F.expr(f"INTERVAL {attribution_window}")
-        ),
-        "inner",
-    ).select(
-        F.col("c_user").alias("user_id"),
-        "click_id",
-        "purchase_id",
-        "click_ts",
-        "purchase_ts",
-        "purchase_value",
+    return click_purchase_attribution_joinable(
+        events, attribution_window, watermark, how="inner"
     )
 
 
