@@ -461,3 +461,32 @@ def test_native_session_window_stream_matches_batch(spark, events_dir):
     )
     assert closed.exceptAll(got).count() == 0
     assert closed.count() > 0  # the assertion above isn't vacuous
+
+
+def test_outer_interval_join_stream_matches_batch(spark, events_dir):
+    """Left-outer stream-stream join: every emitted unattributed click
+    matches the batch twin, and every click whose attribution window
+    provably closed before the final watermark was emitted."""
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        read_event_stream,
+        run_to_memory_sink,
+        unattributed_clicks,
+    )
+
+    stream = unattributed_clicks(read_event_stream(spark, events_dir))
+    run_to_memory_sink(stream, "unattributed", output_mode="append")
+    got = spark.sql("SELECT * FROM unattributed")
+    batch = unattributed_clicks(spark.read.parquet(events_dir))
+
+    assert got.count() > 0
+    assert got.exceptAll(batch).count() == 0
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    # outer-row eviction waits for watermark (2h) PLUS the join's time
+    # range (1h window) — clicks older than watermark - window are the
+    # provably-closed set; add the window twice for the range condition
+    closed = batch.where(
+        F.col("click_ts")
+        < F.lit(max_ts) - F.expr("INTERVAL 2 HOURS") - F.expr("INTERVAL 2 HOURS")
+    )
+    assert closed.count() > 0
+    assert closed.exceptAll(got).count() == 0
