@@ -918,6 +918,57 @@ WHERE c.event_type = 'click'
 """
 
 
+# ---------------------------------------------------------------------------
+# DQ4 — snapshot diff: row-level added/removed/changed/unchanged audit
+# between a table and its next (deterministically derived) version
+# ---------------------------------------------------------------------------
+
+def dq4_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.modeling import snapshot_diff
+
+    old = _t(spark, sf_dir, "orders")
+    # derived "next snapshot": drop every 97th order, bump every 89th price
+    kept = old.where(F.col("o_orderkey") % 97 != 0)
+    new = kept.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    diff = snapshot_diff(
+        old, new, pk=("o_orderkey",), compare_cols=("o_totalprice", "o_orderstatus")
+    )
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+DQ4_SQL = """
+WITH new AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 <> 0
+),
+j AS (
+  SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS pk,
+         o.o_orderkey IS NULL AS only_new,
+         n.o_orderkey IS NULL AS only_old,
+         (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+           AND (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) AS same
+  FROM orders o
+  FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT CASE WHEN only_new THEN 'added'
+            WHEN only_old THEN 'removed'
+            WHEN same THEN 'unchanged'
+            ELSE 'changed' END AS diff_status,
+       COUNT(*) AS n_rows
+FROM j
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "x6_click_attribution": x6_click_attribution,
     "m26_sequence_packing": m26_sequence_packing,
@@ -942,6 +993,7 @@ QUERIES = {
     "w9_range_frame": w9_range_frame,
     "m29_winnowing_fingerprints": m29_winnowing_fingerprints,
     "x9_unattributed_clicks": x9_unattributed_clicks,
+    "dq4_snapshot_diff": dq4_snapshot_diff,
 }
 
 ORACLES = {
@@ -968,4 +1020,5 @@ ORACLES = {
     "w9_range_frame": W9_SQL,
     "m29_winnowing_fingerprints": M29_SQL,
     "x9_unattributed_clicks": X9_SQL,
+    "dq4_snapshot_diff": DQ4_SQL,
 }

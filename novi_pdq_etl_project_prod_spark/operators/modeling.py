@@ -200,3 +200,50 @@ def project_fact(
         F.col(month_col),
         *[F.col(c) for c in measure_cols],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk: tuple[str, ...],
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """Row-level diff between two snapshots of one table: full-outer join
+    on the primary key, each row labeled added / removed / changed /
+    unchanged — the audit a warehouse load runs before publishing a new
+    snapshot (and the generalization of the reference's rollup
+    reconciliation from aggregate-level to row-level).
+
+    One shuffle (the full-outer join on pk); comparison is a null-safe
+    equality over ``compare_cols`` so NULL→value transitions count as
+    changes. At 100 TB both sides shuffle once on the same key —
+    pre-bucketing both snapshots on pk makes the join shuffle-free.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(*pk, *compare_cols)
+    n = new.select(*pk, *compare_cols)
+    o_tag = o.select(
+        *[F.col(c).alias(f"_o_{c}") for c in (*pk, *compare_cols)],
+        F.lit(True).alias("_in_old"),
+    )
+    n_tag = n.select(
+        *[F.col(c).alias(f"_n_{c}") for c in (*pk, *compare_cols)],
+        F.lit(True).alias("_in_new"),
+    )
+    cond = [F.col(f"_o_{k}").eqNullSafe(F.col(f"_n_{k}")) for k in pk]
+    j = o_tag.join(n_tag, on=cond, how="full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        same = eq if same is None else (same & eq)
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    key_cols = [
+        F.coalesce(F.col(f"_n_{k}"), F.col(f"_o_{k}")).alias(k) for k in pk
+    ]
+    return j.select(*key_cols, status.alias("diff_status"))

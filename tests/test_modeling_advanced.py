@@ -80,3 +80,25 @@ def test_scd2_is_idempotent_on_replay(spark):
     a = {tuple(r) for r in snap1.collect()}
     b = {tuple(r) for r in snap2.collect()}
     assert a == b
+
+
+def test_snapshot_diff_all_four_statuses(spark):
+    from novi_pdq_etl_project_prod_spark.operators.modeling import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c"), (4, 40.0, "d")],
+        "pk int, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 25.0, "b"), (3, 30.0, "c"), (5, 50.0, "e")],
+        "pk int, price double, status string",
+    )
+    diff = {
+        r.pk: r.diff_status
+        for r in snapshot_diff(
+            old, new, pk=("pk",), compare_cols=("price", "status")
+        ).collect()
+    }
+    # NULL -> 30.0 must count as changed (null-safe compare)
+    assert diff == {1: "unchanged", 2: "changed", 3: "changed",
+                    4: "removed", 5: "added"}
