@@ -243,3 +243,29 @@ def cluster_write(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(path)
     return path
+
+
+def write_month_with_audit(
+    df: DataFrame,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    audit_measures: dict[str, "F.Column"] | None = None,
+) -> dict:
+    """Idempotent month write + single-pass audit metrics.
+
+    ``df.observe`` attaches aggregate metrics to the SAME job that
+    performs the write, so the audit (row count + any caller measures,
+    e.g. exact decimal sums for downstream reconciliation) costs zero
+    extra scans — at 100 TB a separate post-write COUNT/SUM pass is a
+    second full read of the table; this is the pattern that removes it.
+    Returns the observed metrics dict."""
+    from pyspark.sql import Observation
+
+    obs = Observation(f"audit_{table}")
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for name, expr in (audit_measures or {}).items():
+        metrics.append(expr.alias(name))
+    observed = df.observe(obs, *metrics)
+    write_month_idempotent(observed, root, layer, table)
+    return dict(obs.get)

@@ -180,3 +180,28 @@ def test_read_table_evolved_merges_schema_across_months(spark, tmp_path):
     assert one.count() == 1
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or one.count() == 1  # pruning intact
+
+
+def test_write_month_with_audit_single_pass_metrics(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        write_month_with_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(202401, 1, 10.5), (202401, 2, 4.5), (202402, 3, 7.0)],
+        "yyyymm int, k int, measure double",
+    )
+    metrics = write_month_with_audit(
+        df, str(tmp_path / "wh"), "staging", "audited",
+        audit_measures={
+            "sum_measure": F.sum(F.col("measure").cast("decimal(18,2)")).cast(
+                "double"
+            )
+        },
+    )
+    assert metrics["n_rows"] == 3
+    assert abs(metrics["sum_measure"] - 22.0) < 1e-9
+    back = spark.read.parquet(str(tmp_path / "wh/staging/audited"))
+    assert back.count() == 3  # the write itself landed
