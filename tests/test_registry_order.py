@@ -1,0 +1,63 @@
+"""Registry-ordering contract for the external driver's 50-query budget.
+
+The driver verifies exactly the first 50 registry keys each round
+(CORRECTNESS_r01/r02 behavior). VERDICT r02 item 1/7: every query that has
+never had a driver row must sit inside that window, and net-new additions
+must not push an uncertified query out of it.
+"""
+
+import json
+import pathlib
+
+from novi_pdq_etl_project_prod_spark.catalog import DRIVER_CERTIFIED, ORACLES, QUERIES
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+DRIVER_BUDGET = 50
+
+
+def _driver_rows() -> set:
+    rows = set()
+    for f in REPO.glob("CORRECTNESS_r*.json"):
+        rows |= set(json.loads(f.read_text()))
+    return rows
+
+
+def test_uncertified_queries_lead_the_registry():
+    """Every query without a driver row is inside the first-50 window."""
+    uncertified = [q for q in QUERIES if q not in DRIVER_CERTIFIED]
+    first_window = list(QUERIES)[:DRIVER_BUDGET]
+    missing = [q for q in uncertified if q not in first_window]
+    assert not missing, (
+        f"{len(uncertified)} uncertified queries but these fall outside the "
+        f"driver's first-{DRIVER_BUDGET} window: {missing}"
+    )
+
+
+def test_certified_list_matches_correctness_files():
+    """DRIVER_CERTIFIED is exactly the union of CORRECTNESS_r*.json rows
+    that exist in the catalog (a row may cover a since-renamed query)."""
+    rows = _driver_rows() & set(QUERIES)
+    assert rows == set(DRIVER_CERTIFIED) & set(QUERIES), (
+        "certified-list drift: "
+        f"missing={sorted(rows - DRIVER_CERTIFIED)} "
+        f"stale={sorted(set(DRIVER_CERTIFIED) - rows)}"
+    )
+
+
+def test_every_query_has_oracle_or_documented_exception():
+    """Non-oracled queries must be the documented approximate/iterative set."""
+    no_oracle = {q for q in QUERIES if q not in ORACLES}
+    documented = {
+        "d2_approx_distinct",
+        "d5_approx_percentiles",
+        "m8_minhash_near_dups",
+        "m9_simhash_near_dups",
+        "m10_lsh_embedding_topk",
+        "m13_near_dup_clusters",
+        "m17_ivf_embedding_topk",
+        "m24_embedding_lsh_pairs",
+        "m25_quantization_fidelity",
+    }
+    assert no_oracle <= documented, (
+        f"undocumented no-oracle queries: {sorted(no_oracle - documented)}"
+    )
