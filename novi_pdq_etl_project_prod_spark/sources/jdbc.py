@@ -90,13 +90,25 @@ def month_slice_query(
     )
 
 
-def execute_jdbc_statement(spark: SparkSession, url: str, sql: str) -> None:
+def execute_jdbc_statement(
+    spark: SparkSession,
+    url: str,
+    sql: str,
+    user: str | None = None,
+    password: str | None = None,
+) -> None:
     """Driver-side DDL/DML through the JVM's DriverManager — the
     reference's psycopg2 side-channel (``dags/pdq_etl_dag.py:183-187``
     month deletes) without leaving the JVM. One short-lived connection;
     use only for metadata-sized statements (deletes by key, DDL), never
-    to move data."""
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    to move data. Credentials go through ``java.util.Properties`` so the
+    statement authenticates exactly like the DataFrame reader/writer."""
+    props = spark._jvm.java.util.Properties()
+    if user is not None:
+        props.setProperty("user", user)
+    if password is not None:
+        props.setProperty("password", password)
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url, props)
     try:
         stmt = conn.createStatement()
         try:
@@ -105,6 +117,35 @@ def execute_jdbc_statement(spark: SparkSession, url: str, sql: str) -> None:
             stmt.close()
     finally:
         conn.close()
+
+
+#: SQLStates that mean "this table does not exist" — Derby (42X05),
+#: Postgres (42P01), MySQL/SQLServer (42S02), older ODBC-style (S0002).
+#: Everything else (auth = class 28, connection = class 08, syntax, ...)
+#: must propagate: treating an auth failure as "table missing" would skip
+#: the idempotent delete and silently duplicate rows on replay.
+_TABLE_MISSING_SQLSTATES = frozenset({"42X05", "42P01", "42S02", "S0002"})
+
+
+def _is_table_missing(exc: BaseException) -> bool:
+    """True iff the JDBC exception chain carries a table-not-found
+    SQLState. Walks ``getCause()`` because drivers wrap the interesting
+    SQLException (Derby nests EmbedSQLException under a generic one)."""
+    je = getattr(exc, "java_exception", None)
+    depth = 0
+    while je is not None and depth < 8:
+        try:
+            state = je.getSQLState()
+        except Exception:
+            state = None
+        if state is not None and str(state) in _TABLE_MISSING_SQLSTATES:
+            return True
+        try:
+            je = je.getCause()
+        except Exception:
+            je = None
+        depth += 1
+    return False
 
 
 def write_jdbc_month_idempotent(
@@ -130,10 +171,18 @@ def write_jdbc_month_idempotent(
     and stay case-sensitive."""
     months = [r[0] for r in df.select(month_column).distinct().collect()]
     spark = df.sparkSession
+    creds = {"user": user, "password": password}
     try:  # first load: the table only exists after the first append
-        execute_jdbc_statement(spark, url, f"SELECT 1 FROM {table} WHERE 1=0")
+        execute_jdbc_statement(
+            spark, url, f"SELECT 1 FROM {table} WHERE 1=0", **creds
+        )
         exists = True
-    except Exception:
+    except Exception as exc:
+        # Only a table-not-found SQLState means "first load". Auth or
+        # connection failures re-raise — swallowing them would skip the
+        # delete and duplicate rows when the append then succeeds/retries.
+        if not _is_table_missing(exc):
+            raise
         exists = False
     if exists:
         for m in months:
@@ -141,6 +190,7 @@ def write_jdbc_month_idempotent(
                 spark,
                 url,
                 f'DELETE FROM {table} WHERE "{month_column}" = {int(m)}',
+                **creds,
             )
     write_jdbc_append(
         df, url, table, user=user, password=password, driver=driver,
