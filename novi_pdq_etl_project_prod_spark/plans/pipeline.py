@@ -51,6 +51,7 @@ from novi_pdq_etl_project_prod_spark.sources.json_raw import (
 from novi_pdq_etl_project_prod_spark.sources.layers import (
     overwrite_snapshot,
     read_month,
+    resolve_table_path,
     table_path,
     write_month_idempotent,
 )
@@ -145,14 +146,17 @@ def run_monthly_pipeline(
         pk = {"dim_operator": ("operator_no",), "dim_district": ("district_no",),
               "dim_field": ("field_no",), "dim_lease": ("lease_key",)}[name]
         try:
-            existing = spark.read.parquet(table_path(root, "curated", name))
+            existing = spark.read.parquet(
+                resolve_table_path(table_path(root, "curated", name))
+            )
         except Exception:
             existing = None
         merged = upsert_dim(existing, new, pk=pk)
-        # materialize before overwriting the path we just read
-        snapshot = merged.localCheckpoint(eager=True) if existing is not None else merged
-        overwrite_snapshot(snapshot, root, "curated", name)
-        dim_counts[name] = snapshot.count()
+        # snapshot-pointer commit: the write consumes the old snapshot's
+        # files before the atomic flip, so no checkpoint/materialization
+        # of the read-modify-write input is needed
+        overwrite_snapshot(merged, root, "curated", name)
+        dim_counts[name] = read_month(spark, root, "curated", name).count()
 
     fact_op = project_fact(op, ("operator_no",), MEASURES)
     fact_lease = project_fact(

@@ -71,22 +71,32 @@ def get_spark(
 
 
 def read_events(spark: SparkSession, sf_dir: str):
-    """Read the ``events`` fixture, tolerating its nanosecond timestamps.
+    """Read the ``events`` fixture, normalizing ``ts`` to TimestampType.
 
-    Spark's parquet reader rejects INT64 TIMESTAMP(NANOS) by default; the
-    legacy conf maps them to long nanos, which we immediately re-type to a
-    microsecond TimestampType column (content-preserving truncation — the
-    same truncation pandas applies when DuckDB hands nanos to it).
+    The fixture's ``ts`` encoding has varied across driver testdata
+    generations: INT64 TIMESTAMP(NANOS) (Spark rejects it by default; the
+    legacy conf maps it to long nanos) and plain TIMESTAMP(MICROS) with
+    isAdjustedToUTC=false (Spark reads TIMESTAMP_NTZ). Adapt to whatever is
+    on disk and always hand back a session-tz (UTC) TimestampType column so
+    every downstream query sees one stable schema.
     """
     import os as _os
 
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
-    # integer division: epoch-nanos (~1.7e18) exceed double's 2^53 mantissa,
-    # so `/ 1000` through double arithmetic drifts by ±1µs
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer division: epoch-nanos (~1.7e18) exceed double's 2^53
+        # mantissa, so `/ 1000` through double arithmetic drifts by ±1µs
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ → session-tz timestamp (a value-preserving relabel
+        # under the engine's forced UTC session timezone)
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):

@@ -9,6 +9,7 @@ from novi_pdq_etl_project_prod_spark.sources.dsv import read_dsv  # noqa: F401
 from novi_pdq_etl_project_prod_spark.sources.layers import (  # noqa: F401
     MedallionLayer,
     read_month,
+    resolve_table_path,
     write_month_idempotent,
 )
 from novi_pdq_etl_project_prod_spark.sources.json_raw import (  # noqa: F401

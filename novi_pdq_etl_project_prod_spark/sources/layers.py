@@ -35,9 +35,104 @@ class MedallionLayer(str, enum.Enum):
     CURATED = "curated"
 
 
+#: Pointer file naming the live snapshot directory inside a table dir.
+#: Starts with ``_`` so Spark's parquet reader ignores it (like _SUCCESS).
+CURRENT_POINTER = "_CURRENT"
+_SNAPSHOT_PREFIX = "_snap_v"
+
+
 def table_path(root: str, layer: MedallionLayer | str, table: str) -> str:
     layer_name = layer.value if isinstance(layer, MedallionLayer) else layer
     return os.path.join(root, layer_name, table)
+
+
+def resolve_table_path(path: str) -> str:
+    """Resolve a table directory to its live data directory.
+
+    Snapshot-committed tables (``overwrite_snapshot`` / ``compact_table``)
+    hold versioned snapshot subdirs plus a ``_CURRENT`` pointer file naming
+    the live one; readers resolve through the pointer. Tables without a
+    pointer (month-partitioned in-place layout) resolve to themselves, so
+    every reader can call this unconditionally.
+    """
+    ptr = os.path.join(path, CURRENT_POINTER)
+    if os.path.isfile(ptr):
+        with open(ptr, encoding="utf-8") as fh:
+            name = fh.read().strip()
+        return os.path.join(path, name)
+    return path
+
+
+def _next_snapshot_name(path: str) -> str:
+    """Monotonic snapshot dir name (``_snap_v00000001`` ...). The ``_``
+    prefix keeps stray direct ``spark.read.parquet(table_dir)`` calls from
+    double-reading old+new snapshots: Spark skips underscore paths."""
+    version = 0
+    if os.path.isdir(path):
+        for entry in os.listdir(path):
+            if entry.startswith(_SNAPSHOT_PREFIX):
+                try:
+                    version = max(version, int(entry[len(_SNAPSHOT_PREFIX):]))
+                except ValueError:
+                    continue
+    return f"{_SNAPSHOT_PREFIX}{version + 1:08d}"
+
+
+def _commit_pointer(path: str, snapshot_name: str) -> None:
+    """Atomically flip ``_CURRENT`` to ``snapshot_name``.
+
+    Write-to-temp + fsync + ``os.replace`` + dir fsync: POSIX rename is
+    atomic, so a reader (or a crash) at any instant sees either the old
+    complete snapshot or the new complete snapshot — never a missing or
+    torn table. This is the single commit point of the snapshot protocol;
+    everything before it is invisible, everything after it is garbage
+    collection.
+    """
+    ptr = os.path.join(path, CURRENT_POINTER)
+    tmp = ptr + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(snapshot_name)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, ptr)
+    dfd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
+
+
+def _gc_stale_snapshots(path: str) -> None:
+    """Best-effort cleanup of everything except the live snapshot and the
+    pointer. Runs strictly after the pointer commit, so a crash here leaves
+    only unreferenced garbage (re-collected by the next write), never a
+    broken table. Also clears legacy in-place data files on a table's first
+    snapshot commit."""
+    import shutil
+
+    live = os.path.basename(resolve_table_path(path))
+    for entry in os.listdir(path):
+        if entry in (live, CURRENT_POINTER):
+            continue
+        target = os.path.join(path, entry)
+        try:
+            if os.path.isdir(target):
+                shutil.rmtree(target)
+            else:
+                os.remove(target)
+        except OSError:
+            pass  # next writer retries; readers never see this dir anyway
+
+
+def _commit_snapshot_write(df_writer, path: str) -> str:
+    """Run ``df_writer(snapshot_dir)`` then atomically commit the result as
+    the table's live snapshot. Returns the committed data directory."""
+    os.makedirs(path, exist_ok=True)
+    snap = _next_snapshot_name(path)
+    df_writer(os.path.join(path, snap))
+    _commit_pointer(path, snap)
+    _gc_stale_snapshots(path)
+    return os.path.join(path, snap)
 
 
 def write_month_idempotent(
@@ -58,7 +153,9 @@ def write_month_idempotent(
     (
         df.write.mode("overwrite")
         .partitionBy(*partition_cols)
-        .parquet(path)
+        # resolve: composes with snapshot-committed tables (a compacted
+        # month table keeps receiving in-place month overwrites)
+        .parquet(resolve_table_path(path))
     )
     return path
 
@@ -76,7 +173,7 @@ def read_month(
     verify with ``.explain()``: the scan's ``PartitionFilters`` carries the
     predicate and only one directory is listed.
     """
-    df = spark.read.parquet(table_path(root, layer, table))
+    df = spark.read.parquet(resolve_table_path(table_path(root, layer, table)))
     if yyyymm is not None:
         df = df.where(F.col("yyyymm") == F.lit(int(yyyymm)))
     return df
@@ -99,7 +196,7 @@ def read_table_evolved(
     footer read per file at planning time (no data pass); partition
     pruning still applies on top."""
     df = spark.read.option("mergeSchema", "true").parquet(
-        table_path(root, layer, table)
+        resolve_table_path(table_path(root, layer, table))
     )
     if yyyymm is not None:
         df = df.where(F.col("yyyymm") == F.lit(int(yyyymm)))
@@ -129,20 +226,27 @@ def compact_table(
     the per-partition file counts join in as a broadcast plan and a
     salt column spreads each partition's rows across that many tasks.
 
-    The final swap is two renames on the same filesystem; a crash
-    between them leaves the table momentarily absent (the backup dir
-    ``<path>__old`` still holds the data and the swap restores it on
-    failure). True atomic commits need a table format with a
-    transaction log (Delta/Iceberg) — this operator is the plain-
-    parquet approximation.
+    The swap is the snapshot-pointer commit protocol (``_CURRENT`` file,
+    fsync'd atomic rename — see ``_commit_pointer``): the compacted copy
+    is written to a fresh versioned snapshot dir, the pointer flips
+    atomically, then stale snapshots are garbage-collected. A crash at
+    ANY instant leaves readers on a complete snapshot — the file-level
+    analogue of the transaction-log commit a Delta/Iceberg table would
+    give, and of the reference's transactional ``ON CONFLICT`` upsert
+    (reference ``spark_jobs/model_curated.py:72-101``).
     """
     import math
-    import shutil
 
     path = table_path(root, layer, table)
-    # leaf partition dirs -> parsed partition values + byte sizes
+    data_dir = resolve_table_path(path)
+    # leaf partition dirs -> parsed partition values + byte sizes.
+    # Prune underscore/dot entries exactly like Spark's file discovery
+    # does — otherwise an orphaned snapshot dir (crash-before-commit
+    # garbage) would double-count a partition and duplicate its rows
+    # through the sizing-plan join.
     plan_rows: list[dict] = []
-    for dirpath, _dirs, files in os.walk(path):
+    for dirpath, dirs, files in os.walk(data_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         pbytes = sum(
             os.path.getsize(os.path.join(dirpath, f))
             for f in files
@@ -151,7 +255,7 @@ def compact_table(
         if not pbytes:
             continue
         values: dict[str, str] = {}
-        for seg in os.path.relpath(dirpath, path).split(os.sep):
+        for seg in os.path.relpath(dirpath, data_dir).split(os.sep):
             if "=" in seg:
                 k, _, v = seg.partition("=")
                 values[k] = v
@@ -160,7 +264,7 @@ def compact_table(
             1, math.ceil(pbytes / (target_file_mb * 1024 * 1024))
         )
         plan_rows.append(row)
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_dir)
     if not plan_rows:
         return 0
     plan_schema = (
@@ -184,18 +288,17 @@ def compact_table(
         .repartition(*[F.col(c) for c in partition_cols], F.col("__salt"))
         .drop("__salt", "__n_files", *[f"__pv_{c}" for c in partition_cols])
     )
-    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path + "__compact")
-    bak = path + "__old"
-    os.rename(path, bak)
-    try:
-        os.rename(path + "__compact", path)
-    except OSError:
-        os.rename(bak, path)  # restore the original table
-        raise
-    shutil.rmtree(bak)
+    live = _commit_snapshot_write(
+        lambda snap_dir: (
+            out.write.mode("overwrite")
+            .partitionBy(*partition_cols)
+            .parquet(snap_dir)
+        ),
+        path,
+    )
     return sum(
         1
-        for _dp, _dn, fs in os.walk(path)
+        for _dp, _dn, fs in os.walk(live)
         for f in fs
         if f.endswith(".parquet")
     )
@@ -203,9 +306,20 @@ def compact_table(
 
 def overwrite_snapshot(df: DataFrame, root: str, layer: MedallionLayer | str, table: str) -> str:
     """Full-snapshot overwrite — used for dimension tables (S8 truncate+load
-    analogue; the upsert itself is operators.modeling.upsert_dim)."""
+    analogue; the upsert itself is operators.modeling.upsert_dim).
+
+    Committed via the ``_CURRENT`` pointer protocol: the new snapshot is
+    fully written to a versioned dir before the atomic pointer flip, so
+    concurrent readers and crashes always see a complete table. Because
+    the old snapshot's files survive until after the commit, ``df`` may
+    lazily READ the table being overwritten (read-modify-write upsert)
+    with no checkpoint/materialization step — the write job consumes the
+    old files, the pointer flips, then they're garbage-collected.
+    """
     path = table_path(root, layer, table)
-    df.write.mode("overwrite").parquet(path)
+    _commit_snapshot_write(
+        lambda snap_dir: df.write.mode("overwrite").parquet(snap_dir), path
+    )
     return path
 
 

@@ -385,6 +385,7 @@ def stream_upsert_dim(
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         overwrite_snapshot,
+        resolve_table_path,
         table_path,
     )
 
@@ -393,14 +394,15 @@ def stream_upsert_dim(
             return
         spark = batch_df.sparkSession
         latest = dedup_dim(batch_df, pk=pk, order_by=(F.col(order_col).desc(),))
-        path = table_path(root, "curated", dim_table)
+        path = resolve_table_path(table_path(root, "curated", dim_table))
         try:
             existing = spark.read.parquet(path)
         except Exception:
             existing = None
         merged = upsert_dim(existing, latest, pk=pk)
-        snapshot = merged.localCheckpoint(eager=True) if existing is not None else merged
-        overwrite_snapshot(snapshot, root, "curated", dim_table)
+        # snapshot-pointer commit reads the old snapshot's files during
+        # the new snapshot's write job — no materialization needed
+        overwrite_snapshot(merged, root, "curated", dim_table)
 
     q = (
         updates.writeStream.foreachBatch(_merge_batch)

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from novi_pdq_etl_project_prod_spark.sources.layers import (
     compact_table,
+    resolve_table_path,
     write_month_idempotent,
 )
 from tests.conftest import SF_ORACLE
@@ -40,8 +41,9 @@ def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
 
     after = compact_table(spark, root, "staging", "li", target_file_mb=128)
     assert after < before / 4
-    # content unchanged (count + a value checksum)
-    df = spark.read.parquet(path)
+    # content unchanged (count + a value checksum); compacted tables are
+    # snapshot-committed, so readers resolve through the _CURRENT pointer
+    df = spark.read.parquet(resolve_table_path(path))
     assert df.count() == rows_before
     chk = df.agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")
@@ -139,15 +141,15 @@ def test_compaction_sizes_files_per_partition(spark, tmp_path):
     write_month_idempotent(fat.unionAll(thin).repartition(16), root, "staging", "t")
 
     compact_table(spark, root, "staging", "t", target_file_mb=1)
-    path = f"{root}/staging/t"
+    data_dir = resolve_table_path(f"{root}/staging/t")
 
     def files_in(month):
-        d = os.path.join(path, f"yyyymm={month}")
+        d = os.path.join(data_dir, f"yyyymm={month}")
         return [f for f in os.listdir(d) if f.endswith(".parquet")]
 
     assert len(files_in(202401)) >= 2, "fat month should split by target size"
     assert len(files_in(202402)) == 1, "thin month should compact to one file"
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_dir)
     assert df.count() == 120_100
 
 

@@ -16,10 +16,18 @@ DRIVER_BUDGET = 50
 
 
 def _driver_rows() -> set:
-    rows = set()
-    for f in REPO.glob("CORRECTNESS_r*.json"):
-        rows |= set(json.loads(f.read_text()))
-    return rows
+    """Names whose *latest* driver row is successful: green (hash/rows
+    match) or the documented ``no_oracle`` outcome. Latest-wins: a crashed
+    row in a later round (r03's six events-schema crashes) revokes an
+    earlier green and re-enters the query into the window."""
+    latest = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(f.read_text()).items():
+            latest[name] = (
+                bool(row.get("hash_match") or row.get("rows_match"))
+                or row.get("err") == "no_oracle"
+            )
+    return {name for name, ok in latest.items() if ok}
 
 
 def test_uncertified_queries_lead_the_registry():

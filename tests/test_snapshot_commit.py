@@ -1,0 +1,164 @@
+"""Crash-safety tests for the snapshot-pointer commit protocol
+(VERDICT r02 item 2).
+
+The old swap was two ``os.rename`` calls with a window where the table
+directory was absent. The new protocol (``sources.layers``) writes the new
+snapshot to a versioned dir, atomically flips a fsync'd ``_CURRENT``
+pointer, then garbage-collects — so a crash injected at ANY step must
+leave readers on a complete table. These tests inject the crashes by
+monkeypatching the exact step boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.sources import layers
+from novi_pdq_etl_project_prod_spark.sources.layers import (
+    compact_table,
+    overwrite_snapshot,
+    read_month,
+    resolve_table_path,
+    table_path,
+    write_month_idempotent,
+)
+
+
+class Boom(RuntimeError):
+    """Injected crash."""
+
+
+def _dim(spark, tag: str, n: int = 50):
+    return spark.range(n).select(
+        F.col("id").alias("k"), F.lit(tag).alias("v")
+    )
+
+
+def _checksum(df):
+    return df.agg(F.sum("k").alias("s")).collect()[0].s, df.count()
+
+
+def test_crash_before_pointer_commit_keeps_old_snapshot(spark, tmp_path, monkeypatch):
+    """Crash after the new snapshot's data is written but before the
+    pointer flips: readers must still see the OLD complete table."""
+    root = str(tmp_path / "wh")
+    overwrite_snapshot(_dim(spark, "v1"), root, "curated", "d")
+    want = _checksum(read_month(spark, root, "curated", "d"))
+
+    def no_commit(path, snap):
+        raise Boom("crash between data write and pointer commit")
+
+    monkeypatch.setattr(layers, "_commit_pointer", no_commit)
+    with pytest.raises(Boom):
+        overwrite_snapshot(_dim(spark, "v2", n=99), root, "curated", "d")
+    monkeypatch.undo()
+
+    got = read_month(spark, root, "curated", "d")
+    assert _checksum(got) == want
+    assert got.where("v = 'v2'").count() == 0, "torn write leaked to readers"
+
+
+def test_crash_inside_pointer_write_is_atomic(spark, tmp_path, monkeypatch):
+    """Crash between writing _CURRENT.tmp and the atomic os.replace: the
+    live pointer file is untouched, so readers stay on the old snapshot."""
+    root = str(tmp_path / "wh")
+    overwrite_snapshot(_dim(spark, "v1"), root, "curated", "d")
+    want = _checksum(read_month(spark, root, "curated", "d"))
+
+    real_replace = os.replace
+
+    def crash_replace(src, dst):
+        if os.path.basename(dst) == layers.CURRENT_POINTER:
+            raise Boom("crash mid pointer rename")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(layers.os, "replace", crash_replace)
+    with pytest.raises(Boom):
+        overwrite_snapshot(_dim(spark, "v2", n=99), root, "curated", "d")
+    monkeypatch.undo()
+
+    assert _checksum(read_month(spark, root, "curated", "d")) == want
+
+
+def test_crash_after_commit_before_gc_serves_new_snapshot(spark, tmp_path, monkeypatch):
+    """Crash after the pointer flip but before garbage collection: readers
+    see the NEW table; the stale snapshot is just unreferenced garbage and
+    the next successful write collects it."""
+    root = str(tmp_path / "wh")
+    overwrite_snapshot(_dim(spark, "v1"), root, "curated", "d")
+
+    def no_gc(path):
+        raise Boom("crash before cleanup")
+
+    monkeypatch.setattr(layers, "_gc_stale_snapshots", no_gc)
+    with pytest.raises(Boom):
+        overwrite_snapshot(_dim(spark, "v2", n=99), root, "curated", "d")
+    monkeypatch.undo()
+
+    got = read_month(spark, root, "curated", "d")
+    assert got.count() == 99 and got.where("v = 'v2'").count() == 99
+
+    tdir = table_path(root, "curated", "d")
+    assert len([e for e in os.listdir(tdir) if e.startswith("_snap_v")]) == 2
+    overwrite_snapshot(_dim(spark, "v3", n=7), root, "curated", "d")
+    live = os.path.basename(resolve_table_path(tdir))
+    assert [e for e in os.listdir(tdir) if e.startswith("_snap_v")] == [live]
+
+
+def test_compaction_crash_leaves_table_readable(spark, tmp_path, monkeypatch):
+    """The verdict's exact scenario: kill compact_table mid-swap; the table
+    must never be absent (the old two-rename design had that window)."""
+    root = str(tmp_path / "wh")
+    li = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.lit(202401) + (F.col("id") % 3).cast("int")).alias("yyyymm"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    write_month_idempotent(li.repartition(16), root, "staging", "t")
+    want = read_month(spark, root, "staging", "t").count()
+
+    def no_commit(path, snap):
+        raise Boom("crash mid compaction swap")
+
+    monkeypatch.setattr(layers, "_commit_pointer", no_commit)
+    with pytest.raises(Boom):
+        compact_table(spark, root, "staging", "t", target_file_mb=1)
+    monkeypatch.undo()
+
+    # table readable THROUGH the crash window, and a retry succeeds
+    assert read_month(spark, root, "staging", "t").count() == want
+    compact_table(spark, root, "staging", "t", target_file_mb=1)
+    assert read_month(spark, root, "staging", "t").count() == want
+
+
+def test_legacy_in_place_table_migrates_on_first_commit(spark, tmp_path):
+    """A table written with the in-place layout gains the pointer on its
+    first snapshot commit; loose legacy files are collected and readers
+    resolve to the committed snapshot."""
+    root = str(tmp_path / "wh")
+    tdir = table_path(root, "curated", "d")
+    _dim(spark, "legacy").write.mode("overwrite").parquet(tdir)  # in-place
+    assert resolve_table_path(tdir) == tdir  # no pointer yet
+
+    overwrite_snapshot(_dim(spark, "v2", n=99), root, "curated", "d")
+    assert resolve_table_path(tdir) != tdir
+    got = read_month(spark, root, "curated", "d")
+    assert got.count() == 99 and got.where("v = 'legacy'").count() == 0
+    # legacy loose files collected; only the snapshot + pointer remain
+    entries = set(os.listdir(tdir))
+    assert entries == {os.path.basename(resolve_table_path(tdir)), layers.CURRENT_POINTER}
+
+
+def test_upsert_read_modify_write_needs_no_checkpoint(spark, tmp_path):
+    """overwrite_snapshot may lazily read the table it replaces: the old
+    snapshot's files survive until after the pointer commit, so the
+    read-modify-write upsert runs without checkpoint/materialization."""
+    root = str(tmp_path / "wh")
+    overwrite_snapshot(_dim(spark, "v1"), root, "curated", "d")
+    existing = read_month(spark, root, "curated", "d")  # lazy over old snapshot
+    merged = existing.unionByName(_dim(spark, "v2", n=10).where("k >= 50"))
+    overwrite_snapshot(merged, root, "curated", "d")
+    assert read_month(spark, root, "curated", "d").count() == 50
