@@ -76,6 +76,37 @@ HEADLINE = [
 
 WARMUP_SF = "/root/testdata/sf0.001"
 
+#: Regression gate (VERDICT r02 item 5): flag any query >20% slower than
+#: the most recent prior round's recorded timing.
+REGRESSION_THRESHOLD = 1.20
+
+
+def _prior_round_timings() -> tuple[str | None, dict[str, float]]:
+    """Per-query timings from the newest BENCH_r*.json that has any.
+
+    The driver wraps bench stdout in {"n", "rc", "tail"}; the actual
+    metric line lives inside ``tail`` (or the file may be the raw line
+    itself). Crashed rounds (no metric line) are skipped.
+    """
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
+        try:
+            doc = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        if isinstance(doc.get("queries"), dict):
+            return os.path.basename(path), doc["queries"]
+        m = re.search(r'\{"metric".*', doc.get("tail", ""))
+        if m:
+            try:
+                return os.path.basename(path), json.loads(m.group(0))["queries"]
+            except (json.JSONDecodeError, KeyError):
+                continue
+    return None, {}
+
 
 def _run(fn, spark, sf_dir) -> float:
     t0 = time.perf_counter()
@@ -109,6 +140,15 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    baseline_file, prior = _prior_round_timings()
+    if prior:
+        regressions = {
+            n: {"prior": prior[n], "now": t, "ratio": round(t / prior[n], 2)}
+            for n, t in timings.items()
+            if n in prior and prior[n] > 0 and t > prior[n] * REGRESSION_THRESHOLD
+        }
+        out["regression_baseline"] = baseline_file
+        out["regressions"] = regressions
     print(json.dumps(out))
 
 

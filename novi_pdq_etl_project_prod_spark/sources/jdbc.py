@@ -96,13 +96,26 @@ def execute_jdbc_statement(
     sql: str,
     user: str | None = None,
     password: str | None = None,
+    driver: str | None = None,
 ) -> None:
     """Driver-side DDL/DML through the JVM's DriverManager — the
     reference's psycopg2 side-channel (``dags/pdq_etl_dag.py:183-187``
     month deletes) without leaving the JVM. One short-lived connection;
     use only for metadata-sized statements (deletes by key, DDL), never
     to move data. Credentials go through ``java.util.Properties`` so the
-    statement authenticates exactly like the DataFrame reader/writer."""
+    statement authenticates exactly like the DataFrame reader/writer.
+
+    ``driver`` (a JDBC driver class name) forces registration before the
+    ``getConnection`` call: DriverManager's ServiceLoader auto-discovery
+    can miss jars added via ``spark.jars`` (they land in a child
+    classloader), while an explicit ``Class.forName`` through the
+    context classloader — the same thing Spark's own JDBC relation does
+    — always finds them."""
+    if driver:
+        loader = (
+            spark._jvm.java.lang.Thread.currentThread().getContextClassLoader()
+        )
+        spark._jvm.java.lang.Class.forName(driver, True, loader)
     props = spark._jvm.java.util.Properties()
     if user is not None:
         props.setProperty("user", user)
@@ -127,24 +140,33 @@ def execute_jdbc_statement(
 _TABLE_MISSING_SQLSTATES = frozenset({"42X05", "42P01", "42S02", "S0002"})
 
 
-def _is_table_missing(exc: BaseException) -> bool:
+def _is_table_missing(
+    exc: BaseException, extra_sqlstates: frozenset[str] | set[str] = frozenset()
+) -> bool:
     """True iff the JDBC exception chain carries a table-not-found
     SQLState. Walks ``getCause()`` because drivers wrap the interesting
-    SQLException (Derby nests EmbedSQLException under a generic one)."""
-    je = getattr(exc, "java_exception", None)
-    depth = 0
-    while je is not None and depth < 8:
+    SQLException (Derby nests EmbedSQLException under a generic one) AND
+    ``getNextException()`` because some drivers (Postgres batch paths)
+    chain the informative SQLException laterally instead of as a cause."""
+    states = _TABLE_MISSING_SQLSTATES | set(extra_sqlstates)
+    seen: list = []
+    queue = [getattr(exc, "java_exception", None)]
+    while queue and len(seen) < 16:
+        je = queue.pop(0)
+        if je is None or any(je.equals(s) for s in seen):
+            continue
+        seen.append(je)
         try:
             state = je.getSQLState()
         except Exception:
             state = None
-        if state is not None and str(state) in _TABLE_MISSING_SQLSTATES:
+        if state is not None and str(state) in states:
             return True
-        try:
-            je = je.getCause()
-        except Exception:
-            je = None
-        depth += 1
+        for link in ("getCause", "getNextException"):
+            try:
+                queue.append(getattr(je, link)())
+            except Exception:
+                pass
     return False
 
 
@@ -157,9 +179,16 @@ def write_jdbc_month_idempotent(
     driver: str = "org.postgresql.Driver",
     month_column: str = "yyyymm",
     batch_size: int = 10_000,
+    extra_table_missing_sqlstates: frozenset[str] | set[str] = frozenset(),
 ) -> None:
     """S7 over JDBC: delete-month-then-append, the reference's idempotent
     month load (`transform_lease.py` delete_month + append) as one call.
+
+    First-load detection recognizes table-not-found SQLStates for Derby,
+    Postgres, MySQL and SQLServer out of the box; other dialects that use
+    different codes (Oracle 42000, DB2 42704) pass theirs via
+    ``extra_table_missing_sqlstates``. An unrecognized state fails loudly
+    rather than risking a skipped delete.
 
     The months present in ``df`` are collected driver-side (bounded: one
     value per month, never data-sized), each deleted via
@@ -171,7 +200,7 @@ def write_jdbc_month_idempotent(
     and stay case-sensitive."""
     months = [r[0] for r in df.select(month_column).distinct().collect()]
     spark = df.sparkSession
-    creds = {"user": user, "password": password}
+    creds = {"user": user, "password": password, "driver": driver}
     try:  # first load: the table only exists after the first append
         execute_jdbc_statement(
             spark, url, f"SELECT 1 FROM {table} WHERE 1=0", **creds
@@ -181,7 +210,7 @@ def write_jdbc_month_idempotent(
         # Only a table-not-found SQLState means "first load". Auth or
         # connection failures re-raise — swallowing them would skip the
         # delete and duplicate rows when the append then succeeds/retries.
-        if not _is_table_missing(exc):
+        if not _is_table_missing(exc, extra_table_missing_sqlstates):
             raise
         exists = False
     if exists:
