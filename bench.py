@@ -72,6 +72,11 @@ HEADLINE = [
     "m28_packed_sequences",
     "w9_range_frame",
     "m29_winnowing_fingerprints",
+    # round-4 additions
+    "m30_corpus_frequency_stats",
+    "m32_ngram_novelty",
+    "m34_nearest_centroid",
+    "r7_bucketed_range_join",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

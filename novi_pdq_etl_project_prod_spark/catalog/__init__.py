@@ -18,6 +18,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     llm_queries,
     reference_queries,
     round2_queries,
+    round4_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -33,6 +34,7 @@ for _mod in (
     surface_queries,
     tpch_queries,
     round2_queries,
+    round4_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

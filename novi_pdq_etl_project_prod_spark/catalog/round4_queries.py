@@ -1,0 +1,457 @@
+"""Round-4 catalog additions — training-data curation signals and
+relational surface the earlier rounds didn't cover:
+
+- ``m30`` corpus-frequency (unigram-LM) rarity stats per document
+- ``m31`` within-document n-gram repetition (Gopher-style loop/spam flag)
+- ``m32`` cross-corpus n-gram novelty (derivative-document signal)
+- ``m33``/``m34`` exact-integer label centroids + nearest-centroid
+  assignment (k-means E-step / class-mean classification over embeddings)
+- ``r7`` bucketed range join (interval ⋈ fact without a nested loop)
+- ``dq6`` per-nation month-completeness audit
+- ``dq7`` Benford first-digit profile of order totals
+- ``j5`` null-safe multi-key join (``<=>`` / IS NOT DISTINCT FROM)
+
+Each query follows the determinism contract in catalog/__init__ (exact
+integer/decimal aggregation, double only at the final edge, identical
+literal constants in both engines) so the DuckDB oracle hash-matches
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    label_centroid_sums,
+    nearest_centroid_assign,
+)
+from novi_pdq_etl_project_prod_spark.operators.text import (
+    corpus_frequency_stats,
+    max_ngram_repetition,
+    ngram_novelty,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# M30 — corpus-frequency (unigram-LM) rarity stats
+# ---------------------------------------------------------------------------
+
+def m30_corpus_frequency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_frequency_stats(docs)
+
+
+M30_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY w)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(v.tf) AS BIGINT) AS sum_tf,
+       CAST(MIN(v.tf) AS BIGINT) AS min_tf,
+       CAST(SUM(CASE WHEN v.tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+FROM toks t JOIN vocab v USING (w)
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M31 — within-document n-gram repetition
+# ---------------------------------------------------------------------------
+
+def m31_ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return max_ngram_repetition(docs, n=3)
+
+
+M31_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (
+  SELECT doc_id, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g FROM idx
+),
+pg AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_ngrams,
+       CAST(MAX(c) AS BIGINT) AS top_ngram_count,
+       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_frac
+FROM pg GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M32 — cross-corpus n-gram novelty
+# ---------------------------------------------------------------------------
+
+def m32_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_novelty(docs, n=4)
+
+
+M32_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 3)) AS i
+  FROM toks WHERE len(t) >= 4
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]) AS g
+  FROM idx
+),
+fs AS (SELECT g, MIN(doc_id) AS first_doc FROM sh GROUP BY g)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS novelty_frac
+FROM sh JOIN fs USING (g)
+GROUP BY sh.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M33 / M34 — exact-integer label centroids + nearest-centroid assignment
+# ---------------------------------------------------------------------------
+
+def m33_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroid_sums(emb)
+
+
+M33_SQL = """
+WITH ex AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS vm
+  FROM embeddings
+)
+SELECT label, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(vm) AS BIGINT) AS sum_micro
+FROM ex GROUP BY 1, 2
+"""
+
+
+def m34_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return nearest_centroid_assign(emb)
+
+
+M34_SQL = """
+WITH vm AS (
+  SELECT vec_id AS id, label AS true_label,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+  FROM embeddings
+),
+acc AS (
+  SELECT true_label AS label, dim, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM vm GROUP BY 1, 2
+),
+cent AS (
+  -- integer mean in micro units, round-half-up via pure integer ops:
+  -- (2s + n - pmod(2s + n, 2n)) / (2n); exactly divisible, so // is exact
+  SELECT label, dim,
+         CAST((2*s + n - ((((2*s + n) % (2*n)) + 2*n) % (2*n))) // (2*n)
+              AS BIGINT) AS c
+  FROM acc
+),
+d AS (
+  SELECT vm.id, vm.true_label, cent.label AS cand,
+         CAST(SUM((vm.v - cent.c) * (vm.v - cent.c)) AS BIGINT) AS d2
+  FROM vm JOIN cent ON vm.dim = cent.dim
+  GROUP BY 1, 2, 3
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cand) AS rn FROM d
+)
+SELECT id, true_label, cand AS assigned_label,
+       (true_label = cand) AS is_match
+FROM r WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# R7 — bucketed range join: 30-day promo windows ⋈ orders with an
+# equi-join on covered months + residual range predicate, instead of the
+# BroadcastNestedLoopJoin a raw BETWEEN join would plan. At 100 TB the
+# month bucket keys keep this a hash join with bounded fan-out (a window
+# overlaps ≤ 2 months), independent of interval count.
+# ---------------------------------------------------------------------------
+
+def r7_bucketed_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    windows = spark.range(24).select(
+        F.col("id").alias("window_id"),
+        F.date_add(F.lit("1995-01-01").cast("date"), (F.col("id") * 75).cast("int"))
+        .alias("ws"),
+    ).withColumn("we", F.date_add(F.col("ws"), 30))
+    # bucket each window by the months it covers (inclusive start month →
+    # month of we-1, since we is exclusive)
+    buckets = windows.select(
+        "window_id", "ws", "we",
+        F.explode(
+            F.sequence(
+                F.trunc("ws", "MM"),
+                F.trunc(F.date_sub("we", 1), "MM"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month"),
+    )
+    od = orders.select(
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate").cast("date").alias("od"),
+    ).withColumn("month", F.trunc("od", "MM"))
+    joined = od.join(F.broadcast(buckets), "month").where(
+        (F.col("od") >= F.col("ws")) & (F.col("od") < F.col("we"))
+    )
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+R7_SQL = """
+WITH w AS (
+  SELECT i AS window_id,
+         DATE '1995-01-01' + CAST(i * 75 AS INT) AS ws,
+         DATE '1995-01-01' + CAST(i * 75 + 30 AS INT) AS we
+  FROM range(0, 24) t(i)
+)
+SELECT w.window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders o
+JOIN w ON CAST(o.o_orderdate AS DATE) >= w.ws
+      AND CAST(o.o_orderdate AS DATE) < w.we
+GROUP BY w.window_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# DQ6 — month-completeness audit: which nations are missing order months
+# inside the corpus's global month span? (the freshness/completeness DQ
+# gate; x7 fills gaps, this one REPORTS them)
+# ---------------------------------------------------------------------------
+
+def dq6_month_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_nation = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).alias("_mi"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.min("_mi").alias("_min_mi"),
+            F.max("_mi").alias("_max_mi"),
+            F.count_distinct(F.col("_mi")).alias("n_present"),
+        )
+    )
+    # global span via a window over the ~25-nation aggregate (bounded frame)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return (
+        per_nation.withColumn(
+            "n_expected",
+            (F.max("_max_mi").over(w) - F.min("_min_mi").over(w) + 1).cast("long"),
+        )
+        .select(
+            "n_name",
+            "n_expected",
+            F.col("n_present").cast("long").alias("n_present"),
+            (F.col("n_expected") - F.col("n_present")).cast("long").alias("n_missing"),
+        )
+    )
+
+
+DQ6_SQL = """
+WITH pn AS (
+  SELECT n.n_name,
+         MIN(year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS min_mi,
+         MAX(year(o.o_orderdate) * 12 + month(o.o_orderdate)) AS max_mi,
+         COUNT(DISTINCT year(o.o_orderdate) * 12 + month(o.o_orderdate))
+           AS n_present
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY n.n_name
+)
+SELECT n_name,
+       CAST(MAX(max_mi) OVER () - MIN(min_mi) OVER () + 1 AS BIGINT)
+         AS n_expected,
+       CAST(n_present AS BIGINT) AS n_present,
+       CAST(MAX(max_mi) OVER () - MIN(min_mi) OVER () + 1 - n_present AS BIGINT)
+         AS n_missing
+FROM pn
+"""
+
+
+# ---------------------------------------------------------------------------
+# DQ7 — Benford first-digit profile of o_totalprice. First digit comes
+# from the INTEGER part's string form (floor → bigint → string), the one
+# digit-extraction path that is bit-identical across engines; the Benford
+# expectation is inlined as full-precision literals so both engines
+# compare against the same doubles.
+# ---------------------------------------------------------------------------
+
+_BENFORD = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+def dq7_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    expected = F.create_map(
+        *[x for d, p in _BENFORD.items() for x in (F.lit(d), F.lit(p))]
+    )
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    return (
+        digits.groupBy("first_digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "observed_p",
+            F.col("n").cast("double") / F.sum("n").over(w).cast("double"),
+        )
+        .withColumn("benford_p", expected[F.col("first_digit")])
+        .select("first_digit", "n", "observed_p", "benford_p")
+    )
+
+
+DQ7_SQL = """
+WITH d AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                        1, 1) AS INT) AS first_digit
+  FROM orders
+),
+g AS (SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+SELECT first_digit, n,
+       CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS observed_p,
+       CASE first_digit {benford_cases} END AS benford_p
+FROM g
+""".format(
+    benford_cases=" ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# J5 — null-safe multi-key join: NULL join keys must MATCH null dim keys
+# (<=> / IS NOT DISTINCT FROM), the semantics plain equi-joins silently
+# drop. Spark hashes EqualNullSafe keys, so this stays a broadcast hash
+# join — no nested loop.
+# ---------------------------------------------------------------------------
+
+def j5_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k1"),
+        F.col("l_linestatus").alias("k2"),
+        F.col("l_quantity"),
+    )
+    dim = (
+        li.select(
+            F.col("k1").alias("d_k1"), F.col("k2").alias("d_k2")
+        )
+        .distinct()
+        .withColumn(
+            "bucket_label",
+            F.concat_ws(
+                "/", F.coalesce(F.col("d_k1"), F.lit("none")), F.col("d_k2")
+            ),
+        )
+    )
+    joined = li.join(
+        F.broadcast(dim),
+        F.col("k1").eqNullSafe(F.col("d_k1")) & (F.col("k2") == F.col("d_k2")),
+    ).select("k1", "k2", "bucket_label", "l_quantity")
+    return joined.groupBy("k1", "k2", "bucket_label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+J5_SQL = """
+WITH li AS (
+  SELECT nullif(l_returnflag, 'N') AS k1, l_linestatus AS k2, l_quantity
+  FROM lineitem
+),
+dim AS (
+  SELECT DISTINCT k1, k2,
+         concat_ws('/', COALESCE(k1, 'none'), k2) AS bucket_label
+  FROM li
+)
+SELECT li.k1, li.k2, dim.bucket_label,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM li JOIN dim
+  ON li.k1 IS NOT DISTINCT FROM dim.k1 AND li.k2 = dim.k2
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "m30_corpus_frequency_stats": m30_corpus_frequency_stats,
+    "m31_ngram_repetition": m31_ngram_repetition,
+    "m32_ngram_novelty": m32_ngram_novelty,
+    "m33_label_centroids": m33_label_centroids,
+    "m34_nearest_centroid": m34_nearest_centroid,
+    "r7_bucketed_range_join": r7_bucketed_range_join,
+    "dq6_month_completeness": dq6_month_completeness,
+    "dq7_benford": dq7_benford,
+    "j5_null_safe_join": j5_null_safe_join,
+}
+
+ORACLES = {
+    "m30_corpus_frequency_stats": M30_SQL,
+    "m31_ngram_repetition": M31_SQL,
+    "m32_ngram_novelty": M32_SQL,
+    "m33_label_centroids": M33_SQL,
+    "m34_nearest_centroid": M34_SQL,
+    "r7_bucketed_range_join": R7_SQL,
+    "dq6_month_completeness": DQ6_SQL,
+    "dq7_benford": DQ7_SQL,
+    "j5_null_safe_join": J5_SQL,
+}

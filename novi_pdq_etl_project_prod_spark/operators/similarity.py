@@ -484,3 +484,121 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def label_centroid_sums(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-(label, dim) centroid accumulators in EXACT integer micro-units.
+
+    Embedding components are rounded to ``1/micro_scale`` resolution and
+    summed as BIGINTs, so the result is bit-identical regardless of
+    partitioning or aggregation order — the property a cross-engine
+    oracle needs, which float centroids (order-dependent double sums)
+    cannot give. The true double centroid is ``sum_micro / (n_vecs *
+    micro_scale)`` — one exact-input division, deterministic everywhere.
+
+    Output: (label, dim, n_vecs, sum_micro). One posexplode + one
+    hash-agg; (label, dim) cardinality = labels × dim, tiny at any corpus
+    scale, so the agg is map-side-combined to almost nothing.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(_as_double(vec_col)).alias("dim", "_v"),
+        )
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(F.round(F.col("_v") * micro_scale, 0).cast("long")).alias(
+                "sum_micro"
+            ),
+        )
+    )
+
+
+def nearest_centroid_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Assign every vector to its nearest label centroid (one k-means
+    E-step / nearest-class-mean classification) in EXACT integer
+    arithmetic, so the argmin is bit-deterministic across engines and
+    partitionings.
+
+    The centroid is the per-dim integer mean in micro units, rounded
+    half-up via pure integer ops — ``(2s + n − pmod(2s + n, 2n)) / 2n``
+    — which both Spark and a SQL oracle compute identically (no float
+    round-trip). Squared L2 distances between micro-unit integers then
+    compare directly as BIGINTs (bounded by dims · (2·|v|·scale)² —
+    ~4e15 for 64 dims at |v| ≤ 4, far inside int64). Ties break toward
+    the smaller label.
+
+    Scale shape: the centroid table (labels × dim) collapses to ONE
+    broadcast row; each vector computes every label distance in a single
+    JVM fold over its own array — no per-vector shuffle, no pairwise
+    join. Output: (id, true_label, assigned_label, is_match).
+    """
+    sums = label_centroid_sums(df, label_col, vec_col, micro_scale)
+    cents = (
+        sums.withColumn(
+            "c_micro",
+            F.expr(
+                "CAST((2*sum_micro + n_vecs "
+                "- pmod(2*sum_micro + n_vecs, 2*n_vecs)) DIV (2*n_vecs) "
+                "AS LONG)"
+            ),
+        )
+        .groupBy("label")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "c_micro"))).alias("_dc")
+        )
+        .select(
+            "label", F.transform("_dc", lambda s: s["c_micro"]).alias("c")
+        )
+    )
+    one_row = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("label", "c"))).alias("cents")
+    )
+    v_micro = F.transform(
+        _as_double(vec_col), lambda x: F.round(x * micro_scale, 0).cast("long")
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda cent: F.struct(
+            cent["label"].alias("label"),
+            F.aggregate(
+                F.zip_with(F.col("_vm"), cent["c"], lambda v, c: (v - c) * (v - c)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+        ),
+    )
+    best = F.aggregate(
+        F.col("_dists"),
+        F.lit(None).cast("struct<label:int,d2:bigint>"),
+        # strict < keeps the incumbent on ties; the array is label-sorted,
+        # so the incumbent always holds the smaller label
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            F.when(x["d2"] < acc["d2"], x).otherwise(acc)
+        ),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(label_col).alias("true_label"),
+            v_micro.alias("_vm"),
+        )
+        .crossJoin(F.broadcast(one_row))
+        .withColumn("_dists", dists)
+        .select("id", "true_label", best["label"].alias("assigned_label"))
+        .withColumn(
+            "is_match", (F.col("true_label") == F.col("assigned_label"))
+        )
+    )

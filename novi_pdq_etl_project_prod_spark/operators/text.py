@@ -384,3 +384,129 @@ def winnowing_fingerprints(
             ",",
         ).alias("fingerprints"),
     )
+
+
+def corpus_frequency_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-LM rarity signals per document — the unigram-language-model
+    quality filter (the integer-exact core of "mean token log-probability"
+    scoring; taking ``ln`` of the returned counts is a trivial final map
+    that would break cross-engine bit-determinism, so it stays out of the
+    oracled surface).
+
+    Output per document: ``n_tokens``, ``sum_tf`` (sum over tokens of
+    that token's total corpus count), ``min_tf`` (the rarest token's
+    corpus count — low values flag OOV/garbage), ``n_hapax`` (tokens
+    occurring exactly once in the whole corpus).
+
+    Scale shape: explode tokens → one hash-agg for the vocabulary →
+    hash-join tokens back on word → per-doc agg. The vocabulary side is
+    Zipf-bounded (millions of rows at 100 TB, broadcastable or an AQE
+    broadcast candidate); token traffic shuffles twice, carrying only
+    (id, word) pairs, never document text.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("_w")
+    )
+    vocab = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_tf"))
+    return (
+        toks.join(vocab, "_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("_tf").alias("sum_tf"),
+            F.min("_tf").alias("min_tf"),
+            F.sum(F.when(F.col("_tf") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+    )
+
+
+def max_ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document n-gram repetition — the Gopher-style "fraction of
+    text inside the most repeated n-gram" signal, per document: documents
+    that loop the same phrase (boilerplate, template spam, decoding
+    loops) score high and get filtered before training.
+
+    Output: (id, n_ngrams, top_ngram_count, rep_frac) where rep_frac =
+    top_ngram_count / n_ngrams (a single double division — exact inputs,
+    deterministic result). The repeated gram's TEXT is deliberately not
+    returned: ties would make it an arbitrary-survivor column.
+
+    Scale shape: one explode + two hash-aggs (per (doc, gram), then per
+    doc), all integer arithmetic; nothing but (id, gram-hash) shuffles.
+    The gram itself is md5-hashed before the shuffle so wide grams don't
+    inflate exchange payloads.
+    """
+    # NON-distinct grams (shingles() dedups, which would make every
+    # per-gram count 1): every overlapping position counts
+    t = tokens(text_col)
+    grams_arr = F.when(
+        F.size(t) < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.transform(grams_arr, F.md5)).alias("_g"),
+    )
+    per_gram = grams.groupBy(id_col, "_g").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_gram.groupBy(id_col).agg(
+        F.sum("_c").alias("n_ngrams"),
+        F.max("_c").alias("top_ngram_count"),
+        (F.max("_c") / F.sum("_c")).alias("rep_frac"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 4,
+) -> DataFrame:
+    """Cross-corpus novelty per document: of its distinct n-grams, how
+    many first appear HERE (no document with a smaller id contains them)?
+    The dedup-adjacent curation signal for ordered corpora (crawl snap-
+    shots, versioned dumps): low novelty = mostly-derivative document.
+
+    Output: (id, n_distinct_grams, n_novel_grams, novelty_frac).
+
+    Scale shape: per-doc distinct grams (one hash-agg), gram → min(id)
+    (second hash-agg over the gram dictionary), hash-join back. Exactly
+    the decontamination topology (operators.dedup.contamination_pairs)
+    with min-id instead of an eval-side broadcast — two narrow shuffles
+    of (gram-hash, id), no text movement, no pairwise blow-up.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.transform(shingles(text_col, n), F.md5))
+        ).alias("_g"),
+    )
+    first_seen = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    return (
+        grams.join(first_seen, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel_grams"),
+            (
+                F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("novelty_frac"),
+        )
+    )

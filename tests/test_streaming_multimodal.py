@@ -241,7 +241,14 @@ def test_stream_upsert_dim_latest_wins_across_batches(spark, tmp_path):
         stream, root, "dim_user", pk=("id",), order_col="ver",
         checkpoint_dir=str(tmp_path / "chk"),
     )
-    snap = {r.id: r.name for r in spark.read.parquet(f"{root}/curated/dim_user").collect()}
+    from novi_pdq_etl_project_prod_spark.sources.layers import resolve_table_path
+
+    snap = {
+        r.id: r.name
+        for r in spark.read.parquet(
+            resolve_table_path(f"{root}/curated/dim_user")
+        ).collect()
+    }
     # within-batch dedup keeps highest ver; across batches day2 wins
     assert snap == {1: "alice", 2: "bobby", 3: "carol"}
 
