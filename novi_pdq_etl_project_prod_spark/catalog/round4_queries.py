@@ -432,6 +432,131 @@ GROUP BY 1, 2, 3
 """
 
 
+# ---------------------------------------------------------------------------
+# X13 — FORWARD as-of join: each click/error attaches the NEXT signup's
+# value at/after it (asof_join direction="forward" — same single-shuffle
+# carry as x1, scanned in reverse time order; no range cross-product).
+# ---------------------------------------------------------------------------
+
+def x13_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.joins import asof_join
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    left = ev.where(F.col("event_type").isin("click", "error"))
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", F.col("value").alias("next_signup_value")
+    )
+    out = asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_signup_value"],
+        tie_break="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("asof_next_signup_value").alias("next_signup_value"),
+    )
+
+
+X13_SQL = """
+WITH tagged AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN value END AS sv
+  FROM events
+),
+carried AS (
+  SELECT *,
+         last_value(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC,
+                    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS next_signup_value
+  FROM tagged
+)
+SELECT event_id, user_id, ts, event_type, next_signup_value
+FROM carried
+WHERE event_type IN ('click', 'error')
+"""
+
+
+# ---------------------------------------------------------------------------
+# G2Q — SCD Type-2 history from the event stream: per-user monthly
+# "current event_type" snapshots (deterministic: last event of the month,
+# tie-broken by event_id) folded into validity intervals via scd2_apply.
+# The reference's dim upsert keeps only latest state (S9); this is the
+# full-history variant a warehouse dimension needs.
+# ---------------------------------------------------------------------------
+
+def g2_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.operators.modeling import scd2_apply
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "yyyymm", (F.year("ts") * 100 + F.month("ts")).cast("int")
+    )
+    w = Window.partitionBy("user_id", "yyyymm").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    monthly = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"), "yyyymm")
+    )
+    hist = scd2_apply(
+        None, monthly, pk=("user_id",), attrs=("state",),
+        effective_col="yyyymm",
+    )
+    return hist.select(
+        "user_id", "state",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("int").alias("valid_to"),
+        "is_current",
+    )
+
+
+G2_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm
+  FROM events
+),
+monthly AS (
+  SELECT user_id, event_type AS state, yyyymm
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, yyyymm ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+dedup AS (
+  SELECT user_id, state, yyyymm AS valid_from
+  FROM (
+    SELECT *, lag(state) OVER (
+      PARTITION BY user_id ORDER BY yyyymm
+    ) AS prev_state
+    FROM monthly
+  ) WHERE prev_state IS NULL OR state <> prev_state
+)
+SELECT user_id, state, valid_from,
+       CAST(lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) AS INT) AS valid_to,
+       lead(valid_from) OVER (
+         PARTITION BY user_id ORDER BY valid_from
+       ) IS NULL AS is_current
+FROM dedup
+"""
+
+
 QUERIES = {
     "m30_corpus_frequency_stats": m30_corpus_frequency_stats,
     "m31_ngram_repetition": m31_ngram_repetition,
@@ -442,6 +567,8 @@ QUERIES = {
     "dq6_month_completeness": dq6_month_completeness,
     "dq7_benford": dq7_benford,
     "j5_null_safe_join": j5_null_safe_join,
+    "x13_asof_forward": x13_asof_forward,
+    "g2_scd2_intervals": g2_scd2_intervals,
 }
 
 ORACLES = {
@@ -454,4 +581,6 @@ ORACLES = {
     "dq6_month_completeness": DQ6_SQL,
     "dq7_benford": DQ7_SQL,
     "j5_null_safe_join": J5_SQL,
+    "x13_asof_forward": X13_SQL,
+    "g2_scd2_intervals": G2_SQL,
 }

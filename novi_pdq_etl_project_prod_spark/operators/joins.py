@@ -22,9 +22,13 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` keys.
+    ``right_ts <= left_ts`` within the same ``on`` keys (``direction=
+    "backward"``, the default), or the EARLIEST right row with
+    ``right_ts >= left_ts`` (``direction="forward"`` — the same
+    single-shuffle carry scanned in reverse time order).
 
     Implementation: union both sides with a side tag, one shuffle on the
     keys, then ``last(value, ignorenulls=True)`` over the event-time
@@ -56,10 +60,20 @@ def asof_join(
         "*",
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    fwd = direction == "forward"
     stacked = lt.unionByName(rt, allowMissingColumns=True)
-    order = [F.col("__ts").asc()]
+    # forward = the same carry over reverse time order: scanning from the
+    # latest row down, the most recent right row seen is the earliest one
+    # at/after the current left position
+    order = [F.col("__ts").desc() if fwd else F.col("__ts").asc()]
     if tie_break:
-        order.append(F.col(tie_break).asc_nulls_first())
+        order.append(
+            F.col(tie_break).desc_nulls_first()
+            if fwd
+            else F.col(tie_break).asc_nulls_first()
+        )
     order.append(F.col("__side").asc())  # right row wins at exact tie position
     w = (
         Window.partitionBy(*[F.col(k) for k in on])

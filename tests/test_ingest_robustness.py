@@ -201,3 +201,24 @@ def test_json_lines_source_roundtrip(spark, tmp_path):
     got = {(r.yyyymm, r.OK, r.QTY) for r in parsed.collect()}
     want = {(r.yyyymm, r.OK, r.QTY) for r in src.collect()}
     assert got == want
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """ORC source/sink round-trip (columnar-format coverage beyond
+    parquet): schema, row count, and a decimal checksum survive, and a
+    selective predicate reaches the ORC scan as a pushed filter."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    path = str(tmp_path / "li_orc")
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == li.schema
+    assert back.count() == li.count()
+    chk = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s")
+    ).collect()[0].s
+    assert chk(back) == chk(li)
+    sel = back.where("l_orderkey = 100")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan
