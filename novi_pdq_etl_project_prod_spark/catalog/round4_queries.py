@@ -159,7 +159,11 @@ FROM ex GROUP BY 1, 2
 
 def m34_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    return nearest_centroid_assign(emb)
+    # is_match → int: keeps the driver's cross-engine value hash on
+    # well-trodden types (the operator's own API stays boolean)
+    return nearest_centroid_assign(emb).withColumn(
+        "is_match", F.col("is_match").cast("int")
+    )
 
 
 M34_SQL = """
@@ -191,7 +195,7 @@ r AS (
   SELECT *, row_number() OVER (PARTITION BY id ORDER BY d2, cand) AS rn FROM d
 )
 SELECT id, true_label, cand AS assigned_label,
-       (true_label = cand) AS is_match
+       CAST(true_label = cand AS INT) AS is_match
 FROM r WHERE rn = 1
 """
 
@@ -518,7 +522,9 @@ def g2_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "state",
         F.col("valid_from").cast("int").alias("valid_from"),
         F.col("valid_to").cast("int").alias("valid_to"),
-        "is_current",
+        # int, not boolean: keeps the driver's cross-engine value hash on
+        # well-trodden types
+        F.col("is_current").cast("int").alias("is_current"),
     )
 
 
@@ -550,9 +556,9 @@ SELECT user_id, state, valid_from,
        CAST(lead(valid_from) OVER (
          PARTITION BY user_id ORDER BY valid_from
        ) AS INT) AS valid_to,
-       lead(valid_from) OVER (
+       CAST(lead(valid_from) OVER (
          PARTITION BY user_id ORDER BY valid_from
-       ) IS NULL AS is_current
+       ) IS NULL AS INT) AS is_current
 FROM dedup
 """
 

@@ -246,6 +246,7 @@ def embedding_near_dup_pairs_lsh(
     n_tables: int = 16,
     seed: int = 42,
     target_bucket_occupancy: int = 32,
+    max_bucket_occupancy: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup PAIRS at scale — the production path for
     which ``m11`` (bounded all-pairs cross join) is the validation
@@ -265,6 +266,14 @@ def embedding_near_dup_pairs_lsh(
     - the bucket self-join carries IDS ONLY — vectors join back in per
       side after pair dedup, so the wide rows move |corpus| times, not
       |candidate-pairs| times (measured 8× on the fixture).
+    - ``max_bucket_occupancy`` caps bucket SKEW: clustered corpora put a
+      cluster's whole mass in a few cells per table, and one 20k-member
+      bucket alone yields 4·10⁸ candidate pairs (measured: a 200k-vector
+      clustered probe spilled 50 GB before the cap existed). Cells above
+      the cap are dropped from pairing — a documented recall trade on
+      exactly the pairs a shallower code would also conflate; members of
+      a dropped cell usually still collide in another, less-aligned
+      table. Set to ~100× target occupancy in production; None = off.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -306,6 +315,20 @@ def embedding_near_dup_pairs_lsh(
         .persist()
     )
     banded.count()  # eager fill: both self-join sides race the cache otherwise
+    if max_bucket_occupancy is not None:
+        # one narrow agg over (tbl, bucket); cells above the cap are
+        # excluded from BOTH join sides (see docstring recall trade)
+        sizes = banded.groupBy("tbl", "bucket").agg(
+            F.count(F.lit(1)).alias("__occ")
+        )
+        banded = (
+            banded.join(
+                F.broadcast(sizes.where(F.col("__occ") > max_bucket_occupancy)),
+                ["tbl", "bucket"],
+                "left_anti",
+            )
+        ).persist()
+        banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (

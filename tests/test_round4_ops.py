@@ -84,3 +84,35 @@ def test_nearest_centroid_reassigns_mislabeled_vector(spark):
         for r in nearest_centroid_assign(df.repartition(7)).collect()
     }
     assert again == {r: got[r].assigned_label for r in got}
+
+
+def test_lsh_pairs_bucket_cap_quarantines_hot_cells(spark):
+    """A degenerate hot cluster (300 identical vectors) would alone emit
+    ~45k candidate pairs; with max_bucket_occupancy the hot cells are
+    dropped while pairs between ordinary vectors survive."""
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    hot = rng.normal(size=64)
+    a = rng.normal(size=64)
+    b = a + rng.normal(size=64) * 0.05  # near-dup of a
+    rows = [(i, [float(x) for x in hot]) for i in range(300)]
+    rows += [(1000, [float(x) for x in a]), (1001, [float(x) for x in b])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    capped = embedding_near_dup_pairs_lsh(
+        df, threshold=0.9, dim=64, nbits=6, n_tables=8,
+        max_bucket_occupancy=100,
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in capped}
+    assert (1000, 1001) in got, "ordinary near-dup pair lost to the cap"
+    assert all(p == (1000, 1001) for p in got), f"hot-cell pairs leaked: {len(got)}"
+
+    uncapped = embedding_near_dup_pairs_lsh(
+        df, threshold=0.9, dim=64, nbits=6, n_tables=8,
+    ).count()
+    assert uncapped > 40_000  # the quadratic mass the cap removes
