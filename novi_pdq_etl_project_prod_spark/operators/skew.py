@@ -50,7 +50,11 @@ def salted_agg(
                    {"sum_qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
                     "n": ("count", F.lit(1))})
     """
-    salt = (F.spark_partition_id() % n_salts).alias("__salt")
+    # row-derived (see salted_join): input layouts with < n_salts
+    # partitions would otherwise collapse the salt domain
+    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).alias(
+        "__salt"
+    )
     stage1_aggs = []
     for alias, (kind, col) in aggs.items():
         fn = F.sum if kind == "count" else _MERGES[kind]
@@ -77,7 +81,15 @@ def salted_join(
     finds its match. Use when the small side is too large to broadcast
     but the big side's keys are skewed. Prefer AQE skew-join when
     available; this is the explicit fallback."""
-    bs = big.withColumn("__salt", F.spark_partition_id() % n_salts)
+    # row-derived salt, NOT spark_partition_id() % n_salts: a big side
+    # read from few input splits (e.g. one fat parquet file) would yield
+    # only as many distinct salts as it has partitions, silently
+    # un-spreading the hot key. hash(partition, row-index) covers all
+    # n_salts regardless of input layout and is deterministic per task.
+    bs = big.withColumn(
+        "__salt",
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
+    )
     ss = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -255,6 +255,11 @@ def main_skewjoin(k: int = 10) -> None:
             .alias("k"),
             F.col("l_quantity").alias("qty"),
         )
+        # spread the replicated fact across the cores BEFORE timing: the
+        # raw crossJoin inherits lineitem's few input splits, which would
+        # serialize every plan's map side onto 2-4 tasks and mask the
+        # skew effect being measured
+        .repartition(64)
         .persist()
     )
     n_fact = fact.count()
