@@ -147,13 +147,29 @@ def main() -> None:
     }
     baseline_file, prior = _prior_round_timings()
     if prior:
-        regressions = {
-            n: {"prior": prior[n], "now": t, "ratio": round(t / prior[n], 2)}
+        ratios = {
+            n: t / prior[n]
             for n, t in timings.items()
-            if n in prior and prior[n] > 0 and t > prior[n] * REGRESSION_THRESHOLD
+            if n in prior and prior[n] > 0
         }
-        out["regression_baseline"] = baseline_file
-        out["regressions"] = regressions
+        if ratios:
+            # normalize out uniform environment drift (the bench runs on
+            # whatever box the round gets; a globally slower/faster
+            # machine shifts EVERY ratio — only per-query deviation from
+            # the median is a code regression)
+            drift = sorted(ratios.values())[len(ratios) // 2]
+            out["regression_baseline"] = baseline_file
+            out["environment_drift"] = round(drift, 2)
+            out["regressions"] = {
+                n: {
+                    "prior": prior[n],
+                    "now": timings[n],
+                    "ratio": round(r, 2),
+                    "vs_drift": round(r / drift, 2),
+                }
+                for n, r in ratios.items()
+                if r > drift * REGRESSION_THRESHOLD
+            }
     print(json.dumps(out))
 
 

@@ -712,7 +712,10 @@ def m24_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.35, dim=64, n_tables=16  # nbits auto-sized
+        emb, threshold=0.35, dim=64, n_tables=16,  # nbits auto-sized
+        # hot-cell guard (inert at fixture scale — buckets are far
+        # smaller; bounds the worst case on clustered corpora, SCALE.md)
+        max_bucket_occupancy=4096,
     )
 
 
