@@ -590,3 +590,91 @@ ORACLES = {
     "x13_asof_forward": X13_SQL,
     "g2_scd2_intervals": G2_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# X14 — SLIDING (hopping) windows: 1-hour windows every 15 minutes, each
+# event contributing to win/slide = 4 windows. The oracle materializes
+# the same window set via epoch-aligned integer bucket math.
+# ---------------------------------------------------------------------------
+
+def x14_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+X14_SQL = """
+WITH expanded AS (
+  SELECT make_timestamp(
+           (epoch_us(CAST(ts AS TIMESTAMP)) // 900000000) * 900000000
+           - k * 900000000
+         ) AS window_start,
+         event_type, value
+  FROM events, unnest(generate_series(0, 3)) t(k)
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# F9 — VARIANT ingestion (Spark 4 semi-structured type): parse the raw
+# JSON props into a VARIANT once, extract typed fields with variant_get.
+# At scale this replaces per-query JSON string re-parsing with a binary
+# columnar encoding (the Snowflake/Delta VARIANT pattern).
+# ---------------------------------------------------------------------------
+
+def f9_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    v = ev.withColumn("props_v", F.parse_json("props"))
+    return (
+        v.select(
+            F.variant_get("props_v", "$.k", "int").alias("k"),
+            F.col("value"),
+        )
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+F9_SQL = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+QUERIES["x14_sliding_windows"] = x14_sliding_windows
+QUERIES["f9_variant_extract"] = f9_variant_extract
+ORACLES["x14_sliding_windows"] = X14_SQL
+ORACLES["f9_variant_extract"] = F9_SQL
