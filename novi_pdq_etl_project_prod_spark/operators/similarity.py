@@ -549,6 +549,7 @@ def nearest_centroid_assign(
     label_col: str = "label",
     vec_col: str = "embedding",
     micro_scale: int = 1_000_000,
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest label centroid (one k-means
     E-step / nearest-class-mean classification) in EXACT integer
@@ -568,7 +569,15 @@ def nearest_centroid_assign(
     JVM fold over its own array — no per-vector shuffle, no pairwise
     join. Output: (id, true_label, assigned_label, is_match).
     """
-    sums = label_centroid_sums(df, label_col, vec_col, micro_scale)
+    # centroids default to df's own labels; pass centroid_source to
+    # assign one set against centroids trained on another (k-means seeds,
+    # classify-new-data-by-old-centroids)
+    sums = label_centroid_sums(
+        centroid_source if centroid_source is not None else df,
+        label_col,
+        vec_col,
+        micro_scale,
+    )
     cents = (
         sums.withColumn(
             "c_micro",
@@ -625,3 +634,70 @@ def nearest_centroid_assign(
             "is_match", (F.col("true_label") == F.col("assigned_label"))
         )
     )
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iter: int = 10,
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column, composed
+    from the exact-integer centroid operators: each iteration is one
+    nearest-centroid assignment of EVERY vector against centroids built
+    from the previous labeling (1-row broadcast + per-row JVM fold) plus
+    the k × dim centroid hash-agg — two narrow jobs per pass at any
+    corpus size. The loop stops early when an iteration changes no
+    assignment (a 1-row count — the same bounded-driver-traffic pattern
+    as dedup's cluster propagation), and ``localCheckpoint`` truncates
+    the iterative lineage so plans don't grow with iterations.
+
+    Initialization is deterministic — the k lowest-id vectors seed
+    single-member clusters — and every arithmetic step is the integer
+    micro-unit path of ``nearest_centroid_assign``, so results are
+    bit-reproducible across runs and partitionings.
+
+    Returns (id, cluster) for every input row, clusters in [0, k).
+    """
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    w = Window.orderBy("id")
+    labeled = (
+        vecs.orderBy("id")
+        .limit(k)
+        .select(
+            "id", "v", (F.row_number().over(w) - 1).cast("int").alias("label")
+        )
+        .localCheckpoint(eager=True)
+    )
+    to_assign = vecs.withColumn("label", F.lit(0).cast("int"))
+    for _ in range(max_iter):
+        nxt = nearest_centroid_assign(
+            to_assign,
+            id_col="id",
+            label_col="label",
+            vec_col="v",
+            micro_scale=micro_scale,
+            centroid_source=labeled,
+        ).select("id", F.col("assigned_label").alias("label"))
+        nxt_labeled = (
+            vecs.join(nxt, "id").select("id", "v", "label")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt_labeled.select("id", "label")
+            .join(
+                labeled.select("id", F.col("label").alias("prev")),
+                "id",
+                "left",
+            )
+            .where(
+                F.col("prev").isNull() | (F.col("label") != F.col("prev"))
+            )
+            .count()
+        )
+        labeled = nxt_labeled
+        if changed == 0:
+            break
+    return labeled.select("id", F.col("label").alias("cluster"))

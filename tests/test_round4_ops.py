@@ -116,3 +116,38 @@ def test_lsh_pairs_bucket_cap_quarantines_hot_cells(spark):
         df, threshold=0.9, dim=64, nbits=6, n_tables=8,
     ).count()
     assert uncapped > 40_000  # the quadratic mass the cap removes
+
+
+def test_kmeans_converges_on_separated_clusters(spark):
+    """Three well-separated planted clusters: Lloyd's must converge with
+    every planted group mapped to one distinct cluster id, and must be
+    reproducible under repartitioning (integer-exact arithmetic)."""
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        kmeans_fit_assign,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = [rng.normal(size=8) * 10 for _ in range(3)]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + rng.normal(size=8) * 0.2
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {r.id: r.cluster for r in kmeans_fit_assign(df, k=3).collect()}
+    assert len(got) == 90
+    # each planted group lands in exactly one cluster, all distinct
+    group_clusters = [
+        {got[i] for i in range(g, 90, 3)} for g in range(3)
+    ]
+    assert all(len(s) == 1 for s in group_clusters), group_clusters
+    assert len(set().union(*group_clusters)) == 3
+
+    again = {
+        r.id: r.cluster
+        for r in kmeans_fit_assign(df.repartition(7), k=3).collect()
+    }
+    assert again == got
