@@ -678,3 +678,25 @@ QUERIES["x14_sliding_windows"] = x14_sliding_windows
 QUERIES["f9_variant_extract"] = f9_variant_extract
 ORACLES["x14_sliding_windows"] = X14_SQL
 ORACLES["f9_variant_extract"] = F9_SQL
+
+
+# ---------------------------------------------------------------------------
+# M35 — distributed Lloyd's k-means (iterative — rows-only driver check;
+# convergence/reproducibility ground truth in test_round4_ops, the same
+# verification tier as m13's connected-components clustering).
+# ---------------------------------------------------------------------------
+
+def m35_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        kmeans_fit_assign,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = kmeans_fit_assign(emb, k=8, max_iter=5)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("id").alias("min_vec_id"),
+    )
+
+
+QUERIES["m35_kmeans_clusters"] = m35_kmeans_clusters
