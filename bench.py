@@ -169,6 +169,9 @@ def main() -> None:
                 }
                 for n, r in ratios.items()
                 if r > drift * REGRESSION_THRESHOLD
+                # noise floor: sub-second queries flap ±0.2s run-to-run
+                # (JVM/page-cache state); require a real absolute delta
+                and timings[n] - prior[n] * drift > 0.25
             }
     print(json.dumps(out))
 
