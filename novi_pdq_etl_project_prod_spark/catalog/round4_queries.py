@@ -700,3 +700,49 @@ def m35_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["m35_kmeans_clusters"] = m35_kmeans_clusters
+
+
+# ---------------------------------------------------------------------------
+# X15 — salted JOIN ≡ plain join (the join-side twin of x2_salted_agg:
+# the oracle is the UNSALTED join, so the driver itself certifies the
+# physical rewrite changes nothing). SCALE.md records the measured 2.7×
+# straggler win at 36M skewed rows.
+# ---------------------------------------------------------------------------
+
+def x15_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        # reference-style sentinel skew: clump a third of rows on key 0
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(0))
+        .otherwise(F.col("l_suppkey"))
+        .alias("k"),
+        F.col("l_quantity"),
+    )
+    dim = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), F.col("s_name")
+    )
+    joined = salted_join(li, dim, "k", n_salts=8)
+    return joined.groupBy("k", "s_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+X15_SQL = """
+WITH li AS (
+  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0 ELSE l_suppkey END AS k,
+         l_quantity
+  FROM lineitem
+)
+SELECT li.k, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM li JOIN supplier s ON li.k = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+QUERIES["x15_salted_join"] = x15_salted_join
+ORACLES["x15_salted_join"] = X15_SQL
