@@ -746,3 +746,139 @@ GROUP BY 1, 2
 
 QUERIES["x15_salted_join"] = x15_salted_join
 ORACLES["x15_salted_join"] = X15_SQL
+
+
+# ---------------------------------------------------------------------------
+# D11 — exact interpolated median (percentile_cont semantics) per group.
+# Exact holistic aggregate — the contrast to d5's approx sketch; at scale
+# prefer the sketch unless the contract requires exactness.
+# ---------------------------------------------------------------------------
+
+def d11_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)).alias(
+                "median_qty"
+            ),
+            F.percentile(
+                F.col("l_extendedprice").cast("double"), F.lit(0.25)
+            ).alias("p25_price"),
+        )
+    )
+
+
+D11_SQL = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5) AS median_qty,
+       quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# F10 — string-function surface (levenshtein / split_part / translate /
+# reverse / lpad / repeat), engine-portable forms only.
+# ---------------------------------------------------------------------------
+
+def f10_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.levenshtein(F.col("s_name"), F.lit("Supplier#000000001")).alias(
+            "lev_to_first"
+        ),
+        F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.translate(F.col("s_phone"), "-", ".").alias("phone_dotted"),
+        F.reverse(F.col("s_name")).alias("name_rev"),
+        F.lpad(F.col("s_suppkey").cast("string"), 9, "0").alias("key_padded"),
+        F.repeat(F.lit("ab"), 3).alias("const_repeat"),
+    )
+
+
+F10_SQL = """
+SELECT s_suppkey,
+       levenshtein(s_name, 'Supplier#000000001') AS lev_to_first,
+       split_part(s_name, '#', 2) AS name_num,
+       translate(s_phone, '-', '.') AS phone_dotted,
+       reverse(s_name) AS name_rev,
+       lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS key_padded,
+       repeat('ab', 3) AS const_repeat
+FROM supplier
+"""
+
+
+# ---------------------------------------------------------------------------
+# A7 — boolean aggregates: every/some (bool_and/bool_or) + count_if.
+# ---------------------------------------------------------------------------
+
+def a7_boolean_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 0).cast("int").alias("all_positive"),
+        F.some(F.col("o_totalprice") > 300_000).cast("int").alias("any_large"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )
+
+
+A7_SQL = """
+SELECT o_orderstatus,
+       CAST(bool_and(o_totalprice > 0) AS INT) AS all_positive,
+       CAST(bool_or(o_totalprice > 300000) AS INT) AS any_large,
+       CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# D12 — deterministic per-group mode: the most frequent value with an
+# explicit (count DESC, value ASC) tie-break — built from count +
+# row_number instead of an arbitrary-survivor mode() builtin, so both
+# engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def d12_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    counts = li.groupBy("l_returnflag", "ship_month").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("ship_month").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_returnflag", F.col("ship_month").alias("mode_month"), "n")
+    )
+
+
+D12_SQL = """
+WITH c AS (
+  SELECT l_returnflag, month(l_shipdate) AS ship_month, COUNT(*) AS n
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY l_returnflag ORDER BY n DESC, ship_month ASC
+  ) AS rn
+  FROM c
+)
+SELECT l_returnflag, ship_month AS mode_month, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1
+"""
+
+QUERIES["d11_exact_median"] = d11_exact_median
+QUERIES["f10_string_surface"] = f10_string_surface
+QUERIES["a7_boolean_aggs"] = a7_boolean_aggs
+QUERIES["d12_mode_per_group"] = d12_mode_per_group
+ORACLES["d11_exact_median"] = D11_SQL
+ORACLES["f10_string_surface"] = F10_SQL
+ORACLES["a7_boolean_aggs"] = A7_SQL
+ORACLES["d12_mode_per_group"] = D12_SQL
