@@ -791,7 +791,7 @@ def f10_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lev_to_first"
         ),
         F.split_part(F.col("s_name"), F.lit("#"), F.lit(2)).alias("name_num"),
-        F.translate(F.col("s_phone"), "-", ".").alias("phone_dotted"),
+        F.translate(F.col("s_name"), "Se#", "sE.").alias("name_translated"),
         F.reverse(F.col("s_name")).alias("name_rev"),
         F.lpad(F.col("s_suppkey").cast("string"), 9, "0").alias("key_padded"),
         F.repeat(F.lit("ab"), 3).alias("const_repeat"),
@@ -802,7 +802,7 @@ F10_SQL = """
 SELECT s_suppkey,
        levenshtein(s_name, 'Supplier#000000001') AS lev_to_first,
        split_part(s_name, '#', 2) AS name_num,
-       translate(s_phone, '-', '.') AS phone_dotted,
+       translate(s_name, 'Se#', 'sE.') AS name_translated,
        reverse(s_name) AS name_rev,
        lpad(CAST(s_suppkey AS VARCHAR), 9, '0') AS key_padded,
        repeat('ab', 3) AS const_repeat
