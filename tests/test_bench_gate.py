@@ -1,0 +1,36 @@
+"""Unit tests for bench.py's regression-gate helpers (no Spark)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def test_prior_round_timings_skips_crashed_rounds():
+    """The newest BENCH file with per-query timings wins; crashed rounds
+    (driver wrapper with rc=1 and no metric line) are skipped."""
+    name, prior = bench._prior_round_timings()
+    assert name is not None and prior, "r02 timings should be found"
+    assert name != "BENCH_r03.json", "r03 crashed (rc=1) and must be skipped"
+    assert all(isinstance(v, (int, float)) and v > 0 for v in prior.values())
+
+
+def test_prior_round_timings_parses_driver_wrapper(tmp_path, monkeypatch):
+    """Both file shapes parse: raw metric line and driver {n, rc, tail}."""
+    line = {"metric": "headline_wall_clock", "value": 2.0,
+            "queries": {"q1": 1.0, "q2": 1.0}}
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(line))
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"n": 2, "rc": 0, "tail": "noise\n" + json.dumps(
+            {"metric": "headline_wall_clock", "value": 3.0,
+             "queries": {"q1": 1.5, "q2": 1.5}})})
+    )
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"n": 3, "rc": 1, "tail": "Traceback: boom"})
+    )
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _p: str(tmp_path)
+    )
+    name, prior = bench._prior_round_timings()
+    assert name == "BENCH_r02.json" and prior == {"q1": 1.5, "q2": 1.5}
