@@ -92,7 +92,17 @@ _DRIVER_CERTIFIED = (
     "w8_decile_bins z2_zorder3_values m27_kfold_assign "
     "dq3_referential_integrity m28_packed_sequences u4_except_all "
     "u5_intersect_all f6_hof_surface w9_range_frame "
-    "m29_winnowing_fingerprints dq4_snapshot_diff m9_simhash_near_dups"
+    "m29_winnowing_fingerprints dq4_snapshot_diff m9_simhash_near_dups "
+    # r04 rows: the six r03 events-schema crashes re-certified green, the
+    # 19 net-new r04 queries (18 hash-green + m35 documented-no_oracle).
+    "p1_json_flatten x6_click_attribution d7_monthly_anomalies "
+    "x8_native_session_window f7_json_path x9_unattributed_clicks "
+    "m30_corpus_frequency_stats m31_ngram_repetition m32_ngram_novelty "
+    "m33_label_centroids m34_nearest_centroid r7_bucketed_range_join "
+    "dq6_month_completeness dq7_benford j5_null_safe_join x13_asof_forward "
+    "g2_scd2_intervals x14_sliding_windows f9_variant_extract "
+    "m35_kmeans_clusters x15_salted_join d11_exact_median f10_string_surface "
+    "a7_boolean_aggs d12_mode_per_group"
 ).split()
 
 #: Round-4 driver-budget window: the six r03 crash rows lead the registry
