@@ -99,17 +99,29 @@ def _prior_round_timings() -> tuple[str | None, dict[str, float]]:
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True):
         try:
-            doc = json.load(open(path))
+            with open(path) as fh:
+                doc = json.load(fh)
         except (OSError, json.JSONDecodeError):
             continue
-        if isinstance(doc.get("queries"), dict):
-            return os.path.basename(path), doc["queries"]
-        m = re.search(r'\{"metric".*', doc.get("tail", ""))
+        if not isinstance(doc, dict):
+            continue  # a bench file may be any JSON document; skip non-objects
+        # the driver may record the metric object under "parsed", as the
+        # whole document, or only inside the raw stdout "tail"
+        for candidate in (doc.get("parsed"), doc):
+            if (
+                isinstance(candidate, dict)
+                and isinstance(candidate.get("queries"), dict)
+            ):
+                return os.path.basename(path), candidate["queries"]
+        tail = doc.get("tail")
+        m = re.search(r'\{"metric".*', tail) if isinstance(tail, str) else None
         if m:
             try:
-                return os.path.basename(path), json.loads(m.group(0))["queries"]
-            except (json.JSONDecodeError, KeyError):
+                parsed = json.loads(m.group(0))["queries"]
+            except (json.JSONDecodeError, KeyError, TypeError):
                 continue
+            if isinstance(parsed, dict):
+                return os.path.basename(path), parsed
     return None, {}
 
 

@@ -11,9 +11,32 @@ def test_prior_round_timings_skips_crashed_rounds():
     """The newest BENCH file with per-query timings wins; crashed rounds
     (driver wrapper with rc=1 and no metric line) are skipped."""
     name, prior = bench._prior_round_timings()
-    assert name is not None and prior, "r02 timings should be found"
+    assert name is not None and prior, "prior timings should be found"
     assert name != "BENCH_r03.json", "r03 crashed (rc=1) and must be skipped"
     assert all(isinstance(v, (int, float)) and v > 0 for v in prior.values())
+
+
+def test_prior_round_timings_prefers_newest_recorded_round():
+    """VERDICT r04 item 5: with BENCH_r04.json present (driver wrapper
+    with the metric object under "parsed"), the gate re-baselines on it
+    instead of reaching back across the r02→r04 drift gap."""
+    name, prior = bench._prior_round_timings()
+    assert name == "BENCH_r04.json"
+    assert prior.get("m32_ngram_novelty") == 22.353
+
+
+def test_prior_round_timings_tolerates_malformed_documents(tmp_path, monkeypatch):
+    """Non-object JSON (array/string), object with non-dict queries, and
+    non-string tail are all skipped, not crashed on (ADVICE r04)."""
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"metric": "x", "queries": {"q1": 1.0}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(json.dumps([1, 2, 3]))
+    (tmp_path / "BENCH_r03.json").write_text(json.dumps({"queries": "oops"}))
+    (tmp_path / "BENCH_r04.json").write_text(json.dumps({"tail": 42}))
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    name, prior = bench._prior_round_timings()
+    assert name == "BENCH_r01.json" and prior == {"q1": 1.0}
 
 
 def test_prior_round_timings_parses_driver_wrapper(tmp_path, monkeypatch):
