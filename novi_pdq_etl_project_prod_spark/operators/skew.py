@@ -35,6 +35,27 @@ _MERGES = {
 }
 
 
+def _content_salt(df: DataFrame, n_salts: int, seed: int = 0x5A17) -> Column:
+    """Row-content-derived salt in [0, n_salts).
+
+    Derived from EVERY column of the row (plus a seed), never from
+    ``monotonically_increasing_id``/``spark_partition_id``/``rand``:
+    position-derived salts are recomputed differently when a task is
+    retried after a lost shuffle map output (SPARK-23207 class), so a
+    partially recomputed map stage can re-salt rows into different
+    reduce partitions — double-counting or dropping rows. A content
+    hash is a pure row function: identical under any retry, any input
+    split layout, and any upstream repartition, and it still covers the
+    full salt domain whenever any column varies within the hot key.
+    Rows that are bit-identical in every column share a salt; only a
+    hot key consisting of massively duplicated identical rows fails to
+    spread, and no deterministic row function can do better.
+    """
+    return F.pmod(
+        F.hash(*[F.col(c) for c in df.columns], F.lit(seed)), F.lit(n_salts)
+    )
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
@@ -50,11 +71,9 @@ def salted_agg(
                    {"sum_qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
                     "n": ("count", F.lit(1))})
     """
-    # row-derived (see salted_join): input layouts with < n_salts
-    # partitions would otherwise collapse the salt domain
-    salt = F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)).alias(
-        "__salt"
-    )
+    # content-derived (see _content_salt): retry-deterministic, and input
+    # layouts with < n_salts partitions don't collapse the salt domain
+    salt = _content_salt(df, n_salts).alias("__salt")
     stage1_aggs = []
     for alias, (kind, col) in aggs.items():
         fn = F.sum if kind == "count" else _MERGES[kind]
@@ -81,15 +100,12 @@ def salted_join(
     finds its match. Use when the small side is too large to broadcast
     but the big side's keys are skewed. Prefer AQE skew-join when
     available; this is the explicit fallback."""
-    # row-derived salt, NOT spark_partition_id() % n_salts: a big side
-    # read from few input splits (e.g. one fat parquet file) would yield
-    # only as many distinct salts as it has partitions, silently
-    # un-spreading the hot key. hash(partition, row-index) covers all
-    # n_salts regardless of input layout and is deterministic per task.
-    bs = big.withColumn(
-        "__salt",
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(n_salts)),
-    )
+    # content-derived salt, NOT spark_partition_id() % n_salts (a big
+    # side read from few input splits would yield only as many distinct
+    # salts as partitions, silently un-spreading the hot key) and NOT
+    # monotonically_increasing_id (position-derived: task retries re-salt
+    # rows — see _content_salt)
+    bs = big.withColumn("__salt", _content_salt(big, n_salts))
     ss = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

@@ -94,6 +94,29 @@ def test_salted_join_matches_plain_join(spark):
         assert want.exceptAll(got).count() == 0
 
 
+def test_salt_is_retry_and_layout_deterministic(spark):
+    """ADVICE r04: the salt must be a pure row function — identical for
+    the same row content under any partition layout (the observable twin
+    of task-retry recomputation, SPARK-23207 class), and still cover the
+    full salt domain when content varies."""
+    from novi_pdq_etl_project_prod_spark.operators.skew import _content_salt
+
+    df = spark.range(5_000).selectExpr("id % 7 AS k", "id AS payload")
+    a = df.withColumn("__salt", _content_salt(df, 8))
+    b_in = df.repartition(13, "payload")
+    b = b_in.withColumn("__salt", _content_salt(b_in, 8))
+    joined = a.alias("a").join(b.alias("b"), "payload")
+    assert joined.where("a.__salt <> b.__salt").count() == 0
+    # full domain coverage on a single-partition input (the r04
+    # salt-domain-collapse regression)
+    one_part = df.coalesce(1)
+    n_distinct = (
+        one_part.withColumn("__salt", _content_salt(one_part, 8))
+        .select("__salt").distinct().count()
+    )
+    assert n_distinct == 8
+
+
 def test_referential_orphans_detects_planted_orphan(spark):
     from novi_pdq_etl_project_prod_spark.operators.quality import (
         referential_orphans,
