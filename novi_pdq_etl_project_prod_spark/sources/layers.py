@@ -39,6 +39,29 @@ class MedallionLayer(str, enum.Enum):
 #: Starts with ``_`` so Spark's parquet reader ignores it (like _SUCCESS).
 CURRENT_POINTER = "_CURRENT"
 _SNAPSHOT_PREFIX = "_snap_v"
+#: Lock file serializing pointer commits across concurrent writer
+#: processes (``fcntl.flock`` — released automatically if a writer dies).
+COMMIT_LOCK = "_COMMIT_LOCK"
+
+#: Snapshot-GC retention (consulted at call time so tests/operators can
+#: override): besides the live snapshot, keep the newest
+#: ``GC_RETAIN_PREVIOUS`` other snapshots (a lazy reader that resolved
+#: ``_CURRENT`` just before a commit still finds its files — Spark scans
+#: are lazy, the resolve is eager), and never delete ANY entry younger
+#: than ``GC_GRACE_SECONDS`` (protects a concurrent writer's in-progress
+#: snapshot dir, which is not yet referenced by the pointer). Readers
+#: slower than retain+grace horizons can still lose files mid-query —
+#: the documented MVCC horizon of a pointer-file table format without
+#: reader registration; pin with ``GC_RETAIN_PREVIOUS`` for long reads.
+GC_RETAIN_PREVIOUS = 1
+GC_GRACE_SECONDS = 120.0
+
+
+class SnapshotConflictError(RuntimeError):
+    """Raised by a compare-and-swap commit whose base snapshot is no
+    longer live (another writer committed in between) — the file-layer
+    analogue of a serialization failure on the reference's Postgres
+    ``ON CONFLICT`` upsert path."""
 
 
 def table_path(root: str, layer: MedallionLayer | str, table: str) -> str:
@@ -63,6 +86,17 @@ def resolve_table_path(path: str) -> str:
     return path
 
 
+def current_snapshot(path: str) -> str | None:
+    """Name of the live snapshot dir (None before the first commit) —
+    the table's version token for compare-and-swap writes: read it
+    before a read-modify-write, pass it as ``expected_base``."""
+    ptr = os.path.join(path, CURRENT_POINTER)
+    if os.path.isfile(ptr):
+        with open(ptr, encoding="utf-8") as fh:
+            return fh.read().strip()
+    return None
+
+
 def _next_snapshot_name(path: str) -> str:
     """Monotonic snapshot dir name (``_snap_v00000001`` ...). The ``_``
     prefix keeps stray direct ``spark.read.parquet(table_dir)`` calls from
@@ -78,7 +112,23 @@ def _next_snapshot_name(path: str) -> str:
     return f"{_SNAPSHOT_PREFIX}{version + 1:08d}"
 
 
-def _commit_pointer(path: str, snapshot_name: str) -> None:
+def _reserve_snapshot_dir(path: str) -> str:
+    """Atomically claim the next snapshot version with ``os.mkdir``
+    (EEXIST ⇒ another writer took it; rescan and take the next). Two
+    concurrent writers therefore never write into the same snapshot
+    dir — the first prerequisite of multi-writer safety."""
+    while True:
+        snap = _next_snapshot_name(path)
+        try:
+            os.mkdir(os.path.join(path, snap))
+            return snap
+        except FileExistsError:
+            continue
+
+
+def _commit_pointer(
+    path: str, snapshot_name: str, expected_base: str | None = ...,
+) -> None:
     """Atomically flip ``_CURRENT`` to ``snapshot_name``.
 
     Write-to-temp + fsync + ``os.replace`` + dir fsync: POSIX rename is
@@ -87,35 +137,77 @@ def _commit_pointer(path: str, snapshot_name: str) -> None:
     torn table. This is the single commit point of the snapshot protocol;
     everything before it is invisible, everything after it is garbage
     collection.
+
+    The flip runs under an ``flock`` on ``_COMMIT_LOCK`` (held only for
+    the pointer swap, released automatically if the process dies), which
+    serializes concurrent committers. With ``expected_base`` set (a name
+    from ``current_snapshot``, or None for "table must not exist yet")
+    the commit is compare-and-swap: if another writer moved the pointer
+    since the caller read it, ``SnapshotConflictError`` is raised and
+    the pointer is untouched — lost-update protection for
+    read-modify-write upserts. Without it, last-writer-wins (the correct
+    semantics for blind truncate+load overwrites).
     """
-    ptr = os.path.join(path, CURRENT_POINTER)
-    tmp = ptr + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(snapshot_name)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, ptr)
-    dfd = os.open(path, os.O_RDONLY)
+    import fcntl
+
+    lock_fd = os.open(
+        os.path.join(path, COMMIT_LOCK), os.O_CREAT | os.O_RDWR, 0o644
+    )
     try:
-        os.fsync(dfd)
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        if expected_base is not ... and current_snapshot(path) != expected_base:
+            raise SnapshotConflictError(
+                f"{path}: live snapshot is {current_snapshot(path)!r}, "
+                f"writer expected {expected_base!r}"
+            )
+        ptr = os.path.join(path, CURRENT_POINTER)
+        tmp = ptr + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(snapshot_name)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, ptr)
+        dfd = os.open(path, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
     finally:
-        os.close(dfd)
+        os.close(lock_fd)  # releases the flock
 
 
 def _gc_stale_snapshots(path: str) -> None:
-    """Best-effort cleanup of everything except the live snapshot and the
-    pointer. Runs strictly after the pointer commit, so a crash here leaves
-    only unreferenced garbage (re-collected by the next write), never a
-    broken table. Also clears legacy in-place data files on a table's first
-    snapshot commit."""
+    """Best-effort cleanup of unreferenced snapshots and legacy in-place
+    files. Runs strictly after the pointer commit, so a crash here leaves
+    only unreferenced garbage (re-collected by a later write), never a
+    broken table.
+
+    Retention (ADVICE r04): keeps the live snapshot, the newest
+    ``GC_RETAIN_PREVIOUS`` other snapshots (concurrent readers that
+    resolved the pointer pre-commit scan lazily — deleting the previous
+    snapshot immediately would yield FileNotFoundException mid-query),
+    and any entry younger than ``GC_GRACE_SECONDS`` (a concurrent
+    writer's reserved-but-uncommitted snapshot dir is invisible to the
+    pointer but must survive until its own commit)."""
     import shutil
+    import time
 
     live = os.path.basename(resolve_table_path(path))
+    keep = {live, CURRENT_POINTER, COMMIT_LOCK}
+    snaps = sorted(
+        (e for e in os.listdir(path)
+         if e.startswith(_SNAPSHOT_PREFIX) and e != live),
+        reverse=True,
+    )
+    keep.update(snaps[: max(0, int(GC_RETAIN_PREVIOUS))])
+    cutoff = time.time() - GC_GRACE_SECONDS
     for entry in os.listdir(path):
-        if entry in (live, CURRENT_POINTER):
+        if entry in keep:
             continue
         target = os.path.join(path, entry)
         try:
+            if os.path.getmtime(target) > cutoff:
+                continue  # within grace: may be an in-progress writer
             if os.path.isdir(target):
                 shutil.rmtree(target)
             else:
@@ -124,13 +216,24 @@ def _gc_stale_snapshots(path: str) -> None:
             pass  # next writer retries; readers never see this dir anyway
 
 
-def _commit_snapshot_write(df_writer, path: str) -> str:
-    """Run ``df_writer(snapshot_dir)`` then atomically commit the result as
-    the table's live snapshot. Returns the committed data directory."""
+def _commit_snapshot_write(
+    df_writer, path: str, expected_base: str | None = ...,
+) -> str:
+    """Run ``df_writer(snapshot_dir)`` into a freshly reserved versioned
+    dir, then atomically commit it as the table's live snapshot (CAS if
+    ``expected_base`` given — on conflict the orphan dir is removed and
+    ``SnapshotConflictError`` propagates). Returns the committed data
+    directory."""
     os.makedirs(path, exist_ok=True)
-    snap = _next_snapshot_name(path)
-    df_writer(os.path.join(path, snap))
-    _commit_pointer(path, snap)
+    snap = _reserve_snapshot_dir(path)
+    try:
+        df_writer(os.path.join(path, snap))
+        _commit_pointer(path, snap, expected_base)
+    except SnapshotConflictError:
+        import shutil
+
+        shutil.rmtree(os.path.join(path, snap), ignore_errors=True)
+        raise
     _gc_stale_snapshots(path)
     return os.path.join(path, snap)
 
@@ -304,21 +407,40 @@ def compact_table(
     )
 
 
-def overwrite_snapshot(df: DataFrame, root: str, layer: MedallionLayer | str, table: str) -> str:
+def overwrite_snapshot(
+    df: DataFrame,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    expected_base: str | None = ...,
+) -> str:
     """Full-snapshot overwrite — used for dimension tables (S8 truncate+load
     analogue; the upsert itself is operators.modeling.upsert_dim).
 
     Committed via the ``_CURRENT`` pointer protocol: the new snapshot is
-    fully written to a versioned dir before the atomic pointer flip, so
-    concurrent readers and crashes always see a complete table. Because
-    the old snapshot's files survive until after the commit, ``df`` may
-    lazily READ the table being overwritten (read-modify-write upsert)
-    with no checkpoint/materialization step — the write job consumes the
-    old files, the pointer flips, then they're garbage-collected.
+    fully written to a versioned dir (reserved atomically, so concurrent
+    writers never collide on a directory) before the atomic pointer
+    flip; crashes at any instant leave readers on a complete table, and
+    readers that resolved the pointer just before a flip keep their
+    files for the GC retention horizon (``GC_RETAIN_PREVIOUS`` /
+    ``GC_GRACE_SECONDS``). Because the old snapshot's files survive the
+    commit, ``df`` may lazily READ the table being overwritten
+    (read-modify-write upsert) with no checkpoint/materialization step.
+
+    Concurrent writers: by default last-committer-wins (correct for
+    blind truncate+load). For read-modify-write, capture
+    ``current_snapshot(table_path(...))`` before building ``df`` and
+    pass it as ``expected_base`` — the commit then fails with
+    ``SnapshotConflictError`` instead of silently losing the other
+    writer's update (the file-engine equivalent of the reference's
+    transactional ``ON CONFLICT`` upsert, reference
+    ``spark_jobs/model_curated.py:72-101``).
     """
     path = table_path(root, layer, table)
     _commit_snapshot_write(
-        lambda snap_dir: df.write.mode("overwrite").parquet(snap_dir), path
+        lambda snap_dir: df.write.mode("overwrite").parquet(snap_dir),
+        path,
+        expected_base,
     )
     return path
 
