@@ -33,11 +33,12 @@ from novi_pdq_etl_project_prod_spark.operators.quality import (
     duplicate_keys,
     negative_measures,
 )
-from novi_pdq_etl_project_prod_spark.session import read_events
+from novi_pdq_etl_project_prod_spark.session import read_events, read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # assert-and-adapt fixture read: absorbs driver testdata schema drift
+    return read_table(spark, sf_dir, name)
 
 
 def _dec(col, prec: int = 18, scale: int = 2):

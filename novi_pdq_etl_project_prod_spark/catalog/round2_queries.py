@@ -33,7 +33,7 @@ from novi_pdq_etl_project_prod_spark.operators.stats import (
     zscore_outliers,
 )
 from novi_pdq_etl_project_prod_spark.operators.timeseries import gap_fill_monthly
-from novi_pdq_etl_project_prod_spark.session import read_events
+from novi_pdq_etl_project_prod_spark.session import read_events, read_table
 from novi_pdq_etl_project_prod_spark.sources.skipping import (
     zorder_col,
     zorder_col_multi,
@@ -46,7 +46,8 @@ from novi_pdq_etl_project_prod_spark.streaming.events import (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # assert-and-adapt fixture read: absorbs driver testdata schema drift
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

@@ -34,10 +34,12 @@ from novi_pdq_etl_project_prod_spark.operators.text import (
     max_ngram_repetition,
     ngram_novelty,
 )
+from novi_pdq_etl_project_prod_spark.session import read_table
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # assert-and-adapt fixture read: absorbs driver testdata schema drift
+    return read_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------------------

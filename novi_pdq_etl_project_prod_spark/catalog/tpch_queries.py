@@ -34,8 +34,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # assert-and-adapt fixture read: absorbs driver testdata schema drift
+    return read_table(spark, sf_dir, name)
 
 
 def _dec(col, prec: int = 18, scale: int = 2):

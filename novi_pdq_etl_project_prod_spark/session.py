@@ -70,33 +70,151 @@ def get_spark(
     return spark
 
 
-def read_events(spark: SparkSession, sf_dir: str):
-    """Read the ``events`` fixture, normalizing ``ts`` to TimestampType.
+#: Canonical fixture schemas (TESTDATA.md): the column names and Spark
+#: types every catalog query and DuckDB oracle assumes. ``read_table``
+#: asserts the names exist and normalizes drifted types back to these;
+#: extra columns pass through untouched. This generalizes the r03 lesson
+#: (the driver's regenerated events fixture switched ``ts`` from
+#: INT64-nanos to TIMESTAMP_NTZ and crashed six queries) to every
+#: fixture: a future regeneration that changes integer widths, float
+#: widths, or timestamp encodings is absorbed at the read boundary
+#: instead of crashing 142 queries.
+CANONICAL_FIXTURES: dict[str, dict[str, str]] = {
+    "region": {"r_regionkey": "int", "r_name": "string"},
+    "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+    "customer": {
+        "c_custkey": "bigint", "c_name": "string", "c_nationkey": "int",
+        "c_acctbal": "double", "c_mktsegment": "string",
+    },
+    "supplier": {
+        "s_suppkey": "bigint", "s_name": "string", "s_nationkey": "int",
+        "s_acctbal": "double",
+    },
+    "part": {
+        "p_partkey": "bigint", "p_name": "string", "p_brand": "string",
+        "p_type": "string", "p_size": "int", "p_retailprice": "double",
+    },
+    # o_orderdate / l_shipdate are canonically TIMESTAMP_NTZ: Spark 4
+    # infers NTZ for non-UTC-adjusted micros, every query and oracle has
+    # been certified against that, so drifted encodings normalize INTO
+    # ntz (a value-preserving relabel under the forced-UTC session).
+    # events.ts is canonically session-tz TimestampType — the
+    # read_events contract since r01.
+    "orders": {
+        "o_orderkey": "bigint", "o_custkey": "bigint",
+        "o_orderstatus": "string", "o_totalprice": "double",
+        "o_orderdate": "timestamp_ntz", "o_orderpriority": "string",
+    },
+    "lineitem": {
+        "l_orderkey": "bigint", "l_partkey": "bigint", "l_suppkey": "bigint",
+        "l_linenumber": "int", "l_quantity": "double",
+        "l_extendedprice": "double", "l_discount": "double",
+        "l_tax": "double", "l_returnflag": "string",
+        "l_linestatus": "string", "l_shipdate": "timestamp_ntz",
+    },
+    "events": {
+        "event_id": "bigint", "ts": "timestamp", "user_id": "bigint",
+        "event_type": "string", "value": "double", "props": "string",
+    },
+    "documents": {
+        "doc_id": "bigint", "text": "string", "lang": "string",
+        "source": "string", "n_chars": "bigint",
+    },
+    "embeddings": {
+        "vec_id": "bigint", "embedding": "array<float>", "label": "int",
+    },
+}
 
-    The fixture's ``ts`` encoding has varied across driver testdata
-    generations: INT64 TIMESTAMP(NANOS) (Spark rejects it by default; the
-    legacy conf maps it to long nanos) and plain TIMESTAMP(MICROS) with
-    isAdjustedToUTC=false (Spark reads TIMESTAMP_NTZ). Adapt to whatever is
-    on disk and always hand back a session-tz (UTC) TimestampType column so
-    every downstream query sees one stable schema.
+
+def _footer_type(path: str, column: str) -> str:
+    """Parquet-footer (logical) type string of ``column`` — the ground
+    truth for disambiguating integer-encoded timestamps, read driver-side
+    from one file footer (no data pages)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = files[0]
+    schema = pq.read_schema(path)
+    return str(schema.field(column).type)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str):
+    """Read a driver fixture, normalized to its canonical schema.
+
+    Fixture encodings drift across driver testdata generations (r03:
+    ``events.ts`` INT64-nanos → TIMESTAMP_NTZ). This is the single
+    assert-and-adapt boundary for ALL fixtures:
+
+    - every canonical column must exist (missing ⇒ loud AssertionError
+      naming the drift, not 142 downstream crashes);
+    - integer-encoded timestamps are decoded by parquet-footer unit
+      (nanos via integer division — epoch-nanos exceed double's 2^53
+      mantissa, so ``/ 1000`` through double arithmetic drifts ±1µs);
+    - TIMESTAMP_NTZ relabels to session-tz timestamp (value-preserving
+      under the engine's forced UTC);
+    - numeric width drift (int32↔int64, float32↔float64, decimal)
+      casts back to canonical;
+    - already-canonical tables return the raw scan unchanged, keeping
+      plans free of cast projections (pushdown/pruning intact).
     """
-    import os as _os
-
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(_os.path.join(sf_dir, "events.parquet"))
-    ts_type = df.schema["ts"].dataType
-    if isinstance(ts_type, T.LongType):
-        # integer division: epoch-nanos (~1.7e18) exceed double's 2^53
-        # mantissa, so `/ 1000` through double arithmetic drifts by ±1µs
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if not isinstance(ts_type, T.TimestampType):
-        # TIMESTAMP_NTZ → session-tz timestamp (a value-preserving relabel
-        # under the engine's forced UTC session timezone)
-        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
-    return df
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    canon = CANONICAL_FIXTURES.get(name)
+    if canon is None:
+        return df
+    missing = [c for c in canon if c not in df.columns]
+    assert not missing, (
+        f"fixture drift: {name} at {sf_dir} lacks canonical columns "
+        f"{missing}; found {df.columns}"
+    )
+    exprs, changed = [], False
+    for field in df.schema.fields:
+        want = canon.get(field.name)
+        have = field.dataType.simpleString()
+        if want is None or have == want:
+            exprs.append(F.col(field.name))
+            continue
+        changed = True
+        col = F.col(field.name)
+        if want in ("timestamp", "timestamp_ntz") and isinstance(
+            field.dataType, T.LongType
+        ):
+            unit = _footer_type(path, field.name)
+            if unit.startswith("timestamp[ns"):
+                col = F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            elif unit.startswith("timestamp[us"):
+                col = F.timestamp_micros(col)
+            elif unit.startswith("timestamp[ms"):
+                col = F.timestamp_millis(col)
+            else:
+                raise AssertionError(
+                    f"fixture drift: {name}.{field.name} is INT64 with "
+                    f"footer type {unit!r} — cannot infer a timestamp unit"
+                )
+            if want == "timestamp_ntz":
+                col = col.cast(want)
+        else:
+            # TIMESTAMP_NTZ→timestamp relabel (UTC session), numeric
+            # width/decimal drift, array element-width drift: one cast
+            col = col.cast(want)
+        exprs.append(col.alias(field.name))
+    return df.select(*exprs) if changed else df
+
+
+def read_events(spark: SparkSession, sf_dir: str):
+    """Read the ``events`` fixture, normalizing ``ts`` to TimestampType
+    (kept as the historically-named entry point; delegates to the general
+    ``read_table`` assert-and-adapt boundary)."""
+    return read_table(spark, sf_dir, "events")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str):
@@ -107,7 +225,7 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str):
     """
     out = {}
     for name in names:
-        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        df = read_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
