@@ -77,6 +77,8 @@ HEADLINE = [
     "m32_ngram_novelty",
     "m34_nearest_centroid",
     "r7_bucketed_range_join",
+    # round-5 additions
+    "m36_kmeans_em_step",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -19,6 +19,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     reference_queries,
     round2_queries,
     round4_queries,
+    round5_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -35,6 +36,7 @@ for _mod in (
     tpch_queries,
     round2_queries,
     round4_queries,
+    round5_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -129,6 +129,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "d8_heavy_hitters",      # scalar-total cross join (1-row broadcast)
         "m7_embedding_topk",     # brute-force baseline: cross join by design
         "m34_nearest_centroid",  # centroid table as 1-row broadcast
+        "m36_kmeans_em_step",    # same 1-row broadcast centroid E-step
         "m2_ngram_jaccard_pairs",
         "m11_embedding_near_dup_pairs",
         "sql2_correlated_subquery",
