@@ -5,6 +5,12 @@
   (VERDICT r04 item 3): the E-step equals ``m34_nearest_centroid``, the
   M-step is one more hash-agg over the SAME in-flight micro vectors, so
   only the iteration loop stays pytest-only.
+- ``m37`` IVF-routed related-pair mining (VERDICT r04 item 7): the
+  density-adaptive pair miner for the cos ≥ 0.5 regime where hash-bucket
+  LSH recall collapses. No oracle (k-means routing isn't SQL); ground
+  truth is the pinned recall floor vs exact numpy all-pairs
+  (tests/test_round5_ops.py) and the 200k-density measurement in
+  SCALE.md (recall 0.545, zero false positives).
 
 Each query follows the determinism contract in catalog/__init__ (exact
 integer/decimal aggregation, double only at the final edge, identical
@@ -16,7 +22,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from novi_pdq_etl_project_prod_spark.operators.similarity import kmeans_em_step
+from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    embedding_related_pairs_ivf,
+    kmeans_em_step,
+)
 from novi_pdq_etl_project_prod_spark.session import read_table
 
 
@@ -77,8 +86,21 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# M37 — IVF-routed related-pair mining over embeddings. Approximate by
+# design (trained-centroid routing), deterministic end to end (seeded
+# hash-spread sample, stable argsorts, float64 BLAS scoring), precision
+# 1.0 by construction; no SQL oracle — see module docstring.
+# ---------------------------------------------------------------------------
+
+def m37_ivf_related_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_related_pairs_ivf(emb, threshold=0.5)
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
+    "m37_ivf_related_pairs": m37_ivf_related_pairs,
 }
 
 ORACLES = {

@@ -66,6 +66,7 @@ def test_every_query_has_oracle_or_documented_exception():
         "m24_embedding_lsh_pairs",
         "m25_quantization_fidelity",
         "m35_kmeans_clusters",
+        "m37_ivf_related_pairs",
     }
     assert no_oracle <= documented, (
         f"undocumented no-oracle queries: {sorted(no_oracle - documented)}"
