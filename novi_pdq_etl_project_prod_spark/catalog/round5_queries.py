@@ -12,6 +12,27 @@
   (tests/test_round5_ops.py) and the 200k-density measurement in
   SCALE.md (recall 0.545, zero false positives).
 
+Second widening wave (new surface the reference's users need at 100 TB):
+
+- ``c1`` CDC changelog apply (latest state per key, deletes honored) —
+  the streaming-ingest successor of the reference's ``ON CONFLICT``
+  upsert (`/root/reference/spark_jobs/model_curated.py:72-101`).
+- ``c2`` incremental aggregate maintenance: merge(agg(A), agg(B)) ==
+  agg(A ∪ B), certified by recomputing the union in the oracle.
+- ``d13`` linear-weighted moving average (exact integer numerator).
+- ``d14`` Tukey-fence (IQR) outlier audit with exact quartiles.
+- ``a8`` FILTER-clause conditional aggregation surface.
+- ``w10`` cumulative distinct entities (first-seen identity — the
+  scalable replacement for COUNT(DISTINCT) OVER).
+- ``x16`` interval×interval overlap join via canonical-bucket dedup.
+- ``m38`` SemDeDup-style cluster-scoped near-dup pairs with the cosine
+  threshold evaluated in exact integer milli-units.
+- ``m39`` directed n-gram containment pairs (near-subset detection that
+  Jaccard structurally misses).
+- ``dq8`` quantile-bin distribution drift (χ² form — IEEE-exact ops
+  only; PSI's ``ln`` stays off the oracled surface by the
+  corpus_frequency_stats policy).
+
 Each query follows the determinism contract in catalog/__init__ (exact
 integer/decimal aggregation, double only at the final edge, identical
 literal constants in both engines) so the DuckDB oracle hash-matches
@@ -21,11 +42,25 @@ bit-for-bit.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from novi_pdq_etl_project_prod_spark.operators.cdc import (
+    apply_changes,
+    merge_partial_aggs,
+)
+from novi_pdq_etl_project_prod_spark.operators.dedup import ngram_containment_pairs
+from novi_pdq_etl_project_prod_spark.operators.joins import interval_overlap_join
 from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    cluster_scoped_dup_pairs,
     embedding_related_pairs_ivf,
     kmeans_em_step,
 )
+from novi_pdq_etl_project_prod_spark.operators.stats import (
+    iqr_outlier_summary,
+    quantile_bin_drift,
+)
+from novi_pdq_etl_project_prod_spark.operators.timeseries import weighted_moving_avg
+from novi_pdq_etl_project_prod_spark.operators.windows import cumulative_distinct
 from novi_pdq_etl_project_prod_spark.session import read_table
 
 
@@ -98,11 +133,268 @@ def m37_ivf_related_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_related_pairs_ivf(emb, threshold=0.5)
 
 
+# ---------------------------------------------------------------------------
+# C1 — CDC changelog apply: events as a Debezium-ish op stream keyed by
+# user (error = tombstone). One window shuffle; no state-table join.
+# ---------------------------------------------------------------------------
+
+def c1_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    log = ev.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    )
+    cur = apply_changes(log, ["user_id"], ["ts", "event_id"], "op")
+    return cur.select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+C1_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_event_type,
+       ts AS last_ts,
+       value AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# C2 — incremental aggregate maintenance: aggregate two ship-date halves
+# independently, merge the partials, certify merge == full recompute.
+# ---------------------------------------------------------------------------
+
+def c2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    yyyymm = (
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("long")
+        .alias("ship_yyyymm")
+    )
+
+    def half(pred):
+        return (
+            li.where(pred)
+            .groupBy("l_returnflag", yyyymm)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(qty).alias("sum_qty"),
+                F.max("l_shipdate").alias("last_ship"),
+            )
+        )
+
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    merged = merge_partial_aggs(
+        half(F.col("l_shipdate") < cutoff),
+        half(F.col("l_shipdate") >= cutoff),
+        ["l_returnflag", "ship_yyyymm"],
+        sum_cols=["n_rows", "sum_qty"],
+        max_cols=["last_ship"],
+    )
+    return merged.select(
+        "l_returnflag",
+        "ship_yyyymm",
+        "n_rows",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "last_ship",
+    )
+
+
+C2_SQL = """
+SELECT l_returnflag,
+       CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ship_yyyymm,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       MAX(l_shipdate) AS last_ship
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# D13 — linear-weighted moving average of monthly segment revenue
+# (weights 3,2,1; exact BIGINT cents numerator, one final divide).
+# ---------------------------------------------------------------------------
+
+def d13_weighted_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            "c_mktsegment",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("yyyymm"),
+        )
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    out = weighted_moving_avg(
+        monthly, ["c_mktsegment"], "yyyymm", "rev_cents", k=3
+    )
+    return out.select("c_mktsegment", "yyyymm", "rev_cents", "wma")
+
+
+D13_SQL = """
+WITH monthly AS (
+  SELECT c_mktsegment,
+         year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+lagged AS (
+  SELECT c_mktsegment, CAST(yyyymm AS BIGINT) AS yyyymm, rev_cents,
+         lag(rev_cents, 1) OVER w AS l1,
+         lag(rev_cents, 2) OVER w AS l2,
+         row_number() OVER w AS rn
+  FROM monthly
+  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY yyyymm)
+)
+SELECT c_mktsegment, yyyymm, rev_cents,
+       CASE WHEN rn >= 3
+            THEN CAST(rev_cents * 3 + l1 * 2 + l2 * 1 AS DOUBLE) / 6.0
+       END AS wma
+FROM lagged
+"""
+
+
+# ---------------------------------------------------------------------------
+# D14 — Tukey-fence outlier audit of order totals per priority: exact
+# quartiles, 1.5×IQR fences, outside-fence counts.
+# ---------------------------------------------------------------------------
+
+def d14_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return iqr_outlier_summary(o, ["o_orderpriority"], "o_totalprice")
+
+
+D14_SQL = """
+WITH fences AS (
+  SELECT o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median,
+         quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75) AS q3
+  FROM orders GROUP BY 1
+),
+fenced AS (
+  SELECT *, q1 - 1.5 * (q3 - q1) AS lo_fence, q3 + 1.5 * (q3 - q1) AS hi_fence
+  FROM fences
+)
+SELECT f.o_orderpriority, f.n_rows, f.q1, f.median, f.q3, f.lo_fence, f.hi_fence,
+       CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE) < f.lo_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN CAST(o.o_totalprice AS DOUBLE) > f.hi_fence
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+FROM orders o JOIN fenced f USING (o_orderpriority)
+GROUP BY 1, 2, 3, 4, 5, 6, 7
+"""
+
+
+# ---------------------------------------------------------------------------
+# A8 — FILTER-clause conditional aggregation surface (expressed with
+# when() so every branch stays inside one hash-agg pass).
+# ---------------------------------------------------------------------------
+
+def a8_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    disc = F.col("l_discount") >= 0.05
+    hi_tax = F.col("l_tax") > 0.04
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(disc, 1).otherwise(0)).alias("n_disc"),
+        F.sum(F.when(disc, qty)).cast("double").alias("qty_disc"),
+        F.max(F.when(hi_tax, F.col("l_extendedprice"))).alias("max_price_hi_tax"),
+        F.sum(F.when(disc & hi_tax, 1).otherwise(0)).alias("n_both"),
+    )
+
+
+A8_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05) AS BIGINT) AS n_disc,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+              FILTER (WHERE l_discount >= 0.05) AS DOUBLE) AS qty_disc,
+       MAX(l_extendedprice) FILTER (WHERE l_tax > 0.04) AS max_price_hi_tax,
+       CAST(COUNT(*) FILTER (WHERE l_discount >= 0.05 AND l_tax > 0.04)
+            AS BIGINT) AS n_both
+FROM lineitem
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# W10 — cumulative distinct users by day (first-seen identity; state is
+# O(days), never O(users)).
+# ---------------------------------------------------------------------------
+
+def w10_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return cumulative_distinct(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        F.date_format("ts", "yyyy-MM-dd"),  # ISO string: sorts chronologically
+        grain_name="day",
+    )
+
+
+W10_SQL = """
+WITH marked AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+           AS is_first
+  FROM events
+),
+per_day AS (
+  SELECT day,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+  FROM marked GROUP BY 1
+)
+SELECT day, n_events, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_distinct
+FROM per_day
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
+    "c1_cdc_apply": c1_cdc_apply,
+    "c2_incremental_merge": c2_incremental_merge,
+    "d13_weighted_moving_avg": d13_weighted_moving_avg,
+    "d14_iqr_outliers": d14_iqr_outliers,
+    "a8_filtered_aggs": a8_filtered_aggs,
+    "w10_cumulative_distinct": w10_cumulative_distinct,
 }
 
 ORACLES = {
     "m36_kmeans_em_step": M36_SQL,
+    "c1_cdc_apply": C1_SQL,
+    "c2_incremental_merge": C2_SQL,
+    "d13_weighted_moving_avg": D13_SQL,
+    "d14_iqr_outliers": D14_SQL,
+    "a8_filtered_aggs": A8_SQL,
+    "w10_cumulative_distinct": W10_SQL,
 }

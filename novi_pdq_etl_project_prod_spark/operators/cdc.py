@@ -1,0 +1,101 @@
+"""Change-data-capture apply and incremental aggregate maintenance.
+
+The reference maintains its curated dimension with a Postgres
+``ON CONFLICT DO UPDATE`` upsert (`/root/reference/spark_jobs/
+model_curated.py:72-101`) and recomputes each month-slice from scratch
+on every DAG run. At 100 TB neither shape survives: a changelog (CDC
+stream, Debezium-style op rows) has to be *applied* — latest state per
+key with deletes honored — and a running aggregate has to be *merged*
+with a new partial, not recomputed over the full history.
+
+Scale shapes:
+
+- :func:`apply_changes` is one shuffle on the key (window ``row_number``
+  over the change sequence) — no join against current state, so it
+  parallelizes over keys regardless of changelog depth. Skewed hot keys
+  are bounded by per-key change counts, not table size.
+- :func:`merge_partial_aggs` unions commutative partial aggregates
+  (count/sum/min/max) and re-reduces — the classic map-side-combine
+  algebra lifted to table granularity. The incremental path touches only
+  ``|base aggregate| + |delta|`` rows; the recompute it replaces touches
+  the full history. Measures must stay in exact types (BIGINT/DECIMAL)
+  so merge order cannot change the result.
+
+Determinism: the change sequence must be totally ordered per key —
+callers pass a tie-breaking sequence column list (e.g. ``[ts,
+event_id]``); ``apply_changes`` raises if none given.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def apply_changes(
+    changelog: DataFrame,
+    keys: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str,
+    delete_ops: Sequence[str] = ("delete",),
+) -> DataFrame:
+    """Collapse a CDC changelog to current state: the latest row per key
+    wins; keys whose latest op is a delete disappear.
+
+    One window shuffle on ``keys``; the changelog never joins against a
+    materialized state table, so the operation is embarrassingly
+    parallel over keys at any scale. The op column is preserved on the
+    output (callers often want to know the surviving op).
+    """
+    if not seq_cols:
+        raise ValueError("seq_cols must totally order changes per key")
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in seq_cols])
+    latest = (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.where(~F.col(op_col).isin(list(delete_ops)))
+
+
+def merge_partial_aggs(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge two partial aggregates of the same grain into one.
+
+    ``base`` and ``delta`` must both already be aggregated to ``keys``
+    with identically-named measure columns. Sums (including row counts
+    materialized as a sum column) re-add; mins/maxes re-reduce. Because
+    every measure op is commutative and associative — and callers keep
+    sums in BIGINT/DECIMAL — ``merge(agg(A), agg(B)) == agg(A ∪ B)``
+    exactly, which is the invariant the catalog oracle (c2) certifies.
+
+    Plan shape: unionByName (no shuffle) + one hash-agg on ``keys``.
+    AQE coalesces the union's partitions; the base side is aggregate-
+    sized, so at 100 TB the cost is driven by ``|delta|`` alone.
+    """
+    named = set(sum_cols) | set(min_cols) | set(max_cols)
+    missing = [c for c in named if c not in base.columns or c not in delta.columns]
+    if missing:
+        raise ValueError(f"measure columns missing from an input: {missing}")
+    aggs = (
+        [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    if not aggs:
+        raise ValueError("no measure columns given")
+    cols = [*keys, *sum_cols, *min_cols, *max_cols]
+    return (
+        base.select(*cols)
+        .unionByName(delta.select(*cols))
+        .groupBy(*keys)
+        .agg(*aggs)
+    )

@@ -210,6 +210,61 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", "n_common", "sz_a", "sz_b", "jaccard")
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    df_cap: int | None = 10_000,
+) -> DataFrame:
+    """Directed near-SUBSET pairs: (a, b) where ``|grams(a) ∩ grams(b)| /
+    |grams(a)| ≥ threshold`` — the asymmetric cousin of
+    :func:`ngram_jaccard_pairs`.
+
+    Containment is the right signal when one document embeds another
+    (quote-with-commentary, template expansion, concatenated shards):
+    a short document fully contained in a long one has low Jaccard
+    (union is dominated by the long side) but containment 1.0, so a
+    Jaccard-thresholded dedup pass ships both copies of the short text
+    into training. Same inverted-index shape as Jaccard — shingle
+    explode, gram-equality self-join, per-pair intersection count — but
+    both directed orders are emitted (a≠b rather than a<b) and the
+    denominator is the SOURCE side's gram count only.
+
+    ``df_cap`` is the quadratic-cost guard: grams present in more than
+    ``df_cap`` documents (ubiquitous boilerplate) are dropped from
+    pairing while denominators stay un-capped, exactly as in the Jaccard
+    operator.
+    """
+    sh = _exploded_shingles_arrow(
+        _spread_small_input(df), id_col, text_col, n
+    ).persist()  # sizes, df-cap and both join sides below
+    sh.count()  # eager fill: both self-join sides otherwise race the cache
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    if df_cap is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(F.broadcast(freq.where(F.col("df") > df_cap)), "sh", "left_anti")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .withColumn(
+            "containment", F.col("n_common").cast("double") / F.col("sz_a")
+        )
+        .where(F.col("containment") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_common", "sz_a", "containment")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -125,3 +125,68 @@ def range_bucket_join(
         )
         .drop("__bucket")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_width: int,
+    closed: bool = True,
+) -> DataFrame:
+    """Interval × interval overlap join without a nested-loop cross
+    product: the interval-interval sibling of :func:`range_bucket_join`.
+
+    Both sides explode into the fixed-width buckets their interval
+    touches and the join runs on bucket equality; the exact overlap
+    predicate (``l_lo <= r_hi AND r_lo <= l_hi``, strict if
+    ``closed=False``) filters in-bucket candidates. An overlapping pair
+    shares every bucket between ``max(lo buckets)`` and ``min(hi
+    buckets)`` — emitting it only from the FIRST shared bucket
+    (``bucket == greatest(floor(l_lo/w), floor(r_lo/w))``) dedupes
+    without a distinct shuffle.
+
+    Pick ``bucket_width`` ≈ the typical interval span so each interval
+    explodes into O(1) buckets; cost is then one equi-join shuffle on a
+    well-spread key. Degenerate long intervals fan out linearly — cap
+    them upstream (split or quarantine) the same way the similarity ops
+    cap hot buckets.
+    """
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(left_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(right_hi) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    if closed:
+        overlap = (F.col(left_lo) <= F.col(right_hi)) & (
+            F.col(right_lo) <= F.col(left_hi)
+        )
+    else:
+        overlap = (F.col(left_lo) < F.col(right_hi)) & (
+            F.col(right_lo) < F.col(left_hi)
+        )
+    first_shared = F.greatest(
+        F.floor(F.col(left_lo) / F.lit(bucket_width)).cast("long"),
+        F.floor(F.col(right_lo) / F.lit(bucket_width)).cast("long"),
+    )
+    return (
+        lb.join(rb, "__bucket")
+        .where(overlap & (F.col("__bucket") == first_shared))
+        .drop("__bucket")
+    )

@@ -891,3 +891,80 @@ def kmeans_fit_assign(
         if changed == 0:
             break
     return labeled.select("id", F.col("label").alias("cluster"))
+
+
+# ---------------------------------------------------------------------------
+# Cluster-scoped exact near-duplicate pairs (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+def cluster_scoped_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "label",
+    threshold_num: int = 7,
+    threshold_den: int = 20,
+    scale: int = 1000,
+) -> DataFrame:
+    """Semantic near-dup pairs the SemDeDup way (Abbas et al. 2023):
+    cluster first, then compare pairs ONLY within a cluster — the cluster
+    bounds the quadratic blow-up that makes corpus-wide pairwise cosine
+    impossible at 100 TB. Any cluster assignment works (k-means cells
+    from ``train_ivf_centroids``, ``nearest_centroid_assign`` output, or
+    a label column); partitioning by cluster makes each cell's pairwise
+    pass embarrassingly parallel and ``max cell size`` the only scale
+    knob (cap or re-split hot cells exactly like the LSH bucket cap).
+
+    The cosine threshold is evaluated in EXACT integer arithmetic so the
+    operator is oracle-able bit-for-bit: vectors are rounded to milli
+    units (``scale=1000``; unit-norm vectors then have |dot| ≤ scale² and
+    every product fits comfortably in BIGINT), and ``cos(a, b) ≥ num/den``
+    becomes ``dot ≥ 0 AND den²·dot² ≥ num²·‖a‖²·‖b‖²`` — no sqrt, no
+    float compare, no last-ulp flake at the decision boundary.
+
+    Output: directed-canonical pairs (``id_a < id_b``) with the integer
+    evidence columns (``dot_milli``, ``na_milli``, ``nb_milli``).
+    """
+    v_int = F.transform(
+        _as_double(vec_col), lambda x: F.round(x * scale, 0).cast("long")
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cluster"),
+        v_int.alias("v"),
+    ).withColumn(
+        "n2",
+        F.aggregate("v", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot_i = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            dot_i.alias("dot_milli"),
+            F.col("a.n2").alias("na_milli"),
+            F.col("b.n2").alias("nb_milli"),
+        )
+        .where(
+            (F.col("dot_milli") >= 0)
+            & (
+                F.lit(den2) * F.col("dot_milli") * F.col("dot_milli")
+                >= F.lit(num2) * F.col("na_milli") * F.col("nb_milli")
+            )
+        )
+    )
+    return pairs

@@ -174,6 +174,158 @@ def profile_columns(
     return row.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+def iqr_outlier_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: Column | str,
+    whisker: float = 1.5,
+) -> DataFrame:
+    """Tukey-fence outlier audit per group: exact quartiles of ``measure``,
+    the ``q1 - whisker*iqr / q3 + whisker*iqr`` fences, and how many rows
+    fall outside them.
+
+    Two passes over one shuffle each: an exact-``percentile`` aggregate
+    per key (sort-based; the robust-statistics cost you accept when the
+    fence must be auditable — the approx path is ``d5``'s
+    ``approx_percentile``), then a broadcast join of the tiny per-key
+    fence table back onto the rows for the outside-fence counts. Group
+    cardinality, not row count, bounds the fence table, so the join is
+    broadcast at any data scale.
+
+    Quartiles use exact ``percentile`` on DOUBLE inputs — sort-based, so
+    partition-order independent, and the interpolation arithmetic matches
+    DuckDB's ``quantile_cont`` on DOUBLE bit-for-bit (the certified d11
+    pattern; DECIMAL inputs would interpolate in engine-specific decimal
+    precision instead). Fences are one-step double arithmetic off those
+    quartiles.
+    """
+    m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
+    fences = df.groupBy(*keys).agg(
+        F.percentile(m, F.lit(0.25)).alias("q1"),
+        F.percentile(m, F.lit(0.5)).alias("median"),
+        F.percentile(m, F.lit(0.75)).alias("q3"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    fences = fences.select(
+        *keys,
+        "n_rows",
+        F.col("q1").alias("q1"),
+        F.col("median").alias("median"),
+        F.col("q3").alias("q3"),
+        (F.col("q1") - F.lit(float(whisker)) * iqr).alias("lo_fence"),
+        (F.col("q3") + F.lit(float(whisker)) * iqr).alias("hi_fence"),
+    )
+    flagged = df.join(F.broadcast(fences), list(keys)).select(
+        *keys,
+        "n_rows",
+        "q1",
+        "median",
+        "q3",
+        "lo_fence",
+        "hi_fence",
+        (m < F.col("lo_fence")).alias("_lo"),
+        (m > F.col("hi_fence")).alias("_hi"),
+    )
+    return flagged.groupBy(
+        *keys, "n_rows", "q1", "median", "q3", "lo_fence", "hi_fence"
+    ).agg(
+        F.sum(F.when(F.col("_lo"), 1).otherwise(0)).alias("n_below"),
+        F.sum(F.when(F.col("_hi"), 1).otherwise(0)).alias("n_above"),
+    )
+
+
+def quantile_bin_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    measure: Column | str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Distribution-drift report between a reference slice and a current
+    slice of the same measure, using quantile bins FIT ON THE REFERENCE
+    (the standard model-monitoring construction behind PSI dashboards).
+
+    Plan shape: one exact-percentile aggregate over ``ref`` produces the
+    ``n_bins - 1`` cut points (a 1-row table, broadcast); each side then
+    bins via the broadcast cut table (distinct-value fan-out +
+    count-of-cuts < x — no per-row UDF, no correlated subquery) and
+    reduces to ``n_bins`` rows. Nothing row-shaped crosses the network
+    except the two binning shuffles, so the operator is scan-bound at
+    100 TB.
+
+    The per-bin divergence contribution is the Pearson χ² form
+    ``(p - q)² / p`` rather than PSI's ``(p - q)·ln(p/q)``: numerically
+    they rank drift identically, but χ² uses only IEEE-exact operations
+    (subtract/multiply/divide) on Laplace-smoothed shares, so the column
+    is bit-reproducible against the DuckDB oracle — ``ln`` is a libm
+    call with engine-specific last-ulp behavior and stays off the
+    oracled surface (same policy as ``corpus_frequency_stats``). Cut
+    points use exact ``percentile`` on DOUBLE (the d11/d14 interpolation-
+    parity pattern).
+    """
+    m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    cuts = ref.agg(
+        *[
+            F.percentile(m, F.lit(q)).cast("double").alias(f"_c{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    cut_rows = cuts.select(
+        F.explode(
+            F.array(*[F.col(f"_c{i}") for i in range(len(qs))])
+        ).alias("cut")
+    )
+
+    def _binned(side: DataFrame, name: str) -> DataFrame:
+        # bin = number of cut points strictly below x (ties go left, like
+        # SQL width buckets on right-open intervals). Reduce to distinct
+        # values first so the 9-way cut fan-out multiplies the value
+        # cardinality, not the row count.
+        x = m.cast("double")
+        vals = side.select(x.alias("_x")).groupBy("_x").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        return (
+            vals.join(F.broadcast(cut_rows))
+            .groupBy("_x", "_n")
+            .agg(F.sum(F.when(F.col("cut") < F.col("_x"), 1).otherwise(0)).alias("bin"))
+            .groupBy("bin")
+            .agg(F.sum("_n").alias(name))
+        )
+
+    r = _binned(ref, "n_ref")
+    c = _binned(cur, "n_cur")
+    bins = (
+        r.join(c, "bin", "full")
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = bins.agg(
+        F.sum("n_ref").alias("_tr"), F.sum("n_cur").alias("_tc")
+    )
+    p = (F.col("n_ref") + F.lit(1)).cast("double") / (
+        F.col("_tr") + F.lit(n_bins)
+    ).cast("double")
+    q = (F.col("n_cur") + F.lit(1)).cast("double") / (
+        F.col("_tc") + F.lit(n_bins)
+    ).cast("double")
+    return (
+        bins.join(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            p.alias("share_ref"),
+            q.alias("share_cur"),
+            ((p - q) * (p - q) / p).alias("chi2_term"),
+        )
+    )
+
+
 def zscore_outliers(
     df: DataFrame,
     keys: Sequence[str],

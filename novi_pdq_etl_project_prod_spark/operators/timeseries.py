@@ -39,6 +39,48 @@ def index_to_yyyymm(idx: Column) -> Column:
     return ((idx / 12).cast("long") * 100 + (idx % 12) + 1).cast("int")
 
 
+def weighted_moving_avg(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    measure: str,
+    k: int = 3,
+    out_col: str = "wma",
+) -> DataFrame:
+    """Linear-weighted trailing moving average over the last ``k`` rows
+    per key: weights ``k, k-1, …, 1`` (newest heaviest), null until a
+    full window of ``k`` rows exists.
+
+    Built from ``k-1`` ``lag`` expressions over ONE window spec — a
+    single shuffle+sort per key, and Spark collapses same-spec window
+    functions into one Window physical node, so cost is independent of
+    ``k`` modulo the O(k) projection. The measure must be an exact type
+    (BIGINT/DECIMAL, e.g. price cents); the weighted numerator then
+    stays exact and the only float op is the final one-divide — the
+    property the DuckDB oracle (d13) certifies bit-for-bit.
+
+    Smoothing alternative note: exponential (EWMA) weights are
+    order-recursive and float-fragile; linear WMA gives the same
+    trend-dampening with exact arithmetic, which wins at audit time.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    m = F.col(measure)
+    lags = [m if j == 0 else F.lag(m, j).over(w) for j in range(k)]
+    num = None
+    for j, lagged in enumerate(lags):
+        term = lagged * F.lit(k - j)
+        num = term if num is None else num + term
+    denom = k * (k + 1) // 2
+    return df.withColumn(
+        out_col,
+        F.when(
+            F.row_number().over(w) >= k, num.cast("double") / F.lit(float(denom))
+        ),
+    )
+
+
 def gap_fill_monthly(
     grain: DataFrame,
     keys: Sequence[str],

@@ -126,3 +126,49 @@ def with_moving_agg(
     )
     fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[agg]
     return df.withColumn(alias, fn(F.col(value_col)).over(w))
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    entity_col: str,
+    seq_cols: Sequence[str],
+    grain_col: Column | str,
+    grain_name: str = "grain",
+) -> DataFrame:
+    """Running count of distinct entities ever seen, per ``grain_col``
+    period (e.g. cumulative distinct users by day).
+
+    ``COUNT(DISTINCT …) OVER (ORDER BY …)`` is unsupported in Spark (and
+    most engines) and would hold an unbounded distinct set per frame if
+    it weren't. The scalable identity instead: an entity contributes to
+    the running count exactly once, at its FIRST appearance — so mark
+    first appearances with one per-entity window (``row_number() == 1``
+    over the total event order), aggregate the marks to the grain, and
+    take a running sum over the tiny per-grain series.
+
+    Cost: one shuffle keyed by entity + one grain-cardinality hash-agg +
+    one window over grain-count rows (days/months — thousands, not
+    billions). State is O(grains), never O(entities) — the property that
+    makes this the 100 TB shape (and the batch twin of a streaming
+    watermark rollup).
+    """
+    g = F.col(grain_col) if isinstance(grain_col, str) else grain_col
+    w = Window.partitionBy(entity_col).orderBy(*seq_cols)
+    marked = df.select(
+        g.alias(grain_name),
+        (F.row_number().over(w) == 1).alias("_first"),
+    )
+    per_grain = marked.groupBy(grain_name).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("_first"), 1).otherwise(0)).alias("n_new"),
+    )
+    wg = (
+        Window.orderBy(grain_name)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_grain.select(
+        grain_name,
+        "n_events",
+        "n_new",
+        F.sum("n_new").over(wg).alias("cum_distinct"),
+    )

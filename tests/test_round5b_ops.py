@@ -1,0 +1,201 @@
+"""Round-5 second-wave operator tests: CDC apply, incremental aggregate
+merge, weighted moving average, cumulative distinct, interval overlap
+join, containment pairs, cluster-scoped dup pairs.
+
+Catalog-level value parity is covered by test_oracle_parity (every new
+query is oracled); these tests pin the operator semantics the oracle
+cannot see — edge orderings, error paths, and equivalence to a naive
+reference implementation on adversarial micro-fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.cdc import (
+    apply_changes,
+    merge_partial_aggs,
+)
+from novi_pdq_etl_project_prod_spark.operators.joins import interval_overlap_join
+from novi_pdq_etl_project_prod_spark.operators.timeseries import weighted_moving_avg
+from novi_pdq_etl_project_prod_spark.operators.windows import cumulative_distinct
+
+
+# ---------------------------------------------------------------------------
+# CDC apply
+# ---------------------------------------------------------------------------
+
+def _changelog(spark):
+    rows = [
+        # k1: insert -> update  => survives with v=2
+        Row(k=1, seq=1, op="upsert", v=1),
+        Row(k=1, seq=2, op="upsert", v=2),
+        # k2: insert -> delete  => gone
+        Row(k=2, seq=1, op="upsert", v=10),
+        Row(k=2, seq=2, op="delete", v=None),
+        # k3: delete -> re-insert (resurrection) => survives with v=30
+        Row(k=3, seq=1, op="upsert", v=3),
+        Row(k=3, seq=2, op="delete", v=None),
+        Row(k=3, seq=3, op="upsert", v=30),
+        # k4: only a tombstone => gone
+        Row(k=4, seq=1, op="delete", v=None),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_apply_changes_latest_wins_and_deletes(spark):
+    out = apply_changes(_changelog(spark), ["k"], ["seq"], "op")
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {1: 2, 3: 30}
+
+
+def test_apply_changes_requires_sequence(spark):
+    with pytest.raises(ValueError):
+        apply_changes(_changelog(spark), ["k"], [], "op")
+
+
+def test_apply_changes_tie_break_is_total(spark):
+    # two changes at the same seq: the second seq column breaks the tie
+    rows = [
+        Row(k=1, seq=1, sub=1, op="upsert", v=1),
+        Row(k=1, seq=1, sub=2, op="upsert", v=2),
+    ]
+    out = apply_changes(
+        spark.createDataFrame(rows), ["k"], ["seq", "sub"], "op"
+    )
+    assert [r["v"] for r in out.collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate merge
+# ---------------------------------------------------------------------------
+
+def test_merge_partial_aggs_equals_full_recompute(spark):
+    df = spark.range(1000).select(
+        (F.col("id") % 7).alias("k"),
+        F.col("id").alias("x"),
+    )
+    a = df.where(F.col("x") < 600)
+    b = df.where(F.col("x") >= 600)
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+
+    merged = merge_partial_aggs(
+        agg(a), agg(b), ["k"], sum_cols=["n", "s"], min_cols=["lo"], max_cols=["hi"]
+    )
+    full = agg(df)
+    assert sorted(merged.collect()) == sorted(full.collect())
+
+
+def test_merge_partial_aggs_validates_columns(spark):
+    d = spark.range(5).groupBy().agg(F.count(F.lit(1)).alias("n"))
+    with pytest.raises(ValueError):
+        merge_partial_aggs(d, d, [], sum_cols=["missing"])
+    with pytest.raises(ValueError):
+        merge_partial_aggs(d, d, [])
+
+
+# ---------------------------------------------------------------------------
+# Weighted moving average
+# ---------------------------------------------------------------------------
+
+def test_weighted_moving_avg_values_and_warmup(spark):
+    rows = [Row(k="a", t=i, x=v) for i, v in enumerate([10, 20, 30, 40])]
+    out = weighted_moving_avg(
+        spark.createDataFrame(rows), ["k"], "t", "x", k=3
+    ).orderBy("t")
+    got = [r["wma"] for r in out.collect()]
+    # first k-1 rows: no full window yet
+    assert got[0] is None and got[1] is None
+    # (3*30 + 2*20 + 1*10) / 6, (3*40 + 2*30 + 1*20) / 6
+    assert got[2] == pytest.approx(140 / 6)
+    assert got[3] == pytest.approx(200 / 6)
+
+
+def test_weighted_moving_avg_k1_is_identity(spark):
+    rows = [Row(k="a", t=i, x=i * 5) for i in range(3)]
+    out = weighted_moving_avg(spark.createDataFrame(rows), ["k"], "t", "x", k=1)
+    assert [r["wma"] for r in out.orderBy("t").collect()] == [0.0, 5.0, 10.0]
+    with pytest.raises(ValueError):
+        weighted_moving_avg(spark.createDataFrame(rows), ["k"], "t", "x", k=0)
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct
+# ---------------------------------------------------------------------------
+
+def test_cumulative_distinct_counts_entities_once(spark):
+    rows = [
+        Row(u=1, t=1), Row(u=1, t=2),          # day 1: u1 twice
+        Row(u=2, t=11), Row(u=1, t=12),        # day 2: u2 new, u1 repeat
+        Row(u=3, t=21), Row(u=2, t=22),        # day 3: u3 new
+    ]
+    df = spark.createDataFrame(rows).withColumn("day", (F.col("t") / 10).cast("int"))
+    out = (
+        cumulative_distinct(df, "u", ["t"], "day", grain_name="day")
+        .orderBy("day")
+        .collect()
+    )
+    assert [(r["day"], r["n_events"], r["n_new"], r["cum_distinct"]) for r in out] == [
+        (0, 2, 1, 1),
+        (1, 2, 1, 2),
+        (2, 2, 1, 3),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Interval overlap join
+# ---------------------------------------------------------------------------
+
+def _naive_overlap(lefts, rights, closed=True):
+    out = []
+    for li, (llo, lhi) in lefts:
+        for ri, (rlo, rhi) in rights:
+            ok = (llo <= rhi and rlo <= lhi) if closed else (llo < rhi and rlo < lhi)
+            if ok:
+                out.append((li, ri))
+    return sorted(out)
+
+
+def test_interval_overlap_join_matches_naive_across_widths(spark):
+    import random
+
+    rng = random.Random(7)
+    lefts = [(i, (lo := rng.randint(0, 500), lo + rng.randint(0, 80))) for i in range(60)]
+    rights = [(i, (lo := rng.randint(0, 500), lo + rng.randint(0, 80))) for i in range(60)]
+    ldf = spark.createDataFrame(
+        [Row(lid=i, llo=a, lhi=b) for i, (a, b) in lefts]
+    )
+    rdf = spark.createDataFrame(
+        [Row(rid=i, rlo=a, rhi=b) for i, (a, b) in rights]
+    )
+    expect = _naive_overlap(lefts, rights)
+    # the canonical-first-bucket dedup must hold for ANY bucket width
+    for width in (7, 64, 1000):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, "llo", "lhi", "rlo", "rhi", bucket_width=width
+            ).collect()
+        )
+        assert got == expect, f"width={width}"
+
+
+def test_interval_overlap_join_open_intervals(spark):
+    # touching endpoints: closed joins them, open does not
+    ldf = spark.createDataFrame([Row(lid=1, llo=0, lhi=10)])
+    rdf = spark.createDataFrame([Row(rid=1, rlo=10, rhi=20)])
+    closed = interval_overlap_join(ldf, rdf, "llo", "lhi", "rlo", "rhi", 8)
+    opened = interval_overlap_join(
+        ldf, rdf, "llo", "lhi", "rlo", "rhi", 8, closed=False
+    )
+    assert closed.count() == 1
+    assert opened.count() == 0
