@@ -378,6 +378,216 @@ FROM per_day
 """
 
 
+# ---------------------------------------------------------------------------
+# X16 — interval × interval overlap join: 30-minute user sessions vs
+# ±15-minute incident windows around error events, joined via the
+# canonical-first-bucket strategy (no cross product, no distinct pass).
+# ---------------------------------------------------------------------------
+
+def x16_session_incident_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_ev"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("s_lo"),
+            F.unix_micros(F.col("w.end")).alias("s_hi"),
+        )
+    )
+    inc = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("inc_id"),
+        (F.unix_micros("ts") - F.lit(900_000_000)).alias("i_lo"),
+        (F.unix_micros("ts") + F.lit(900_000_000)).alias("i_hi"),
+    )
+    pairs = interval_overlap_join(
+        sess, inc, "s_lo", "s_hi", "i_lo", "i_hi", bucket_width=3_600_000_000
+    )
+    return pairs.groupBy("user_id").agg(
+        F.countDistinct("s_lo").alias("n_hit_sessions"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+
+
+X16_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+           AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+numbered AS (
+  SELECT user_id, event_id, event_type, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+),
+sessions AS (
+  SELECT user_id,
+         epoch_us(MIN(ts)) AS s_lo,
+         epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS s_hi
+  FROM numbered GROUP BY user_id, session_seq
+),
+incidents AS (
+  SELECT event_id AS inc_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) - 900000000 AS i_lo,
+         epoch_us(CAST(ts AS TIMESTAMP)) + 900000000 AS i_hi
+  FROM events WHERE event_type = 'error'
+)
+SELECT s.user_id,
+       CAST(COUNT(DISTINCT s.s_lo) AS BIGINT) AS n_hit_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM sessions s JOIN incidents i
+  ON s.s_lo <= i.i_hi AND i.i_lo <= s.s_hi
+GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# M38 — SemDeDup-style cluster-scoped near-dup pairs: pairwise cosine
+# only WITHIN a cluster, thresholded in exact integer milli-units
+# (cos ≥ 7/20  ⟺  dot ≥ 0 ∧ 400·dot² ≥ 49·‖a‖²·‖b‖²).
+# ---------------------------------------------------------------------------
+
+def m38_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cluster_scoped_dup_pairs(emb, threshold_num=7, threshold_den=20)
+
+
+M38_SQL = """
+WITH vm AS (
+  SELECT vec_id AS id, label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+  FROM embeddings
+),
+n2 AS (SELECT id, label, CAST(SUM(v * v) AS BIGINT) AS n2 FROM vm GROUP BY 1, 2),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b, a.label AS cluster,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS dot_milli
+  FROM vm a JOIN vm b ON a.label = b.label AND a.dim = b.dim AND a.id < b.id
+  GROUP BY 1, 2, 3
+)
+SELECT d.id_a, d.id_b, d.cluster, d.dot_milli,
+       na.n2 AS na_milli, nb.n2 AS nb_milli
+FROM dots d
+JOIN n2 na ON na.id = d.id_a
+JOIN n2 nb ON nb.id = d.id_b
+WHERE d.dot_milli >= 0
+  AND 400 * d.dot_milli * d.dot_milli >= 49 * na.n2 * nb.n2
+"""
+
+
+# ---------------------------------------------------------------------------
+# M39 — directed n-gram containment pairs (near-subset detection):
+# |grams(a) ∩ grams(b)| / |grams(a)| ≥ 0.5 over word trigrams.
+# ---------------------------------------------------------------------------
+
+def m39_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=3, threshold=0.5)
+
+
+M39_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+       CAST(c.n_common AS BIGINT) AS n_common,
+       CAST(s.sz AS BIGINT) AS sz_a,
+       CAST(c.n_common AS DOUBLE) / s.sz AS containment
+FROM common c JOIN sizes s ON s.doc_id = c.id_a
+WHERE CAST(c.n_common AS DOUBLE) / s.sz >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# DQ8 — quantile-bin distribution drift of order totals, bins fit on the
+# pre-1999 reference half (χ² contributions; IEEE-exact ops only).
+# ---------------------------------------------------------------------------
+
+def dq8_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    return quantile_bin_drift(
+        o.where(F.col("o_orderdate") < cutoff),
+        o.where(F.col("o_orderdate") >= cutoff),
+        "o_totalprice",
+        n_bins=10,
+    )
+
+
+DQ8_SQL = """
+WITH ref AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+),
+cur AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+),
+cuts AS (
+  SELECT unnest([
+    quantile_cont(x, 0.1), quantile_cont(x, 0.2), quantile_cont(x, 0.3),
+    quantile_cont(x, 0.4), quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+    quantile_cont(x, 0.7), quantile_cont(x, 0.8), quantile_cont(x, 0.9)
+  ]) AS cut FROM ref
+),
+rv AS (SELECT x, COUNT(*) AS n FROM ref GROUP BY 1),
+rb AS (
+  SELECT v.x, v.n, SUM(CASE WHEN c.cut < v.x THEN 1 ELSE 0 END) AS bin
+  FROM rv v CROSS JOIN cuts c GROUP BY v.x, v.n
+),
+rbin AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n_ref FROM rb GROUP BY 1),
+cv AS (SELECT x, COUNT(*) AS n FROM cur GROUP BY 1),
+cb AS (
+  SELECT v.x, v.n, SUM(CASE WHEN c.cut < v.x THEN 1 ELSE 0 END) AS bin
+  FROM cv v CROSS JOIN cuts c GROUP BY v.x, v.n
+),
+cbin AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n_cur FROM cb GROUP BY 1),
+bins AS (
+  SELECT COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(r.n_ref, 0) AS n_ref,
+         COALESCE(c.n_cur, 0) AS n_cur
+  FROM rbin r FULL JOIN cbin c ON r.bin = c.bin
+),
+tot AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM bins)
+SELECT CAST(bin AS INT) AS bin,
+       n_ref, n_cur,
+       CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE) AS share_ref,
+       CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE) AS share_cur,
+       (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+        - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+       * (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)
+          - CAST(n_cur + 1 AS DOUBLE) / CAST(tc + 10 AS DOUBLE))
+       / (CAST(n_ref + 1 AS DOUBLE) / CAST(tr + 10 AS DOUBLE)) AS chi2_term
+FROM bins CROSS JOIN tot
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
@@ -387,6 +597,10 @@ QUERIES = {
     "d14_iqr_outliers": d14_iqr_outliers,
     "a8_filtered_aggs": a8_filtered_aggs,
     "w10_cumulative_distinct": w10_cumulative_distinct,
+    "x16_session_incident_overlap": x16_session_incident_overlap,
+    "m38_semdedup_pairs": m38_semdedup_pairs,
+    "m39_containment_pairs": m39_containment_pairs,
+    "dq8_distribution_drift": dq8_distribution_drift,
 }
 
 ORACLES = {
@@ -397,4 +611,8 @@ ORACLES = {
     "d14_iqr_outliers": D14_SQL,
     "a8_filtered_aggs": A8_SQL,
     "w10_cumulative_distinct": W10_SQL,
+    "x16_session_incident_overlap": X16_SQL,
+    "m38_semdedup_pairs": M38_SQL,
+    "m39_containment_pairs": M39_SQL,
+    "dq8_distribution_drift": DQ8_SQL,
 }

@@ -134,6 +134,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "m11_embedding_near_dup_pairs",
         "sql2_correlated_subquery",
         "d2_approx_distinct",
+        "dq8_distribution_drift",  # 9-row cut-point + 1-row totals broadcasts
     }
     skipped = {"m13_near_dup_clusters"}  # iterative: builds many plans
     for name, fn in QUERIES.items():

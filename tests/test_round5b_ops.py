@@ -199,3 +199,73 @@ def test_interval_overlap_join_open_intervals(spark):
     )
     assert closed.count() == 1
     assert opened.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Cluster-scoped dup pairs (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def test_cluster_scoped_dup_pairs_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs, rows = {}, []
+    for i in range(80):
+        v = rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        vecs[i] = v
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=i % 4))
+    df = spark.createDataFrame(rows)
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        cluster_scoped_dup_pairs,
+    )
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cluster_scoped_dup_pairs(
+            df, threshold_num=1, threshold_den=2
+        ).collect()
+    }
+    # exact ground truth on the SAME milli-unit integers the operator uses
+    expect = set()
+    for a in range(80):
+        for b in range(a + 1, 80):
+            if a % 4 != b % 4:
+                continue
+            va = np.round(vecs[a] * 1000).astype(np.int64)
+            vb = np.round(vecs[b] * 1000).astype(np.int64)
+            dot = int(va @ vb)
+            if dot >= 0 and 4 * dot * dot >= 1 * int(va @ va) * int(vb @ vb):
+                expect.add((a, b))
+    assert got == expect
+    # cross-cluster pairs must never appear, regardless of similarity
+    labels = {i: i % 4 for i in range(80)}
+    assert all(labels[a] == labels[b] for a, b in got)
+
+
+# ---------------------------------------------------------------------------
+# Containment pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_pairs_directed_subset(spark):
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        Row(doc_id=1, text=base),                               # contained in 2
+        Row(doc_id=2, text=base + " plus a very long unrelated tail "
+            + " ".join(f"w{i}" for i in range(40))),
+        Row(doc_id=3, text="совершенно другой текст без общих слов вообще "
+            + " ".join(f"z{i}" for i in range(20))),
+    ]
+    out = ngram_containment_pairs(
+        spark.createDataFrame(rows), n=3, threshold=0.9
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in out}
+    # doc1 ⊂ doc2 at containment 1.0; the reverse direction fails the bar
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (2, 1) not in got
+    assert not any(3 in pair for pair in got)
