@@ -79,6 +79,13 @@ HEADLINE = [
     "r7_bucketed_range_join",
     # round-5 additions
     "m36_kmeans_em_step",
+    "m37_ivf_related_pairs",
+    "c1_cdc_apply",
+    "c2_incremental_merge",
+    "x16_session_incident_overlap",
+    "m38_semdedup_pairs",
+    "m39_containment_pairs",
+    "dq8_distribution_drift",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
