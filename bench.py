@@ -86,6 +86,9 @@ HEADLINE = [
     "m38_semdedup_pairs",
     "m39_containment_pairs",
     "dq8_distribution_drift",
+    "m40_vocab_coverage",
+    "m41_dup_adjusted_tokens",
+    "d15_embedding_covariance",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

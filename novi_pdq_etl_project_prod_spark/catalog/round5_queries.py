@@ -52,8 +52,13 @@ from novi_pdq_etl_project_prod_spark.operators.dedup import ngram_containment_pa
 from novi_pdq_etl_project_prod_spark.operators.joins import interval_overlap_join
 from novi_pdq_etl_project_prod_spark.operators.similarity import (
     cluster_scoped_dup_pairs,
+    embedding_covariance_moments,
     embedding_related_pairs_ivf,
     kmeans_em_step,
+)
+from novi_pdq_etl_project_prod_spark.operators.text import (
+    dup_adjusted_token_stats,
+    vocab_coverage,
 )
 from novi_pdq_etl_project_prod_spark.operators.stats import (
     iqr_outlier_summary,
@@ -588,6 +593,108 @@ FROM bins CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# M40 — tokenizer vocabulary coverage: per-doc OOV rate vs the corpus's
+# own top-1000 token vocabulary.
+# ---------------------------------------------------------------------------
+
+def m40_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_size=1000)
+
+
+M40_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+counts AS (SELECT w, COUNT(*) AS tf FROM toks GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY tf DESC, w) AS rk FROM counts
+  ) WHERE rk <= 1000
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS oov_frac
+FROM toks t LEFT JOIN vocab v ON t.w = v.w
+GROUP BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M41 — duplication-adjusted token accounting per source: tokens counted
+# once per exact-dup cluster (lowest-doc_id representative).
+# ---------------------------------------------------------------------------
+
+def m41_dup_adjusted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dup_adjusted_token_stats(docs)
+
+
+M41_SQL = """
+WITH base AS (
+  SELECT source AS grp, doc_id,
+         md5(lower(array_to_string(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+           ' '))) AS fp,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+marked AS (
+  SELECT grp, nt,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS rep
+  FROM base
+)
+SELECT grp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs,
+       CAST(SUM(nt) AS BIGINT) AS raw_tokens,
+       CAST(SUM(CASE WHEN rep THEN nt ELSE 0 END) AS BIGINT) AS unique_tokens
+FROM marked
+GROUP BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
+# D15 — exact-integer embedding covariance moments (PCA input): per-batch
+# integer Gram partials via mapInPandas, one hash-agg reduce.
+# ---------------------------------------------------------------------------
+
+def d15_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_covariance_moments(emb)
+
+
+D15_SQL = """
+WITH vm AS (
+  SELECT vec_id AS id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000, 0) AS BIGINT) AS v
+  FROM embeddings
+),
+p AS (
+  SELECT a.dim AS dim_a, b.dim AS dim_b,
+         CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         CAST(SUM(a.v) AS BIGINT) AS s_a,
+         CAST(SUM(b.v) AS BIGINT) AS s_b,
+         CAST(SUM(a.v * b.v) AS BIGINT) AS s_ab
+  FROM vm a JOIN vm b ON a.id = b.id AND a.dim <= b.dim
+  GROUP BY 1, 2
+)
+SELECT dim_a, dim_b, n_vecs, s_a, s_b, s_ab,
+       (CAST(s_ab AS DOUBLE)
+        - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / CAST(n_vecs AS DOUBLE))
+       / CAST(n_vecs AS DOUBLE) / 1000000000000.0 AS cov
+FROM p
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
@@ -601,6 +708,9 @@ QUERIES = {
     "m38_semdedup_pairs": m38_semdedup_pairs,
     "m39_containment_pairs": m39_containment_pairs,
     "dq8_distribution_drift": dq8_distribution_drift,
+    "m40_vocab_coverage": m40_vocab_coverage,
+    "m41_dup_adjusted_tokens": m41_dup_adjusted_tokens,
+    "d15_embedding_covariance": d15_embedding_covariance,
 }
 
 ORACLES = {
@@ -615,4 +725,7 @@ ORACLES = {
     "m38_semdedup_pairs": M38_SQL,
     "m39_containment_pairs": M39_SQL,
     "dq8_distribution_drift": DQ8_SQL,
+    "m40_vocab_coverage": M40_SQL,
+    "m41_dup_adjusted_tokens": M41_SQL,
+    "d15_embedding_covariance": D15_SQL,
 }

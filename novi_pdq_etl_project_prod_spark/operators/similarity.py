@@ -968,3 +968,84 @@ def cluster_scoped_dup_pairs(
         )
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Exact-integer embedding covariance (the PCA/whitening input)
+# ---------------------------------------------------------------------------
+
+def embedding_covariance_moments(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    micro_scale: int = 1_000_000,
+) -> DataFrame:
+    """Population covariance moments of the embedding matrix, computed as
+    EXACT integer micro-unit sums — the input to PCA / whitening /
+    Mahalanobis scoring over a 100 TB embedding corpus.
+
+    Scale shape: each Arrow batch computes its d×d integer Gram partial
+    with one BLAS-shaped ``Mᵀ M`` (mapInPandas; no row blow-up — the
+    naive dim×dim self-join shuffles ``n_vecs × d(d+1)/2`` rows, this
+    ships ``d(d+1)/2`` rows PER BATCH), and one hash-agg reduces the
+    partials. Integer sums are associative, so the result is bit-stable
+    under any partitioning — the property that lets a DuckDB oracle
+    certify it (d15).
+
+    Output per (dim_a ≤ dim_b): ``n_vecs``, first moments ``s_a``/``s_b``
+    and the cross moment ``s_ab``, all BIGINT in micro units; ``cov`` is
+    the one double edge: ``(s_ab - s_a·s_b/n)/n / micro_scale²``.
+
+    Rounding note: micro quantization uses trunc(|x|·scale + 0.5)·sign —
+    round-half-away-from-zero, matching Spark's ``F.round`` (BigDecimal
+    HALF_UP) and DuckDB's ``ROUND`` so all three agree on every value.
+    """
+    from collections.abc import Iterator
+
+    scale = float(micro_scale)
+
+    def _gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            M = (np.trunc(np.abs(V) * scale + 0.5) * np.sign(V)).astype(np.int64)
+            d = M.shape[1]
+            G = M.T @ M                      # exact int64 cross moments
+            s = M.sum(axis=0)                # exact int64 first moments
+            n = np.int64(M.shape[0])
+            ia, ib = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "dim_a": ia.astype(np.int32),
+                    "dim_b": ib.astype(np.int32),
+                    "n_vecs": np.full(len(ia), n, dtype=np.int64),
+                    "s_a": s[ia],
+                    "s_b": s[ib],
+                    "s_ab": G[ia, ib],
+                }
+            )
+
+    moments = df.select(vec_col).mapInPandas(
+        _gram,
+        schema=(
+            "dim_a int, dim_b int, n_vecs long, s_a long, s_b long, s_ab long"
+        ),
+    )
+    agg = moments.groupBy("dim_a", "dim_b").agg(
+        F.sum("n_vecs").alias("n_vecs"),
+        F.sum("s_a").alias("s_a"),
+        F.sum("s_b").alias("s_b"),
+        F.sum("s_ab").alias("s_ab"),
+    )
+    n = F.col("n_vecs").cast("double")
+    cov = (
+        (
+            F.col("s_ab").cast("double")
+            - F.col("s_a").cast("double") * F.col("s_b").cast("double") / n
+        )
+        / n
+        / F.lit(scale * scale)
+    )
+    return agg.select(
+        "dim_a", "dim_b", "n_vecs", "s_a", "s_b", "s_ab", cov.alias("cov")
+    )

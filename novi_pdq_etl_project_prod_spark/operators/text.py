@@ -527,3 +527,82 @@ def ngram_novelty(
             (F.sum("_novel") / F.count(F.lit(1))).alias("novelty_frac"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Per-document OOV rate against the corpus's own top-``vocab_size``
+    token vocabulary — the "how much of this doc does my tokenizer's
+    vocab actually cover" signal that drives vocab sizing and flags
+    garbage/foreign documents.
+
+    Scale shape: one token hash-agg builds counts; ranking the top-N is
+    a sort over the VOCABULARY (Zipf-bounded — millions of rows at
+    100 TB, not corpus-sized), deterministically tie-broken by token
+    string; the resulting N-row vocab broadcasts into a left join that
+    marks OOV tokens. Token traffic shuffles once; text never moves.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_w"))
+    counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_tf"))
+    w = Window.orderBy(F.col("_tf").desc(), F.col("_w"))
+    vocab = (
+        counts.select("_w", F.row_number().over(w).alias("_rk"))
+        .where(F.col("_rk") <= vocab_size)
+        .select("_w", F.lit(1).alias("_in"))
+    )
+    oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "_w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.alias("n_oov"),
+            (oov / F.count(F.lit(1))).alias("oov_frac"),
+        )
+    )
+
+
+def dup_adjusted_token_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Duplication-adjusted token accounting per ``group_col``: raw token
+    counts vs tokens counted ONCE per exact-duplicate cluster — the
+    honest "effective training tokens" number a mixture planner needs
+    (raw counts silently over-weight boilerplate-heavy sources).
+
+    Each document's normalized fingerprint (md5 of lower-cased,
+    whitespace-collapsed text) is its cluster key; the cluster's
+    representative is the lowest ``id_col`` (deterministic), and only
+    the representative's tokens count as unique. One fingerprint-keyed
+    window shuffle + one group hash-agg; all-integer output, so the
+    oracle certifies it exactly. A representative is attributed to ITS
+    OWN group — cross-source duplicates reduce the other sources'
+    unique counts, which is precisely the signal.
+    """
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col),
+        document_fingerprint(text_col).alias("_fp"),
+        token_count(text_col).alias("_nt"),
+    )
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    rep = F.row_number().over(w) == 1
+    return (
+        base.withColumn("_rep", rep)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("_rep"), 1).otherwise(0)).alias("n_unique_docs"),
+            F.sum("_nt").alias("raw_tokens"),
+            F.sum(F.when(F.col("_rep"), F.col("_nt")).otherwise(0)).alias(
+                "unique_tokens"
+            ),
+        )
+    )

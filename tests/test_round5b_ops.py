@@ -269,3 +269,59 @@ def test_containment_pairs_directed_subset(spark):
     assert (1, 2) in got and got[(1, 2)] == 1.0
     assert (2, 1) not in got
     assert not any(3 in pair for pair in got)
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance moments
+# ---------------------------------------------------------------------------
+
+def test_embedding_covariance_partition_independent(spark):
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_covariance_moments,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in rng.normal(size=5)])
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows)
+    one = embedding_covariance_moments(df.coalesce(1)).collect()
+    many = embedding_covariance_moments(df.repartition(13)).collect()
+    key = lambda r: (r["dim_a"], r["dim_b"])  # noqa: E731
+    assert sorted(one, key=key) == sorted(many, key=key)
+    # spot-check cov against numpy population covariance on the SAME
+    # quantized integers
+    V = np.stack([np.asarray(r.embedding) for r in rows])
+    M = (np.trunc(np.abs(V) * 1e6 + 0.5) * np.sign(V)).astype(np.int64)
+    C = np.cov(M.T, bias=True) / 1e12
+    got = {(r["dim_a"], r["dim_b"]): r["cov"] for r in one}
+    for a in range(5):
+        for b in range(a, 5):
+            assert got[(a, b)] == pytest.approx(C[a, b], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Dup-adjusted token accounting
+# ---------------------------------------------------------------------------
+
+def test_dup_adjusted_tokens_planted_duplicates(spark):
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dup_adjusted_token_stats,
+    )
+
+    rows = [
+        Row(doc_id=1, source="a", text="alpha beta gamma"),
+        Row(doc_id=2, source="a", text="Alpha  beta   GAMMA"),  # dup of 1 (normalized)
+        Row(doc_id=3, source="b", text="alpha beta gamma"),     # cross-source dup of 1
+        Row(doc_id=4, source="b", text="unique text here now"),
+    ]
+    out = {r["grp"]: r for r in dup_adjusted_token_stats(spark.createDataFrame(rows)).collect()}
+    # representative of the dup cluster is doc 1 (source a)
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_unique_docs"] == 1
+    assert out["a"]["raw_tokens"] == 6 and out["a"]["unique_tokens"] == 3
+    # source b's copy of the cluster counts zero unique tokens
+    assert out["b"]["n_docs"] == 2 and out["b"]["n_unique_docs"] == 1
+    assert out["b"]["raw_tokens"] == 7 and out["b"]["unique_tokens"] == 4
