@@ -89,6 +89,7 @@ HEADLINE = [
     "m40_vocab_coverage",
     "m41_dup_adjusted_tokens",
     "d15_embedding_covariance",
+    "dq9_checksum_recon",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

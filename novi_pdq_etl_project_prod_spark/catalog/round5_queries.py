@@ -60,6 +60,9 @@ from novi_pdq_etl_project_prod_spark.operators.text import (
     dup_adjusted_token_stats,
     vocab_coverage,
 )
+from novi_pdq_etl_project_prod_spark.operators.quality import (
+    grouped_table_checksum,
+)
 from novi_pdq_etl_project_prod_spark.operators.stats import (
     iqr_outlier_summary,
     quantile_bin_drift,
@@ -695,6 +698,52 @@ FROM p
 """
 
 
+# ---------------------------------------------------------------------------
+# DQ9 — cross-engine checksum reconciliation: per-(returnflag, ship
+# month) order-independent content fold. The generalized rollup recon —
+# two systems agree on a slice iff n_rows and both XOR folds agree.
+# ---------------------------------------------------------------------------
+
+def dq9_checksum_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return grouped_table_checksum(
+        li.withColumn(
+            "ship_yyyymm",
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long"),
+        ),
+        ["l_returnflag", "ship_yyyymm"],
+        [
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+            F.col("l_returnflag"),
+            cents.cast("string"),
+        ],
+    )
+
+
+DQ9_SQL = """
+WITH rows_r AS (
+  SELECT l_returnflag,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS ship_yyyymm,
+         md5(concat_ws('|',
+             CAST(l_orderkey AS VARCHAR),
+             CAST(l_linenumber AS VARCHAR),
+             l_returnflag,
+             CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS VARCHAR)
+         )) AS h
+  FROM lineitem
+)
+SELECT l_returnflag, ship_yyyymm,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(('0x' || substr(h, 1, 15))::BIGINT) AS BIGINT) AS xor_hi,
+       CAST(bit_xor(('0x' || substr(h, 16, 15))::BIGINT) AS BIGINT) AS xor_lo
+FROM rows_r
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
@@ -708,6 +757,7 @@ QUERIES = {
     "m38_semdedup_pairs": m38_semdedup_pairs,
     "m39_containment_pairs": m39_containment_pairs,
     "dq8_distribution_drift": dq8_distribution_drift,
+    "dq9_checksum_recon": dq9_checksum_recon,
     "m40_vocab_coverage": m40_vocab_coverage,
     "m41_dup_adjusted_tokens": m41_dup_adjusted_tokens,
     "d15_embedding_covariance": d15_embedding_covariance,
@@ -725,6 +775,7 @@ ORACLES = {
     "m38_semdedup_pairs": M38_SQL,
     "m39_containment_pairs": M39_SQL,
     "dq8_distribution_drift": DQ8_SQL,
+    "dq9_checksum_recon": DQ9_SQL,
     "m40_vocab_coverage": M40_SQL,
     "m41_dup_adjusted_tokens": M41_SQL,
     "d15_embedding_covariance": D15_SQL,

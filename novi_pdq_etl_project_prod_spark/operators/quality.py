@@ -22,6 +22,8 @@ violations at 100 TB just to decide pass/fail.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,3 +172,42 @@ def referential_suite(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def grouped_table_checksum(
+    df: DataFrame,
+    keys: Sequence[str],
+    repr_cols: Sequence,
+) -> DataFrame:
+    """Order-independent content checksum per key group — the generalized
+    form of the reference's rollup reconciliation: instead of comparing a
+    handful of SUMs (which misses compensating errors and non-numeric
+    drift), compare a per-group fold of every row's full content. Two
+    engines/replicas agree on a group iff n_rows AND both checksum folds
+    agree; mismatched groups localize the drift without moving any rows.
+
+    Construction: each row renders ``repr_cols`` to a canonical string
+    (callers must pass cross-engine-stable renderings — integers, strings,
+    exact cents — never raw double→string formatting), md5s it, and two
+    disjoint 15-hex-digit slices become BIGINTs folded with ``bit_xor``
+    (commutative, associative, overflow-free — partition-order
+    independent by construction, which is what makes the fold both
+    100 TB-parallel and DuckDB-oracle-able). One hash-agg; the map side
+    reduces everything, so shuffle traffic is one row per group per task.
+    XOR cancels PAIRS of identical rows — n_rows plus two independent
+    slices makes a silent collision require a crafted multiset, not a
+    plausible pipeline bug.
+    """
+    rep = F.concat_ws("|", *[c if not isinstance(c, str) else F.col(c) for c in repr_cols])
+    h = F.md5(rep)
+    s1 = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    s2 = F.conv(F.substring(h, 16, 15), 16, 10).cast("long")
+    return (
+        df.select(*keys, s1.alias("_h1"), s2.alias("_h2"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.bit_xor("_h1").alias("xor_hi"),
+            F.bit_xor("_h2").alias("xor_lo"),
+        )
+    )

@@ -325,3 +325,31 @@ def test_dup_adjusted_tokens_planted_duplicates(spark):
     # source b's copy of the cluster counts zero unique tokens
     assert out["b"]["n_docs"] == 2 and out["b"]["n_unique_docs"] == 1
     assert out["b"]["raw_tokens"] == 7 and out["b"]["unique_tokens"] == 4
+
+
+# ---------------------------------------------------------------------------
+# Grouped table checksum
+# ---------------------------------------------------------------------------
+
+def test_grouped_checksum_localizes_drift(spark):
+    from novi_pdq_etl_project_prod_spark.operators.quality import (
+        grouped_table_checksum,
+    )
+
+    base = spark.range(100).select(
+        (F.col("id") % 5).alias("g"),
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("v"),
+    )
+    # replica with ONE value changed in group 2, plus a row order shuffle
+    drifted = base.withColumn(
+        "v", F.when(F.col("k") == 42, F.lit(-1)).otherwise(F.col("v"))
+    ).repartition(7)
+    cols = [F.col("k").cast("string"), F.col("v").cast("string")]
+    a = {r["g"]: (r["n_rows"], r["xor_hi"], r["xor_lo"])
+         for r in grouped_table_checksum(base, ["g"], cols).collect()}
+    b = {r["g"]: (r["n_rows"], r["xor_hi"], r["xor_lo"])
+         for r in grouped_table_checksum(drifted, ["g"], cols).collect()}
+    diff = [g for g in a if a[g] != b[g]]
+    assert diff == [42 % 5]          # exactly the drifted group flags
+    assert all(a[g] == b[g] for g in a if g != 42 % 5)  # order-independent

@@ -412,7 +412,65 @@ def main_docs(k: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def main_r5(k: int) -> None:
+    """Round-5 operator probe at k× data, one replication style per data
+    family:
+
+    - key-shifted events (k× users): CDC apply, cumulative distinct,
+      session×incident overlap join — all expected ~linear (window /
+      hash-agg / bucket-join shapes);
+    - token-suffixed distinct documents: containment pairs, vocab
+      coverage, dup-adjusted tokens — replication-artifact-free (shifted
+      ids alone would make every replica an exact dup, blowing pair
+      counts ~k² and the dup-cluster sizes k×, which is data, not
+      algorithm);
+    - isometric embeddings: covariance moments (expected ~linear: Gram
+      partials per batch) and SemDeDup pairs (expected ~QUADRATIC here
+      BY DESIGN: the fixture's 10 labels are the clusters, so k× vectors
+      means k× larger cells and k² within-cell pairs — the measurement
+      that demonstrates why production SemDeDup must scale CLUSTER COUNT
+      with corpus size (k-means cells from train_ivf_centroids, cell
+      size held constant), not reuse a fixed label set).
+    """
+    spark = get_spark(app_name="scale_probe_r5")
+
+    ev_dir = tempfile.mkdtemp(prefix=f"r5ev{k}_")
+    replicate(spark, ev_dir, k)
+    docs_dir = tempfile.mkdtemp(prefix=f"r5doc{k}_")
+    replicate_docs_distinct(spark, docs_dir, k)
+    emb_dir = tempfile.mkdtemp(prefix=f"r5emb{k}_")
+    replicate_embeddings_isometric(spark, emb_dir, k)
+
+    groups = [
+        ("events", ev_dir, ["c1_cdc_apply", "w10_cumulative_distinct",
+                            "x16_session_incident_overlap"]),
+        ("docs", docs_dir, ["m39_containment_pairs", "m40_vocab_coverage",
+                            "m41_dup_adjusted_tokens"]),
+        ("emb", emb_dir, ["d15_embedding_covariance", "m38_semdedup_pairs"]),
+    ]
+    for label, scaled_dir, probe in groups:
+        results = {}
+        for sf_label, sf_dir in (("sf0.1", SRC), (f"{label} x{k}", scaled_dir)):
+            timings = {}
+            for name in probe:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(time.perf_counter() - t0, 2)
+            results[sf_label] = timings
+            print(sf_label, json.dumps(timings))
+        for name in probe:
+            a, b = results["sf0.1"][name], results[f"{label} x{k}"][name]
+            print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x)")
+    for d in (ev_dir, docs_dir, emb_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r5" in sys.argv:
+        main_r5(int(sys.argv[sys.argv.index("--r5") + 1]))
+        return
     if "--docs" in sys.argv:
         main_docs(int(sys.argv[sys.argv.index("--docs") + 1]))
         return
