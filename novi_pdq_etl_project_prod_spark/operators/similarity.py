@@ -905,6 +905,7 @@ def cluster_scoped_dup_pairs(
     threshold_num: int = 7,
     threshold_den: int = 20,
     scale: int = 1000,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """Semantic near-dup pairs the SemDeDup way (Abbas et al. 2023):
     cluster first, then compare pairs ONLY within a cluster — the cluster
@@ -924,6 +925,18 @@ def cluster_scoped_dup_pairs(
 
     Output: directed-canonical pairs (``id_a < id_b``) with the integer
     evidence columns (``dot_milli``, ``na_milli``, ``nb_milli``).
+
+    ``max_cluster_size`` is the quadratic-blow-up guard: the per-cell
+    pair count is size², so cells must stay bounded as the corpus grows.
+    The PRIMARY control is the clustering itself — scale CLUSTER COUNT
+    with corpus size (k-means cells from ``train_ivf_centroids`` with
+    k ∝ n, measured linear at 10× in SCALE.md; a fixed label set
+    measured 86× wall at 10× vectors). The cap is the belt-and-braces:
+    any cell still larger than the cap is deterministically sub-split by
+    ``pmod(hash(id), ceil(size/cap))``, bounding pair mass at
+    ``size·cap/2`` per cell at the cost of missing cross-sub-cell pairs
+    (same trade as the LSH ``max_bucket_occupancy`` cap; SemDeDup's own
+    recall is already cluster-granularity-limited).
     """
     v_int = F.transform(
         _as_double(vec_col), lambda x: F.round(x * scale, 0).cast("long")
@@ -936,6 +949,27 @@ def cluster_scoped_dup_pairs(
         "n2",
         F.aggregate("v", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
     )
+    if max_cluster_size is not None:
+        sizes = base.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csz"))
+        sub = F.when(
+            F.col("_csz") > max_cluster_size,
+            F.pmod(
+                F.hash("id"),
+                F.ceil(F.col("_csz") / max_cluster_size).cast("int"),
+            ),
+        ).otherwise(F.lit(0))
+        base = (
+            base.join(F.broadcast(sizes), "cluster")
+            .withColumn(
+                "_ck",
+                F.concat_ws(
+                    "#", F.col("cluster").cast("string"), sub.cast("string")
+                ),
+            )
+            .drop("_csz")
+        )
+    else:
+        base = base.withColumn("_ck", F.col("cluster").cast("string"))
     a = base.alias("a")
     b = base.alias("b")
     dot_i = F.aggregate(
@@ -948,7 +982,7 @@ def cluster_scoped_dup_pairs(
     pairs = (
         a.join(
             b,
-            (F.col("a.cluster") == F.col("b.cluster"))
+            (F.col("a._ck") == F.col("b._ck"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(

@@ -353,3 +353,38 @@ def test_grouped_checksum_localizes_drift(spark):
     diff = [g for g in a if a[g] != b[g]]
     assert diff == [42 % 5]          # exactly the drifted group flags
     assert all(a[g] == b[g] for g in a if g != 42 % 5)  # order-independent
+
+
+def test_cluster_scoped_dup_pairs_cap_bounds_cells(spark):
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        cluster_scoped_dup_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(120):
+        v = rng.normal(size=6)
+        v /= np.linalg.norm(v)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=0))
+    df = spark.createDataFrame(rows)  # one hot cluster of 120
+    full = cluster_scoped_dup_pairs(df, threshold_num=0, threshold_den=1)
+    capped = cluster_scoped_dup_pairs(
+        df, threshold_num=0, threshold_den=1, max_cluster_size=30
+    )
+    n_full, n_capped = full.count(), capped.count()
+    # threshold 0 keeps every non-negative-dot pair: the cap must cut the
+    # candidate mass roughly by the sub-split factor (4 sub-cells)
+    assert n_capped < n_full / 2
+    # capped output is a SUBSET of the exact pairs (no false pairs)
+    fullset = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    capset = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert capset <= fullset
+    # small clusters are untouched by the cap
+    df2 = spark.createDataFrame(rows[:20])
+    a = {(r["id_a"], r["id_b"]) for r in cluster_scoped_dup_pairs(
+        df2, threshold_num=0, threshold_den=1).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in cluster_scoped_dup_pairs(
+        df2, threshold_num=0, threshold_den=1, max_cluster_size=30).collect()}
+    assert a == b

@@ -463,6 +463,23 @@ def main_r5(k: int) -> None:
         for name in probe:
             a, b = results["sf0.1"][name], results[f"{label} x{k}"][name]
             print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x)")
+
+    # SemDeDup with bounded cells at k×: the fixture's 10 labels give k×
+    # larger cells (pair mass k² — measured above); capping cells at the
+    # sf0.1 cell size (hash sub-split) restores ~linear pair mass, the
+    # same effect as production's k-means cells with count ∝ corpus.
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        cluster_scoped_dup_pairs,
+    )
+
+    emb_k = spark.read.parquet(f"{emb_dir}/embeddings.parquet")
+    t0 = time.perf_counter()
+    capped = cluster_scoped_dup_pairs(emb_k, max_cluster_size=500)
+    capped.write.format("noop").mode("overwrite").save()
+    print(
+        f"  m38 with max_cluster_size=500 at x{k}: "
+        f"{time.perf_counter()-t0:.1f}s"
+    )
     for d in (ev_dir, docs_dir, emb_dir):
         shutil.rmtree(d, ignore_errors=True)
 
