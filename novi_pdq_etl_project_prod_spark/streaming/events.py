@@ -431,3 +431,90 @@ def enrich_stream_with_dim(
     stream-stream joins, nothing needs watermark bookkeeping).
     """
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_apply_changes(
+    changelog: DataFrame,
+    root: str,
+    table: str,
+    pk: tuple[str, ...],
+    seq_cols: tuple[str, ...],
+    op_col: str,
+    checkpoint_dir: str,
+    delete_ops: tuple[str, ...] = ("delete",),
+) -> None:
+    """Streaming CDC apply: continuously fold a Debezium-style changelog
+    stream into the current-state snapshot, DELETES HONORED — the
+    streaming twin of ``operators.cdc.apply_changes`` and the tombstone-
+    aware generalization of ``stream_upsert_dim`` (which can only ever
+    add or update keys).
+
+    Per micro-batch: collapse to the latest change per key (keeping
+    tombstones — a delete must be able to beat an earlier upsert in the
+    same batch), then merge latest-wins against the snapshot (batches
+    are totally ordered per query, so batch N+1 simply wins) and drop
+    keys whose surviving row is a tombstone. Replayed batches after a
+    restart re-apply the same changes onto a snapshot that already
+    reflects them — idempotent, giving exactly-once table state over
+    at-least-once delivery.
+
+    Scale: the merge input is |snapshot| + |micro-batch|; the snapshot
+    rewrite is the same atomic `_CURRENT`-pointer swap as the batch
+    layers. For snapshots too large to rewrite per trigger, raise the
+    trigger interval or swap the sink for a Delta/Iceberg MERGE — the
+    function shape (collapse → latest-wins merge → tombstone filter)
+    is the part that carries.
+    """
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        overwrite_snapshot,
+        resolve_table_path,
+        table_path,
+    )
+
+    def _apply_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(*pk).orderBy(
+            *[F.col(c).desc() for c in seq_cols]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        path = resolve_table_path(table_path(root, "curated", table))
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+        if existing is not None:
+            # batch rows win over snapshot rows at the same key: tag the
+            # sides and keep the batch's row_number()==1 survivor
+            merged = (
+                existing.withColumn("_side", F.lit(0))
+                .unionByName(latest.withColumn("_side", F.lit(1)))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy(*pk).orderBy(F.col("_side").desc())
+                    ),
+                )
+                .where(F.col("_rn") == 1)
+                .drop("_rn", "_side")
+            )
+        else:
+            merged = latest
+        state = merged.where(~F.col(op_col).isin(list(delete_ops)))
+        overwrite_snapshot(state, root, "curated", table)
+
+    q = (
+        changelog.writeStream.foreachBatch(_apply_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

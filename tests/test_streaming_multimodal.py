@@ -497,3 +497,74 @@ def test_outer_interval_join_stream_matches_batch(spark, events_dir):
     )
     assert closed.count() > 0
     assert closed.exceptAll(got).count() == 0
+
+
+def test_stream_apply_changes_honors_tombstones(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_apply_changes,
+    )
+
+    import time as _time
+
+    updates_dir = str(tmp_path / "cdc")
+    # batch 1: create k1..k3; delete k3 in the same batch (tombstone must
+    # beat the earlier upsert within one micro-batch)
+    b1 = spark.createDataFrame(
+        [
+            (1, 1, "upsert", "a"),
+            (2, 1, "upsert", "b"),
+            (3, 1, "upsert", "c"),
+            (3, 2, "delete", None),
+        ],
+        "id int, seq int, op string, payload string",
+    )
+    # batch 2: update k1, delete k2, resurrect k3
+    b2 = spark.createDataFrame(
+        [
+            (1, 3, "upsert", "a2"),
+            (2, 3, "delete", None),
+            (3, 3, "upsert", "c2"),
+        ],
+        "id int, seq int, op string, payload string",
+    )
+    b1.coalesce(1).write.mode("append").parquet(updates_dir)
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema("id int, seq int, op string, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    stream_apply_changes(
+        stream, root, "state", pk=("id",), seq_cols=("seq",), op_col="op",
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import resolve_table_path
+
+    snap = {
+        r.id: r.payload
+        for r in spark.read.parquet(
+            resolve_table_path(f"{root}/curated/state")
+        ).collect()
+    }
+    assert snap == {1: "a2", 3: "c2"}
+
+    # restart on the same checkpoint with no new data: state unchanged
+    stream2 = (
+        spark.readStream.schema("id int, seq int, op string, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    stream_apply_changes(
+        stream2, root, "state", pk=("id",), seq_cols=("seq",), op_col="op",
+        checkpoint_dir=str(tmp_path / "chk"),
+    )
+    snap2 = {
+        r.id: r.payload
+        for r in spark.read.parquet(
+            resolve_table_path(f"{root}/curated/state")
+        ).collect()
+    }
+    assert snap2 == snap
