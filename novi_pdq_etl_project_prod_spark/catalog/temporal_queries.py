@@ -91,6 +91,9 @@ def x2_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price": ("max", F.col("l_extendedprice").cast("decimal(18,2)")),
         },
         n_salts=16,
+        # unique row id pair: full salt-domain coverage within any hot
+        # supplier, one int hash instead of the whole 11-column row
+        salt_cols=["l_orderkey", "l_linenumber"],
     )
     return out.select(
         "l_suppkey",
