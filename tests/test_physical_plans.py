@@ -146,3 +146,38 @@ def test_no_cartesian_products_in_catalog(spark):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name} plans a nested-loop join"
             )
+
+
+def test_dynamic_partition_pruning_on_month_layout(spark, tmp_path):
+    """The 100 TB scan-pruning story beyond static pushdown: joining the
+    month-partitioned fact against a FILTERED dim must inject a runtime
+    partition filter (DPP) into the fact scan — only the dim-selected
+    months' directories are read, even though the month predicate is not
+    known until the dim side runs."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+
+    fact_dir = str(tmp_path / "fact")
+    li = spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet")
+    fact = li.withColumn(
+        "ship_yyyymm", F.year("l_shipdate") * 100 + F.month("l_shipdate")
+    )
+    fact.write.mode("overwrite").partitionBy("ship_yyyymm").parquet(fact_dir)
+
+    months = (
+        fact.select("ship_yyyymm").distinct().limit(3)
+        .withColumn("wanted", F.lit(1))
+    )
+    months_dir = str(tmp_path / "months")
+    months.write.mode("overwrite").parquet(months_dir)
+
+    fact_p = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(months_dir).where(F.col("wanted") == 1)
+    joined = fact_p.join(dim, "ship_yyyymm").groupBy("ship_yyyymm").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    # and the result is correct: exactly the three chosen months survive
+    assert joined.count() == 3
