@@ -90,6 +90,7 @@ HEADLINE = [
     "m41_dup_adjusted_tokens",
     "d15_embedding_covariance",
     "dq9_checksum_recon",
+    "m42_curation_v2",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -744,6 +744,104 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# M42 — curation funnel v2: quality → exact dedup → containment dedup →
+# vocab-coverage gate, reported as the per-source funnel. The round-5
+# operators composed end-to-end, oracled exactly.
+# ---------------------------------------------------------------------------
+
+def m42_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.plans.curation import curate_corpus_v2
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus_v2(docs)
+
+
+M42_SQL = """
+WITH base AS (
+  SELECT doc_id, source, text,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+q AS (SELECT * FROM base WHERE nt BETWEEN 20 AND 1000),
+e AS (
+  SELECT doc_id, source, text, nt FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY md5(lower(array_to_string(
+        list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+        ' ')))
+      ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+toks3 AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM e
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks3 WHERE len(t) >= 3
+),
+grams AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+dropc AS (
+  SELECT DISTINCT c.id_a AS doc_id
+  FROM common c JOIN sizes s ON s.doc_id = c.id_a
+  WHERE CAST(c.n_common AS DOUBLE) / s.sz >= 0.6 AND c.id_b < c.id_a
+),
+c AS (
+  SELECT e.* FROM e LEFT JOIN dropc d ON e.doc_id = d.doc_id
+  WHERE d.doc_id IS NULL
+),
+wtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM c
+),
+counts AS (SELECT w, COUNT(*) AS tf FROM wtoks GROUP BY w),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, row_number() OVER (ORDER BY tf DESC, w) AS rk FROM counts
+  ) WHERE rk <= 1000
+),
+oov AS (
+  SELECT t.doc_id,
+         CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS oov_frac
+  FROM wtoks t LEFT JOIN vocab v ON t.w = v.w
+  GROUP BY t.doc_id
+),
+f AS (
+  SELECT c.* FROM c JOIN oov ON c.doc_id = oov.doc_id
+  WHERE oov.oov_frac <= 0.6
+)
+SELECT b.source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(COALESCE(MAX(sq.n), 0) AS BIGINT) AS n_quality,
+       CAST(COALESCE(MAX(se.n), 0) AS BIGINT) AS n_exact,
+       CAST(COALESCE(MAX(sc.n), 0) AS BIGINT) AS n_containment,
+       CAST(COALESCE(MAX(sf.n), 0) AS BIGINT) AS n_final,
+       CAST(COALESCE(MAX(sf.tok), 0) AS BIGINT) AS tokens_final
+FROM base b
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM q GROUP BY 1) sq USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM e GROUP BY 1) se USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM c GROUP BY 1) sc USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n, SUM(nt) AS tok FROM f GROUP BY 1) sf
+  USING (source)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
@@ -761,6 +859,7 @@ QUERIES = {
     "m40_vocab_coverage": m40_vocab_coverage,
     "m41_dup_adjusted_tokens": m41_dup_adjusted_tokens,
     "d15_embedding_covariance": d15_embedding_covariance,
+    "m42_curation_v2": m42_curation_v2,
 }
 
 ORACLES = {
@@ -779,4 +878,5 @@ ORACLES = {
     "m40_vocab_coverage": M40_SQL,
     "m41_dup_adjusted_tokens": M41_SQL,
     "d15_embedding_covariance": D15_SQL,
+    "m42_curation_v2": M42_SQL,
 }

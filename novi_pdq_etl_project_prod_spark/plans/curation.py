@@ -75,3 +75,104 @@ def curate_corpus(
             "split"
         ),
     )
+
+
+def curate_corpus_v2(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    containment_threshold: float = 0.6,
+    vocab_size: int = 1000,
+    max_oov_frac: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Round-5 curation funnel with per-source stage accounting:
+
+        quality gate → exact dedup → containment dedup → vocab-coverage
+        gate → per-source funnel report
+
+    Beyond ``curate_corpus``: near-SUBSET documents are dropped
+    (``ngram_containment_pairs`` — a short doc embedded in a longer
+    surviving doc is redundant even when Jaccard says otherwise;
+    deterministic rule: drop ``a`` when some surviving ``b`` with a
+    smaller id contains it at ≥ threshold), and documents the corpus's
+    own top-N vocabulary cannot cover are gated out
+    (``vocab_coverage`` — garbage/foreign-script tail). The output is
+    the per-source funnel — input → each stage's survivor count →
+    final token budget — the report a mixture planner actually reads.
+
+    Every stage is deterministic (min-id survivors, content thresholds,
+    exact integer/count arithmetic), so the full composition oracles
+    exactly (m42). Scale shape: one fingerprint window + the
+    containment inverted-index join (df-capped) + one vocab top-N heap;
+    the funnel aggregation itself adds a single source-cardinality
+    hash-agg over doc-id-sized markers.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.text import vocab_coverage
+
+    base = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.col(text_col).alias("text"),
+        TX.token_count(text_col).alias("nt"),
+    )
+    q = base.where(F.col("nt").between(min_tokens, max_tokens))
+    w = Window.partitionBy(TX.document_fingerprint("text")).orderBy(
+        F.col(id_col).asc()
+    )
+    e = (
+        q.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    pairs = ngram_containment_pairs(
+        e.select(id_col, "text"), id_col=id_col, text_col="text",
+        n=3, threshold=containment_threshold,
+    )
+    dropc = (
+        pairs.where(F.col("id_b") < F.col("id_a"))
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    c = e.join(dropc, id_col, "left_anti")
+    vc = vocab_coverage(
+        c.select(id_col, "text"), id_col=id_col, text_col="text",
+        vocab_size=vocab_size,
+    )
+    f = c.join(
+        vc.where(F.col("oov_frac") <= max_oov_frac).select(id_col), id_col
+    )
+
+    def mark(df, name):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias(name),
+            *(
+                [F.sum("nt").alias("tokens_final")]
+                if name == "n_final"
+                else []
+            ),
+        )
+
+    report = (
+        mark(base, "n_input")
+        .join(mark(q, "n_quality"), "source", "full")
+        .join(mark(e, "n_exact"), "source", "full")
+        .join(mark(c, "n_containment"), "source", "full")
+        .join(mark(f, "n_final"), "source", "full")
+    )
+    zero = F.lit(0).cast("long")
+    return report.select(
+        "source",
+        *[
+            F.coalesce(F.col(n), zero).alias(n)
+            for n in (
+                "n_input", "n_quality", "n_exact", "n_containment",
+                "n_final", "tokens_final",
+            )
+        ],
+    )
