@@ -91,6 +91,8 @@ HEADLINE = [
     "d15_embedding_covariance",
     "dq9_checksum_recon",
     "m42_curation_v2",
+    "x17_retention_cohorts",
+    "x18_event_transitions",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -842,6 +842,87 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# X17 — retention cohorts: users bucketed by first-seen day, distinct
+# active users per (cohort, day offset). Two shuffles: one user-keyed
+# min, one cohort-grain distinct count.
+# ---------------------------------------------------------------------------
+
+def x17_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+X17_SQL = """
+WITH days AS (
+  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_seen AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1
+)
+SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+       CAST(d.day - f.cohort_day AS INT) AS day_offset,
+       CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_active
+FROM days d JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# X18 — event-type transition matrix: per-user event bigrams under the
+# total (ts, event_id) order; transition probability per source state.
+# ---------------------------------------------------------------------------
+
+def x18_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).where(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wf = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )
+
+
+X18_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ordered WHERE from_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM counts
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
@@ -860,6 +941,8 @@ QUERIES = {
     "m41_dup_adjusted_tokens": m41_dup_adjusted_tokens,
     "d15_embedding_covariance": d15_embedding_covariance,
     "m42_curation_v2": m42_curation_v2,
+    "x17_retention_cohorts": x17_retention_cohorts,
+    "x18_event_transitions": x18_event_transitions,
 }
 
 ORACLES = {
@@ -879,4 +962,6 @@ ORACLES = {
     "m41_dup_adjusted_tokens": M41_SQL,
     "d15_embedding_covariance": D15_SQL,
     "m42_curation_v2": M42_SQL,
+    "x17_retention_cohorts": X17_SQL,
+    "x18_event_transitions": X18_SQL,
 }
