@@ -33,6 +33,20 @@ Second widening wave (new surface the reference's users need at 100 TB):
   only; PSI's ``ln`` stays off the oracled surface by the
   corpus_frequency_stats policy).
 
+Third wave:
+
+- ``dq9`` cross-engine checksum reconciliation (md5 → bit_xor folds —
+  the generalized rollup recon).
+- ``m40`` tokenizer vocab coverage (top-N heap + broadcast OOV join).
+- ``m41`` duplication-adjusted token accounting (effective training
+  tokens per source).
+- ``d15`` exact-integer embedding covariance (mapInPandas Gram
+  partials — the PCA input at scale).
+- ``m42`` curation funnel v2: the new operators composed end-to-end
+  (quality → exact dedup → containment dedup → vocab gate) and still
+  hash-exact against one oracle.
+- ``x17`` retention cohorts; ``x18`` event-transition matrix.
+
 Each query follows the determinism contract in catalog/__init__ (exact
 integer/decimal aggregation, double only at the final edge, identical
 literal constants in both engines) so the DuckDB oracle hash-matches
