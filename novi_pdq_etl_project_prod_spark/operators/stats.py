@@ -271,27 +271,32 @@ def quantile_bin_drift(
             for i, q in enumerate(qs)
         ]
     )
-    cut_rows = cuts.select(
-        F.explode(
-            F.array(*[F.col(f"_c{i}") for i in range(len(qs))])
-        ).alias("cut")
-    )
+    # the cut table is ONE row of n_bins-1 doubles: collect it (bounded
+    # by construction, the repo's sanctioned collect class) and inline
+    # the cut points as literals — a broadcast-join form re-runs the
+    # percentile aggregate once per consuming side
+    cut_vals = [v for v in cuts.collect()[0] if v is not None]
 
     def _binned(side: DataFrame, name: str) -> DataFrame:
         # bin = number of cut points strictly below x (ties go left, like
-        # SQL width buckets on right-open intervals). Reduce to distinct
-        # values first so the 9-way cut fan-out multiplies the value
-        # cardinality, not the row count.
+        # SQL width buckets on right-open intervals) as a row-local
+        # indicator sum over the literal cuts, so the only aggregation is
+        # a map-side-combined 10-bin hash-agg — no value-cardinality
+        # shuffle (an earlier distinct-values-first shape shuffled every
+        # distinct measure value, which for near-unique measures IS the
+        # row count).
         x = m.cast("double")
-        vals = side.select(x.alias("_x")).groupBy("_x").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
+        bin_expr = None
+        for v in cut_vals:
+            ind = F.when(F.lit(v) < F.col("_x"), 1).otherwise(0)
+            bin_expr = ind if bin_expr is None else bin_expr + ind
+        if bin_expr is None:
+            bin_expr = F.lit(0)
         return (
-            vals.join(F.broadcast(cut_rows))
-            .groupBy("_x", "_n")
-            .agg(F.sum(F.when(F.col("cut") < F.col("_x"), 1).otherwise(0)).alias("bin"))
+            side.select(x.alias("_x"))
+            .select(bin_expr.alias("bin"))
             .groupBy("bin")
-            .agg(F.sum("_n").alias(name))
+            .agg(F.count(F.lit(1)).alias(name))
         )
 
     r = _binned(ref, "n_ref")
