@@ -93,6 +93,7 @@ HEADLINE = [
     "m42_curation_v2",
     "x17_retention_cohorts",
     "x18_event_transitions",
+    "d16_moment_stats",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -937,6 +937,61 @@ FROM counts
 """
 
 
+# ---------------------------------------------------------------------------
+# D16 — exact higher-moment profile: mean / population variance /
+# skewness / excess kurtosis from exact decimal power sums.
+# ---------------------------------------------------------------------------
+
+def d16_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        grouped_moment_stats,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return grouped_moment_stats(li, ["l_returnflag"], "l_quantity")
+
+
+D16_SQL = """
+WITH p AS (
+  SELECT l_returnflag, q, q2, CAST(q2 * q AS DECIMAL(27,0)) AS q3
+  FROM (
+    SELECT l_returnflag, q, q * q AS q2
+    FROM (SELECT l_returnflag,
+                 CAST(ROUND(l_quantity * 100, 0) AS DECIMAL(9,0)) AS q
+          FROM lineitem)
+  )
+),
+g AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) / 1e2 AS s1,
+         CAST(SUM(CAST(q2 AS DECIMAL(38,0))) AS DOUBLE) / 1e4 AS s2,
+         CAST(SUM(CAST(q3 AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s3,
+         CAST(SUM(CAST(q3 * q AS DECIMAL(38,0))) AS DOUBLE) / 1e8 AS s4
+  FROM p
+  GROUP BY 1
+),
+m AS (
+  SELECT l_returnflag, n_rows,
+         CAST(n_rows AS DOUBLE) AS n,
+         s1 / n_rows AS mean,
+         s2 / n_rows - (s1 / n_rows) * (s1 / n_rows) AS m2,
+         s3 / n_rows - 3 * (s1 / n_rows) * (s2 / n_rows)
+           + 2 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) AS m3,
+         s4 / n_rows - 4 * (s1 / n_rows) * (s3 / n_rows)
+           + 6 * (s1 / n_rows) * (s1 / n_rows) * (s2 / n_rows)
+           - 3 * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows) * (s1 / n_rows)
+           AS m4
+  FROM g
+)
+SELECT l_returnflag, n_rows, mean,
+       m2 AS var_pop,
+       CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+       CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3.0 END AS excess_kurtosis
+FROM m
+"""
+
+
 QUERIES = {
     "m36_kmeans_em_step": m36_kmeans_em_step,
     "m37_ivf_related_pairs": m37_ivf_related_pairs,
@@ -957,6 +1012,7 @@ QUERIES = {
     "m42_curation_v2": m42_curation_v2,
     "x17_retention_cohorts": x17_retention_cohorts,
     "x18_event_transitions": x18_event_transitions,
+    "d16_moment_stats": d16_moment_stats,
 }
 
 ORACLES = {
@@ -978,4 +1034,5 @@ ORACLES = {
     "m42_curation_v2": M42_SQL,
     "x17_retention_cohorts": X17_SQL,
     "x18_event_transitions": X18_SQL,
+    "d16_moment_stats": D16_SQL,
 }

@@ -387,3 +387,72 @@ def zscore_outliers(
             "is_outlier"
         ),
     )
+
+
+def grouped_moment_stats(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: Column | str,
+) -> DataFrame:
+    """Mean / population variance / skewness / excess kurtosis per group,
+    computed from EXACT decimal power sums (Σx, Σx², Σx³, Σx⁴) — one
+    map-side-combinable hash-agg, bit-stable under any partitioning.
+
+    The built-in ``skewness``/``kurtosis`` aggregates stream doubles in
+    partition order (nondeterministic) and engines disagree on the
+    sample-adjustment convention; raw integer-exact moments + one fixed
+    double expression at the edge sidestep both (only IEEE-exact ops:
+    +, -, ×, ÷, sqrt — the d9/dq8 determinism class), so the DuckDB
+    oracle certifies the whole statistic, not just the sums.
+
+    Power sums accumulate as SCALE-0 integer decimals over CENT-quantized
+    values (measure × 100, rounded) — not fractional decimals: converting
+    a DECIMAL(38,8) to double is ONE correctly-rounded conversion in
+    Spark (BigDecimal.doubleValue) but TWO roundings in DuckDB
+    (int128→double, then ÷10⁸), and above 2⁵³ the two pick different
+    ulps (observed as a last-ulp kurtosis mismatch). An integer-valued
+    decimal converts in a single correctly-rounded step in both engines;
+    the ÷10^{2k} back to measure units then happens in IEEE double on
+    both sides. Quantization to cents is the operator's contract (the
+    same micro-unit philosophy as the embedding ops); assumes
+    ``|measure| < 10^6`` so the cent⁴ sums stay inside DECIMAL(38,0).
+    """
+    m = (F.col(measure) if isinstance(measure, str) else measure)
+    # 9-digit cents keep every product width ≤ 38 in BOTH engines
+    # (DuckDB errors on decimal multiplies wider than 38, Spark silently
+    # caps precision)
+    q = F.round(m * 100, 0).cast("decimal(9,0)")
+    q2 = q * q
+    q3 = (q2 * q).cast("decimal(27,0)")
+    q4 = q3 * q
+    g = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(q.cast("decimal(38,0)")).alias("_s1"),
+        F.sum(q2.cast("decimal(38,0)")).alias("_s2"),
+        F.sum(q3.cast("decimal(38,0)")).alias("_s3"),
+        F.sum(q4.cast("decimal(38,0)")).alias("_s4"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("_s1").cast("double") / F.lit(1e2)
+    s2 = F.col("_s2").cast("double") / F.lit(1e4)
+    s3 = F.col("_s3").cast("double") / F.lit(1e6)
+    s4 = F.col("_s4").cast("double") / F.lit(1e8)
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    m3 = s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean
+    m4 = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    )
+    skew = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    kurt = F.when(m2 > 0, m4 / (m2 * m2) - F.lit(3.0))
+    return g.select(
+        *keys,
+        "n_rows",
+        mean.alias("mean"),
+        m2.alias("var_pop"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
