@@ -505,3 +505,59 @@ def write_month_with_audit(
     observed = df.observe(obs, *metrics)
     write_month_idempotent(observed, root, layer, table)
     return dict(obs.get)
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """Version history of a snapshot-committed table: one dict per
+    retained snapshot dir — ``name``, integer ``version``, commit
+    ``mtime`` (epoch seconds), ``is_live``. Ordered oldest-first.
+
+    Only snapshots surviving GC are listed (the live one, the newest
+    ``GC_RETAIN_PREVIOUS``, anything inside the grace window) — this is
+    a bounded retention history like a short Delta/Iceberg log tail, not
+    an unbounded time-travel archive; raise ``GC_RETAIN_PREVIOUS`` for
+    longer reach.
+    """
+    live = os.path.basename(resolve_table_path(path))
+    out = []
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(_SNAPSHOT_PREFIX):
+            continue
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full):
+            continue
+        out.append(
+            {
+                "name": entry,
+                "version": int(entry[len(_SNAPSHOT_PREFIX):]),
+                "mtime": os.path.getmtime(full),
+                "is_live": entry == live,
+            }
+        )
+    return out
+
+
+def read_table_at_version(spark, path: str, version: int | str):
+    """Time-travel read: the table as of snapshot ``version`` (an integer
+    or a full ``_snap_vNNNNNNNN`` name).
+
+    The snapshot-pointer layout makes old versions first-class read
+    targets — a committed snapshot dir is immutable, so reading one is
+    just scanning it directly, bypassing ``_CURRENT``. Raises
+    ``FileNotFoundError`` naming the retained versions when the request
+    was GC'd (or never existed), so callers can distinguish "too old"
+    from "corrupt".
+    """
+    if isinstance(version, int):
+        name = f"{_SNAPSHOT_PREFIX}{version:08d}"
+    else:
+        name = version
+    target = os.path.join(path, name)
+    if not os.path.isdir(target):
+        have = [s["name"] for s in list_snapshots(path)]
+        raise FileNotFoundError(
+            f"snapshot {name!r} not present under {path} "
+            f"(retained: {have or 'none'} — raise GC_RETAIN_PREVIOUS "
+            f"for longer time-travel reach)"
+        )
+    return spark.read.parquet(target)

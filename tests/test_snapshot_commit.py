@@ -259,3 +259,31 @@ def test_upsert_read_modify_write_needs_no_checkpoint(spark, tmp_path):
     merged = existing.unionByName(_dim(spark, "v2", n=10).where("k >= 50"))
     overwrite_snapshot(merged, root, "curated", "d")
     assert read_month(spark, root, "curated", "d").count() == 50
+
+
+def test_time_travel_reads_retained_versions(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        list_snapshots,
+        overwrite_snapshot,
+        read_table_at_version,
+        table_path,
+    )
+
+    root = str(tmp_path)
+    for i in (1, 2, 3):
+        df = spark.range(i * 10).selectExpr("id", f"{i} AS gen")
+        overwrite_snapshot(df, root, "curated", "tt")
+    path = table_path(root, "curated", "tt")
+    hist = list_snapshots(path)
+    # GC retains the live snapshot + GC_RETAIN_PREVIOUS (+ grace-window
+    # entries, which covers all three in a fast test run)
+    assert hist[-1]["is_live"] and hist == sorted(hist, key=lambda s: s["version"])
+    live = read_table_at_version(spark, path, hist[-1]["version"])
+    assert live.count() == 30 and live.agg({"gen": "max"}).first()[0] == 3
+    prev = read_table_at_version(spark, path, hist[-2]["version"])
+    assert prev.count() == 20 and prev.agg({"gen": "max"}).first()[0] == 2
+    # a never-existing version names the retained history in its error
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError, match="retained"):
+        read_table_at_version(spark, path, 99)
