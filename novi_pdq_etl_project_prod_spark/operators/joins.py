@@ -136,6 +136,7 @@ def interval_overlap_join(
     right_hi: str,
     bucket_width: int,
     closed: bool = True,
+    max_span_buckets: int | None = None,
 ) -> DataFrame:
     """Interval × interval overlap join without a nested-loop cross
     product: the interval-interval sibling of :func:`range_bucket_join`.
@@ -151,10 +152,23 @@ def interval_overlap_join(
 
     Pick ``bucket_width`` ≈ the typical interval span so each interval
     explodes into O(1) buckets; cost is then one equi-join shuffle on a
-    well-spread key. Degenerate long intervals fan out linearly — cap
-    them upstream (split or quarantine) the same way the similarity ops
-    cap hot buckets.
+    well-spread key. Degenerate long intervals fan out linearly —
+    ``max_span_buckets`` is the quarantine guard: intervals touching
+    more buckets than the cap are DROPPED from the join (raise an audit
+    elsewhere), the same skew policy as the similarity ops' hot-bucket
+    caps. Default None keeps every interval.
     """
+    if max_span_buckets is not None:
+
+        def _span_ok(lo: str, hi: str):
+            return (
+                F.floor(F.col(hi) / F.lit(bucket_width)).cast("long")
+                - F.floor(F.col(lo) / F.lit(bucket_width)).cast("long")
+                < F.lit(int(max_span_buckets))
+            )
+
+        left = left.where(_span_ok(left_lo, left_hi))
+        right = right.where(_span_ok(right_lo, right_hi))
     lb = left.withColumn(
         "__bucket",
         F.explode(

@@ -388,3 +388,18 @@ def test_cluster_scoped_dup_pairs_cap_bounds_cells(spark):
     b = {(r["id_a"], r["id_b"]) for r in cluster_scoped_dup_pairs(
         df2, threshold_num=0, threshold_den=1, max_cluster_size=30).collect()}
     assert a == b
+
+
+def test_interval_overlap_join_span_cap_quarantines_long_intervals(spark):
+    ldf = spark.createDataFrame(
+        [Row(lid=1, llo=0, lhi=5), Row(lid=2, llo=0, lhi=10_000)]
+    )
+    rdf = spark.createDataFrame([Row(rid=1, rlo=3, rhi=8)])
+    # uncapped: both left intervals overlap the right one
+    full = interval_overlap_join(ldf, rdf, "llo", "lhi", "rlo", "rhi", 10)
+    assert {r["lid"] for r in full.collect()} == {1, 2}
+    # capped at 3 buckets: the 1000-bucket interval is quarantined
+    capped = interval_overlap_join(
+        ldf, rdf, "llo", "lhi", "rlo", "rhi", 10, max_span_buckets=3
+    )
+    assert {r["lid"] for r in capped.collect()} == {1}
