@@ -189,19 +189,35 @@ def main() -> None:
             drift = sorted(ratios.values())[len(ratios) // 2]
             out["regression_baseline"] = baseline_file
             out["environment_drift"] = round(drift, 2)
-            out["regressions"] = {
-                n: {
-                    "prior": prior[n],
-                    "now": timings[n],
-                    "ratio": round(r, 2),
-                    "vs_drift": round(r / drift, 2),
-                }
+            suspects = {
+                n
                 for n, r in ratios.items()
                 if r > drift * REGRESSION_THRESHOLD
                 # noise floor: sub-second queries flap ±0.2s run-to-run
                 # (JVM/page-cache state); require a real absolute delta
                 and timings[n] - prior[n] * drift > 0.25
             }
+            # retry-confirm: single-shot timings flap ~1.3-1.5x on ~1s
+            # queries (measured: every r05 flag A/B'd clean at steady
+            # state). Re-run each suspect once and judge on the better
+            # time; the REPORTED timings stay first-run for cross-round
+            # comparability.
+            confirmed = {}
+            for n in sorted(suspects):
+                retry = round(_run(QUERIES[n], spark, sf_dir), 3)
+                best = min(timings[n], retry)
+                r = best / prior[n]
+                if r > drift * REGRESSION_THRESHOLD and (
+                    best - prior[n] * drift > 0.25
+                ):
+                    confirmed[n] = {
+                        "prior": prior[n],
+                        "now": timings[n],
+                        "retry": retry,
+                        "ratio": round(r, 2),
+                        "vs_drift": round(r / drift, 2),
+                    }
+            out["regressions"] = confirmed
     print(json.dumps(out))
 
 
