@@ -403,3 +403,62 @@ def test_interval_overlap_join_span_cap_quarantines_long_intervals(spark):
         ldf, rdf, "llo", "lhi", "rlo", "rhi", 10, max_span_buckets=3
     )
     assert {r["lid"] for r in capped.collect()} == {1}
+
+
+def test_apply_changes_matches_python_model_on_random_changelogs(spark):
+    import random
+
+    for seed in (0, 1, 2, 3, 4):
+        rng = random.Random(seed)
+        rows = [
+            Row(
+                k=rng.randint(1, 6),
+                seq=i,
+                op=rng.choice(["upsert", "upsert", "delete"]),
+                v=rng.randint(0, 99),
+            )
+            for i in range(rng.randint(1, 40))
+        ]
+        # python model: replay in seq order, latest op wins per key
+        state = {}
+        for r in sorted(rows, key=lambda r: r.seq):
+            if r.op == "delete":
+                state.pop(r.k, None)
+            else:
+                state[r.k] = r.v
+        got = {
+            r["k"]: r["v"]
+            for r in apply_changes(
+                spark.createDataFrame(rows).repartition(5), ["k"], ["seq"], "op"
+            ).collect()
+        }
+        assert got == state, f"seed={seed}"
+
+
+def test_merge_partial_aggs_matches_recompute_on_random_splits(spark):
+    import random
+
+    df = spark.range(500).select(
+        (F.col("id") % 11).alias("k"), (F.col("id") * 3 % 97).alias("x")
+    )
+
+    def agg(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+
+    full = sorted(agg(df).collect())
+    for seed in (7, 8, 9):
+        cut = random.Random(seed).randint(1, 499)
+        merged = merge_partial_aggs(
+            agg(df.where(F.col("id") < cut)),
+            agg(df.where(F.col("id") >= cut)),
+            ["k"],
+            sum_cols=["n", "s"],
+            min_cols=["lo"],
+            max_cols=["hi"],
+        )
+        assert sorted(merged.collect()) == full, f"seed={seed}"
