@@ -906,6 +906,7 @@ def cluster_scoped_dup_pairs(
     threshold_den: int = 20,
     scale: int = 1000,
     max_cluster_size: int | None = None,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Semantic near-dup pairs the SemDeDup way (Abbas et al. 2023):
     cluster first, then compare pairs ONLY within a cluster — the cluster
@@ -937,6 +938,15 @@ def cluster_scoped_dup_pairs(
     ``size·cap/2`` per cell at the cost of missing cross-sub-cell pairs
     (same trade as the LSH ``max_bucket_occupancy`` cap; SemDeDup's own
     recall is already cluster-granularity-limited).
+
+    Two physically different engines, ONE semantics: the default
+    (``use_arrow=True``) scores each cell's pairs with an int64 numpy
+    Gram (``M Mᵀ`` per ``applyInPandas`` group — the m37 block-scoring
+    shape, but in exact integers, so the output is BIT-IDENTICAL to the
+    JVM path and the same DuckDB oracle certifies both). The JVM
+    expression path (``use_arrow=False``) keeps the engine usable where
+    Python workers are unavailable; its per-pair interpreted dot is what
+    made the 10× probe's big cells slow (SCALE.md).
     """
     v_int = F.transform(
         _as_double(vec_col), lambda x: F.round(x * scale, 0).cast("long")
@@ -970,6 +980,42 @@ def cluster_scoped_dup_pairs(
         )
     else:
         base = base.withColumn("_ck", F.col("cluster").cast("string"))
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    if use_arrow:
+        cluster_type = dict(df.dtypes)[cluster_col]
+        id_type = dict(df.dtypes)[id_col]
+
+        def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id", kind="mergesort")
+            ids = pdf["id"].to_numpy()
+            M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["v"]])
+            n2 = pdf["n2"].to_numpy()
+            G = M @ M.T  # exact int64 pairwise dots
+            ia, ib = np.triu_indices(len(ids), 1)
+            dots = G[ia, ib]
+            keep = (dots >= 0) & (
+                den2 * dots * dots >= num2 * n2[ia] * n2[ib]
+            )
+            ia, ib, dots = ia[keep], ib[keep], dots[keep]
+            return pd.DataFrame(
+                {
+                    "id_a": ids[ia],
+                    "id_b": ids[ib],
+                    "cluster": pdf["cluster"].to_numpy()[ia],
+                    "dot_milli": dots,
+                    "na_milli": n2[ia],
+                    "nb_milli": n2[ib],
+                }
+            )
+
+        return base.groupBy("_ck").applyInPandas(
+            _cell_pairs,
+            schema=(
+                f"id_a {id_type}, id_b {id_type}, cluster {cluster_type}, "
+                "dot_milli long, na_milli long, nb_milli long"
+            ),
+        )
     a = base.alias("a")
     b = base.alias("b")
     dot_i = F.aggregate(
@@ -977,8 +1023,6 @@ def cluster_scoped_dup_pairs(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    num2 = threshold_num * threshold_num
-    den2 = threshold_den * threshold_den
     pairs = (
         a.join(
             b,

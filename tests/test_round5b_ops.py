@@ -462,3 +462,28 @@ def test_merge_partial_aggs_matches_recompute_on_random_splits(spark):
             max_cols=["hi"],
         )
         assert sorted(merged.collect()) == full, f"seed={seed}"
+
+
+def test_cluster_scoped_dup_pairs_arrow_equals_jvm(spark):
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        cluster_scoped_dup_pairs,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(90):
+        v = rng.normal(size=7)
+        v /= np.linalg.norm(v)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v], label=i % 3))
+    df = spark.createDataFrame(rows).repartition(6)
+    for cap in (None, 20):
+        a = sorted(cluster_scoped_dup_pairs(
+            df, threshold_num=1, threshold_den=4,
+            max_cluster_size=cap, use_arrow=True).collect())
+        j = sorted(cluster_scoped_dup_pairs(
+            df, threshold_num=1, threshold_den=4,
+            max_cluster_size=cap, use_arrow=False).collect())
+        # exact integer arithmetic on both engines: BIT-identical rows
+        assert a == j and a, f"cap={cap}"
