@@ -343,11 +343,24 @@ def embedding_near_dup_pairs_lsh(
     )
     va = vecs_df.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     vb = vecs_df.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+
+    # vectorized exact verification: one Arrow batch einsum instead of a
+    # per-pair interpreted JVM fold (the candidate stream is the hot
+    # path; same float64 math, numpy just batches it)
+    @pandas_udf("double")
+    def pair_cos(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
+        A = np.vstack(va_s.to_numpy())
+        B = np.vstack(vb_s.to_numpy())
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(
+            dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim")
+            "id_a", "id_b", pair_cos(F.col("va"), F.col("vb")).alias("cos_sim")
         )
         .where(F.col("cos_sim") >= threshold)
     )
