@@ -60,6 +60,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _pair_cos_udf():
+    """Arrow-batched pairwise cosine: one einsum + vectorized norms per
+    batch instead of a per-row interpreted JVM fold (2-4× end-to-end on
+    the candidate-scoring stages). Only for NON-oracled paths — numpy's
+    pairwise-summation dot can differ from the sequential JVM fold in
+    the last ulp, which is fine for recall-floored ANN ops but would
+    break the m7/m11 DuckDB hash parity (those keep ``cosine``)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def pair_cos(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
+        A = np.vstack(va_s.to_numpy())
+        B = np.vstack(vb_s.to_numpy())
+        dots = np.einsum("ij,ij->i", A, B)
+        return pd.Series(
+            dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
+        )
+
+    return pair_cos
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -225,7 +246,9 @@ def hyperplane_lsh_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     scored = cands.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+        "query_id",
+        "neighbor_id",
+        _pair_cos_udf()(F.col("qv"), F.col("cv")).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
@@ -345,22 +368,14 @@ def embedding_near_dup_pairs_lsh(
     vb = vecs_df.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
 
     # vectorized exact verification: one Arrow batch einsum instead of a
-    # per-pair interpreted JVM fold (the candidate stream is the hot
-    # path; same float64 math, numpy just batches it)
-    @pandas_udf("double")
-    def pair_cos(va_s: pd.Series, vb_s: pd.Series) -> pd.Series:
-        A = np.vstack(va_s.to_numpy())
-        B = np.vstack(vb_s.to_numpy())
-        dots = np.einsum("ij,ij->i", A, B)
-        return pd.Series(
-            dots / (np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1))
-        )
-
+    # per-pair interpreted JVM fold (the candidate stream is the hot path)
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
         .select(
-            "id_a", "id_b", pair_cos(F.col("va"), F.col("vb")).alias("cos_sim")
+            "id_a",
+            "id_b",
+            _pair_cos_udf()(F.col("va"), F.col("vb")).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -643,7 +658,9 @@ def ivf_topk(
         c.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
-            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+            "query_id",
+            "neighbor_id",
+            _pair_cos_udf()(F.col("qv"), F.col("cv")).alias("score"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
