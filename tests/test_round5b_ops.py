@@ -487,3 +487,28 @@ def test_cluster_scoped_dup_pairs_arrow_equals_jvm(spark):
             max_cluster_size=cap, use_arrow=False).collect())
         # exact integer arithmetic on both engines: BIT-identical rows
         assert a == j and a, f"cap={cap}"
+
+
+def test_lsh_pairs_block_engine_equals_pairs_engine(spark):
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_near_dup_pairs_lsh,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(300):
+        v = rng.normal(size=16)
+        v /= np.linalg.norm(v)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    kw = dict(dim=16, nbits=4, n_tables=8, threshold=0.2,
+              max_bucket_occupancy=500)
+    blk = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs_lsh(df, engine="block", **kw).collect()}
+    prs = {(r["id_a"], r["id_b"]) for r in
+           embedding_near_dup_pairs_lsh(df, engine="pairs", **kw).collect()}
+    # same buckets, same vectors: identical pair sets (cos may differ by
+    # one ulp between BLAS gemm and einsum, but 0.2 is not a knife edge)
+    assert blk == prs and blk
