@@ -125,19 +125,17 @@ def drop_exact_duplicates(
     )
 
 
-def _exploded_shingles_arrow(
-    df: DataFrame, id_col: str, text_col: str, n: int
-) -> DataFrame:
-    """(id, sh) rows of distinct word n-grams via Arrow batches.
+def _shingle_array_udf(n: int):
+    """Arrow-batched (per-text → distinct word n-gram list) pandas UDF.
 
-    Fast path for ``explode(shingles(...))``: the JVM ``shingles()``
-    expression is an interpreted higher-order function (transform +
-    element_at×n + array_distinct — not codegen'd, ~µs per lambda step),
-    which dominates wall time for shingle-explode consumers. A
-    vectorized-batch Python set build is ~6× faster end to end (same
-    measurement as ``minhash_signatures_arrow``). Semantics are identical:
-    whitespace tokenization, first-occurrence-distinct grams, docs with
-    fewer than ``n`` tokens contribute no rows.
+    Fast path for ``shingles(...)``: the JVM ``shingles()`` expression is
+    an interpreted higher-order function (transform + element_at×n +
+    array_distinct — not codegen'd, ~µs per lambda step), which dominates
+    wall time for shingle-explode consumers. A vectorized-batch Python
+    set build is ~6× faster end to end (same measurement as
+    ``minhash_signatures_arrow``). Semantics are identical: whitespace
+    tokenization, first-occurrence-distinct grams, docs with fewer than
+    ``n`` tokens get an empty list.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -158,8 +156,93 @@ def _exploded_shingles_arrow(
             )
         return pd.Series(out)
 
+    return sh_udf
+
+
+def _exploded_shingles_arrow(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, sh) rows of distinct word n-grams via Arrow batches."""
+    sh_udf = _shingle_array_udf(n)
     return df.select(
         F.col(id_col).alias("id"), F.explode(sh_udf(F.col(text_col))).alias("sh")
+    )
+
+
+def _gram_pair_counts(
+    df: DataFrame, id_col: str, text_col: str, n: int, df_cap: int | None
+) -> DataFrame:
+    """Undirected shared-gram counts per doc pair — the common core of the
+    Jaccard and containment operators: (id_a, sz_a, id_b, sz_b, n_common)
+    with id_a < id_b, where sz_* are the UN-capped distinct-gram set
+    sizes and n_common counts grams shared after the ``df_cap`` drop.
+
+    Plan shape (r05 rewrite of the naive inverted index; the old plan
+    spent more wall on stage sprawl than on data): ONE Arrow shingle
+    pass with the set size computed from the gram array itself — the
+    per-doc ``sizes`` aggregate and its join-back are gone; the gram
+    document frequency comes from a count-over-gram window instead of a
+    separate groupBy + anti-join (its required sort is work the pair
+    join's shuffle would redo anyway). Pairs are counted once in
+    undirected (id_a < id_b) orientation — callers needing both
+    directions re-emit rows narrowly rather than doubling the
+    pair-aggregate shuffle.
+
+    Cost model at 100 TB: Σ_gram df² pair mass, bounded by ``df_cap``
+    (ubiquitous boilerplate grams carry no near-dup signal and all the
+    quadratic cost); everything that shuffles is (id, sz, gram) — never
+    document text.
+
+    Parallelism note: the shingle UDF is CHEAP per row (one tokenize +
+    set build — unlike MinHash's 64-hash arithmetic), so the
+    ``_spread_small_input`` full-width fan-out costs more in Python
+    stage round-trips than it buys on tiny inputs (measured 9.2s vs
+    3.0s at sf0.1). Width here is proportional to input bytes (~2 MB of
+    text per task) instead, capped at cluster parallelism — at real
+    scale the parquet scan is already wide and no repartition happens
+    at all. The narrow (id, sz, gram) relation is persisted so the
+    self-join's two sides read one cache instead of re-running the
+    Python stage per side (AQE broadcasts one side rather than reusing
+    the gram exchange, and the optimizer's inferred ``size(arr) > 0``
+    pushdown would otherwise clone the UDF below the exchange — 4
+    evaluations without the cache, 1 with).
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 1 << 40
+    target = spark.sparkContext.defaultParallelism
+    width = min(target, max(1, est // (2 * 1024 * 1024)))
+    if width < target and est < target * 16 * 1024 * 1024:
+        df = df.repartition(width)
+
+    sh_udf = _shingle_array_udf(n)
+    arr = df.select(
+        F.col(id_col).alias("id"), sh_udf(F.col(text_col)).alias("_arr")
+    )
+    sh = arr.select(
+        "id", F.size("_arr").alias("sz"), F.explode("_arr").alias("sh")
+    )
+    if df_cap is not None:
+        sh = sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        ).where(F.col("_df") <= df_cap)
+    sh = sh.persist()
+    sh.count()  # eager fill: the self-join sides otherwise race the cache
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
 
 
@@ -182,24 +265,8 @@ def ngram_jaccard_pairs(
     computed on the *un-capped* shingle sets so Jaccard stays exact for
     surviving pairs as long as capped shingles are rare in true near-dups.
     """
-    sh = _exploded_shingles_arrow(
-        _spread_small_input(df), id_col, text_col, n
-    ).persist()  # referenced up to 4× below (sizes, df-cap, both join sides)
-    sh.count()  # eager fill: both self-join sides otherwise race the cache
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    if df_cap is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(F.broadcast(freq.where(F.col("df") > df_cap)), "sh", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     out = (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        _gram_pair_counts(df, id_col, text_col, n, df_cap)
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -236,32 +303,34 @@ def ngram_containment_pairs(
     ``df_cap`` documents (ubiquitous boilerplate) are dropped from
     pairing while denominators stay un-capped, exactly as in the Jaccard
     operator.
+
+    Both directed orders come from ONE undirected pair aggregate
+    (n_common is symmetric): each (a < b) row re-emits as (a→b) and
+    (b→a) via a narrow 2-element explode — half the pair-shuffle mass of
+    aggregating directed pairs, no second pass.
     """
-    sh = _exploded_shingles_arrow(
-        _spread_small_input(df), id_col, text_col, n
-    ).persist()  # sizes, df-cap and both join sides below
-    sh.count()  # eager fill: both self-join sides otherwise race the cache
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    if df_cap is not None:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(F.broadcast(freq.where(F.col("df") > df_cap)), "sh", "left_anti")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(
-            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
-            "id_a",
-        )
-        .withColumn(
-            "containment", F.col("n_common").cast("double") / F.col("sz_a")
-        )
-        .where(F.col("containment") >= threshold)
-    )
+    pairs = _gram_pair_counts(df, id_col, text_col, n, df_cap)
+    both = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a"),
+                    F.col("id_b"),
+                    F.col("n_common"),
+                    F.col("sz_a"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"),
+                    F.col("id_a").alias("id_b"),
+                    F.col("n_common"),
+                    F.col("sz_b").alias("sz_a"),
+                ),
+            )
+        ).alias("_p")
+    ).select("_p.*")
+    out = both.withColumn(
+        "containment", F.col("n_common").cast("double") / F.col("sz_a")
+    ).where(F.col("containment") >= threshold)
     return out.select("id_a", "id_b", "n_common", "sz_a", "containment")
 
 
