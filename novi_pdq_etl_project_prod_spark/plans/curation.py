@@ -156,31 +156,35 @@ def curate_corpus_v2(
         vc.where(F.col("oov_frac") <= max_oov_frac).select(id_col), id_col
     )
 
-    def mark(df, name):
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).alias(name),
-            *(
-                [F.sum("nt").alias("tokens_final")]
-                if name == "n_final"
-                else []
-            ),
+    # One stage-tagged union + ONE hash-agg instead of five per-stage
+    # aggregates stitched with four full-outer joins: every stage is a
+    # narrow (source, stage, nt) projection off the already-persisted
+    # intermediates, so the whole funnel report costs a single
+    # source-cardinality shuffle (the join-chain version spent ~2s of
+    # pure stage overhead at sf0.1 producing identical rows).
+    stages = [
+        ("n_input", base), ("n_quality", q), ("n_exact", e),
+        ("n_containment", c), ("n_final", f),
+    ]
+    marked = None
+    for tag, df_s in stages:
+        part = df_s.select(
+            "source", F.lit(tag).alias("_stage"), F.col("nt")
         )
-
-    report = (
-        mark(base, "n_input")
-        .join(mark(q, "n_quality"), "source", "full")
-        .join(mark(e, "n_exact"), "source", "full")
-        .join(mark(c, "n_containment"), "source", "full")
-        .join(mark(f, "n_final"), "source", "full")
-    )
+        marked = part if marked is None else marked.unionByName(part)
     zero = F.lit(0).cast("long")
-    return report.select(
-        "source",
+    report = marked.groupBy("source").agg(
         *[
-            F.coalesce(F.col(n), zero).alias(n)
-            for n in (
-                "n_input", "n_quality", "n_exact", "n_containment",
-                "n_final", "tokens_final",
-            )
+            F.coalesce(
+                F.sum(F.when(F.col("_stage") == tag, 1)), zero
+            ).alias(tag)
+            for tag, _ in stages
         ],
+        F.coalesce(
+            F.sum(F.when(F.col("_stage") == "n_final", F.col("nt"))), zero
+        ).alias("tokens_final"),
+    )
+    return report.select(
+        "source", "n_input", "n_quality", "n_exact", "n_containment",
+        "n_final", "tokens_final",
     )
