@@ -94,6 +94,12 @@ HEADLINE = [
     "x17_retention_cohorts",
     "x18_event_transitions",
     "d16_moment_stats",
+    # round-5 fourth wave
+    "m43_pair_components",
+    "m44_pps_sample",
+    "c3_incremental_join",
+    "m45_compression_signal",
+    "m46_pca_project",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

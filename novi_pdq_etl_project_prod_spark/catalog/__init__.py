@@ -20,6 +20,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round2_queries,
     round4_queries,
     round5_queries,
+    round5c_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -37,6 +38,7 @@ for _mod in (
     round2_queries,
     round4_queries,
     round5_queries,
+    round5c_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

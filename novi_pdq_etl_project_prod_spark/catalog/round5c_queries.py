@@ -1,0 +1,216 @@
+"""Round-5 catalog additions, fourth wave.
+
+- ``m43`` connected components over EXACT Jaccard near-dup pairs,
+  oracled end-to-end with a DuckDB recursive CTE — the transitive-
+  closure step (pairs → dedup decisions) graduates from pytest-only
+  ground truth (m13's status, unavoidable for its MinHash edges) to a
+  driver-certified row: same Spark operator (min-label propagation,
+  ``dedup.near_dup_clusters``), exact edge set, exact fixpoint oracle.
+- ``m44`` Poisson probability-proportional-to-size sampling: inclusion
+  iff ``u(id) * max_w < w * 16^15`` in DECIMAL — per-row weighted
+  sampling (documents by length ⇒ token-budget-driven inclusion) with
+  every decision integer-exact in both engines.
+- ``c3`` incremental JOIN view maintenance (the delta-join
+  decomposition ``dL⋈R ∪ L⋈dR ∪ dL⋈dR``), certified by an oracle that
+  recomputes the full join from scratch — extends c2's "incremental ==
+  recompute" contract from aggregates to joins.
+- ``m45`` zlib compression-ratio quality signal (row-local Arrow pass;
+  no oracle — DEFLATE isn't SQL; pytest pins byte-identity to a local
+  zlib reference plus the planted repetitive-vs-prose ordering).
+- ``m46`` PCA projection of the embedding corpus: exact-integer
+  covariance moments (d15) → driver-side d×d ``eigh`` (bounded by
+  DIMENSION, never corpus size) → row-local BLAS projection. No oracle
+  (eigendecomposition isn't SQL); pytest pins variance ordering,
+  reconstruction, sign convention, and partition independence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.cdc import incremental_join_view
+from novi_pdq_etl_project_prod_spark.operators.dedup import (
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+)
+from novi_pdq_etl_project_prod_spark.operators.multimodal import pps_sample
+from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    pca_components,
+    pca_project,
+)
+from novi_pdq_etl_project_prod_spark.operators.text import compression_signal
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# M43 — connected components over exact Jaccard pairs (trigrams, ≥0.5).
+# Spark: iterative min-label propagation; oracle: recursive-CTE label
+# closure + MIN per node. Components in the fixture are tiny (pairs and
+# one 3-chain), exactly the near-dup regime the operator targets.
+# ---------------------------------------------------------------------------
+
+def m43_pair_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return near_dup_clusters(pairs).orderBy("id")
+
+
+M43_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M44 — PPS (probability ∝ n_chars) Poisson sample, integer-exact
+# inclusion in both engines; seed 42 shared verbatim.
+# ---------------------------------------------------------------------------
+
+def m44_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return pps_sample(
+        docs.select("doc_id", "source", "n_chars"), "n_chars", id_col="doc_id"
+    ).orderBy("doc_id")
+
+
+M44_SQL = """
+WITH mw AS (SELECT MAX(n_chars) AS max_n_chars FROM documents)
+SELECT doc_id, source, n_chars, max_n_chars
+FROM documents, mw
+WHERE CAST(CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                AS BIGINT) AS HUGEINT) * max_n_chars
+    < CAST(n_chars AS HUGEINT) * 1152921504606846976
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3 — incremental join-view maintenance. Both inputs split into
+# (old, delta) by md5 content hashes (different salts, so the deltas are
+# independent); the incremental union-of-delta-joins must equal the
+# from-scratch join the oracle computes.
+# ---------------------------------------------------------------------------
+
+def c3_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        "l_extendedprice",
+    )
+    d_o = F.substring(F.md5(F.concat_ws(":", F.lit("O"), F.col("o_orderkey"))), 1, 1) == "0"
+    d_l = (
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("L"), F.col("o_orderkey"), F.col("l_linenumber"))),
+            1,
+            1,
+        )
+        == "0"
+    )
+    old_o, new_o = orders.where(~d_o), orders.where(d_o)
+    old_l, new_l = lineitem.where(~d_l), lineitem.where(d_l)
+    old_view = old_o.join(old_l, "o_orderkey")
+    view = incremental_join_view(old_view, old_o, old_l, new_o, new_l, ["o_orderkey"])
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    return (
+        view.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+C3_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+         AS revenue
+FROM orders
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# M45 — zlib compressibility (no oracle; rows-only driver check + pytest
+# byte-identity ground truth).
+# ---------------------------------------------------------------------------
+
+def m45_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return compression_signal(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# M46 — PCA projection (no oracle; pytest pins the spectral contract).
+# Output flattens the first two PCs so the driver's rows-only check sees
+# a stable (id, pc1, pc2) schema.
+# ---------------------------------------------------------------------------
+
+def m46_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    comps, _vals, mean = pca_components(emb, k=4)
+    proj = pca_project(emb, comps, mean)
+    return proj.select(
+        "vec_id",
+        F.col("pc")[0].alias("pc1"),
+        F.col("pc")[1].alias("pc2"),
+    ).orderBy("vec_id")
+
+
+QUERIES = {
+    "m43_pair_components": m43_pair_components,
+    "m44_pps_sample": m44_pps_sample,
+    "c3_incremental_join": c3_incremental_join,
+    "m45_compression_signal": m45_compression_signal,
+    "m46_pca_project": m46_pca_project,
+}
+
+ORACLES = {
+    "m43_pair_components": M43_SQL,
+    "m44_pps_sample": M44_SQL,
+    "c3_incremental_join": C3_SQL,
+}

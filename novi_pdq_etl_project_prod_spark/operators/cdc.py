@@ -99,3 +99,45 @@ def merge_partial_aggs(
         .groupBy(*keys)
         .agg(*aggs)
     )
+
+
+def incremental_join_view(
+    old_view: DataFrame,
+    left_old: DataFrame,
+    right_old: DataFrame,
+    left_delta: DataFrame,
+    right_delta: DataFrame,
+    on: Sequence[str],
+) -> DataFrame:
+    """Incrementally maintain an inner equi-join view under inserts.
+
+    Given the already-materialized join ``old_view = left_old ⋈ right_old``
+    and insert deltas on both sides, the new view is the classic
+    delta-join decomposition
+
+        (L ∪ dL) ⋈ (R ∪ dR)
+          = old_view  ∪  dL ⋈ R  ∪  L ⋈ dR  ∪  dL ⋈ dR
+
+    so the work is three joins whose cost is driven by the DELTA sizes,
+    never a recompute over the full history — at 100 TB the deltas are a
+    day's ingest while ``old_view`` streams through untouched (and in a
+    deployment is a snapshot read, not a plan). Spark broadcasts the
+    delta sides when they fit (AQE), so the two big-side joins
+    are shuffle-free scans of L and R.
+
+    Insert-only by contract (CDC updates/deletes route through
+    :func:`apply_changes` BEFORE view maintenance — retracting join rows
+    needs multiplicity bookkeeping that an insert-only ledger avoids).
+    The catalog oracle (c3) certifies the decomposition by recomputing
+    the full join from scratch and matching exactly.
+    """
+    on = list(on)
+    dl_r = left_delta.join(right_old, on)
+    l_dr = left_old.join(right_delta, on)
+    dl_dr = left_delta.join(right_delta, on)
+    cols = old_view.columns
+    new_parts = [p.select(*cols) for p in (dl_r, l_dr, dl_dr)]
+    out = old_view
+    for p in new_parts:
+        out = out.unionByName(p)
+    return out

@@ -489,3 +489,52 @@ def exact_stratified_sample(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Poisson probability-proportional-to-size sampling: row ``i`` is
+    kept with probability ``w_i / max(w)``, decided by a pure function
+    of (seed, id) — the weighted generalization of ``mixture_sample``
+    for per-ROW weights (sample documents proportional to length so a
+    token budget, not a document count, drives inclusion).
+
+    Exactness across engines (the reason this isn't ``u < w/max_w`` in
+    doubles): the uniform is the first 15 hex digits of md5(seed:id)
+    read as a 60-bit integer, and the inclusion test is the
+    cross-multiplied integer comparison
+
+        u * max_w  <  w * 16^15
+
+    evaluated in DECIMAL(38,0) — no division, no floats, so Spark and a
+    SQL oracle agree bit-for-bit on every inclusion decision. Weights
+    must be non-negative integers (raise-on-violation is the caller's
+    quality gate; zero-weight rows are never kept).
+
+    Scale shape: one tiny aggregate for ``max(w)`` broadcast as a 1-row
+    cross join, then a row-local filter — no shuffle of the data.
+    Inclusion probability is emitted as the exact integer pair
+    (``w``, ``max_w``) rather than a rounded double, so downstream
+    Horvitz-Thompson reweighting stays exact too.
+    """
+    max_w = df.agg(F.max(F.col(weight_col)).alias("_max_w"))
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    w = F.col(weight_col).cast("decimal(38,0)")
+    keep = (u * F.col("_max_w").cast("decimal(38,0)")) < (w * F.lit(16**15).cast("decimal(38,0)"))
+    return (
+        df.crossJoin(F.broadcast(max_w))
+        .where(keep)
+        .withColumnRenamed("_max_w", "max_" + weight_col)
+    )

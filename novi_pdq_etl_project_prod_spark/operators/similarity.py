@@ -1197,3 +1197,81 @@ def embedding_covariance_moments(
     return agg.select(
         "dim_a", "dim_b", "n_vecs", "s_a", "s_b", "s_ab", cov.alias("cov")
     )
+
+
+def pca_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 4,
+    micro_scale: int = 1_000_000,
+):
+    """Top-k principal components of the embedding corpus, from the
+    EXACT integer covariance moments (:func:`embedding_covariance_moments`).
+
+    The distributed part — one Gram pass over 100 TB of vectors — is
+    d15's; what comes back to the driver is d(d+1)/2 moment rows (2,080
+    for d=64: bounded by DIMENSION, never by corpus size), from which
+    the dense d×d covariance and its eigendecomposition are a numpy
+    call. Deterministic given the moments: integer sums are partition-
+    order-free, ``eigh`` is deterministic on identical input, and the
+    sign is pinned by convention (largest-|loading| coordinate made
+    positive) so reruns and different cluster layouts emit identical
+    components.
+
+    Returns (components ndarray [k, d], eigenvalues ndarray [k], mean
+    ndarray [d]) — plain numpy, ready to broadcast into
+    :func:`pca_project`.
+    """
+    rows = embedding_covariance_moments(df, vec_col, micro_scale).collect()
+    if not rows:
+        raise ValueError("pca_components: empty embedding input")
+    d = max(r["dim_b"] for r in rows) + 1
+    n = rows[0]["n_vecs"]
+    scale = float(micro_scale)
+    cov = np.zeros((d, d))
+    mean = np.zeros(d)
+    for r in rows:
+        a, b = r["dim_a"], r["dim_b"]
+        c = (r["s_ab"] - r["s_a"] * r["s_b"] / n) / n / (scale * scale)
+        cov[a, b] = cov[b, a] = c
+        if a == b:
+            mean[a] = r["s_a"] / n / scale
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T  # [k, d]
+    # sign convention: the largest-|loading| coordinate is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return comps, vals[order], mean
+
+
+def pca_project(
+    df: DataFrame,
+    components: np.ndarray,
+    mean: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto fixed principal components — the
+    dimensionality-reduction step before ANN indexing or clustering
+    (project once, build the index on k ≪ d doubles per vector).
+
+    Row-local: the [k, d] component matrix rides into an Arrow-batched
+    UDF as a closure broadcast (kilobytes), each batch projects with one
+    BLAS ``(V - mean) @ Cᵀ`` — no shuffle, no per-row Python. Output:
+    (id, pc array<double>).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(components, dtype=np.float64)
+    mu = np.ascontiguousarray(mean, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def proj_udf(vecs: pd.Series) -> pd.Series:
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        P = (V - mu[None, :]) @ C.T
+        return pd.Series(list(P))
+
+    return df.select(F.col(id_col), proj_udf(F.col(vec_col)).alias("pc"))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -607,4 +608,54 @@ def dup_adjusted_token_stats(
                 "unique_tokens"
             ),
         )
+    )
+
+
+def compression_signal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility — the RefinedWeb/MassiveText-
+    style "natural language doesn't compress like boilerplate" quality
+    signal: templated spam and repeated blocks compress far below
+    ~0.4×, while genuine prose sits around 0.5-0.7×. Documents far off
+    that band get routed to the quality gate.
+
+    Output: (id, n_raw_bytes, n_zlib_bytes, compression_ratio) with the
+    ratio the single double edge over two exact integers.
+
+    Engine note: no SQL oracle — DEFLATE is not expressible in a query
+    engine; determinism is a pinned-zlib-build property (fixed level,
+    default strategy), so ground truth lives in pytest invariants
+    (planted repetitive vs prose documents, partition independence,
+    byte-identity with a local zlib reference).
+
+    Scale shape: row-local Arrow-batched UDF — the corpus streams
+    through Python once with no shuffle; cost is pure CPU and scales
+    with input bytes, exactly like the MinHash stage it usually rides
+    alongside.
+    """
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_raw: long, n_zlib: long>")
+    def comp_udf(texts: pd.Series) -> pd.DataFrame:
+        raw_n, zl_n = [], []
+        for text in texts:
+            b = (text or "").encode("utf-8")
+            raw_n.append(len(b))
+            zl_n.append(len(zlib.compress(b, level)))
+        return pd.DataFrame({"n_raw": raw_n, "n_zlib": zl_n})
+
+    c = comp_udf(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        c["n_raw"].alias("n_raw_bytes"),
+        c["n_zlib"].alias("n_zlib_bytes"),
+        F.when(
+            c["n_raw"] > 0, c["n_zlib"].cast("double") / c["n_raw"]
+        ).alias("compression_ratio"),
     )

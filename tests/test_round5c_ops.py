@@ -1,0 +1,243 @@
+"""Round-5 fourth-wave operator tests: pair components, PPS sampling,
+incremental join-view maintenance, compression signal, PCA.
+
+Catalog-level value parity for the oracled queries (m43, m44, c3) is
+covered by test_oracle_parity; these tests pin what the oracle cannot
+see — equivalence to naive reference implementations, iterative-fixpoint
+transitivity, byte-identity of the zlib pass, spectral invariants, and
+partition independence of every new operator.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.cdc import incremental_join_view
+from novi_pdq_etl_project_prod_spark.operators.dedup import (
+    near_dup_clusters,
+    ngram_jaccard_pairs,
+)
+from novi_pdq_etl_project_prod_spark.operators.multimodal import pps_sample
+from novi_pdq_etl_project_prod_spark.operators.similarity import (
+    pca_components,
+    pca_project,
+)
+from novi_pdq_etl_project_prod_spark.operators.text import compression_signal
+from tests.conftest import SF_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Connected components (m43)
+# ---------------------------------------------------------------------------
+
+def _union_find(edges, nodes):
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    return {n: min(m for m in nodes if find(m) == find(n)) for n in nodes}
+
+
+def test_components_match_union_find_on_fixture(spark):
+    from novi_pdq_etl_project_prod_spark.session import read_table
+
+    docs = read_table(spark, SF_ORACLE, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    nodes = sorted({x for e in edges for x in e})
+    expect = _union_find(edges, nodes)
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == expect
+    # the fixture must actually exercise transitivity (a >2-node chain),
+    # otherwise this test silently degrades to pair identity
+    sizes = {}
+    for lbl in got.values():
+        sizes[lbl] = sizes.get(lbl, 0) + 1
+    assert max(sizes.values()) >= 3
+
+
+def test_components_long_chain_transitivity(spark):
+    # a 12-node path: min-label must walk the full diameter
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(11)]
+    )
+    got = {r.id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(12)}
+
+
+# ---------------------------------------------------------------------------
+# PPS sampling (m44)
+# ---------------------------------------------------------------------------
+
+def _pps_keep_local(doc_id, w, max_w, seed=42):
+    u = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16)
+    return u * max_w < w * 16**15
+
+
+def test_pps_sample_matches_local_recompute(spark):
+    rows = [Row(doc_id=i, w=(i * 37) % 100 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    max_w = max(r.w for r in rows)
+    expect = {r.doc_id for r in rows if _pps_keep_local(r.doc_id, r.w, max_w)}
+    got = {r.doc_id for r in pps_sample(df, "w", id_col="doc_id").collect()}
+    assert got == expect
+    # sanity: the sample is non-trivial in both directions
+    assert 0 < len(got) < len(rows)
+
+
+def test_pps_sample_weight_extremes(spark):
+    rows = [Row(doc_id=i, w=0) for i in range(50)] + [
+        Row(doc_id=100 + i, w=7) for i in range(50)
+    ]
+    out = pps_sample(spark.createDataFrame(rows), "w").collect()
+    ids = {r.doc_id for r in out}
+    # zero weight is never kept; max weight is always kept (u < 16^15 holds
+    # for every 60-bit uniform)
+    assert all(i >= 100 for i in ids)
+    assert ids == {100 + i for i in range(50)}
+    assert all(r.max_w == 7 for r in out)
+
+
+def test_pps_sample_partition_independent(spark):
+    rows = [Row(doc_id=i, w=i % 13 + 1) for i in range(300)]
+    df = spark.createDataFrame(rows)
+    a = sorted(r.doc_id for r in pps_sample(df, "w").collect())
+    b = sorted(
+        r.doc_id for r in pps_sample(df.repartition(7), "w").collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Incremental join view (c3)
+# ---------------------------------------------------------------------------
+
+def test_incremental_join_equals_full_recompute(spark):
+    left = spark.createDataFrame(
+        [Row(k=i % 20, lv=i) for i in range(200)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=i % 25, rv=i) for i in range(150)]
+    )
+    # content-addressed split, matching the catalog query's shape
+    dl = F.md5(F.col("lv").cast("string")).substr(1, 1) < "4"
+    dr = F.md5(F.concat_ws(":", F.lit("r"), F.col("rv"))).substr(1, 1) < "4"
+    lo, ld = left.where(~dl), left.where(dl)
+    ro, rd = right.where(~dr), right.where(dr)
+    old_view = lo.join(ro, "k")
+    inc = incremental_join_view(old_view, lo, ro, ld, rd, ["k"])
+    full = left.join(right, "k")
+    assert sorted(map(tuple, inc.collect())) == sorted(map(tuple, full.collect()))
+    # the deltas must be non-empty on both sides or the test is vacuous
+    assert ld.count() > 0 and rd.count() > 0
+
+
+def test_incremental_join_empty_deltas(spark):
+    left = spark.createDataFrame([Row(k=1, lv=1), Row(k=2, lv=2)])
+    right = spark.createDataFrame([Row(k=1, rv=10)])
+    empty_l = left.where(F.lit(False))
+    empty_r = right.where(F.lit(False))
+    old_view = left.join(right, "k")
+    inc = incremental_join_view(old_view, left, right, empty_l, empty_r, ["k"])
+    assert sorted(map(tuple, inc.collect())) == sorted(
+        map(tuple, old_view.collect())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression signal (m45)
+# ---------------------------------------------------------------------------
+
+def test_compression_byte_identity_and_ordering(spark):
+    prose = (
+        "the quick brown fox jumps over a lazy dog while seventeen "
+        "unrelated words establish some entropy in this sentence"
+    )
+    spammy = "buy now " * 40
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=prose), Row(doc_id=2, text=spammy),
+         Row(doc_id=3, text=""), Row(doc_id=4, text=None)]
+    )
+    got = {r.doc_id: r for r in compression_signal(df).collect()}
+    for doc_id, text in ((1, prose), (2, spammy)):
+        raw = text.encode()
+        assert got[doc_id].n_raw_bytes == len(raw)
+        assert got[doc_id].n_zlib_bytes == len(zlib.compress(raw, 6))
+    # repetition compresses far better than prose
+    assert got[2].compression_ratio < got[1].compression_ratio
+    # empty/null: zero raw bytes, null ratio (no divide-by-zero)
+    for doc_id in (3, 4):
+        assert got[doc_id].n_raw_bytes == 0
+        assert got[doc_id].compression_ratio is None
+
+
+def test_compression_partition_independent(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"document {i} body " * (i % 9 + 1)) for i in range(80)]
+    )
+    a = sorted(map(tuple, compression_signal(df).collect()))
+    b = sorted(map(tuple, compression_signal(df.repartition(5)).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PCA (m46)
+# ---------------------------------------------------------------------------
+
+def test_pca_spectral_contract(spark):
+    from novi_pdq_etl_project_prod_spark.session import read_table
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    comps, vals, mean = pca_components(emb, k=4)
+    assert comps.shape[0] == 4 and comps.shape[1] == len(mean)
+    # eigenvalues sorted descending, all components unit-norm, sign pinned
+    assert all(vals[i] >= vals[i + 1] for i in range(3))
+    assert np.allclose(np.linalg.norm(comps, axis=1), 1.0)
+    for row in comps:
+        assert row[int(np.argmax(np.abs(row)))] > 0
+    # projected variance per pc matches its eigenvalue, and decreases
+    proj = pca_project(emb, comps, mean)
+    P = np.array([r.pc for r in proj.collect()])
+    pc_var = P.var(axis=0)
+    assert np.allclose(pc_var, vals, rtol=1e-6)
+    # determinism under repartitioning (exact-integer moments)
+    comps2, vals2, mean2 = pca_components(emb.repartition(7), k=4)
+    assert np.array_equal(comps, comps2)
+    assert np.array_equal(vals, vals2)
+    assert np.array_equal(mean, mean2)
+
+
+def test_pca_recovers_planted_direction(spark):
+    rng = np.random.default_rng(7)
+    direction = rng.normal(size=8)
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i in range(400):
+        v = 5.0 * rng.normal() * direction + 0.05 * rng.normal(size=8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    df = spark.createDataFrame(rows)
+    comps, vals, _mean = pca_components(df, k=2, micro_scale=1_000_000)
+    cos = abs(float(np.dot(comps[0], direction)))
+    assert cos > 0.99
+    assert vals[0] > 50 * vals[1]
+
+
+def test_pca_empty_input_raises(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        pca_components(df)
