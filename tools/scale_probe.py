@@ -484,7 +484,57 @@ def main_r5(k: int) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def main_r5c(k: int) -> None:
+    """Fourth-wave probe at k× data, same replication styles as --r5:
+
+    - key-shifted facts: c3 incremental join view (expected ~linear —
+      three equi-joins, delta-sized build sides);
+    - token-suffixed distinct documents: m43 components (pair mass is
+      the jaccard miner's, label propagation adds O(diameter) narrow
+      joins), m44 PPS sample (row-local filter), m45 compression
+      (row-local Python CPU, expected data-linear);
+    - isometric embeddings: m46 PCA (one Gram pass + row-local
+      projection, expected ~linear; the driver-side eigh is dim-bounded
+      and invariant to corpus size).
+    """
+    spark = get_spark(app_name="scale_probe_r5c")
+
+    fact_dir = tempfile.mkdtemp(prefix=f"r5cfact{k}_")
+    replicate(spark, fact_dir, k)
+    docs_dir = tempfile.mkdtemp(prefix=f"r5cdoc{k}_")
+    replicate_docs_distinct(spark, docs_dir, k)
+    emb_dir = tempfile.mkdtemp(prefix=f"r5cemb{k}_")
+    replicate_embeddings_isometric(spark, emb_dir, k)
+
+    groups = [
+        ("facts", fact_dir, ["c3_incremental_join"]),
+        ("docs", docs_dir, ["m43_pair_components", "m44_pps_sample",
+                            "m45_compression_signal"]),
+        ("emb", emb_dir, ["m46_pca_project"]),
+    ]
+    for label, scaled_dir, probe in groups:
+        results = {}
+        for sf_label, sf_dir in (("sf0.1", SRC), (f"{label} x{k}", scaled_dir)):
+            timings = {}
+            for name in probe:
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[name] = round(time.perf_counter() - t0, 2)
+            results[sf_label] = timings
+            print(sf_label, json.dumps(timings))
+        for name in probe:
+            a, b = results["sf0.1"][name], results[f"{label} x{k}"][name]
+            print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x)")
+    for d in (fact_dir, docs_dir, emb_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r5c" in sys.argv:
+        main_r5c(int(sys.argv[sys.argv.index("--r5c") + 1]))
+        return
     if "--r5" in sys.argv:
         main_r5(int(sys.argv[sys.argv.index("--r5") + 1]))
         return
