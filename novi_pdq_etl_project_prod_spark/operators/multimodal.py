@@ -496,6 +496,7 @@ def pps_sample(
     weight_col: str,
     id_col: str = "doc_id",
     seed: int = 42,
+    max_weight: int | None = None,
 ) -> DataFrame:
     """Poisson probability-proportional-to-size sampling: row ``i`` is
     kept with probability ``w_i / max(w)``, decided by a pure function
@@ -520,8 +521,14 @@ def pps_sample(
     Inclusion probability is emitted as the exact integer pair
     (``w``, ``max_w``) rather than a rounded double, so downstream
     Horvitz-Thompson reweighting stays exact too.
+
+    Pass ``max_weight`` to pin the calibration instead of aggregating it
+    from ``df`` — required for STREAMING inputs (a global max over an
+    unbounded stream is stateful; the production pattern calibrates on
+    the static corpus and applies the resulting pure row-local filter to
+    the live stream), and useful batch-side to keep inclusion decisions
+    stable across corpus versions.
     """
-    max_w = df.agg(F.max(F.col(weight_col)).alias("_max_w"))
     u = F.conv(
         F.substring(
             F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
@@ -532,7 +539,15 @@ def pps_sample(
         10,
     ).cast("decimal(38,0)")
     w = F.col(weight_col).cast("decimal(38,0)")
-    keep = (u * F.col("_max_w").cast("decimal(38,0)")) < (w * F.lit(16**15).cast("decimal(38,0)"))
+    scale = F.lit(16**15).cast("decimal(38,0)")
+    if max_weight is not None:
+        # pinned calibration: a pure row-local filter, streaming-safe
+        keep = (u * F.lit(int(max_weight)).cast("decimal(38,0)")) < (w * scale)
+        return df.where(keep).withColumn(
+            "max_" + weight_col, F.lit(int(max_weight)).cast("long")
+        )
+    max_w = df.agg(F.max(F.col(weight_col)).alias("_max_w"))
+    keep = (u * F.col("_max_w").cast("decimal(38,0)")) < (w * scale)
     return (
         df.crossJoin(F.broadcast(max_w))
         .where(keep)

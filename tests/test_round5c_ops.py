@@ -241,3 +241,75 @@ def test_pca_empty_input_raises(spark):
     df = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         pca_components(df)
+
+
+# ---------------------------------------------------------------------------
+# Streaming parity: the sampling/curation row-local ops applied to a live
+# stream must keep exactly the rows they keep in batch (the metamorphic
+# oracle for the "calibrate on the static corpus, filter the stream"
+# deployment pattern).
+# ---------------------------------------------------------------------------
+
+def test_pps_sample_streaming_matches_batch(spark, tmp_path):
+    import shutil
+
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import mixture_sample
+    from novi_pdq_etl_project_prod_spark.session import read_table
+    from novi_pdq_etl_project_prod_spark.streaming.events import run_to_memory_sink
+
+    docs = read_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    d = str(tmp_path / "docs_stream")
+    docs.write.mode("overwrite").parquet(d)
+    max_w = docs.agg(F.max("n_chars")).collect()[0][0]
+    rates = {"src0": 1.0, "src1": 0.5}
+
+    def curate(df):
+        sampled = pps_sample(df, "n_chars", id_col="doc_id", max_weight=max_w)
+        return mixture_sample(
+            sampled, rates, source_col="source", id_col="doc_id",
+            default_rate=0.25,
+        )
+
+    batch_ids = sorted(r.doc_id for r in curate(docs).collect())
+    stream = spark.readStream.schema(docs.schema).parquet(d)
+    assert stream.isStreaming
+    run_to_memory_sink(curate(stream), "pps_stream", output_mode="append")
+    stream_ids = sorted(
+        r.doc_id for r in spark.sql("SELECT doc_id FROM pps_stream").collect()
+    )
+    assert stream_ids == batch_ids and len(batch_ids) > 0
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_pps_sample_pinned_max_matches_agg_path(spark):
+    rows = [Row(doc_id=i, w=i % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows)
+    a = sorted(map(tuple, pps_sample(df, "w").collect()))
+    b = sorted(map(tuple, pps_sample(df, "w", max_weight=11).collect()))
+    assert a == b
+
+
+def test_incremental_join_matches_python_model_on_random_splits(spark):
+    import random
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        left = [Row(k=rng.randint(1, 8), lv=i) for i in range(rng.randint(5, 60))]
+        right = [Row(k=rng.randint(1, 8), rv=i) for i in range(rng.randint(5, 60))]
+        ld_ids = {r.lv for r in left if rng.random() < 0.3}
+        rd_ids = {r.rv for r in right if rng.random() < 0.3}
+        # python model: the full join, independent of the split
+        expect = sorted(
+            (l.k, l.lv, r.rv) for l in left for r in right if l.k == r.k
+        )
+        ldf = spark.createDataFrame(left).repartition(3)
+        rdf = spark.createDataFrame(right).repartition(4)
+        lo = ldf.where(~F.col("lv").isin(list(ld_ids) or [-1]))
+        ldl = ldf.where(F.col("lv").isin(list(ld_ids) or [-1]))
+        ro = rdf.where(~F.col("rv").isin(list(rd_ids) or [-1]))
+        rdl = rdf.where(F.col("rv").isin(list(rd_ids) or [-1]))
+        inc = incremental_join_view(lo.join(ro, "k"), lo, ro, ldl, rdl, ["k"])
+        got = sorted((r.k, r.lv, r.rv) for r in inc.collect())
+        assert got == expect, f"seed={seed}"
