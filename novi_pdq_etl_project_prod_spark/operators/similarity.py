@@ -661,19 +661,46 @@ def ivf_topk(
 
     At scale the corpus side can be written out partitioned by
     ``list_id`` once and re-probed by many query batches — the index is
-    a DataFrame, not driver state.
+    a DataFrame, not driver state (see :func:`build_ivf_index` /
+    :func:`ivf_index_topk` for the persisted form).
     """
-    from pyspark.sql.functions import pandas_udf
-
     cents = train_ivf_centroids(
         corpus, id_col, vec_col, n_lists, sample_size, seed=seed
     )
+    assigned = _ivf_assign(corpus, cents, id_col, vec_col)
+    return _ivf_probe_topk(assigned, queries, cents, id_col, vec_col, k, nprobe)
+
+
+def _ivf_assign(
+    corpus: DataFrame, cents: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, cv, list_id) — each corpus vector routed to its
+    nearest centroid's inverted list in one vectorized Arrow pass."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def nearest_list(vecs: pd.Series) -> pd.Series:
         m = np.vstack(vecs.to_numpy()).astype("float64")
         m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         return pd.Series(np.argmax(m @ cents.T, axis=1).astype("int32"))
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("list_id", nearest_list(F.col("cv")))
+
+
+def _ivf_probe_topk(
+    assigned: DataFrame,
+    queries: DataFrame,
+    cents: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nprobe: int,
+) -> DataFrame:
+    """Probe ``nprobe`` lists per query over an assigned corpus and
+    return exact-cosine top-k within the probed lists."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<int>")
     def probe_lists(vecs: pd.Series) -> pd.Series:
@@ -685,9 +712,6 @@ def ivf_topk(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
         return pd.Series(list(order.astype("int32")))
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("list_id", nearest_list(F.col("cv")))
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
@@ -695,7 +719,7 @@ def ivf_topk(
         .withColumn("list_id", F.explode(probe_lists(F.col("qv"))))
     )
     scored = (
-        c.join(F.broadcast(q), "list_id")
+        assigned.join(F.broadcast(q), "list_id")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -710,6 +734,100 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    root: str,
+    table: str = "ann",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    sample_by_hash: bool = False,
+) -> dict:
+    """Materialize an IVF index as snapshot-committed TABLES — train the
+    centroids and route every corpus vector ONCE, then let any number of
+    query batches (or future sessions) probe without re-touching the
+    corpus. This is the deployment shape for ANN over 100 TB: the index
+    build is the one expensive pass; searches read two tables.
+
+    Written under ``<root>/curated/``: ``<table>_centroids`` (n_lists
+    rows — the routing state, kilobytes) and ``<table>_vectors``
+    (the corpus re-sorted by ``list_id`` so parquet row-group min/max
+    stats prune unprobed lists at scan time; at cluster scale write it
+    ``partitionBy("list_id")`` for directory-level pruning instead).
+    Both go through the ``_CURRENT`` pointer protocol, so a rebuild is
+    an atomic swap: live queries keep the old index until the flip, and
+    :func:`sources.layers.read_table_at_version` can pin a search to a
+    prior index version for reproducibility.
+    """
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        MedallionLayer,
+        overwrite_snapshot,
+    )
+
+    spark = corpus.sparkSession
+    cents = train_ivf_centroids(
+        corpus, id_col, vec_col, n_lists, sample_size, seed=seed,
+        sample_by_hash=sample_by_hash,
+    )
+    assigned = _ivf_assign(corpus, cents, id_col, vec_col)
+    vec_path = overwrite_snapshot(
+        assigned.repartition(F.col("list_id")).sortWithinPartitions("list_id"),
+        root,
+        MedallionLayer.CURATED,
+        f"{table}_vectors",
+    )
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "list_id int, centroid array<double>",
+    )
+    cent_path = overwrite_snapshot(
+        cent_df, root, MedallionLayer.CURATED, f"{table}_centroids"
+    )
+    return {"vectors": vec_path, "centroids": cent_path, "n_lists": n_lists}
+
+
+def ivf_index_topk(
+    spark,
+    root: str,
+    queries: DataFrame,
+    table: str = "ann",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k search against a PERSISTED IVF index (:func:`build_ivf_index`)
+    — no training, no corpus assignment: read the n_lists-row centroid
+    table to the driver (bounded by list count, never corpus size),
+    route queries, and probe the stored inverted lists. Output schema
+    matches ``ivf_topk``/``brute_force_topk``.
+    """
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        MedallionLayer,
+        resolve_table_path,
+        table_path,
+    )
+
+    cent_rows = (
+        spark.read.parquet(
+            resolve_table_path(
+                table_path(root, MedallionLayer.CURATED, f"{table}_centroids")
+            )
+        )
+        .orderBy("list_id")
+        .collect()
+    )
+    cents = np.vstack([np.asarray(r["centroid"]) for r in cent_rows])
+    assigned = spark.read.parquet(
+        resolve_table_path(
+            table_path(root, MedallionLayer.CURATED, f"{table}_vectors")
+        )
+    )
+    return _ivf_probe_topk(assigned, queries, cents, id_col, vec_col, k, nprobe)
 
 
 def label_centroid_sums(

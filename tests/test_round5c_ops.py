@@ -313,3 +313,42 @@ def test_incremental_join_matches_python_model_on_random_splits(spark):
         inc = incremental_join_view(lo.join(ro, "k"), lo, ro, ldl, rdl, ["k"])
         got = sorted((r.k, r.lv, r.rv) for r in inc.collect())
         assert got == expect, f"seed={seed}"
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index (build once, search many)
+# ---------------------------------------------------------------------------
+
+def test_ivf_index_search_matches_inline_ivf(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from novi_pdq_etl_project_prod_spark.session import read_table
+    from novi_pdq_etl_project_prod_spark.sources.layers import list_snapshots
+
+    emb = read_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    root = str(tmp_path / "warehouse")
+    info = build_ivf_index(emb, root, n_lists=8, sample_size=512)
+    assert info["n_lists"] == 8
+
+    # same training determinism => the persisted index must return
+    # EXACTLY what the inline train+assign+probe path returns
+    inline = ivf_topk(emb, queries, k=5, n_lists=8, nprobe=3, sample_size=512)
+    indexed = ivf_index_topk(spark, root, queries, k=5, nprobe=3)
+    key = lambda r: (r.query_id, r.rank)
+    a = sorted(((r.query_id, r.rank, r.neighbor_id) for r in inline.collect()))
+    b = sorted(((r.query_id, r.rank, r.neighbor_id) for r in indexed.collect()))
+    assert a == b and len(a) == 50
+
+    # a second search re-reads the stored tables without retraining —
+    # and a REBUILD is an atomic snapshot swap with history retained
+    build_ivf_index(emb, root, n_lists=8, sample_size=512)
+    again = ivf_index_topk(spark, root, queries, k=5, nprobe=3)
+    c = sorted(((r.query_id, r.rank, r.neighbor_id) for r in again.collect()))
+    assert c == a
+    import os
+    vec_table_dir = os.path.join(root, "curated", "ann_vectors")
+    assert len(list_snapshots(vec_table_dir)) >= 2
