@@ -261,6 +261,162 @@ def decode_and_featurize(
     return df.mapInPandas(_process, schema=MEDIA_FEATURES_SCHEMA)
 
 
+def _png_gray_pixels(payload: bytes) -> "np.ndarray | None":
+    """Full pixel decode of an 8-bit grayscale, non-interlaced PNG (pure
+    stdlib): chunk walk → concatenated-IDAT inflate → per-row unfilter
+    (all five standard filter types). Returns a (h, w) uint8 array, or
+    None for anything that isn't this profile — the swap point for
+    Pillow when color/compressed formats matter."""
+    import numpy as np
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, width, height, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            if len(body) < 13:
+                return None
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8 or color != 0 or interlace != 0:
+                return None
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if not (width and height and idat):
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = width + 1
+    if len(raw) < stride * height:
+        return None
+    out = np.zeros((height, width), dtype=np.uint8)
+    prev = np.zeros(width, dtype=np.int32)
+    for y in range(height):
+        row = raw[y * stride:(y + 1) * stride]
+        ftype, cur = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        if ftype == 0:
+            line = cur
+        elif ftype == 2:  # Up
+            line = (cur + prev) % 256
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
+            line = np.zeros(width, dtype=np.int32)
+            a = 0
+            for x in range(width):
+                b, c = int(prev[x]), int(prev[x - 1]) if x else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (int(cur[x]) + pred) % 256
+                a = int(line[x])
+        else:
+            return None
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out
+
+
+def _png_encode_gray(arr) -> bytes:
+    """Spec-valid 8-bit grayscale PNG from a (h, w) uint8 array (filter
+    0 rows, one zlib IDAT) — the synthetic_png_bytes writer generalized
+    to arbitrary pixel content."""
+    height, width = arr.shape
+    raw = b"".join(b"\x00" + bytes(arr[y].tolist()) for y in range(height))
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Batch image resize to a fixed (width, height) — the normalization
+    step before a vision encoder, as Spark plumbing: ``mapInPandas``
+    streams Arrow batches of binary payloads through a per-batch numpy
+    nearest-neighbor resample, no shuffle, no driver involvement.
+
+    The decode/encode pair is REAL for the profile this environment can
+    express (8-bit grayscale PNG, all five row filters, stdlib zlib);
+    anything else yields a null payload with ``ok=false`` instead of
+    failing the job — the poison-pill contract shared with
+    :func:`decode_and_featurize`, and the single swap point for Pillow
+    in a full deployment. Output: (id, payload resized-PNG binary,
+    width, height, n_bytes, ok).
+    """
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, oks, widths, heights, sizes = [], [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(int(mid))
+                px = _png_gray_pixels(bytes(payload)) if payload is not None else None
+                if px is None:
+                    payloads.append(None)
+                    oks.append(False)
+                    widths.append(None)
+                    heights.append(None)
+                    sizes.append(None)
+                    continue
+                h, w = px.shape
+                yi = (np.arange(target_height) * h) // target_height
+                xi = (np.arange(target_width) * w) // target_width
+                resized = px[yi][:, xi]
+                out = _png_encode_gray(resized)
+                payloads.append(out)
+                oks.append(True)
+                widths.append(target_width)
+                heights.append(target_height)
+                sizes.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_bytes": pd.array(sizes, dtype="Int64"),
+                    "ok": pd.array(oks, dtype="boolean"),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        _resize,
+        schema=(
+            "media_id long, payload binary, width int, height int, "
+            "n_bytes long, ok boolean"
+        ),
+    )
+
+
 def frame_sample_plan(
     df: DataFrame,
     id_col: str = "media_id",

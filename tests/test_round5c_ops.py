@@ -352,3 +352,101 @@ def test_ivf_index_search_matches_inline_ivf(spark, tmp_path):
     import os
     vec_table_dir = os.path.join(root, "curated", "ann_vectors")
     assert len(list_snapshots(vec_table_dir)) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Image resize plumbing (decode → nearest-neighbor → re-encode)
+# ---------------------------------------------------------------------------
+
+def _encode_filtered_png(arr, filter_types):
+    """Grayscale PNG with caller-chosen per-row filter types — drives the
+    unfilter paths (Sub/Up/Average/Paeth) the filter-0 writer never emits."""
+    import struct as st
+    import zlib as zl
+
+    h, w = arr.shape
+    rows = []
+    prev = [0] * w
+    for y in range(h):
+        ft = filter_types[y % len(filter_types)]
+        cur = [int(v) for v in arr[y]]
+        enc = []
+        for x in range(w):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc.append((cur[x] - pred) % 256)
+        rows.append(bytes([ft]) + bytes(enc))
+        prev = cur
+
+    def chunk(ctype, body):
+        return (
+            st.pack(">I", len(body)) + ctype + body
+            + st.pack(">I", zl.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zl.compress(b"".join(rows))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_unfilter_all_filter_types():
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        _png_gray_pixels,
+    )
+
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=(9, 7), dtype=np.uint8)
+    for fts in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = _png_gray_pixels(_encode_filtered_png(arr, fts))
+        assert got is not None and np.array_equal(got, arr), f"filters={fts}"
+
+
+def test_resize_images_matches_local_model(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        _png_gray_pixels,
+        resize_images,
+        synthetic_png_bytes,
+    )
+
+    media = spark.createDataFrame(
+        [Row(media_id=i, payload=bytearray(synthetic_png_bytes(i))) for i in range(24)]
+    ).repartition(4)
+    out = {r.media_id: r for r in resize_images(media, 6, 5).collect()}
+    src = {i: synthetic_png_bytes(i) for i in range(24)}
+    assert len(out) == 24
+    for mid, payload in src.items():
+        px = _png_gray_pixels(payload)
+        h, w = px.shape
+        expect = px[(np.arange(5) * h) // 5][:, (np.arange(6) * w) // 6]
+        r = out[mid]
+        assert r.ok and (r.width, r.height) == (6, 5)
+        got = _png_gray_pixels(bytes(r.payload))
+        assert np.array_equal(got, expect)
+        assert r.n_bytes == len(bytes(r.payload))
+
+
+def test_resize_images_poison_pill(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [Row(media_id=1, payload=bytearray(b"not a png")),
+         Row(media_id=2, payload=None)]
+    )
+    rows = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    assert not rows[1].ok and rows[1].payload is None
+    assert not rows[2].ok and rows[2].payload is None
