@@ -100,6 +100,8 @@ HEADLINE = [
     "c3_incremental_join",
     "m45_compression_signal",
     "m46_pca_project",
+    "j6_scd2_lookup",
+    "w11_time_weighted_avg",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

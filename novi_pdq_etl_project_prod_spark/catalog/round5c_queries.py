@@ -201,16 +201,181 @@ def m46_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+# ---------------------------------------------------------------------------
+# J6 — SCD2 point-in-time lookup: every event joined to the dimension
+# state that was valid AT ITS MONTH (the temporal-dimension enrichment
+# every versioned warehouse does). Plan: the interval history is
+# dimension-sized → broadcast equi-join on the entity key, range
+# predicate evaluated post-match; no interval bucketing machinery needed
+# because per-key interval counts are version counts, not corpus-sized.
+# ---------------------------------------------------------------------------
+
+def j6_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.operators.modeling import scd2_apply
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "yyyymm", (F.year("ts") * 100 + F.month("ts")).cast("int")
+    )
+    w = Window.partitionBy("user_id", "yyyymm").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    monthly = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("state"), "yyyymm")
+    )
+    hist = scd2_apply(
+        None, monthly, pk=("user_id",), attrs=("state",),
+        effective_col="yyyymm",
+    ).select(
+        "user_id", "state",
+        F.col("valid_from").cast("int").alias("valid_from"),
+        F.col("valid_to").cast("int").alias("valid_to"),
+    )
+    joined = ev.join(F.broadcast(hist), "user_id").where(
+        (F.col("yyyymm") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("yyyymm") < F.col("valid_to"))
+        )
+    )
+    return (
+        joined.groupBy("state", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("state", "event_type")
+    )
+
+
+J6_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm
+  FROM events
+),
+monthly AS (
+  SELECT user_id, event_type AS state, yyyymm
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, yyyymm ORDER BY ts DESC, event_id DESC
+    ) AS rn
+    FROM ev
+  ) WHERE rn = 1
+),
+dedup AS (
+  SELECT user_id, state, yyyymm AS valid_from
+  FROM (
+    SELECT *, lag(state) OVER (
+      PARTITION BY user_id ORDER BY yyyymm
+    ) AS prev_state
+    FROM monthly
+  ) WHERE prev_state IS NULL OR state <> prev_state
+),
+hist AS (
+  SELECT user_id, state, valid_from,
+         CAST(lead(valid_from) OVER (
+           PARTITION BY user_id ORDER BY valid_from
+         ) AS INT) AS valid_to
+  FROM dedup
+)
+SELECT h.state, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM ev e
+JOIN hist h ON e.user_id = h.user_id
+WHERE e.yyyymm >= h.valid_from
+  AND (h.valid_to IS NULL OR e.yyyymm < h.valid_to)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# W11 — time-weighted average (TWAP) of the event value per user-month:
+# each observation weighted by the EXACT microseconds until the next
+# observation in the same group (last observation carries no weight —
+# the between-observations convention). Cents × microseconds accumulate
+# in DECIMAL(38,0), one double division at the edge.
+# ---------------------------------------------------------------------------
+
+def w11_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir).withColumn(
+        "yyyymm", (F.year("ts") * 100 + F.month("ts")).cast("int")
+    )
+    w = Window.partitionBy("user_id", "yyyymm").orderBy("ts", "event_id")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    dmicros = (
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    )
+    weighted = ev.select(
+        "user_id",
+        "yyyymm",
+        cents.alias("_c"),
+        F.coalesce(dmicros, F.lit(0)).cast("decimal(38,0)").alias("_w"),
+    )
+    g = weighted.groupBy("user_id", "yyyymm").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_w")).alias("_num"),
+        F.sum("_w").alias("_den"),
+    )
+    return (
+        g.where(F.col("_den") > 0)
+        .select(
+            "user_id",
+            "yyyymm",
+            "n_obs",
+            (
+                F.col("_num").cast("double") / F.col("_den").cast("double") / 100
+            ).alias("twap"),
+        )
+        .orderBy("user_id", "yyyymm")
+    )
+
+
+W11_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CAST(year(ts) * 100 + month(ts) AS INT) AS yyyymm
+  FROM events
+),
+wtd AS (
+  SELECT user_id, yyyymm,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CAST(COALESCE(
+           epoch_us(lead(ts) OVER (
+             PARTITION BY user_id, yyyymm ORDER BY ts, event_id
+           )) - epoch_us(ts), 0) AS HUGEINT) AS w
+  FROM ev
+)
+SELECT user_id, yyyymm,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       CAST(SUM(CAST(c AS HUGEINT) * w) AS DOUBLE)
+         / CAST(SUM(w) AS DOUBLE) / 100 AS twap
+FROM wtd
+GROUP BY 1, 2
+HAVING SUM(w) > 0
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "m43_pair_components": m43_pair_components,
     "m44_pps_sample": m44_pps_sample,
     "c3_incremental_join": c3_incremental_join,
     "m45_compression_signal": m45_compression_signal,
     "m46_pca_project": m46_pca_project,
+    "j6_scd2_lookup": j6_scd2_lookup,
+    "w11_time_weighted_avg": w11_time_weighted_avg,
 }
 
 ORACLES = {
     "m43_pair_components": M43_SQL,
     "m44_pps_sample": M44_SQL,
     "c3_incremental_join": C3_SQL,
+    "j6_scd2_lookup": J6_SQL,
+    "w11_time_weighted_avg": W11_SQL,
 }
