@@ -75,3 +75,18 @@ def test_partitioning_invariance(spark, name):
         f"{name}: result depends on physical layout "
         f"({len(a)} rows std vs {len(b)} rows hostile)"
     )
+
+
+#: No-oracle queries are *also* seeded-deterministic by design — LSH/
+#: MinHash signatures are pure row functions, top-k windows tie-break on
+#: ids, k-means trains on a deterministic sample, zlib/eigh are exact.
+#: The two sketch queries are exercised too: HLL partial merges are
+#: commutative, and percentile_approx's merge is order-sensitive in
+#: principle, so a failure there would be excluded and documented, not
+#: hidden — as of this round both pass at fixture scale.
+NO_ORACLE = sorted(q for q in QUERIES if q not in ORACLES)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_partitioning_invariance_no_oracle(spark, name):
+    test_partitioning_invariance(spark, name)
