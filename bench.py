@@ -102,6 +102,7 @@ HEADLINE = [
     "m46_pca_project",
     "j6_scd2_lookup",
     "w11_time_weighted_avg",
+    "d17_poisson_bootstrap",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

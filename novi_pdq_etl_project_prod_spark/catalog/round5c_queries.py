@@ -362,7 +362,71 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# D17 — Poissonized bootstrap: 16 deterministic resample replicates of
+# the per-priority mean order value in ONE pass. The spread of the
+# replicate means is the bootstrap standard error — computed without
+# materializing 16 copies of the table. Weights are exact integer
+# inverse-CDF draws (constants shared verbatim with the oracle).
+# ---------------------------------------------------------------------------
+
+def d17_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        poisson_bootstrap_means,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return poisson_bootstrap_means(
+        orders, "o_orderpriority", "o_orderkey", "o_totalprice",
+        n_replicates=16,
+    ).orderBy("o_orderpriority", "replicate")
+
+
+_D17_THRESHOLDS = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+)
+
+D17_SQL = """
+WITH reps AS (SELECT unnest(generate_series(0, 15)) AS replicate),
+r AS (
+  SELECT o_orderpriority, replicate,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c,
+         CAST('0x' || substr(md5(
+           '42:' || replicate::VARCHAR || ':' || o_orderkey::VARCHAR
+         ), 1, 15) AS BIGINT) AS u
+  FROM orders, reps
+),
+w AS (
+  SELECT o_orderpriority, replicate, c,
+         {terms} AS w
+  FROM r
+),
+g AS (
+  SELECT o_orderpriority, replicate,
+         CAST(SUM(w) AS BIGINT) AS n_eff,
+         SUM(CAST(w AS HUGEINT) * CAST(c AS HUGEINT)) AS s
+  FROM w GROUP BY 1, 2
+)
+SELECT o_orderpriority, CAST(replicate AS INT) AS replicate, n_eff,
+       CAST(s AS DOUBLE) / CAST(n_eff AS DOUBLE) / 100 AS mean
+FROM g
+WHERE n_eff > 0
+ORDER BY 1, 2
+""".format(
+    terms=" + ".join(
+        f"CAST(u >= {t} AS INT)" for t in _D17_THRESHOLDS
+    )
+)
+
+
 QUERIES = {
+    "d17_poisson_bootstrap": d17_poisson_bootstrap,
     "m43_pair_components": m43_pair_components,
     "m44_pps_sample": m44_pps_sample,
     "c3_incremental_join": c3_incremental_join,
@@ -373,6 +437,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "d17_poisson_bootstrap": D17_SQL,
     "m43_pair_components": M43_SQL,
     "m44_pps_sample": M44_SQL,
     "c3_incremental_join": C3_SQL,

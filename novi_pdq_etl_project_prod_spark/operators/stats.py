@@ -456,3 +456,100 @@ def grouped_moment_stats(
         skew.alias("skewness"),
         kurt.alias("excess_kurtosis"),
     )
+
+
+#: Poisson(λ=1) inverse-CDF thresholds as exact 60-bit integers:
+#: ``floor(P(X ≤ k) · 16^15)`` for k = 0..6 (counts are capped at 7 —
+#: P(X > 7) < 1e-5). Shared verbatim with the SQL oracle so every
+#: resample weight is decided by the same integer comparison in both
+#: engines.
+POISSON1_CDF_Q60 = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+    1152825534095764608,
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Poissonized bootstrap in ONE distributed pass: every row draws a
+    deterministic Poisson(1) resample count for each of ``n_replicates``
+    replicates (the standard large-n approximation of multinomial
+    bootstrap weights — no global count needed, so the pass stays
+    embarrassingly parallel), and each replicate aggregates to a
+    weighted mean per group. Downstream, the spread of the B replicate
+    means IS the bootstrap standard error / CI of the group mean — the
+    classic resampling answer computed without ever materializing B
+    copies of the data.
+
+    Determinism across engines and layouts: the uniform is the first 15
+    md5 hex digits of (seed:replicate:id) as a 60-bit integer, the
+    Poisson draw is "count the CDF thresholds ≤ u" over the exact
+    integer constants in :data:`POISSON1_CDF_Q60`, and the replicate
+    sums accumulate cents × weight in DECIMAL — one double division per
+    output row at the edge.
+
+    Scale shape: weights are row-local expressions; the only shuffle
+    carries (group, replicate) partial sums — map-side combine collapses
+    each task's traffic to ``groups × B`` rows, so B inflates the
+    (tiny) aggregate, never the scan. Output: (group, replicate, n_eff,
+    mean) — ``n_eff`` is the replicate's total resample weight.
+    """
+    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    reps = []
+    for b in range(n_replicates):
+        u = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(seed)),
+                        F.lit(str(b)),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        w = None
+        for t in POISSON1_CDF_Q60:
+            term = (u >= F.lit(t)).cast("int")
+            w = term if w is None else w + term
+        reps.append(
+            F.struct(F.lit(b).alias("replicate"), w.alias("w"))
+        )
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        cents.alias("_c"),
+        F.explode(F.array(*reps)).alias("_r"),
+    ).select("grp", "_c", "_r.replicate", "_r.w")
+    g = exploded.groupBy("grp", "replicate").agg(
+        F.sum("w").alias("n_eff"),
+        F.sum(
+            F.col("w").cast("decimal(38,0)") * F.col("_c").cast("decimal(38,0)")
+        ).alias("_s"),
+    )
+    return (
+        g.where(F.col("n_eff") > 0)
+        .select(
+            F.col("grp").alias(group_col),
+            "replicate",
+            "n_eff",
+            (
+                F.col("_s").cast("double") / F.col("n_eff").cast("double") / 100
+            ).alias("mean"),
+        )
+    )

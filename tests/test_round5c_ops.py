@@ -450,3 +450,30 @@ def test_resize_images_poison_pill(spark):
     rows = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
     assert not rows[1].ok and rows[1].payload is None
     assert not rows[2].ok and rows[2].payload is None
+
+
+# ---------------------------------------------------------------------------
+# Poissonized bootstrap (d17)
+# ---------------------------------------------------------------------------
+
+def test_poisson_bootstrap_statistical_sanity(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        poisson_bootstrap_means,
+    )
+
+    rows = [Row(g="a", rid=i, v=float(100 + (i % 7))) for i in range(2000)]
+    df = spark.createDataFrame(rows)
+    out = poisson_bootstrap_means(df, "g", "rid", "v", n_replicates=16).collect()
+    assert len(out) == 16
+    true_mean = sum(r.v for r in rows) / len(rows)
+    means = [r.mean for r in out]
+    # every replicate mean sits near the true mean (bounded values), and
+    # the replicates genuinely differ (the resampling is not degenerate)
+    assert all(abs(m - true_mean) < 1.0 for m in means)
+    assert len(set(round(m, 6) for m in means)) > 1
+    # Poisson(1) weights: each replicate's effective n ≈ n within 4σ(≈√n)
+    for r in out:
+        assert abs(r.n_eff - 2000) < 4 * 45
+    # deterministic: a rerun is identical
+    again = poisson_bootstrap_means(df, "g", "rid", "v", n_replicates=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
