@@ -103,6 +103,7 @@ HEADLINE = [
     "j6_scd2_lookup",
     "w11_time_weighted_avg",
     "d17_poisson_bootstrap",
+    "x21_asof_nearest",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

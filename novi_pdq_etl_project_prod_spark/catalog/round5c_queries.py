@@ -425,8 +425,98 @@ ORDER BY 1, 2
 )
 
 
+# ---------------------------------------------------------------------------
+# X21 — NEAREST as-of join: each click/error event picks the signup
+# whose timestamp is closest in |Δt| (backward wins exact-microsecond
+# ties). One shuffle: both directional carries are frames over the same
+# partitioned sort (operators/joins.py::asof_join direction="nearest").
+# ---------------------------------------------------------------------------
+
+def x21_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.joins import asof_join
+    from novi_pdq_etl_project_prod_spark.session import read_events
+
+    ev = read_events(spark, sf_dir)
+    left = ev.where(F.col("event_type").isin("click", "error"))
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id", F.col("value").alias("signup_value")
+    )
+    out = asof_join(
+        left,
+        right,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["signup_value"],
+        tie_break="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("asof_signup_value").alias("nearest_signup_value"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("delta_us"),
+    ).orderBy("event_id")
+
+
+X21_SQL = """
+WITH tagged AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id, event_type,
+         CASE WHEN event_type = 'signup' THEN value END AS sv,
+         CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END AS rts
+  FROM events
+),
+carried AS (
+  SELECT *,
+         last_value(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC,
+                    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS bv,
+         last_value(rts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC,
+                    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS bts,
+         first_value(sv IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC,
+                    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS fv,
+         first_value(rts IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts ASC, event_id ASC,
+                    CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END ASC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+         ) AS fts
+  FROM tagged
+),
+picked AS (
+  SELECT *,
+         CASE WHEN fts IS NULL THEN TRUE
+              WHEN bts IS NULL THEN FALSE
+              ELSE (epoch_us(ts) - epoch_us(bts))
+                   <= (epoch_us(fts) - epoch_us(ts))
+         END AS pick_back
+  FROM carried
+)
+SELECT event_id, user_id, event_type,
+       CASE WHEN pick_back THEN bv ELSE fv END AS nearest_signup_value,
+       epoch_us(ts) - epoch_us(CASE WHEN pick_back THEN bts ELSE fts END)
+         AS delta_us
+FROM picked
+WHERE event_type IN ('click', 'error')
+ORDER BY event_id
+"""
+
+
 QUERIES = {
     "d17_poisson_bootstrap": d17_poisson_bootstrap,
+    "x21_asof_nearest": x21_asof_nearest,
     "m43_pair_components": m43_pair_components,
     "m44_pps_sample": m44_pps_sample,
     "c3_incremental_join": c3_incremental_join,
@@ -438,6 +528,7 @@ QUERIES = {
 
 ORACLES = {
     "d17_poisson_bootstrap": D17_SQL,
+    "x21_asof_nearest": X21_SQL,
     "m43_pair_components": M43_SQL,
     "m44_pps_sample": M44_SQL,
     "c3_incremental_join": C3_SQL,

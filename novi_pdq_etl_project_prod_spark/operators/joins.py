@@ -41,6 +41,12 @@ def asof_join(
     ``tie_break`` (a column present on both sides, e.g. an event id);
     right rows at the same (ts, tie) sort before the left row only if
     their tie value is smaller.
+
+    ``direction="nearest"`` attaches whichever side is closer in time
+    (|Δt|; exact microsecond compare, backward wins ties) and adds an
+    ``asof_ts`` column with the matched right timestamp. Still ONE
+    shuffle: both carries are two frames (preceding-carry ``last`` /
+    following-carry ``first``) over the same partitioned sort.
     """
     lt = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     rt_cols = list(on) + [right_ts] + list(value_cols) + ([tie_break] if tie_break else [])
@@ -60,8 +66,60 @@ def asof_join(
         "*",
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__v_{c}") for c in value_cols],
     )
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        rt = rt.withColumn("__vts", F.col("__ts"))
+        lt = lt.withColumn("__vts", F.lit(None).cast(dict(right.dtypes)[right_ts]))
+        stacked = lt.unionByName(rt, allowMissingColumns=True)
+        order = [F.col("__ts").asc()]
+        if tie_break:
+            order.append(F.col(tie_break).asc_nulls_first())
+        order.append(F.col("__side").asc())
+        part = Window.partitionBy(*[F.col(k) for k in on]).orderBy(*order)
+        wb = part.rowsBetween(Window.unboundedPreceding, 0)
+        wf = part.rowsBetween(0, Window.unboundedFollowing)
+        carried = stacked.select(
+            "*",
+            F.last("__vts", ignorenulls=True).over(wb).alias("__bts"),
+            F.first("__vts", ignorenulls=True).over(wf).alias("__fts"),
+            *[
+                F.last(F.col(f"__v_{c}"), ignorenulls=True).over(wb).alias(f"__b_{c}")
+                for c in value_cols
+            ],
+            *[
+                F.first(F.col(f"__v_{c}"), ignorenulls=True).over(wf).alias(f"__f_{c}")
+                for c in value_cols
+            ],
+        )
+        lus = F.unix_micros(F.col("__ts"))
+        pick_back = F.when(F.col("__fts").isNull(), F.lit(True)).otherwise(
+            F.when(F.col("__bts").isNull(), F.lit(False)).otherwise(
+                (lus - F.unix_micros(F.col("__bts")))
+                <= (F.unix_micros(F.col("__fts")) - lus)
+            )
+        )
+        out = carried.where(F.col("__side") == 1).select(
+            "*",
+            F.when(pick_back, F.col("__bts")).otherwise(F.col("__fts")).alias(
+                "asof_ts"
+            ),
+            *[
+                F.when(pick_back, F.col(f"__b_{c}"))
+                .otherwise(F.col(f"__f_{c}"))
+                .alias(f"asof_{c}")
+                for c in value_cols
+            ],
+        )
+        drop = (
+            ["__side", "__ts", "__vts", "__bts", "__fts"]
+            + [f"__v_{c}" for c in value_cols]
+            + [f"__b_{c}" for c in value_cols]
+            + [f"__f_{c}" for c in value_cols]
+        )
+        return out.drop(*drop)
     fwd = direction == "forward"
     stacked = lt.unionByName(rt, allowMissingColumns=True)
     # forward = the same carry over reverse time order: scanning from the

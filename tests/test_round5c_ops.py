@@ -477,3 +477,63 @@ def test_poisson_bootstrap_statistical_sanity(spark):
     # deterministic: a rerun is identical
     again = poisson_bootstrap_means(df, "g", "rid", "v", n_replicates=16).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (x21)
+# ---------------------------------------------------------------------------
+
+def test_asof_nearest_semantics(spark):
+    import datetime as dt
+
+    from novi_pdq_etl_project_prod_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(10), eid=100),  # back at 8 (d=2), fwd at 13 (d=3) -> back
+            Row(k=1, ts=t(11), eid=101),  # back d=3, fwd d=2 -> fwd
+            Row(k=1, ts=t(12), eid=102),  # equidistant (8? no: back 12-8=4, fwd 13-12=1) -> fwd
+            Row(k=2, ts=t(5), eid=200),   # only forward exists
+            Row(k=3, ts=t(5), eid=300),   # only backward exists
+            Row(k=4, ts=t(5), eid=400),   # no right rows at all
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=t(8), eid=1, v=8.0),
+            Row(k=1, ts=t(13), eid=2, v=13.0),
+            Row(k=2, ts=t(9), eid=3, v=9.0),
+            Row(k=3, ts=t(1), eid=4, v=1.0),
+        ]
+    )
+    out = {
+        r.eid: r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["v"], tie_break="eid", direction="nearest",
+        ).collect()
+    }
+    assert out[100].asof_v == 8.0
+    assert out[101].asof_v == 13.0
+    assert out[102].asof_v == 13.0
+    assert out[200].asof_v == 9.0 and out[200].asof_ts == t(9)
+    assert out[300].asof_v == 1.0
+    assert out[400].asof_v is None and out[400].asof_ts is None
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    import datetime as dt
+
+    from novi_pdq_etl_project_prod_spark.operators.joins import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame([Row(k=1, ts=t(10), eid=1)])
+    right = spark.createDataFrame(
+        [Row(k=1, ts=t(8), eid=2, v=8.0), Row(k=1, ts=t(12), eid=3, v=12.0)]
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts",
+        value_cols=["v"], tie_break="eid", direction="nearest",
+    ).collect()[0]
+    assert out.asof_v == 8.0  # |d|=2 both ways: backward wins
