@@ -562,10 +562,13 @@ def near_dup_clusters(
         .repartition("dst")
         .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    # Fused first round: with labels initialized to ids, iteration 1's
+    # neighbor-min join degenerates to min(dst) per src — one hash-agg,
+    # no join. Components of diameter ≤ 1 (plain pairs — the near-dup
+    # common case) are already converged here, so the loop's first pass
+    # is just the zero-change confirmation.
+    labels = sym.groupBy(F.col("src").alias("id")).agg(
+        F.least(F.first("src"), F.min("dst")).alias("cluster_id")
     )
     if ids is not None:
         labels = (
