@@ -506,36 +506,55 @@ def poisson_bootstrap_means(
     mean) — ``n_eff`` is the replicate's total resample weight.
     """
     cents = F.round(F.col(value_col) * 100, 0).cast("long")
-    reps = []
-    for b in range(n_replicates):
-        u = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.lit(str(seed)),
-                        F.lit(str(b)),
-                        F.col(id_col).cast("string"),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        w = None
-        for t in POISSON1_CDF_Q60:
-            term = (u >= F.lit(t)).cast("int")
-            w = term if w is None else w + term
-        reps.append(
-            F.struct(F.lit(b).alias("replicate"), w.alias("w"))
-        )
+    # Explode the replicate INDEX first, then derive the weight with a
+    # small per-row expression. (The first cut built one projection of
+    # n_replicates structs × 7 threshold terms — an expression tree big
+    # enough to fall out of whole-stage codegen into interpreted eval:
+    # 38s at sf0.1 vs ~1s for this shape.) The threshold comparison runs
+    # on the md5 HEX PREFIX directly: fixed-width lowercase hex compares
+    # exactly like the 60-bit integer it encodes, so no conv/decimal in
+    # the hot path and the oracle's integer comparison decides every
+    # draw identically.
+    hex_thresholds = [format(t, "015x") for t in POISSON1_CDF_Q60]
+    # a small single-file scan plans as ONE partition, serializing the
+    # B×7 md5 evaluations on one core; spread narrow inputs (same gate
+    # as the dedup gram core — a no-op at real scale where the scan is
+    # already wide)
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est = 1 << 40
+    if est < target * 16 * 1024 * 1024:
+        df = df.repartition(target)
     exploded = df.select(
         F.col(group_col).alias("grp"),
         cents.alias("_c"),
-        F.explode(F.array(*reps)).alias("_r"),
-    ).select("grp", "_c", "_r.replicate", "_r.w")
+        F.col(id_col).cast("string").alias("_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(n_replicates - 1))
+        ).alias("replicate"),
+    )
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col("replicate").cast("string"),
+                F.col("_id"),
+            )
+        ),
+        1,
+        15,
+    )
+    w = None
+    for t in hex_thresholds:
+        term = (u >= F.lit(t)).cast("int")
+        w = term if w is None else w + term
+    exploded = exploded.select(
+        "grp", "_c", F.col("replicate").cast("int").alias("replicate"), w.alias("w")
+    )
     g = exploded.groupBy("grp", "replicate").agg(
         F.sum("w").alias("n_eff"),
         F.sum(
