@@ -507,7 +507,9 @@ def main_r5c(k: int) -> None:
     replicate_embeddings_isometric(spark, emb_dir, k)
 
     groups = [
-        ("facts", fact_dir, ["c3_incremental_join"]),
+        ("facts", fact_dir, ["c3_incremental_join", "d17_poisson_bootstrap",
+                             "j6_scd2_lookup", "w11_time_weighted_avg",
+                             "x21_asof_nearest"]),
         ("docs", docs_dir, ["m43_pair_components", "m44_pps_sample",
                             "m45_compression_signal"]),
         ("emb", emb_dir, ["m46_pca_project"]),
