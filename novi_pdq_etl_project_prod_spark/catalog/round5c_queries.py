@@ -22,6 +22,19 @@
   DIMENSION, never corpus size) → row-local BLAS projection. No oracle
   (eigendecomposition isn't SQL); pytest pins variance ordering,
   reconstruction, sign convention, and partition independence.
+
+Fifth wave:
+
+- ``j6`` SCD2 point-in-time lookup (events × the dimension state valid
+  at their month — broadcast interval history, range predicate
+  post-match).
+- ``w11`` time-weighted average (exact microsecond weights, DECIMAL
+  accumulation).
+- ``d17`` Poissonized bootstrap (B deterministic resample replicates of
+  a grouped mean in one pass; integer inverse-CDF weights shared
+  verbatim with the oracle).
+- ``x21`` nearest-direction as-of join (dual-frame carry over one
+  partitioned sort; exact |Δt| compare, backward wins ties).
 """
 
 from __future__ import annotations
