@@ -43,13 +43,18 @@ for _mod in (
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
 
-#: Queries with a driver row (green or documented-no_oracle) in
-#: CORRECTNESS_r01.json or CORRECTNESS_r02.json. The driver's per-round
-#: verify is budgeted at 50 queries (it samples exactly the first 50
-#: registry keys), so the registry is iteration-ordered to surface
-#: not-yet-driver-certified queries first; certified queries go last (they
-#: keep passing the repo's stricter exact-value parity either way).
-_DRIVER_CERTIFIED = (
+#: Fallback literal: queries with a driver row (green or documented-
+#: no_oracle) through CORRECTNESS_r05.json. The authoritative list is
+#: derived at import from the CORRECTNESS_r*.json files themselves (see
+#: ``_derive_driver_certified`` below) so the ledger self-maintains the
+#: moment the driver writes a new round's file; this literal is only the
+#: fallback for installed/packaged contexts where the repo-root artifacts
+#: are absent. The driver's per-round verify is budgeted at 50 queries (it
+#: samples exactly the first 50 registry keys), so the registry is
+#: iteration-ordered to surface not-yet-driver-certified queries first;
+#: certified queries go last (they keep passing the repo's stricter
+#: exact-value parity either way).
+_DRIVER_CERTIFIED_FALLBACK = (
     # r01 rows
     "a1_monthly_fact p3_month_filter e1_robust_casts "
     "e4_yyyymm_derive e5_composite_key a2_duplicate_groups a4_dedup_latest "
@@ -106,13 +111,57 @@ _DRIVER_CERTIFIED = (
     "dq6_month_completeness dq7_benford j5_null_safe_join x13_asof_forward "
     "g2_scd2_intervals x14_sliding_windows f9_variant_extract "
     "m35_kmeans_clusters x15_salted_join d11_exact_median f10_string_surface "
-    "a7_boolean_aggs d12_mode_per_group"
+    "a7_boolean_aggs d12_mode_per_group "
+    # r05 rows (47 hash-green + m37/m45/m46 documented-no_oracle)
+    "m36_kmeans_em_step m37_ivf_related_pairs c1_cdc_apply c2_incremental_merge "
+    "c3_incremental_join d13_weighted_moving_avg d14_iqr_outliers "
+    "d15_embedding_covariance d16_moment_stats d17_poisson_bootstrap "
+    "a8_filtered_aggs w10_cumulative_distinct w11_time_weighted_avg "
+    "x16_session_incident_overlap x17_retention_cohorts x18_event_transitions "
+    "x21_asof_nearest m38_semdedup_pairs m39_containment_pairs "
+    "m40_vocab_coverage m41_dup_adjusted_tokens m42_curation_v2 "
+    "m43_pair_components m44_pps_sample m45_compression_signal "
+    "m46_pca_project dq8_distribution_drift dq9_checksum_recon j6_scd2_lookup"
 ).split()
 
-#: Round-4 driver-budget window: the six r03 crash rows lead the registry
-#: for re-certification; net-new r04 queries slot in right after them. The
-#: budget check in tests/test_registry_order.py asserts (uncertified + new)
-#: fits in the driver's first-50 window.
+
+def _derive_driver_certified():
+    """Latest-wins union of CORRECTNESS_r*.json rows whose most recent
+    driver outcome is successful (hash/rows green, or the documented
+    ``no_oracle`` class). Mirrors tests/test_registry_order.py exactly so
+    the ledger can never drift from the artifacts again (VERDICT r05 item
+    1). Returns None when no artifacts are present (installed package
+    outside the build repo) so the caller falls back to the literal."""
+    import json
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[2]
+    files = sorted(repo.glob("CORRECTNESS_r*.json"))
+    if not files:
+        return None
+    latest = {}
+    for f in files:
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            latest[name] = (
+                bool(row.get("hash_match") or row.get("rows_match"))
+                or row.get("err") == "no_oracle"
+            )
+    if not latest:
+        return None
+    return {name for name, ok in latest.items() if ok}
+
+
+_DRIVER_CERTIFIED = _derive_driver_certified()
+if _DRIVER_CERTIFIED is None:
+    _DRIVER_CERTIFIED = _DRIVER_CERTIFIED_FALLBACK
+
+#: Uncertified (never driver-green) queries lead the registry so they fall
+#: inside the driver's first-50 sampling window. The budget check in
+#: tests/test_registry_order.py asserts (uncertified + new) fits.
 _certified = set(_DRIVER_CERTIFIED)
 _uncertified = [q for q in QUERIES if q not in _certified]
 _order = _uncertified + [q for q in QUERIES if q in _certified]

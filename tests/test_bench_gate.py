@@ -16,13 +16,39 @@ def test_prior_round_timings_skips_crashed_rounds():
     assert all(isinstance(v, (int, float)) and v > 0 for v in prior.values())
 
 
-def test_prior_round_timings_prefers_newest_recorded_round():
-    """VERDICT r04 item 5: with BENCH_r04.json present (driver wrapper
-    with the metric object under "parsed"), the gate re-baselines on it
-    instead of reaching back across the r02→r04 drift gap."""
+def test_prior_round_timings_recovers_r05_from_truncated_tail():
+    """VERDICT r05 item 3: BENCH_r05.json has parsed=null and a
+    head-truncated 2,000-char tail; the pair-scrape recovers the visible
+    suffix so r06 baselines on r05-era timings, not r04's."""
     name, prior = bench._prior_round_timings()
-    assert name == "BENCH_r04.json"
-    assert prior.get("m32_ngram_novelty") == 22.353
+    assert name == "BENCH_r05.json"
+    # visible in the truncated tail
+    assert prior.get("m39_containment_pairs") == 4.091
+    assert prior.get("m42_curation_v2") == 4.902
+    # wrapper fields and regression sub-keys must not masquerade as queries
+    assert "prior" not in prior and "sf" not in prior and "value" not in prior
+    assert all(n in bench.HEADLINE for n in prior)
+
+
+def test_prior_round_timings_prefers_local_file(tmp_path, monkeypatch):
+    """A full BENCH_LOCAL_r{N}.json written by bench.py beats the driver's
+    truncated wrapper for the same round, and the current round's own
+    LOCAL file is never used as its baseline."""
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"n": 1, "rc": 0, "tail": "truncated, no metric line"})
+    )
+    (tmp_path / "BENCH_LOCAL_r01.json").write_text(
+        json.dumps({"metric": "headline_wall_clock", "queries": {"q1": 1.25}})
+    )
+    # current round (r02) already ran bench once locally: must NOT baseline
+    # on itself
+    (tmp_path / "BENCH_LOCAL_r02.json").write_text(
+        json.dumps({"metric": "headline_wall_clock", "queries": {"q1": 9.9}})
+    )
+    monkeypatch.setattr(bench.os.path, "dirname", lambda _p: str(tmp_path))
+    assert bench._current_round() == 2
+    name, prior = bench._prior_round_timings()
+    assert name == "BENCH_LOCAL_r01.json" and prior == {"q1": 1.25}
 
 
 def test_prior_round_timings_tolerates_malformed_documents(tmp_path, monkeypatch):
