@@ -192,13 +192,9 @@ def _clear_session_state(spark) -> None:
     blocks between queries so one query's leaked persists can't tax the
     next (VERDICT r05 item 2 — the likeliest cause of the 4 sub-second
     flags on code-unchanged queries in the ~95-query single session)."""
-    spark.catalog.clearCache()
-    try:
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            jrdd.unpersist()
-    except Exception:
-        pass  # py4j surface differences must never fail the bench
+    from novi_pdq_etl_project_prod_spark import cache
+
+    cache.clear_session_state(spark)
 
 
 def _run(fn, spark, sf_dir) -> float:

@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from novi_pdq_etl_project_prod_spark import cache
 from novi_pdq_etl_project_prod_spark.operators.text import (
     document_fingerprint,
     shingles,
@@ -230,8 +231,7 @@ def _gram_pair_counts(
         sh = sh.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
         ).where(F.col("_df") <= df_cap)
-    sh = sh.persist()
-    sh.count()  # eager fill: the self-join sides otherwise race the cache
+    sh = cache.track(sh, eager=True)  # self-join sides race a lazy cache
     a = sh.alias("a")
     b = sh.alias("b")
     return (
@@ -448,8 +448,7 @@ def lsh_candidate_pairs(
         # (measured 45× slower at sf0.1). The eager count matters too:
         # both join sides otherwise race to fill the cache concurrently,
         # computing signatures twice in parallel.
-        signatures = signatures.persist()
-        signatures.count()
+        signatures = cache.track(signatures, eager=True)
     banded = signatures.where(F.col("signature").isNotNull()).select(
         "id",
         "signature",
@@ -679,8 +678,7 @@ def simhash_near_duplicates(
     by true hamming distance (bit_count of xor)."""
     if persist:
         # self-join input is evaluated twice (see lsh_candidate_pairs)
-        signatures = signatures.persist()
-        signatures.count()
+        signatures = cache.track(signatures, eager=True)
     chunks = signatures.where(F.col("simhash").isNotNull()).select(
         "id",
         "simhash",
@@ -743,10 +741,10 @@ def repeated_ngram_stats(
     grams; total-doc count rides in as a 1-row broadcast scalar. No
     pair joins anywhere — linear in corpus size.
     """
-    sh = _exploded_shingles_arrow(
-        _spread_small_input(df), id_col, text_col, n
-    ).persist()
-    sh.count()  # eager fill: df-table + per-doc counts otherwise race
+    sh = cache.track(
+        _exploded_shingles_arrow(_spread_small_input(df), id_col, text_col, n),
+        eager=True,  # df-table + per-doc counts otherwise race
+    )
     n_docs = df.select(
         F.count(F.lit(1)).alias("__total_docs")
     )  # 1-row broadcast scalar
@@ -810,8 +808,7 @@ def contamination_pairs(
         # matched feeds two consumers (frequency cap + pairing); persist
         # with an eager count so the shingle explode runs exactly once
         # (without the count the two plans race and both recompute).
-        matched = matched.persist()
-        matched.count()
+        matched = cache.track(matched, eager=True)
         freq = matched.groupBy("sh").agg(
             F.count_distinct("train_id").alias("df")
         )

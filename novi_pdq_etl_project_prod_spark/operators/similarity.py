@@ -39,6 +39,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from novi_pdq_etl_project_prod_spark import cache
+
 
 def _as_double(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -311,9 +313,9 @@ def embedding_near_dup_pairs_lsh(
     """
     from pyspark.sql.functions import pandas_udf
 
-    vecs_df = corpus.select(
+    vecs_df = cache.track(corpus.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).persist()
+    ))
     if nbits is None:
         n = vecs_df.count()  # also eager-fills the persist
         nbits = min(20, max(4, int(np.ceil(np.log2(
@@ -346,9 +348,8 @@ def embedding_near_dup_pairs_lsh(
             ).alias("b"),
         )
         .select("id", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
-        .persist()
     )
-    banded.count()  # eager fill: both self-join sides race the cache otherwise
+    banded = cache.track(banded, eager=True)  # self-join sides race a lazy cache
     if engine == "block" and max_bucket_occupancy is None:
         max_bucket_occupancy = 100 * target_bucket_occupancy
     if max_bucket_occupancy is not None:
@@ -363,8 +364,8 @@ def embedding_near_dup_pairs_lsh(
                 ["tbl", "bucket"],
                 "left_anti",
             )
-        ).persist()
-        banded.count()
+        )
+        banded = cache.track(banded, eager=True)
     if engine == "block":
         thr = float(threshold)
         vec_banded = banded.join(vecs_df, "id")
@@ -483,10 +484,10 @@ def embedding_related_pairs_ivf(
     """
     from pyspark.sql.functions import pandas_udf
 
-    vecs_df = corpus.select(
+    vecs_df = cache.track(corpus.select(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v")
-    ).persist()
-    n = vecs_df.count()  # also eager-fills the persist
+    ), eager=True)
+    n = vecs_df.count()  # cached: the eager fill already ran it
     if n_lists is None:
         n_lists = int(min(4096, max(4, round(n / target_list_occupancy))))
     if sample_size is None:
@@ -507,10 +508,9 @@ def embedding_related_pairs_ivf(
         order = np.argsort(-sims, axis=1, kind="stable")[:, :k_probe]
         return pd.Series(list(order.astype("int32")))
 
-    assigned = vecs_df.select(
+    assigned = cache.track(vecs_df.select(
         "id", F.explode(probe_lists(F.col("v"))).alias("list_id"), "v"
-    ).persist()
-    assigned.count()  # eager fill before the occupancy agg re-reads it
+    ), eager=True)  # fill before the occupancy agg re-reads it
     sizes = assigned.groupBy("list_id").agg(F.count(F.lit(1)).alias("__occ"))
     assigned = assigned.join(
         F.broadcast(sizes.where(F.col("__occ") > max_list_occupancy)),

@@ -110,81 +110,92 @@ def curate_corpus_v2(
     the funnel aggregation itself adds a single source-cardinality
     hash-agg over doc-id-sized markers.
     """
+    from novi_pdq_etl_project_prod_spark import cache
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
         ngram_containment_pairs,
     )
     from novi_pdq_etl_project_prod_spark.operators.text import vocab_coverage
 
+    # Single-pass exit-stage tagging (VERDICT r05 item 4): instead of
+    # materializing each stage as its own filtered frame and re-unioning
+    # five doc-id-sized branches into the funnel agg (35-exchange plan,
+    # two extra corpus scans for the base/quality branches), every doc
+    # carries boolean survival flags for each stage and the funnel is ONE
+    # wide hash-agg over ONE tagged frame. The per-stage operators still
+    # run on exactly the rows today's filters gave them (flag-filtered
+    # views of the tagged frame), so the oracle semantics are unchanged.
     base = docs.select(
         F.col(id_col),
         F.col(source_col).alias("source"),
         F.col(text_col).alias("text"),
         TX.token_count(text_col).alias("nt"),
     )
-    q = base.where(F.col("nt").between(min_tokens, max_tokens))
+    # Exact-dedup survivor among quality docs only: quality rows sort
+    # first inside each fingerprint partition, so row_number()==1 ∧ __q
+    # is exactly "the min-id quality doc of this fingerprint group" —
+    # one window shuffle over the corpus, no pre-filtering needed.
     w = Window.partitionBy(TX.document_fingerprint("text")).orderBy(
-        F.col(id_col).asc()
+        F.col("__q").desc(), F.col(id_col).asc()
     )
-    e = (
-        q.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    t = (
+        base.withColumn(
+            "__q", F.col("nt").between(min_tokens, max_tokens)
+        )
+        .withColumn("__e", F.col("__q") & (F.row_number().over(w) == 1))
     )
-    # e feeds three branches (containment pairs, anti-join, report) and
-    # c two more — without a persist each branch recomputes the
-    # fingerprint window and tokenization from the scan, and without the
-    # eager fill the branches race the lazy cache and compute it anyway
+    # t feeds the containment miner, the vocab gate, and the funnel agg —
+    # without a persist each consumer recomputes the fingerprint window
+    # from the scan, and without the eager fill they race the lazy cache
     # (the ngram_jaccard_pairs lesson; measured 7.1s → ~2.6s at sf0.1)
-    e = e.persist()
-    e.count()
+    t = cache.track(t, eager=True)
     pairs = ngram_containment_pairs(
-        e.select(id_col, "text"), id_col=id_col, text_col="text",
-        n=3, threshold=containment_threshold,
+        t.where("__e").select(id_col, "text"), id_col=id_col,
+        text_col="text", n=3, threshold=containment_threshold,
     )
     dropc = (
         pairs.where(F.col("id_b") < F.col("id_a"))
         .select(F.col("id_a").alias(id_col))
         .distinct()
+        .withColumn("__cdrop", F.lit(True))
     )
-    c = e.join(dropc, id_col, "left_anti").persist()
-    c.count()
+    # Text only ever flows into the per-stage operators via column-pruned
+    # reads of the cached frame — never through a join. The flag joins
+    # below run on a narrow (id, source, nt, flags) projection: shuffling
+    # ids+ints is cheap at any scale, shuffling document text is not.
+    # vocab_coverage reads its input twice (vocab build + scoring join);
+    # cache the survivor text so the anti-join chain runs once.
+    c_text = cache.track(
+        t.where("__e").select(id_col, "text").join(
+            dropc.select(id_col), id_col, "left_anti"
+        ),
+        eager=True,
+    )
     vc = vocab_coverage(
-        c.select(id_col, "text"), id_col=id_col, text_col="text",
-        vocab_size=vocab_size,
+        c_text, id_col=id_col, text_col="text", vocab_size=vocab_size,
     )
-    f = c.join(
-        vc.where(F.col("oov_frac") <= max_oov_frac).select(id_col), id_col
+    vfail = (
+        vc.where(F.col("oov_frac") > max_oov_frac)
+        .select(id_col)
+        .withColumn("__vfail", F.lit(True))
     )
-
-    # One stage-tagged union + ONE hash-agg instead of five per-stage
-    # aggregates stitched with four full-outer joins: every stage is a
-    # narrow (source, stage, nt) projection off the already-persisted
-    # intermediates, so the whole funnel report costs a single
-    # source-cardinality shuffle (the join-chain version spent ~2s of
-    # pure stage overhead at sf0.1 producing identical rows).
-    stages = [
-        ("n_input", base), ("n_quality", q), ("n_exact", e),
-        ("n_containment", c), ("n_final", f),
-    ]
-    marked = None
-    for tag, df_s in stages:
-        part = df_s.select(
-            "source", F.lit(tag).alias("_stage"), F.col("nt")
-        )
-        marked = part if marked is None else marked.unionByName(part)
+    narrow = t.select(id_col, "source", "nt", "__q", "__e")
+    tagged = (
+        narrow.join(dropc, id_col, "left")
+        .withColumn("__c", F.col("__e") & F.col("__cdrop").isNull())
+        .join(vfail, id_col, "left")
+        .withColumn("__f", F.col("__c") & F.col("__vfail").isNull())
+    )
     zero = F.lit(0).cast("long")
-    report = marked.groupBy("source").agg(
-        *[
-            F.coalesce(
-                F.sum(F.when(F.col("_stage") == tag, 1)), zero
-            ).alias(tag)
-            for tag, _ in stages
-        ],
-        F.coalesce(
-            F.sum(F.when(F.col("_stage") == "n_final", F.col("nt"))), zero
-        ).alias("tokens_final"),
+    cnt = lambda flag: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col(flag), 1)), zero
     )
-    return report.select(
-        "source", "n_input", "n_quality", "n_exact", "n_containment",
-        "n_final", "tokens_final",
+    return tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        cnt("__q").alias("n_quality"),
+        cnt("__e").alias("n_exact"),
+        cnt("__c").alias("n_containment"),
+        cnt("__f").alias("n_final"),
+        F.coalesce(
+            F.sum(F.when(F.col("__f"), F.col("nt"))), zero
+        ).alias("tokens_final"),
     )

@@ -27,6 +27,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novi_pdq_etl_project_prod_spark import cache
 from novi_pdq_etl_project_prod_spark.operators.modeling import (
     dedup_dim,
     project_fact,
@@ -175,7 +176,7 @@ def run_monthly_pipeline(
     mismatches = rollup_reconciliation_suite(
         f_op, f_lease, keys=("operator_no",), measures=MEASURES
     )
-    return PipelineResult(
+    result = PipelineResult(
         yyyymm=yyyymm,
         staging_operator_rows=op.count(),
         staging_lease_rows=lease.count(),
@@ -184,6 +185,10 @@ def run_monthly_pipeline(
         rollup_mismatches=mismatches.count(),
         dims=dim_counts,
     )
+    # every output is written/counted above; free any operator-tracked
+    # persists so a backfill over many months can't accumulate them
+    cache.release()
+    return result
 
 
 def run_backfill(
