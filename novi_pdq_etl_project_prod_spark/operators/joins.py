@@ -94,11 +94,22 @@ def asof_join(
                 for c in value_cols
             ],
         )
-        lus = F.unix_micros(F.col("__ts"))
+        # |Δt| needs a numeric axis: timestamps go through unix_micros,
+        # while numeric ts columns (epoch ints, version numbers) compare
+        # on their own scale — backward/forward accept any orderable
+        # type, so nearest must too (ADVICE r05).
+        ts_type = dict(left.dtypes)[left_ts]
+        if ts_type.startswith("timestamp"):
+            def _axis(c):
+                return F.unix_micros(c)
+        else:
+            def _axis(c):
+                return c.cast("double")
+        lus = _axis(F.col("__ts"))
         pick_back = F.when(F.col("__fts").isNull(), F.lit(True)).otherwise(
             F.when(F.col("__bts").isNull(), F.lit(False)).otherwise(
-                (lus - F.unix_micros(F.col("__bts")))
-                <= (F.unix_micros(F.col("__fts")) - lus)
+                (lus - _axis(F.col("__bts")))
+                <= (_axis(F.col("__fts")) - lus)
             )
         )
         out = carried.where(F.col("__side") == 1).select(

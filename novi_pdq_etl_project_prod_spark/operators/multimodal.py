@@ -369,8 +369,10 @@ def resize_images(
     anything else yields a null payload with ``ok=false`` instead of
     failing the job — the poison-pill contract shared with
     :func:`decode_and_featurize`, and the single swap point for Pillow
-    in a full deployment. Output: (id, payload resized-PNG binary,
-    width, height, n_bytes, ok).
+    in a full deployment. A null id is poison too (ADVICE r05): the row
+    survives with a null id and ``ok=false`` rather than crashing the
+    batch. Output: (``id_col``, payload resized-PNG binary, width,
+    height, n_bytes, ok) — the id column keeps the caller's name.
     """
     import numpy as np
 
@@ -378,8 +380,12 @@ def resize_images(
         for pdf in batches:
             ids, payloads, oks, widths, heights, sizes = [], [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                ids.append(int(mid))
-                px = _png_gray_pixels(bytes(payload)) if payload is not None else None
+                ids.append(None if pd.isna(mid) else int(mid))
+                px = (
+                    _png_gray_pixels(bytes(payload))
+                    if payload is not None and not pd.isna(mid)
+                    else None
+                )
                 if px is None:
                     payloads.append(None)
                     oks.append(False)
@@ -399,7 +405,7 @@ def resize_images(
                 sizes.append(len(out))
             yield pd.DataFrame(
                 {
-                    "media_id": pd.array(ids, dtype="int64"),
+                    id_col: pd.array(ids, dtype="Int64"),
                     "payload": pd.Series(payloads, dtype="object"),
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
@@ -411,7 +417,7 @@ def resize_images(
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         _resize,
         schema=(
-            "media_id long, payload binary, width int, height int, "
+            f"{id_col} long, payload binary, width int, height int, "
             "n_bytes long, ok boolean"
         ),
     )

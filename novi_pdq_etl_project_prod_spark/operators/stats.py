@@ -481,6 +481,7 @@ def poisson_bootstrap_means(
     value_col: str,
     n_replicates: int = 16,
     seed: int = 42,
+    scale: int = 100,
 ) -> DataFrame:
     """Poissonized bootstrap in ONE distributed pass: every row draws a
     deterministic Poisson(1) resample count for each of ``n_replicates``
@@ -504,8 +505,15 @@ def poisson_bootstrap_means(
     each task's traffic to ``groups × B`` rows, so B inflates the
     (tiny) aggregate, never the scan. Output: (group, replicate, n_eff,
     mean) — ``n_eff`` is the replicate's total resample weight.
+
+    ``scale`` is the fixed-point quantization of ``value_col``: values
+    are rounded to 1/``scale`` units before the exact DECIMAL
+    accumulation (ADVICE r05). The default 100 (cents) is exact for
+    prices; raise it (e.g. ``10**6``) for small-magnitude or
+    high-precision metrics — the DECIMAL(38,0) accumulator leaves ~19
+    orders of magnitude of headroom above any realistic row count.
     """
-    cents = F.round(F.col(value_col) * 100, 0).cast("long")
+    cents = F.round(F.col(value_col) * scale, 0).cast("long")
     # Explode the replicate INDEX first, then derive the weight with a
     # small per-row expression. (The first cut built one projection of
     # n_replicates structs × 7 threshold terms — an expression tree big
@@ -568,7 +576,8 @@ def poisson_bootstrap_means(
             "replicate",
             "n_eff",
             (
-                F.col("_s").cast("double") / F.col("n_eff").cast("double") / 100
+                F.col("_s").cast("double") / F.col("n_eff").cast("double")
+                / scale
             ).alias("mean"),
         )
     )

@@ -537,3 +537,69 @@ def test_asof_nearest_tie_prefers_backward(spark):
         value_cols=["v"], tie_break="eid", direction="nearest",
     ).collect()[0]
     assert out.asof_v == 8.0  # |d|=2 both ways: backward wins
+
+
+def test_resize_images_null_id_is_poison_and_id_col_named(spark):
+    """ADVICE r05: a null id must not crash the batch (ok=false like any
+    poison payload), and the output id column keeps the caller's name."""
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        resize_images,
+        synthetic_png_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [Row(img_id=1, payload=bytearray(synthetic_png_bytes(1))),
+         Row(img_id=None, payload=bytearray(synthetic_png_bytes(2)))]
+    )
+    out = resize_images(df, 4, 4, id_col="img_id", payload_col="payload")
+    assert out.columns[0] == "img_id"
+    rows = out.collect()
+    by_id = {r.img_id: r for r in rows}
+    assert by_id[1].ok
+    assert not by_id[None].ok and by_id[None].payload is None
+
+
+def test_poisson_bootstrap_scale_parameter(spark):
+    """ADVICE r05: the fixed-point quantization is caller-controlled —
+    micro-scale values collapse at the cents default but stay exact at
+    scale=10**6."""
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        poisson_bootstrap_means,
+    )
+
+    rows = [Row(g="a", rid=i, v=0.001 + 0.0001 * (i % 5)) for i in range(500)]
+    df = spark.createDataFrame(rows)
+    cents = poisson_bootstrap_means(df, "g", "rid", "v", n_replicates=4).collect()
+    fine = poisson_bootstrap_means(
+        df, "g", "rid", "v", n_replicates=4, scale=10**6
+    ).collect()
+    # cents resolution rounds every value to 0.00 — degenerate means
+    assert all(r.mean == 0.0 for r in cents)
+    true_mean = sum(r.v for r in rows) / len(rows)
+    assert all(abs(r.mean - true_mean) < 0.0005 for r in fine)
+    # weights are scale-independent: same ids, same draws
+    assert {(r.replicate, r.n_eff) for r in cents} == {
+        (r.replicate, r.n_eff) for r in fine
+    }
+
+
+def test_asof_nearest_numeric_ts(spark):
+    """ADVICE r05: nearest accepts numeric (non-timestamp) time axes the
+    way backward/forward already do."""
+    from novi_pdq_etl_project_prod_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=10, eid=100), Row(k=1, ts=11, eid=101)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=8, eid=1, v=8.0), Row(k=1, ts=13, eid=2, v=13.0)]
+    )
+    out = {
+        r.eid: r
+        for r in asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            value_cols=["v"], tie_break="eid", direction="nearest",
+        ).collect()
+    }
+    assert out[100].asof_v == 8.0 and out[100].asof_ts == 8
+    assert out[101].asof_v == 13.0
