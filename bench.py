@@ -104,6 +104,8 @@ HEADLINE = [
     "w11_time_weighted_avg",
     "d17_poisson_bootstrap",
     "x21_asof_nearest",
+    # round-6 additions
+    "m47_bpe_token_count",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

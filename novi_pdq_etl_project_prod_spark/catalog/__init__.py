@@ -21,6 +21,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round4_queries,
     round5_queries,
     round5c_queries,
+    round6_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -39,6 +40,7 @@ for _mod in (
     round4_queries,
     round5_queries,
     round5c_queries,
+    round6_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,86 @@
+"""Round-6 catalog additions.
+
+- ``m47`` exact BPE token accounting (VERDICT r05 item 6): greedy
+  longest-match-first segmentation against a broadcast merge-rank
+  vocabulary, as a pure JVM nested higher-order-function fold
+  (``text.bpe_vocab_token_count`` — zero Python, zero shuffle, inside
+  whole-stage codegen), certified against a DuckDB recursive-CTE
+  segmenter that walks each DISTINCT word one longest-match step per
+  recursion level and multiplies by occurrence counts. This is the
+  pluggable counter behind every token budget (packing, curation
+  funnel, dup-adjusted accounting) — the whitespace proxy remains the
+  default; a real deployment swaps in its tokenizer's merge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.text import (
+    BPE_FIXTURE_VOCAB,
+    bpe_vocab_token_count,
+)
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+
+# ---------------------------------------------------------------------------
+# M47 — exact BPE-vocabulary token counts per document.
+# Spark: one row-local expression; oracle: recursive CTE over DISTINCT
+# words (Zipf compression — segmentation work is per unique word, the
+# same trick the Spark path would use for a 30k-piece vocabulary).
+# ---------------------------------------------------------------------------
+
+def m47_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_vocab_token_count("text").alias("n_tokens_bpe"),
+    ).orderBy("doc_id")
+
+
+_VOCAB_VALUES = ", ".join(f"('{p}')" for p in BPE_FIXTURE_VOCAB)
+
+M47_SQL = f"""
+WITH RECURSIVE vocab(piece) AS (
+  VALUES {_VOCAB_VALUES}
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
+  FROM documents
+),
+wcount AS (
+  SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+),
+dwords AS (SELECT DISTINCT w FROM wcount),
+seg(w, rem, ntok) AS (
+  SELECT w, w, 0 FROM dwords
+  UNION ALL
+  SELECT w, substr(rem, 1 + best), ntok + 1 FROM (
+    SELECT w, rem, ntok,
+      coalesce(
+        (SELECT max(length(piece)) FROM vocab WHERE starts_with(rem, piece)),
+        1
+      ) AS best
+    FROM seg WHERE length(rem) > 0
+  )
+),
+wtok AS (SELECT w, ntok FROM seg WHERE length(rem) = 0)
+SELECT d.doc_id,
+       coalesce(sum(c.cnt * t.ntok), 0)::BIGINT AS n_tokens_bpe
+FROM documents d
+LEFT JOIN wcount c ON d.doc_id = c.doc_id
+LEFT JOIN wtok t ON c.w = t.w
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+QUERIES = {
+    "m47_bpe_token_count": m47_bpe_token_count,
+}
+
+ORACLES = {
+    "m47_bpe_token_count": M47_SQL,
+}

@@ -55,6 +55,89 @@ def bpe_ish_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
 
 
+#: Fixture merge-rank vocabulary for the pluggable BPE counter — a small
+#: deterministic stand-in for a real tokenizer's merge table (VERDICT r05
+#: item 6). A deployment swaps in its own pieces; the segmentation
+#: semantics (greedy longest-match-first, 1-char fallback) are the
+#: standard WordPiece-style inference rule and do not change with the
+#: vocabulary.
+BPE_FIXTURE_VOCAB = (
+    "the", "ing", "tion", "and", "ent", "ion", "for", "ati", "ter",
+    "th", "he", "in", "er", "an", "re", "on", "at", "en", "ed", "es",
+    "or", "ar", "al", "is", "it", "of", "to", "ou", "le", "se", "ve",
+    "me", "de", "ri", "ro", "ic", "ne", "ra", "ce", "li", "ch", "ll",
+    "be", "ma", "si", "om", "ur", "st", "nt", "nd",
+)
+
+
+def bpe_vocab_token_count(
+    col: Column | str, vocab: Sequence[str] = BPE_FIXTURE_VOCAB
+) -> Column:
+    """Exact token count under greedy longest-match-first segmentation
+    against a broadcast merge-rank vocabulary — the pluggable BPE-budget
+    counter behind :func:`token_count`'s whitespace proxy.
+
+    Semantics (engine-portable, oracled by a DuckDB recursive CTE in
+    m47): split into word/punct pieces with :data:`BPE_ISH_PATTERN`,
+    then segment each piece left-to-right, at every position consuming
+    the LONGEST vocabulary entry that matches, else exactly one
+    character; the count is the total number of consumed units.
+
+    Scale shape: a pure JVM expression — two nested higher-order-
+    function folds (words, then character positions) with the vocabulary
+    inlined as an array literal, so the whole computation stays inside
+    whole-stage codegen with zero Python, zero shuffle, zero UDF. Cost
+    is O(chars × |vocab|) per row; for tokenizer-scale vocabularies
+    (30k+ pieces) move the per-word segmentation onto the DISTINCT-word
+    relation (Zipf-bounded, like :func:`vocab_coverage`) and join the
+    counts back — same semantics, segmentation cost amortized across
+    word repeats.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.array(*[F.lit(p) for p in vocab])
+
+    def word_tokens(w: Column) -> Column:
+        # fold over char positions: `skip` counts positions still covered
+        # by the last consumed unit; a new unit starts when skip == 0
+        def step(acc, pos):
+            best = F.greatest(
+                F.lit(1),
+                F.array_max(
+                    F.transform(
+                        pieces,
+                        lambda p: F.when(
+                            F.substring(w, pos, F.length(p)) == p, F.length(p)
+                        ).otherwise(F.lit(0)),
+                    )
+                ),
+            )
+            consume = acc["skip"] == 0
+            return F.struct(
+                F.when(consume, best - 1)
+                .otherwise(acc["skip"] - 1)
+                .alias("skip"),
+                F.when(consume, acc["cnt"] + 1)
+                .otherwise(acc["cnt"])
+                .alias("cnt"),
+            )
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length(w)),
+            F.struct(F.lit(0).alias("skip"), F.lit(0).alias("cnt")),
+            step,
+            lambda acc: acc["cnt"],
+        )
+
+    words = F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))
+    # null text counts 0, matching the oracle's no-words aggregation
+    return F.coalesce(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + word_tokens(w)
+        ),
+        F.lit(0).cast("long"),
+    )
+
+
 def distinct_token_ratio(col: Column | str) -> Column:
     """Vocabulary diversity: |distinct tokens| / |tokens| (1.0 for empty).
     Low values flag boilerplate/repetitive documents."""
@@ -574,6 +657,7 @@ def dup_adjusted_token_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     group_col: str = "source",
+    token_counter=None,
 ) -> DataFrame:
     """Duplication-adjusted token accounting per ``group_col``: raw token
     counts vs tokens counted ONCE per exact-duplicate cluster — the
@@ -588,12 +672,17 @@ def dup_adjusted_token_stats(
     oracle certifies it exactly. A representative is attributed to ITS
     OWN group — cross-source duplicates reduce the other sources'
     unique counts, which is precisely the signal.
+
+    ``token_counter`` plugs in the budget unit (default whitespace
+    :func:`token_count`; pass :func:`bpe_vocab_token_count` for exact
+    BPE accounting — VERDICT r05 item 6).
     """
+    counter = token_counter or token_count
     base = df.select(
         F.col(group_col).alias("grp"),
         F.col(id_col),
         document_fingerprint(text_col).alias("_fp"),
-        token_count(text_col).alias("_nt"),
+        counter(text_col).alias("_nt"),
     )
     w = Window.partitionBy("_fp").orderBy(id_col)
     rep = F.row_number().over(w) == 1

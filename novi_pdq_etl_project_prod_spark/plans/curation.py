@@ -17,7 +17,9 @@ many curation rules stack before or after it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from novi_pdq_etl_project_prod_spark.operators import text as TX
@@ -35,6 +37,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    token_counter: Callable[[str], Column] = TX.token_count,
 ) -> DataFrame:
     """Returns (id, source, n_tokens, split) for the surviving corpus.
 
@@ -49,7 +52,7 @@ def curate_corpus(
       content-addressed idea as ``train_test_split`` but engine-portable
       (md5 instead of xxhash64), so the whole pipeline oracles exactly.
     """
-    q = docs.where(TX.token_count(text_col).between(min_tokens, max_tokens))
+    q = docs.where(token_counter(text_col).between(min_tokens, max_tokens))
     fp = TX.document_fingerprint(text_col)
     w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
     deduped = (
@@ -70,7 +73,7 @@ def curate_corpus(
     return sampled.select(
         F.col(id_col),
         F.col(source_col),
-        TX.token_count(text_col).alias("n_tokens"),
+        token_counter(text_col).alias("n_tokens"),
         F.when(u < F.lit(thr), F.lit("test")).otherwise(F.lit("train")).alias(
             "split"
         ),
@@ -87,6 +90,7 @@ def curate_corpus_v2(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    token_counter: Callable[[str], Column] = TX.token_count,
 ) -> DataFrame:
     """Round-5 curation funnel with per-source stage accounting:
 
@@ -128,7 +132,7 @@ def curate_corpus_v2(
         F.col(id_col),
         F.col(source_col).alias("source"),
         F.col(text_col).alias("text"),
-        TX.token_count(text_col).alias("nt"),
+        token_counter(text_col).alias("nt"),
     )
     # Exact-dedup survivor among quality docs only: quality rows sort
     # first inside each fingerprint partition, so row_number()==1 ∧ __q
