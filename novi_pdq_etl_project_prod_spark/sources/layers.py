@@ -561,3 +561,156 @@ def read_table_at_version(spark, path: str, version: int | str):
             f"for longer time-travel reach)"
         )
     return spark.read.parquet(target)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table atomic commit (VERDICT r05 item 8)
+# ---------------------------------------------------------------------------
+
+#: Directory (inside a layer) holding the transaction manifest — itself a
+#: snapshot-committed "table" whose snapshots are one-file JSON manifests
+#: naming a consistent set of per-table snapshot versions.
+TX_MANIFEST_DIR = "_TXLOG"
+
+
+def _manifest_path(root: str, layer: MedallionLayer | str) -> str:
+    layer_name = layer.value if isinstance(layer, MedallionLayer) else layer
+    return os.path.join(root, layer_name, TX_MANIFEST_DIR)
+
+
+def commit_tables(
+    dfs: dict[str, DataFrame],
+    root: str,
+    layer: MedallionLayer | str,
+    expected_base: str | None = ...,
+) -> dict[str, str]:
+    """All-or-nothing publish of several tables — a star-schema's fact and
+    dims move together, the way the reference's per-run Postgres
+    transaction block effectively published them.
+
+    Protocol (one extra level over the per-table ``_CURRENT`` CAS):
+
+    1. every table's data is written into a freshly RESERVED snapshot dir
+       (``_reserve_snapshot_dir``) with its per-table pointer untouched —
+       staged data is invisible to all readers;
+    2. a manifest snapshot (JSON ``{table: snapshot_name}``) is written
+       under ``<layer>/_TXLOG`` and committed with the standard pointer
+       flip — THIS is the single atomic commit point. ``expected_base``
+       (a name from ``current_manifest_version``) makes it compare-and-
+       swap across concurrent multi-table writers; on conflict every
+       staged dir is removed and nothing is published;
+    3. the per-table ``_CURRENT`` pointers are rolled forward to the
+       manifest's versions (best-effort; :func:`recover_manifest` redoes
+       it after a crash, and it runs automatically at the start of the
+       next ``commit_tables``).
+
+    Consistency contract: readers that resolve through the manifest
+    (:func:`read_manifest_tables`) can NEVER observe a torn set — before
+    the flip they see the previous manifest's versions, after it the new
+    ones, regardless of crashes. Per-table pointer readers get per-table
+    snapshot isolation only (exactly today's guarantee); between the
+    manifest flip and roll-forward completion they may briefly read the
+    previous CONSISTENT set, never a mix of old and new, because staging
+    never touches their pointers and roll-forward is ordered after the
+    manifest commit.
+
+    Returns the committed ``{table: snapshot_name}`` manifest.
+    """
+    import json
+    import shutil
+
+    mpath = _manifest_path(root, layer)
+    os.makedirs(mpath, exist_ok=True)
+    # heal any interrupted previous commit before layering a new one
+    recover_manifest(root, layer)
+    staged: dict[str, str] = {}
+    try:
+        for tbl, df in dfs.items():
+            tpath = table_path(root, layer, tbl)
+            os.makedirs(tpath, exist_ok=True)
+            snap = _reserve_snapshot_dir(tpath)
+            df.write.mode("overwrite").parquet(os.path.join(tpath, snap))
+            staged[tbl] = snap
+
+        def _write_manifest(snap_dir: str) -> None:
+            target = os.path.join(snap_dir, "manifest.json")
+            with open(target, "w", encoding="utf-8") as fh:
+                json.dump(staged, fh, sort_keys=True)
+                fh.flush()
+                os.fsync(fh.fileno())
+
+        _commit_snapshot_write(_write_manifest, mpath, expected_base)
+    except BaseException:
+        for tbl, snap in staged.items():
+            shutil.rmtree(
+                os.path.join(table_path(root, layer, tbl), snap),
+                ignore_errors=True,
+            )
+        raise
+    _roll_forward_table_pointers(root, layer)
+    return staged
+
+
+def current_manifest_version(root: str, layer: MedallionLayer | str) -> str | None:
+    """The live manifest snapshot name — the CAS token for
+    :func:`commit_tables`' ``expected_base`` (None before the first
+    multi-table commit)."""
+    return current_snapshot(_manifest_path(root, layer))
+
+
+def read_manifest(root: str, layer: MedallionLayer | str) -> dict[str, str]:
+    """The live committed ``{table: snapshot_name}`` set (empty before
+    the first multi-table commit)."""
+    import json
+
+    mpath = _manifest_path(root, layer)
+    live = resolve_table_path(mpath)
+    target = os.path.join(live, "manifest.json")
+    if live == mpath or not os.path.isfile(target):
+        return {}
+    with open(target, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
+def read_manifest_tables(
+    spark: SparkSession, root: str, layer: MedallionLayer | str
+) -> dict[str, DataFrame]:
+    """Set-consistent read: every table at exactly the version named by
+    ONE manifest — the read path whose isolation spans tables. Committed
+    snapshot dirs are immutable, so these scans stay valid for the GC
+    retention horizon even while new commits land."""
+    versions = read_manifest(root, layer)
+    return {
+        tbl: spark.read.parquet(
+            os.path.join(table_path(root, layer, tbl), snap)
+        )
+        for tbl, snap in versions.items()
+    }
+
+
+def _roll_forward_table_pointers(root: str, layer: MedallionLayer | str) -> None:
+    """Re-point each table's ``_CURRENT`` at its live-manifest version.
+
+    Only rolls FORWARD (manifest version newer than the pointer's):
+    single-table commits made outside the manifest after the last
+    ``commit_tables`` are never clobbered. Idempotent — safe to re-run
+    any number of times, which is what makes the manifest flip the only
+    durability-critical step."""
+    for tbl, snap in read_manifest(root, layer).items():
+        tpath = table_path(root, layer, tbl)
+        cur = current_snapshot(tpath)
+        cur_v = (
+            int(cur[len(_SNAPSHOT_PREFIX):]) if cur and cur.startswith(_SNAPSHOT_PREFIX) else 0
+        )
+        new_v = int(snap[len(_SNAPSHOT_PREFIX):])
+        if new_v > cur_v:
+            _commit_pointer(tpath, snap)
+            _gc_stale_snapshots(tpath)
+
+
+def recover_manifest(root: str, layer: MedallionLayer | str) -> None:
+    """Crash recovery: finish the per-table roll-forward of the live
+    manifest (a no-op when everything already matches). Called
+    automatically by ``commit_tables``; long-lived readers of per-table
+    pointers may also call it at startup."""
+    _roll_forward_table_pointers(root, layer)

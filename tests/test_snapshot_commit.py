@@ -287,3 +287,171 @@ def test_time_travel_reads_retained_versions(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="retained"):
         read_table_at_version(spark, path, 99)
+
+
+# ---------------------------------------------------------------------------
+# Cross-table atomic commit (VERDICT r05 item 8)
+# ---------------------------------------------------------------------------
+
+def _set_versions(root, tables):
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        current_snapshot,
+    )
+    return {t: current_snapshot(table_path(root, "curated", t)) for t in tables}
+
+
+def _read_set(spark, root):
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+    return {
+        t: sorted(r.v for r in df.select("v").distinct().collect())
+        for t, df in read_manifest_tables(spark, root, "curated").items()
+    }
+
+
+def test_commit_tables_all_or_nothing(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path)
+    commit_tables(
+        {"fact": _dim(spark, "f1"), "dim": _dim(spark, "d1")}, root, "curated"
+    )
+    assert _read_set(spark, root) == {"fact": ["f1"], "dim": ["d1"]}
+    # per-table pointers rolled forward too
+    v1 = _set_versions(root, ["fact", "dim"])
+    assert all(v is not None for v in v1.values())
+
+    commit_tables(
+        {"fact": _dim(spark, "f2"), "dim": _dim(spark, "d2")}, root, "curated"
+    )
+    assert _read_set(spark, root) == {"fact": ["f2"], "dim": ["d2"]}
+    v2 = _set_versions(root, ["fact", "dim"])
+    assert v2["fact"] > v1["fact"] and v2["dim"] > v1["dim"]
+
+
+def test_commit_tables_crash_before_manifest_publishes_nothing(
+    spark, tmp_path, monkeypatch
+):
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path)
+    commit_tables(
+        {"fact": _dim(spark, "f1"), "dim": _dim(spark, "d1")}, root, "curated"
+    )
+    v1 = _set_versions(root, ["fact", "dim"])
+    # crash INSIDE the manifest commit, before the pointer flip
+    monkeypatch.setattr(
+        layers, "_commit_snapshot_write",
+        lambda *a, **k: (_ for _ in ()).throw(Boom("mid-commit")),
+    )
+    with pytest.raises(Boom):
+        commit_tables(
+            {"fact": _dim(spark, "f2"), "dim": _dim(spark, "d2")},
+            root, "curated",
+        )
+    monkeypatch.undo()
+    # nothing moved: manifest set and per-table pointers still v1, and
+    # the staged v2 dirs were cleaned up
+    assert _read_set(spark, root) == {"fact": ["f1"], "dim": ["d1"]}
+    assert _set_versions(root, ["fact", "dim"]) == v1
+    for t in ("fact", "dim"):
+        snaps = [
+            e for e in os.listdir(table_path(root, "curated", t))
+            if e.startswith(layers._SNAPSHOT_PREFIX)
+        ]
+        assert len(snaps) == 1, f"{t}: staged orphan survived: {snaps}"
+
+
+def test_commit_tables_crash_after_manifest_never_tears(
+    spark, tmp_path, monkeypatch
+):
+    """A reader can never observe fact@v2 with dim@v1: after the manifest
+    flip but before roll-forward, manifest readers see the full v2 set
+    while per-table pointers still name the full v1 set. Recovery
+    finishes the roll-forward."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        recover_manifest,
+    )
+
+    root = str(tmp_path)
+    commit_tables(
+        {"fact": _dim(spark, "f1"), "dim": _dim(spark, "d1")}, root, "curated"
+    )
+    v1 = _set_versions(root, ["fact", "dim"])
+    # crash between the manifest flip and per-table roll-forward: the
+    # pre-staging heal call must still work, so only the SECOND
+    # invocation (the post-flip one) blows up
+    real = layers._roll_forward_table_pointers
+    calls = []
+
+    def flaky(*a, **k):
+        calls.append(1)
+        if len(calls) > 1:
+            raise Boom("post-flip crash")
+        return real(*a, **k)
+
+    monkeypatch.setattr(layers, "_roll_forward_table_pointers", flaky)
+    with pytest.raises(Boom):
+        commit_tables(
+            {"fact": _dim(spark, "f2"), "dim": _dim(spark, "d2")},
+            root, "curated",
+        )
+    monkeypatch.undo()
+    # manifest readers: complete v2 set (the commit POINT passed)
+    assert _read_set(spark, root) == {"fact": ["f2"], "dim": ["d2"]}
+    # per-table pointers: still the complete v1 set — old but consistent
+    assert _set_versions(root, ["fact", "dim"]) == v1
+    # recovery finishes the roll-forward idempotently
+    recover_manifest(root, "curated")
+    v2 = _set_versions(root, ["fact", "dim"])
+    assert v2["fact"] > v1["fact"] and v2["dim"] > v1["dim"]
+    recover_manifest(root, "curated")  # no-op second run
+    assert _set_versions(root, ["fact", "dim"]) == v2
+
+
+def test_commit_tables_cas_conflict(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        commit_tables,
+        current_manifest_version,
+    )
+
+    root = str(tmp_path)
+    commit_tables(
+        {"fact": _dim(spark, "f1"), "dim": _dim(spark, "d1")}, root, "curated"
+    )
+    base = current_manifest_version(root, "curated")
+    # writer A lands first from the same base
+    commit_tables(
+        {"fact": _dim(spark, "f2"), "dim": _dim(spark, "d2")},
+        root, "curated", expected_base=base,
+    )
+    # writer B from the stale base must fail atomically
+    with pytest.raises(SnapshotConflictError):
+        commit_tables(
+            {"fact": _dim(spark, "fB"), "dim": _dim(spark, "dB")},
+            root, "curated", expected_base=base,
+        )
+    assert _read_set(spark, root) == {"fact": ["f2"], "dim": ["d2"]}
+
+
+def test_single_table_commit_not_clobbered_by_recovery(spark, tmp_path):
+    """A later single-table overwrite outside the manifest survives
+    recover_manifest (roll-forward is forward-only)."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        recover_manifest,
+    )
+
+    root = str(tmp_path)
+    commit_tables(
+        {"fact": _dim(spark, "f1"), "dim": _dim(spark, "d1")}, root, "curated"
+    )
+    overwrite_snapshot(_dim(spark, "d-newer"), root, "curated", "dim")
+    recover_manifest(root, "curated")
+    live = spark.read.parquet(
+        resolve_table_path(table_path(root, "curated", "dim"))
+    )
+    assert {r.v for r in live.select("v").distinct().collect()} == {"d-newer"}
