@@ -104,7 +104,11 @@ def _fake_image_decoder(payload: bytes) -> dict:
 
 
 def _image_decoder(payload: bytes) -> dict | None:
-    return _png_decoder(payload) or _fake_image_decoder(payload)
+    return (
+        _png_decoder(payload)
+        or _jpeg_decoder(payload)
+        or _fake_image_decoder(payload)
+    )
 
 
 def _wav_decoder(payload: bytes) -> dict | None:
@@ -261,17 +265,25 @@ def decode_and_featurize(
     return df.mapInPandas(_process, schema=MEDIA_FEATURES_SCHEMA)
 
 
-def _png_gray_pixels(payload: bytes) -> "np.ndarray | None":
-    """Full pixel decode of an 8-bit grayscale, non-interlaced PNG (pure
-    stdlib): chunk walk → concatenated-IDAT inflate → per-row unfilter
-    (all five standard filter types). Returns a (h, w) uint8 array, or
-    None for anything that isn't this profile — the swap point for
-    Pillow when color/compressed formats matter."""
+#: PNG color type ↔ channel count for the 8-bit profiles the stdlib
+#: codec covers (grayscale, RGB, gray+alpha, RGBA).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+_PNG_COLOR_BY_CHANNELS = {c: t for t, c in _PNG_CHANNELS.items()}
+
+
+def _png_pixels(payload: bytes) -> "np.ndarray | None":
+    """Full pixel decode of an 8-bit non-interlaced PNG in any of the
+    four channel layouts (gray / gray+alpha / RGB / RGBA — VERDICT r05
+    item 7): chunk walk → concatenated-IDAT inflate → per-row unfilter
+    (all five standard filter types, byte-wise with the layout's
+    bytes-per-pixel lag, per the PNG spec). Returns a (h, w, channels)
+    uint8 array, or None for anything outside this profile — the swap
+    point for Pillow when 16-bit/palette/interlaced content matters."""
     import numpy as np
 
     if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
         return None
-    pos, width, height, idat = 8, None, None, []
+    pos, width, height, channels, idat = 8, None, None, None, []
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + length]
@@ -281,24 +293,27 @@ def _png_gray_pixels(payload: bytes) -> "np.ndarray | None":
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body[:13]
             )
-            if depth != 8 or color != 0 or interlace != 0:
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
                 return None
+            channels = _PNG_CHANNELS[color]
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
             break
         pos += 12 + length
-    if not (width and height and idat):
+    if not (width and height and channels and idat):
         return None
     try:
         raw = zlib.decompress(b"".join(idat))
     except zlib.error:
         return None
-    stride = width + 1
+    rowbytes = width * channels
+    stride = rowbytes + 1
     if len(raw) < stride * height:
         return None
-    out = np.zeros((height, width), dtype=np.uint8)
-    prev = np.zeros(width, dtype=np.int32)
+    bpp = channels  # 8-bit samples: bytes per pixel == channels
+    out = np.zeros((height, rowbytes), dtype=np.uint8)
+    prev = np.zeros(rowbytes, dtype=np.int32)
     for y in range(height):
         row = raw[y * stride:(y + 1) * stride]
         ftype, cur = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
@@ -307,10 +322,11 @@ def _png_gray_pixels(payload: bytes) -> "np.ndarray | None":
         elif ftype == 2:  # Up
             line = (cur + prev) % 256
         elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a scan
-            line = np.zeros(width, dtype=np.int32)
-            a = 0
-            for x in range(width):
-                b, c = int(prev[x]), int(prev[x - 1]) if x else 0
+            line = np.zeros(rowbytes, dtype=np.int32)
+            for x in range(rowbytes):
+                a = int(line[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 if ftype == 1:
                     pred = a
                 elif ftype == 3:
@@ -320,20 +336,30 @@ def _png_gray_pixels(payload: bytes) -> "np.ndarray | None":
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
                 line[x] = (int(cur[x]) + pred) % 256
-                a = int(line[x])
         else:
             return None
         out[y] = line.astype(np.uint8)
         prev = line
-    return out
+    return out.reshape(height, width, channels)
 
 
-def _png_encode_gray(arr) -> bytes:
-    """Spec-valid 8-bit grayscale PNG from a (h, w) uint8 array (filter
-    0 rows, one zlib IDAT) — the synthetic_png_bytes writer generalized
-    to arbitrary pixel content."""
-    height, width = arr.shape
-    raw = b"".join(b"\x00" + bytes(arr[y].tolist()) for y in range(height))
+def _png_gray_pixels(payload: bytes) -> "np.ndarray | None":
+    """Back-compat grayscale view: (h, w) for single-channel PNGs, None
+    otherwise (multi-channel callers use :func:`_png_pixels`)."""
+    px = _png_pixels(payload)
+    if px is None or px.shape[2] != 1:
+        return None
+    return px[:, :, 0]
+
+
+def _png_encode(arr) -> bytes:
+    """Spec-valid 8-bit PNG from a (h, w, channels) uint8 array (filter
+    0 rows, one zlib IDAT); channel count selects the color type."""
+    height, width, channels = arr.shape
+    color = _PNG_COLOR_BY_CHANNELS[channels]
+    raw = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(height)
+    )
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -343,13 +369,68 @@ def _png_encode_gray(arr) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _png_encode_gray(arr) -> bytes:
+    """Grayscale wrapper over :func:`_png_encode` ((h, w) input)."""
+    return _png_encode(arr.reshape(*arr.shape, 1))
+
+
+def _jpeg_dimensions(payload: bytes) -> "tuple[int, int, int] | None":
+    """Header-level JPEG dimension extraction (VERDICT r05 item 7):
+    marker-segment walk to the first SOF frame header → (width, height,
+    n_components). Covers baseline/progressive (SOF0-SOF15 except the
+    non-frame DHT/DAC/RST markers) without decoding any scan data —
+    exactly what corpus profiling needs from the other dominant image
+    format. Returns None for non-JPEG or truncated headers."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            return None
+        marker = payload[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        if seglen < 2:
+            return None
+        # SOFn frame headers: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            body = payload[pos + 4:pos + 2 + seglen]
+            if len(body) < 6:
+                return None
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            if not (0 < width and 0 < height):
+                return None
+            return width, height, ncomp
+        pos += 2 + seglen
+    return None
+
+
+def _jpeg_decoder(payload: bytes) -> dict | None:
+    """Header-level JPEG decode: SOF dimensions + byte-histogram
+    feature (the same cheap content feature every modality gets)."""
+    dims = _jpeg_dimensions(payload)
+    if dims is None:
+        return None
+    width, height, _ncomp = dims
+    return {
+        "width": width,
+        "height": height,
+        "feature": _byte_histogram(payload),
+    }
 
 
 def resize_images(
@@ -365,13 +446,14 @@ def resize_images(
     nearest-neighbor resample, no shuffle, no driver involvement.
 
     The decode/encode pair is REAL for the profile this environment can
-    express (8-bit grayscale PNG, all five row filters, stdlib zlib);
-    anything else yields a null payload with ``ok=false`` instead of
-    failing the job — the poison-pill contract shared with
-    :func:`decode_and_featurize`, and the single swap point for Pillow
-    in a full deployment. A null id is poison too (ADVICE r05): the row
-    survives with a null id and ``ok=false`` rather than crashing the
-    batch. Output: (``id_col``, payload resized-PNG binary, width,
+    express (8-bit PNG in all four channel layouts — gray, gray+alpha,
+    RGB, RGBA — all five row filters, stdlib zlib); anything else yields
+    a null payload with ``ok=false`` instead of failing the job — the
+    poison-pill contract shared with :func:`decode_and_featurize`, and
+    the single swap point for Pillow in a full deployment. A null id is
+    poison too (ADVICE r05): the row survives with a null id and
+    ``ok=false`` rather than crashing the batch. Output: (``id_col``,
+    payload resized-PNG binary with the input's channel layout, width,
     height, n_bytes, ok) — the id column keeps the caller's name.
     """
     import numpy as np
@@ -382,7 +464,7 @@ def resize_images(
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 ids.append(None if pd.isna(mid) else int(mid))
                 px = (
-                    _png_gray_pixels(bytes(payload))
+                    _png_pixels(bytes(payload))
                     if payload is not None and not pd.isna(mid)
                     else None
                 )
@@ -393,11 +475,11 @@ def resize_images(
                     heights.append(None)
                     sizes.append(None)
                     continue
-                h, w = px.shape
+                h, w, _c = px.shape
                 yi = (np.arange(target_height) * h) // target_height
                 xi = (np.arange(target_width) * w) // target_width
-                resized = px[yi][:, xi]
-                out = _png_encode_gray(resized)
+                resized = px[yi][:, xi, :]
+                out = _png_encode(resized)
                 payloads.append(out)
                 oks.append(True)
                 widths.append(target_width)
@@ -522,6 +604,95 @@ def synthetic_png_bytes(seed: int) -> bytes:
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_color_png_bytes(seed: int, channels: int = 3) -> bytes:
+    """A real, spec-valid multi-channel PNG (RGB by default; 2 for
+    gray+alpha, 4 for RGBA) that is a pure function of ``seed`` — drives
+    the multi-channel decoder/resizer without image libraries. Rows
+    cycle through all five standard filter types so every unfilter path
+    is exercised at the correct bytes-per-pixel lag."""
+    import numpy as np
+
+    width = 6 + seed % 10
+    height = 6 + (seed // 8) % 10
+    digest = hashlib.sha256(str(seed).encode()).digest()
+    px = np.zeros((height, width, channels), dtype=np.uint8)
+    for y in range(height):
+        for x in range(width):
+            for ch in range(channels):
+                px[y, x, ch] = digest[(x * 7 + y * 3 + ch * 11) % 32]
+    bpp = channels
+    rowbytes = width * channels
+    rows = []
+    prev = np.zeros(rowbytes, dtype=np.int32)
+    for y in range(height):
+        line = px[y].reshape(rowbytes).astype(np.int32)
+        ftype = y % 5
+        enc = np.zeros(rowbytes, dtype=np.int32)
+        for x in range(rowbytes):
+            a = int(line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (int(line[x]) - pred) % 256
+        rows.append(bytes([ftype]) + enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, _PNG_COLOR_BY_CHANNELS[channels], 0, 0, 0
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def synthetic_jpeg_bytes(seed: int) -> bytes:
+    """A header-valid JPEG (SOI + APP0/JFIF + DQT + SOF0 + minimal scan
+    + EOI) whose dimensions are a pure function of ``seed`` — enough
+    structure for :func:`_jpeg_dimensions`; the scan data is filler (a
+    full entropy decoder is Pillow's job in a real deployment)."""
+    width = 16 + seed % 240
+    height = 16 + (seed // 16) % 240
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(range(1, 65))
+    sof0 = (
+        struct.pack(">BHHB", 8, height, width, 3)
+        + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xE0, app0)
+        + seg(0xDB, dqt)
+        + seg(0xC0, sof0)
+        + b"\xff\xd9"
     )
 
 

@@ -97,3 +97,75 @@ def test_dup_adjusted_stats_accept_pluggable_counter(spark):
     assert out["a"].raw_tokens == 2 * expect_ab
     assert out["a"].unique_tokens == expect_ab
     assert out["b"].unique_tokens == _py_bpe_count("unrelated words")
+
+
+# ---------------------------------------------------------------------------
+# Broadened image-codec profile (VERDICT r05 item 7)
+# ---------------------------------------------------------------------------
+
+def test_resize_rgb_rgba_pixel_exact(spark):
+    import numpy as np
+
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        _png_pixels,
+        resize_images,
+        synthetic_color_png_bytes,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append(Row(media_id=i, payload=bytearray(synthetic_color_png_bytes(i, 3))))
+        rows.append(Row(media_id=100 + i, payload=bytearray(synthetic_color_png_bytes(i, 4))))
+    out = {
+        r.media_id: r
+        for r in resize_images(spark.createDataFrame(rows), 5, 7).collect()
+    }
+    for r0 in rows:
+        src = _png_pixels(bytes(r0.payload))
+        h, w, c = src.shape
+        expect = src[(np.arange(7) * h) // 7][:, (np.arange(5) * w) // 5, :]
+        r = out[r0.media_id]
+        assert r.ok and (r.width, r.height) == (5, 7)
+        got = _png_pixels(bytes(r.payload))
+        assert got.shape[2] == c, "channel layout must survive the resize"
+        assert np.array_equal(got, expect)
+
+
+def test_resize_poison_pills_still_null(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        resize_images,
+        synthetic_jpeg_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(b"junk")),
+            Row(media_id=2, payload=None),
+            # JPEG is header-extractable but not pixel-decodable: poison
+            # for the resizer by design
+            Row(media_id=3, payload=bytearray(synthetic_jpeg_bytes(5))),
+        ]
+    )
+    rows = {r.media_id: r for r in resize_images(df, 4, 4).collect()}
+    for mid in (1, 2, 3):
+        assert not rows[mid].ok and rows[mid].payload is None
+
+
+def test_jpeg_dimension_extraction_in_decode(spark):
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        decode_and_featurize,
+        synthetic_jpeg_bytes,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(media_id=i, modality="image",
+                payload=bytearray(synthetic_jpeg_bytes(i)))
+            for i in range(6)
+        ]
+    )
+    out = {r.media_id: r for r in decode_and_featurize(df).collect()}
+    for i in range(6):
+        assert out[i].width == 16 + i % 240
+        assert out[i].height == 16 + (i // 16) % 240
+        assert out[i].feature is not None and len(out[i].feature) == 16
