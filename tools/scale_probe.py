@@ -533,7 +533,42 @@ def main_r5c(k: int) -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def main_r6(k: int) -> None:
+    """Round-6 probe: m47 BPE token accounting at k× documents
+    (token-suffixed DISTINCT replication). Expected ~data-linear and
+    scan-bound: the counter is one row-local JVM expression — no
+    shuffle, no Python — so wall growth tracks decompressed text bytes
+    and nothing else."""
+    spark = get_spark(app_name="scale_probe_r6")
+    docs_dir = tempfile.mkdtemp(prefix=f"r6doc{k}_")
+    replicate_docs_distinct(spark, docs_dir, k)
+    probe = ["m47_bpe_token_count", "m42_curation_v2"]
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), (f"docs x{k}", scaled_dir := docs_dir)):
+        timings = {}
+        for name in probe:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+            try:
+                from novi_pdq_etl_project_prod_spark import cache
+                cache.clear_session_state(spark)
+            except Exception:
+                pass
+        results[sf_label] = timings
+        print(sf_label, json.dumps(timings))
+    for name in probe:
+        a, b = results["sf0.1"][name], results[f"docs x{k}"][name]
+        print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x)")
+    shutil.rmtree(docs_dir, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r6" in sys.argv:
+        main_r6(int(sys.argv[sys.argv.index("--r6") + 1]))
+        return
     if "--r5c" in sys.argv:
         main_r5c(int(sys.argv[sys.argv.index("--r5c") + 1]))
         return
