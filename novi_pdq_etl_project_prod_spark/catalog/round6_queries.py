@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from novi_pdq_etl_project_prod_spark.operators.text import (
     BPE_FIXTURE_VOCAB,
-    bpe_vocab_token_count,
+    bpe_token_counts,
 )
 from novi_pdq_etl_project_prod_spark.session import read_table
 
@@ -33,10 +33,11 @@ from novi_pdq_etl_project_prod_spark.session import read_table
 
 def m47_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        bpe_vocab_token_count("text").alias("n_tokens_bpe"),
-    ).orderBy("doc_id")
+    return (
+        bpe_token_counts(docs)
+        .select("doc_id", F.col("n_tokens").alias("n_tokens_bpe"))
+        .orderBy("doc_id")
+    )
 
 
 _VOCAB_VALUES = ", ".join(f"('{p}')" for p in BPE_FIXTURE_VOCAB)
@@ -77,10 +78,81 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M48 — sequence packing under the BPE budget (the m26 packer driven by
+# m47's exact tokenizer-unit counts): token budgets finally measured in
+# the unit the training run bills in. Same content-addressed bucket fill
+# (engine-portable md5), so the full composition oracles exactly.
+# ---------------------------------------------------------------------------
+
+def m48_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.packing import pack_sequences
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = bpe_token_counts(docs).select(
+        "doc_id", F.col("n_tokens").alias("tok")
+    )
+    return pack_sequences(
+        sized, id_col="doc_id", token_count="tok", budget=512,
+        bucket_hex_chars=2,
+    )
+
+
+M48_SQL = f"""
+WITH RECURSIVE vocab(piece) AS (
+  VALUES {_VOCAB_VALUES}
+),
+words AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS w
+  FROM documents
+),
+wcount AS (
+  SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+),
+dwords AS (SELECT DISTINCT w FROM wcount),
+seg(w, rem, ntok) AS (
+  SELECT w, w, 0 FROM dwords
+  UNION ALL
+  SELECT w, substr(rem, 1 + best), ntok + 1 FROM (
+    SELECT w, rem, ntok,
+      coalesce(
+        (SELECT max(length(piece)) FROM vocab WHERE starts_with(rem, piece)),
+        1
+      ) AS best
+    FROM seg WHERE length(rem) > 0
+  )
+),
+wtok AS (SELECT w, ntok FROM seg WHERE length(rem) = 0),
+tok AS (
+  SELECT d.doc_id,
+         coalesce(sum(c.cnt * t.ntok), 0)::BIGINT AS n_tokens,
+         substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents d
+  LEFT JOIN wcount c ON d.doc_id = c.doc_id
+  LEFT JOIN wtok t ON c.w = t.w
+  GROUP BY d.doc_id
+),
+filled AS (
+  SELECT doc_id, n_tokens, bucket,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM tok
+)
+SELECT doc_id, n_tokens, bucket,
+       bucket || '-' || CAST(((cum_tokens - n_tokens) // 512) AS VARCHAR) AS pack_id,
+       n_tokens > 512 AS oversize
+FROM filled
+"""
+
+
 QUERIES = {
     "m47_bpe_token_count": m47_bpe_token_count,
+    "m48_bpe_packing": m48_bpe_packing,
 }
 
 ORACLES = {
     "m47_bpe_token_count": M47_SQL,
+    "m48_bpe_packing": M48_SQL,
 }
