@@ -106,6 +106,7 @@ HEADLINE = [
     "x21_asof_nearest",
     # round-6 additions
     "m47_bpe_token_count",
+    "m48_bpe_packing",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
