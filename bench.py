@@ -115,6 +115,16 @@ WARMUP_SF = "/root/testdata/sf0.001"
 #: the most recent prior round's recorded timing.
 REGRESSION_THRESHOLD = 1.20
 
+#: Timing-methodology version, recorded in the metric object. Bumped to 2
+#: in round 6 when the bench started clearing cached/persisted blocks
+#: between headline queries (VERDICT r05 item 2): v1 timings inherited
+#: earlier queries' leaked caches, so v1-vs-v2 comparisons shift the
+#: drift median (previously-polluted queries speed up, clean ones look
+#: relatively slower). When the regression baseline predates the current
+#: methodology the output says so, so a cross-methodology flag can be
+#: read for what it is.
+METHODOLOGY = 2
+
 
 def _current_round() -> int:
     """1 + the newest driver-written BENCH_r{N}.json. Only driver files
@@ -176,6 +186,25 @@ def _timings_from_file(path: str) -> dict[str, float]:
     return scraped
 
 
+def _file_methodology(path: str) -> int:
+    """Methodology version recorded in a bench artifact (1 when absent —
+    every pre-round-6 file)."""
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return 1
+    if not isinstance(doc, dict):
+        return 1
+    for candidate in (doc, doc.get("parsed")):
+        if isinstance(candidate, dict) and "methodology" in candidate:
+            try:
+                return int(candidate["methodology"])
+            except (TypeError, ValueError):
+                return 1
+    return 1
+
+
 def _prior_round_timings() -> tuple[str | None, dict[str, float]]:
     """Per-query timings from the newest round that has any, preferring
     the full BENCH_LOCAL_r{N}.json this script writes over the driver's
@@ -232,6 +261,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "methodology": METHODOLOGY,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
     baseline_file, prior = _prior_round_timings()
@@ -249,6 +279,16 @@ def main() -> None:
             drift = sorted(ratios.values())[len(ratios) // 2]
             out["regression_baseline"] = baseline_file
             out["environment_drift"] = round(drift, 2)
+            here = os.path.dirname(os.path.abspath(__file__))
+            base_meth = _file_methodology(os.path.join(here, baseline_file))
+            if base_meth != METHODOLOGY:
+                # the baseline was timed under a different methodology
+                # (pre-clearing sessions let queries inherit leaked
+                # caches); cross-methodology flags measure the
+                # methodology delta, not a code regression — see
+                # SCALE.md "Round-6 bench methodology change"
+                out["baseline_methodology"] = base_meth
+                out["baseline_methodology_mismatch"] = True
             suspects = {
                 n
                 for n, r in ratios.items()
@@ -256,6 +296,10 @@ def main() -> None:
                 # noise floor: sub-second queries flap ±0.2s run-to-run
                 # (JVM/page-cache state); require a real absolute delta
                 and timings[n] - prior[n] * drift > 0.25
+                # a query faster than its recorded baseline in absolute
+                # terms is never a regression, whatever the drift median
+                # says (drift < 1 can otherwise flag absolute speedups)
+                and timings[n] > prior[n]
             }
             # retry-confirm: single-shot timings flap ~1.3-1.5x on ~1s
             # queries (measured: every r05 flag A/B'd clean at steady
@@ -268,8 +312,10 @@ def main() -> None:
                 _clear_session_state(spark)
                 best = min(timings[n], retry)
                 r = best / prior[n]
-                if r > drift * REGRESSION_THRESHOLD and (
-                    best - prior[n] * drift > 0.25
+                if (
+                    r > drift * REGRESSION_THRESHOLD
+                    and best - prior[n] * drift > 0.25
+                    and best > prior[n]
                 ):
                     confirmed[n] = {
                         "prior": prior[n],

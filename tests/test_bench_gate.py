@@ -83,3 +83,17 @@ def test_prior_round_timings_parses_driver_wrapper(tmp_path, monkeypatch):
     )
     name, prior = bench._prior_round_timings()
     assert name == "BENCH_r02.json" and prior == {"q1": 1.5, "q2": 1.5}
+
+
+def test_methodology_detection(tmp_path, monkeypatch):
+    """Pre-round-6 artifacts (no methodology key) read as v1; current
+    LOCAL files carry the METHODOLOGY constant."""
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"queries": {"q1": 1.0}})
+    )
+    (tmp_path / "BENCH_LOCAL_r01.json").write_text(
+        json.dumps({"queries": {"q1": 1.0}, "methodology": 2})
+    )
+    assert bench._file_methodology(str(tmp_path / "BENCH_r01.json")) == 1
+    assert bench._file_methodology(str(tmp_path / "BENCH_LOCAL_r01.json")) == 2
+    assert bench._file_methodology(str(tmp_path / "missing.json")) == 1
