@@ -455,3 +455,42 @@ def test_single_table_commit_not_clobbered_by_recovery(spark, tmp_path):
         resolve_table_path(table_path(root, "curated", "dim"))
     )
     assert {r.v for r in live.select("v").distinct().collect()} == {"d-newer"}
+
+
+def test_commit_tables_concurrent_writers_serialize(spark, tmp_path):
+    """Two threads committing different table-set versions concurrently
+    (no CAS): the flock serializes the manifest flips, both manifests
+    are internally consistent, and the survivor is one writer's COMPLETE
+    set — never a blend."""
+    import threading
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path)
+    commit_tables(
+        {"fact": _dim(spark, "f0"), "dim": _dim(spark, "d0")}, root, "curated"
+    )
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        try:
+            barrier.wait(timeout=30)
+            commit_tables(
+                {"fact": _dim(spark, f"f{tag}"), "dim": _dim(spark, f"d{tag}")},
+                root, "curated",
+            )
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(t,)) for t in ("A", "B")]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    final = _read_set(spark, root)
+    assert final in (
+        {"fact": ["fA"], "dim": ["dA"]},
+        {"fact": ["fB"], "dim": ["dB"]},
+    ), f"blended set observed: {final}"
