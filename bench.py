@@ -202,6 +202,15 @@ def _file_methodology(path: str) -> int:
                 return int(candidate["methodology"])
             except (TypeError, ValueError):
                 return 1
+    # driver wrapper: the metric line lives (possibly truncated) in the
+    # stdout tail — scrape the key so a v2 driver file isn't misread as v1
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        import re
+
+        m = re.search(r'"methodology": (\d+)', tail)
+        if m:
+            return int(m.group(1))
     return 1
 
 

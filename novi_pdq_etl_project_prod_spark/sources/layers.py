@@ -698,14 +698,26 @@ def _roll_forward_table_pointers(root: str, layer: MedallionLayer | str) -> None
     durability-critical step."""
     for tbl, snap in read_manifest(root, layer).items():
         tpath = table_path(root, layer, tbl)
-        cur = current_snapshot(tpath)
-        cur_v = (
-            int(cur[len(_SNAPSHOT_PREFIX):]) if cur and cur.startswith(_SNAPSHOT_PREFIX) else 0
-        )
         new_v = int(snap[len(_SNAPSHOT_PREFIX):])
-        if new_v > cur_v:
-            _commit_pointer(tpath, snap)
+        # CAS loop: a single-table writer may commit between our version
+        # check and the flip; flipping blindly would roll ITS commit
+        # back. Re-read on conflict until the pointer is at or past the
+        # manifest's version.
+        while True:
+            cur = current_snapshot(tpath)
+            cur_v = (
+                int(cur[len(_SNAPSHOT_PREFIX):])
+                if cur and cur.startswith(_SNAPSHOT_PREFIX)
+                else 0
+            )
+            if new_v <= cur_v:
+                break
+            try:
+                _commit_pointer(tpath, snap, expected_base=cur)
+            except SnapshotConflictError:
+                continue
             _gc_stale_snapshots(tpath)
+            break
 
 
 def recover_manifest(root: str, layer: MedallionLayer | str) -> None:
