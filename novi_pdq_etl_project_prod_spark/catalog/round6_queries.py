@@ -147,12 +147,80 @@ FROM filled
 """
 
 
+# ---------------------------------------------------------------------------
+# M49 — mixture planner: per-source sampling rates from dup-adjusted
+# token accounting (m41) against a fixed per-source token budget. The
+# report a mixture run actually executes from: rate = min(1, budget /
+# unique_tokens) — duplication-adjusted so boilerplate-heavy sources
+# don't buy extra weight with copies. Pure arithmetic over a
+# source-cardinality aggregate; one double division per output row.
+# ---------------------------------------------------------------------------
+
+def m49_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dup_adjusted_token_stats,
+    )
+
+    budget = 50_000
+    docs = read_table(spark, sf_dir, "documents")
+    stats = dup_adjusted_token_stats(docs)
+    rate = F.when(F.col("unique_tokens") <= 0, F.lit(1.0)).otherwise(
+        F.least(
+            F.lit(1.0), F.lit(float(budget)) / F.col("unique_tokens")
+        )
+    )
+    return stats.select(
+        F.col("grp").alias("source"),
+        "n_unique_docs",
+        "unique_tokens",
+        rate.alias("sample_rate"),
+        F.least(F.lit(budget).cast("long"), F.col("unique_tokens")).alias(
+            "planned_tokens"
+        ),
+    ).orderBy("source")
+
+
+M49_SQL = """
+WITH base AS (
+  SELECT source AS grp, doc_id,
+         md5(lower(array_to_string(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+           ' '))) AS fp,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+marked AS (
+  SELECT grp, nt,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS rep
+  FROM base
+),
+stats AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN rep THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_docs,
+         CAST(SUM(CASE WHEN rep THEN nt ELSE 0 END) AS BIGINT) AS unique_tokens
+  FROM marked
+  GROUP BY grp
+)
+SELECT grp AS source,
+       n_unique_docs,
+       unique_tokens,
+       CASE WHEN unique_tokens <= 0 THEN 1.0
+            ELSE least(1.0, 50000.0 / unique_tokens) END AS sample_rate,
+       least(50000, unique_tokens)::BIGINT AS planned_tokens
+FROM stats
+ORDER BY source
+"""
+
+
 QUERIES = {
     "m47_bpe_token_count": m47_bpe_token_count,
     "m48_bpe_packing": m48_bpe_packing,
+    "m49_mixture_plan": m49_mixture_plan,
 }
 
 ORACLES = {
     "m47_bpe_token_count": M47_SQL,
     "m48_bpe_packing": M48_SQL,
+    "m49_mixture_plan": M49_SQL,
 }
