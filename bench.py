@@ -107,6 +107,7 @@ HEADLINE = [
     # round-6 additions
     "m47_bpe_token_count",
     "m48_bpe_packing",
+    "m49_mixture_plan",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
