@@ -213,14 +213,100 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# M50 — budgeted mixture EXECUTION: m49's planner rates applied to the
+# corpus in the same job, fully distributed (no driver-side rate dict).
+# The per-source rate joins on as a broadcast column (source-cardinality
+# table), and each doc keeps iff its content-addressed uniform —
+# md5("source:id") first 4 hex digits as an integer — clears
+# round(rate·65536). Same decision rule as ``mixture_sample``, expressed
+# distributively so plan → execute is ONE lineage, bit-reproducible
+# across engines, runs, and partitionings.
+# ---------------------------------------------------------------------------
+
+def m50_budgeted_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dup_adjusted_token_stats,
+    )
+
+    budget = 50_000
+    docs = read_table(spark, sf_dir, "documents")
+    stats = dup_adjusted_token_stats(docs)
+    rates = stats.select(
+        F.col("grp").alias("source"),
+        F.when(F.col("unique_tokens") <= 0, F.lit(1.0))
+        .otherwise(
+            F.least(F.lit(1.0), F.lit(float(budget)) / F.col("unique_tokens"))
+        )
+        .alias("_rate"),
+    )
+    rated = docs.select("doc_id", "source").join(
+        F.broadcast(rates), "source"
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id").cast("string"))),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keep = (F.col("_rate") >= 1.0) | (
+        u < F.round(F.col("_rate") * 65536, 0).cast("long")
+    )
+    return (
+        rated.where(keep)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+M50_SQL = """
+WITH base AS (
+  SELECT source AS grp, doc_id,
+         md5(lower(array_to_string(
+           list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+           ' '))) AS fp,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '')) AS nt
+  FROM documents
+),
+marked AS (
+  SELECT grp, nt,
+         row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1 AS rep
+  FROM base
+),
+rates AS (
+  SELECT grp AS source,
+         CASE WHEN SUM(CASE WHEN rep THEN nt ELSE 0 END) <= 0 THEN 1.0
+              ELSE least(1.0,
+                         50000.0 / SUM(CASE WHEN rep THEN nt ELSE 0 END))
+         END AS rate
+  FROM marked
+  GROUP BY grp
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN rates r ON d.source = r.source
+WHERE r.rate >= 1.0
+   OR CAST(('0x' || substr(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 4))
+           AS BIGINT)
+      < CAST(round(r.rate * 65536) AS BIGINT)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "m47_bpe_token_count": m47_bpe_token_count,
     "m48_bpe_packing": m48_bpe_packing,
     "m49_mixture_plan": m49_mixture_plan,
+    "m50_budgeted_mixture": m50_budgeted_mixture,
 }
 
 ORACLES = {
     "m47_bpe_token_count": M47_SQL,
     "m48_bpe_packing": M48_SQL,
     "m49_mixture_plan": M49_SQL,
+    "m50_budgeted_mixture": M50_SQL,
 }
