@@ -108,6 +108,7 @@ HEADLINE = [
     "m47_bpe_token_count",
     "m48_bpe_packing",
     "m49_mixture_plan",
+    "m50_budgeted_mixture",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
