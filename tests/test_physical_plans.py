@@ -186,3 +186,42 @@ def test_dynamic_partition_pruning_on_month_layout(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     # and the result is correct: exactly the three chosen months survive
     assert joined.count() == 3
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed tables join with NO shuffle on either side — the
+    bucketing leg of the 100 TB story (SURVEY §7.1). Also value-checks
+    the join against the plain (shuffling) equivalent."""
+    from pyspark.sql import functions as F
+
+    from novi_pdq_etl_project_prod_spark.sources.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    fact = spark.range(10_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    dim = spark.range(500).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("name")
+    )
+    write_bucketed(fact, "bkt_fact", ["k"], n_buckets=8, sort_cols=["k"])
+    write_bucketed(dim, "bkt_dim", ["k"], n_buckets=8, sort_cols=["k"])
+    # disable auto-broadcast: at test size Spark would broadcast the dim
+    # (also shuffle-free, but then the bucketed layout isn't what's being
+    # proven); at the 100 TB regime this join is fact⋈fact-sized where
+    # broadcast isn't on the table
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "bkt_fact", "bkt_dim", ["k"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # values identical to the plain join
+        expect = fact.join(dim, "k").count()
+        assert joined.count() == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS bkt_fact")
+        spark.sql("DROP TABLE IF EXISTS bkt_dim")
