@@ -109,6 +109,8 @@ HEADLINE = [
     "m48_bpe_packing",
     "m49_mixture_plan",
     "m50_budgeted_mixture",
+    "m51_shard_manifest",
+    "m52_contamination_report",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -297,11 +297,164 @@ ORDER BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M51 — shard manifest: the output stage of the packing pipeline. Packs
+# are assigned to a fixed shard count by a content-addressed hash of the
+# pack id (stable across runs/partitionings/engines), and the manifest
+# carries per-shard doc/pack/token totals plus an order-independent
+# integer checksum — what a training loader verifies before reading a
+# single byte. One narrow agg over (doc_id, pack_id, n_tokens) rows.
+# ---------------------------------------------------------------------------
+
+def m51_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.packing import pack_sequences
+    from novi_pdq_etl_project_prod_spark.operators.text import token_count
+
+    n_shards = 16
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count("text").alias("tok"))
+    packed = pack_sequences(
+        sized, id_col="doc_id", token_count="tok", budget=512,
+        bucket_hex_chars=2,
+    )
+    shard = (
+        F.conv(F.substring(F.md5(F.col("pack_id")), 1, 8), 16, 10)
+        .cast("long") % n_shards
+    )
+    doc_sig = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        packed.select(
+            shard.alias("shard_id"),
+            "pack_id",
+            "n_tokens",
+            doc_sig.alias("_sig"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("pack_id").alias("n_packs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("_sig").alias("checksum"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+M51_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+           AS n_tokens,
+         substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+  FROM documents
+),
+filled AS (
+  SELECT doc_id, n_tokens, bucket,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM tok
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         bucket || '-' || CAST(((cum_tokens - n_tokens) // 512) AS VARCHAR)
+           AS pack_id
+  FROM filled
+)
+SELECT CAST(('0x' || substr(md5(pack_id), 1, 8)) AS BIGINT) % 16 AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT)) AS BIGINT) AS checksum
+FROM packed
+GROUP BY 1
+ORDER BY shard_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M52 — contamination report: m19's train×eval 3-gram overlap pairs
+# reduced to the per-source rate a dataset card publishes (share of
+# train docs sharing ≥2 distinct grams with the held-out split).
+# ---------------------------------------------------------------------------
+
+def m52_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        contamination_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    pairs = contamination_pairs(train, ev, n=3, min_overlap=2)
+    hits = (
+        pairs.select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        train.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_train_docs"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("long").alias(
+                "n_contaminated"
+            ),
+            (
+                F.coalesce(F.sum("__hit"), F.lit(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+M52_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+pairs AS (
+  SELECT tr.doc_id AS train_id
+  FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) tr
+  JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) ev ON tr.sh = ev.sh
+  GROUP BY tr.doc_id, ev.doc_id
+  HAVING COUNT(*) >= 2
+),
+hits AS (SELECT DISTINCT train_id FROM pairs)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+       CAST(SUM(CASE WHEN h.train_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       SUM(CASE WHEN h.train_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         / COUNT(*) AS contamination_rate
+FROM documents d
+LEFT JOIN hits h ON d.doc_id = h.train_id
+WHERE d.doc_id % 97 <> 0
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 QUERIES = {
     "m47_bpe_token_count": m47_bpe_token_count,
     "m48_bpe_packing": m48_bpe_packing,
     "m49_mixture_plan": m49_mixture_plan,
     "m50_budgeted_mixture": m50_budgeted_mixture,
+    "m51_shard_manifest": m51_shard_manifest,
+    "m52_contamination_report": m52_contamination_report,
 }
 
 ORACLES = {
@@ -309,4 +462,6 @@ ORACLES = {
     "m48_bpe_packing": M48_SQL,
     "m49_mixture_plan": M49_SQL,
     "m50_budgeted_mixture": M50_SQL,
+    "m51_shard_manifest": M51_SQL,
+    "m52_contamination_report": M52_SQL,
 }
