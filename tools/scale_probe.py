@@ -542,7 +542,9 @@ def main_r6(k: int) -> None:
     spark = get_spark(app_name="scale_probe_r6")
     docs_dir = tempfile.mkdtemp(prefix=f"r6doc{k}_")
     replicate_docs_distinct(spark, docs_dir, k)
-    probe = ["m47_bpe_token_count", "m42_curation_v2"]
+    probe = ["m47_bpe_token_count", "m42_curation_v2",
+             "m48_bpe_packing", "m50_budgeted_mixture",
+             "m51_shard_manifest", "m52_contamination_report"]
     results = {}
     for sf_label, sf_dir in (("sf0.1", SRC), (f"docs x{k}", scaled_dir := docs_dir)):
         timings = {}
