@@ -448,7 +448,47 @@ ORDER BY d.source
 """
 
 
+# ---------------------------------------------------------------------------
+# F11 — bitwise scalar surface: AND/OR/XOR, shifts, population count.
+# Bit tricks are the bread and butter of hash partitioners, bucket
+# routers, bloom-filter probes, and flag columns — exact integer ops,
+# so parity is bit-for-bit by construction. Row-local; scan-bound.
+# ---------------------------------------------------------------------------
+
+def f11_bitwise_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        o.where(k < 1000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(255)).alias("xored"),
+            F.shiftleft(k, 3).alias("shl3"),
+            F.shiftright(k, 2).alias("shr2"),
+            F.bit_count(k).alias("popcount"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+F11_SQL = """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 4096 AS with_flag,
+       xor(o_orderkey, 255) AS xored,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       CAST(bit_count(o_orderkey::BIGINT) AS INT) AS popcount
+FROM orders
+WHERE o_orderkey < 1000
+ORDER BY o_orderkey
+"""
+
+
 QUERIES = {
+    "f11_bitwise_surface": f11_bitwise_surface,
     "m47_bpe_token_count": m47_bpe_token_count,
     "m48_bpe_packing": m48_bpe_packing,
     "m49_mixture_plan": m49_mixture_plan,
@@ -458,6 +498,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "f11_bitwise_surface": F11_SQL,
     "m47_bpe_token_count": M47_SQL,
     "m48_bpe_packing": M48_SQL,
     "m49_mixture_plan": M49_SQL,
