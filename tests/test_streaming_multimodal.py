@@ -568,3 +568,53 @@ def test_stream_apply_changes_honors_tombstones(spark, tmp_path):
         ).collect()
     }
     assert snap2 == snap
+
+
+def test_stream_to_star_schema_atomic_fact_dim(spark, tmp_path):
+    """Two micro-batches of order events: the dim ends latest-wins, the
+    fact aggregate equals the batch recompute, and BOTH come from one
+    manifest (set-consistent read path of the cross-table commit)."""
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_to_star_schema,
+    )
+
+    updates_dir = str(tmp_path / "orders")
+    day1 = spark.createDataFrame(
+        [(1, "alice", 10, 100.0), (2, "bob", 10, 40.0), (1, "alice", 10, 5.0)],
+        "uid int, name string, ver int, amount double",
+    )
+    day2 = spark.createDataFrame(
+        [(2, "bobby", 20, 60.0), (3, "carol", 20, 7.0)],
+        "uid int, name string, ver int, amount double",
+    )
+    day1.coalesce(1).write.mode("append").parquet(updates_dir)
+    _time.sleep(1.1)
+    day2.coalesce(1).write.mode("append").parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema("uid int, name string, ver int, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    stream_to_star_schema(
+        stream, root, "fact_user_totals", "dim_user",
+        dim_pk=("uid",), dim_cols=("name",), order_col="ver",
+        measure_cols=("amount",), checkpoint_dir=str(tmp_path / "chk"),
+    )
+    tables = read_manifest_tables(spark, root, "curated")
+    assert set(tables) == {"fact_user_totals", "dim_user"}
+    dim = {r.uid: r.name for r in tables["dim_user"].collect()}
+    assert dim == {1: "alice", 2: "bobby", 3: "carol"}
+    fact = {r.uid: r.amount for r in tables["fact_user_totals"].collect()}
+    assert fact == {1: 105.0, 2: 100.0, 3: 7.0}
+    # every fact key resolves in the SAME manifest's dim — never torn
+    assert set(fact) <= set(dim)
+    # two micro-batches ⇒ two manifest versions, both internally complete
+    assert len(read_manifest(root, "curated")) == 2
