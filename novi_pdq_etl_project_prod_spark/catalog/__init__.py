@@ -22,6 +22,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round5_queries,
     round5c_queries,
     round6_queries,
+    round6b_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -41,6 +42,7 @@ for _mod in (
     round5_queries,
     round5c_queries,
     round6_queries,
+    round6b_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

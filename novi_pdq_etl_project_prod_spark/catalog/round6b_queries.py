@@ -1,0 +1,286 @@
+"""Round-6b catalog additions — robust statistics, sequential smoothing,
+mergeable sketches, and schema-invariant audits.
+
+- ``d18`` grouped exponential moving average: the sequential recurrence
+  SQL window frames can't express, folded JVM-side per key
+  (``timeseries.grouped_ema``) and certified against a DuckDB
+  recursive-CTE walk of the identical recurrence.
+- ``d19`` MAD robust outliers (50% breakdown point — the gate that
+  still works when half the data is corrupt), exact cross-engine via
+  the certified d11 percentile-interpolation pattern.
+- ``d20``/``d21`` K-Minimum-Values distinct sketch: deterministic
+  md5-register bottom-k (``operators.sketches``), estimate + exact
+  register state, and a shard-merge query certifying the mergeability
+  law min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B) bit-for-bit — the
+  partial-aggregation contract that lets per-day sketches answer
+  "distinct users this quarter" without rescanning 100 TB.
+- ``dq10`` functional-dependency audit: which assumed key→attribute
+  invariants actually hold (the reference's grain-uniqueness gate,
+  generalized to arbitrary candidate FDs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.quality import fd_violation_report
+from novi_pdq_etl_project_prod_spark.operators.sketches import (
+    HASH_DOMAIN,
+    kmv_estimate,
+    kmv_merge,
+    kmv_sketch,
+)
+from novi_pdq_etl_project_prod_spark.operators.stats import mad_outlier_summary
+from novi_pdq_etl_project_prod_spark.operators.timeseries import grouped_ema
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+
+# ---------------------------------------------------------------------------
+# D18 — EMA of monthly national revenue. One shuffle to (nation, month)
+# grain, then a row-local left fold per nation; the oracle replays the
+# recurrence as a recursive CTE. alpha = 0.25 (exact binary) so both
+# engines' correctly-rounded doubles agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def d18_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .withColumn(
+            "yyyymm",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int"),
+        )
+        .groupBy("n_name", "yyyymm")
+        .agg(F.sum(cents).alias("__cents"))
+        .select("n_name", "yyyymm", (F.col("__cents") / F.lit(100.0)).alias("rev"))
+    )
+    return grouped_ema(
+        monthly, ["n_name"], "yyyymm", "rev", alpha=0.25
+    ).orderBy("n_name", "rn")
+
+
+D18_SQL = """
+WITH RECURSIVE monthly AS (
+  SELECT n_name,
+         CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) AS yyyymm,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT n_name, yyyymm, rev,
+         CAST(row_number() OVER (PARTITION BY n_name ORDER BY yyyymm) AS INTEGER) AS rn
+  FROM monthly
+),
+e(n_name, rn, yyyymm, rev, ema) AS (
+  SELECT n_name, rn, yyyymm, rev, rev FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.n_name, s.rn, s.yyyymm, s.rev, 0.25 * s.rev + 0.75 * e.ema
+  FROM seq s JOIN e ON s.n_name = e.n_name AND s.rn = e.rn + 1
+)
+SELECT n_name, rn, yyyymm, rev, ema FROM e ORDER BY n_name, rn
+"""
+
+
+# ---------------------------------------------------------------------------
+# D19 — MAD robust outliers per return flag. Two percentile shuffles +
+# two broadcast joins of group-cardinality tables.
+# ---------------------------------------------------------------------------
+
+def d19_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        mad_outlier_summary(li, ["l_returnflag"], "l_extendedprice", k=3.0)
+        .select(
+            "l_returnflag",
+            F.col("med").alias("med_price"),
+            F.col("mad").alias("mad_price"),
+            "n_rows",
+            "n_outliers",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+D19_SQL = """
+WITH med AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS med_price,
+         count(*) AS n_rows
+  FROM lineitem GROUP BY 1
+),
+dev AS (
+  SELECT m.l_returnflag, m.med_price, m.n_rows,
+         abs(CAST(l.l_extendedprice AS DOUBLE) - m.med_price) AS adev
+  FROM lineitem l JOIN med m ON l.l_returnflag = m.l_returnflag
+),
+mad AS (
+  SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad_price
+  FROM dev GROUP BY 1
+)
+SELECT d.l_returnflag,
+       any_value(d.med_price) AS med_price,
+       any_value(ma.mad_price) AS mad_price,
+       any_value(d.n_rows) AS n_rows,
+       CAST(count(*) FILTER (WHERE d.adev > 3.0 * ma.mad_price) AS BIGINT)
+         AS n_outliers
+FROM dev d JOIN mad ma ON d.l_returnflag = ma.l_returnflag
+GROUP BY d.l_returnflag
+ORDER BY d.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# D20 — KMV distinct sketch vs truth. The estimate column is pure
+# IEEE-double arithmetic over integer register state, so it certifies
+# bit-for-bit despite being an approximation of true_distinct.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SCALE = float((_KMV_K - 1) * HASH_DOMAIN)
+
+
+def d20_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, "l_partkey", ["l_returnflag"], k=_KMV_K)
+    est = kmv_estimate(sk, ["l_returnflag"], k=_KMV_K)
+    true = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("true_distinct")
+    )
+    return est.join(true, "l_returnflag").orderBy("l_returnflag")
+
+
+_KMV_SKETCH_CTE = f"""
+vals AS (
+  SELECT DISTINCT l_returnflag, CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+),
+h AS (
+  SELECT l_returnflag,
+         CAST(('0x' || substr(md5('kmv:' || v), 1, 15)) AS BIGINT) AS h
+  FROM vals
+),
+rk AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+  FROM h
+),
+sk AS (
+  SELECT l_returnflag,
+         count(*) AS n_kept,
+         max(h) AS kth_hash,
+         CASE WHEN count(*) < {_KMV_K} THEN CAST(count(*) AS DOUBLE)
+              ELSE {int(_KMV_SCALE)}.0 / CAST(max(h) AS DOUBLE) END
+           AS est_distinct
+  FROM rk WHERE rk <= {_KMV_K} GROUP BY l_returnflag
+)"""
+
+D20_SQL = f"""
+WITH {_KMV_SKETCH_CTE},
+t AS (
+  SELECT l_returnflag, count(DISTINCT l_partkey) AS true_distinct
+  FROM lineitem GROUP BY 1
+)
+SELECT sk.l_returnflag, n_kept, kth_hash, est_distinct, true_distinct
+FROM sk JOIN t USING (l_returnflag)
+ORDER BY sk.l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# D21 — sketch mergeability, certified. Four disjoint shards each build
+# their own bottom-k; the merged sketch must equal the direct sketch of
+# the union EXACTLY (min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B)), so the
+# oracle computes the direct sketch and the hash comparison proves the
+# merge law — the property that lets per-shard/per-day sketches roll up
+# without rescanning history.
+# ---------------------------------------------------------------------------
+
+def d21_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").withColumn(
+        "__shard", F.pmod(F.col("l_orderkey"), F.lit(4))
+    )
+    # One pass builds every shard's sketch (shard id is just an extra
+    # group key — the per-day/per-file pattern at scale), then the merge
+    # collapses shards per group. No re-scan per shard.
+    shard_sk = kmv_sketch(li, "l_partkey", ["l_returnflag", "__shard"], k=_KMV_K)
+    merged = kmv_merge(shard_sk, ["l_returnflag"], k=_KMV_K)
+    return kmv_estimate(merged, ["l_returnflag"], k=_KMV_K).orderBy("l_returnflag")
+
+
+D21_SQL = f"""
+WITH {_KMV_SKETCH_CTE}
+SELECT l_returnflag, n_kept, kth_hash, est_distinct
+FROM sk ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# DQ10 — functional-dependency audit over orders + lineitem: two FDs
+# that hold by construction (key → attribute) and two plausible-looking
+# ones that don't. One count-distinct hash-agg per FD, 4-row output.
+# ---------------------------------------------------------------------------
+
+def dq10_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    rep_o = fd_violation_report(
+        orders,
+        [
+            ("o_orderkey->o_custkey", ["o_orderkey"], "o_custkey"),
+            ("o_custkey->o_orderpriority", ["o_custkey"], "o_orderpriority"),
+        ],
+    )
+    rep_l = fd_violation_report(
+        li,
+        [
+            ("l_orderkey->l_returnflag", ["l_orderkey"], "l_returnflag"),
+            ("l_partkey->l_suppkey", ["l_partkey"], "l_suppkey"),
+        ],
+    )
+    return rep_o.unionByName(rep_l).orderBy("fd")
+
+
+def _fd_sql(fd: str, table: str, det: str, dep: str) -> str:
+    return f"""
+SELECT '{fd}' AS fd,
+       count(*) AS n_keys,
+       CAST(count(*) FILTER (WHERE b > 1) AS BIGINT) AS n_violating_keys,
+       max(b) AS max_branching
+FROM (SELECT {det}, count(DISTINCT {dep}) AS b FROM {table} GROUP BY {det})
+"""
+
+
+DQ10_SQL = (
+    _fd_sql("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey")
+    + " UNION ALL "
+    + _fd_sql("o_custkey->o_orderpriority", "orders", "o_custkey", "o_orderpriority")
+    + " UNION ALL "
+    + _fd_sql("l_orderkey->l_returnflag", "lineitem", "l_orderkey", "l_returnflag")
+    + " UNION ALL "
+    + _fd_sql("l_partkey->l_suppkey", "lineitem", "l_partkey", "l_suppkey")
+    + " ORDER BY fd"
+)
+
+
+QUERIES = {
+    "d18_ema": d18_ema,
+    "d19_mad_outliers": d19_mad_outliers,
+    "d20_kmv_distinct": d20_kmv_distinct,
+    "d21_kmv_merge": d21_kmv_merge,
+    "dq10_fd_violations": dq10_fd_violations,
+}
+
+ORACLES = {
+    "d18_ema": D18_SQL,
+    "d19_mad_outliers": D19_SQL,
+    "d20_kmv_distinct": D20_SQL,
+    "d21_kmv_merge": D21_SQL,
+    "dq10_fd_violations": DQ10_SQL,
+}

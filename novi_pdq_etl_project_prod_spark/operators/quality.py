@@ -211,3 +211,52 @@ def grouped_table_checksum(
             F.bit_xor("_h2").alias("xor_lo"),
         )
     )
+
+
+def fd_violation_report(
+    df: DataFrame,
+    fds: Sequence[tuple[str, Sequence[str], str]],
+) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD
+    ``determinant -> dependent``, does every determinant key map to
+    exactly one dependent value?
+
+    ``fds`` is a list of ``(fd_name, determinant_cols, dependent_col)``.
+    Output: one row per FD — ``fd``, ``n_keys`` (distinct determinant
+    keys), ``n_violating_keys`` (keys with >1 distinct dependent),
+    ``max_branching`` (worst key's distinct-dependent count). An FD
+    holds iff ``n_violating_keys = 0``.
+
+    This is the schema-inference / grain-discovery primitive the
+    reference's grain-uniqueness gate (``dags/pdq_etl_dag.py:254``)
+    special-cases: uniqueness of (entity, month) is the FD
+    ``(entity, month) -> rowid``. Declared here over arbitrary columns
+    it audits *assumed* model invariants (does ``order -> customer``
+    really hold after a bad backfill?) before they become silently
+    wrong joins.
+
+    Scale shape: per FD one ``count_distinct`` hash-aggregate keyed on
+    the determinant (two-phase, map-side partials) followed by an
+    all-reduce to 1 row; the per-FD branches union into one tiny
+    result. No joins, no row-level output — safe to run on the full
+    fact at any scale.
+    """
+    reports = []
+    for fd_name, det, dep in fds:
+        per_key = df.groupBy(*det).agg(
+            F.count_distinct(F.col(dep)).alias("__branch")
+        )
+        reports.append(
+            per_key.agg(
+                F.lit(fd_name).alias("fd"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("__branch") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating_keys"),
+                F.max("__branch").alias("max_branching"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

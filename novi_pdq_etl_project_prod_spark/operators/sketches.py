@@ -1,0 +1,115 @@
+"""Mergeable distinct-count sketches (K-Minimum-Values).
+
+The reference pipeline reports exact distinct counts per run
+(``/root/reference/dags/pdq_etl_dag.py`` quality gates); at 100 TB an
+exact global ``COUNT(DISTINCT)`` per dashboard refresh is a full
+shuffle of every distinct value. A KMV sketch [Bar-Yossef et al. 2002,
+"Counting distinct elements in a data stream"] keeps only the k
+smallest hash values per group:
+
+- **bounded state**: k rows per group, independent of cardinality;
+- **mergeable**: the bottom-k of a union equals the bottom-k of the
+  concatenated per-partition bottom-k's — so sketches built per shard /
+  per day / per micro-batch combine without rescanning history (the
+  same partial-aggregation contract Spark's own ``approx_count_distinct``
+  HLL uses, but with an *exactly reproducible* register set);
+- **deterministic**: the hash is the first 15 hex digits of
+  ``md5(salt:value)`` read as a 60-bit integer — a pure function of the
+  value, so Spark and the DuckDB oracle agree on every register
+  bit-for-bit (same idiom as ``multimodal.pps_sample``).
+
+Estimator: with h_(k) the k-th smallest of n uniform hashes on
+[0, M), E[h_(k)] = k·M/(n+1), so ``n ≈ (k-1)·M / h_(k)`` (the
+unbiased form). When a group holds fewer than k distinct values the
+sketch IS the distinct set and the count is exact.
+
+Scale shape: one hash-aggregate dedupes (group, value) with map-side
+combine, then bottom-k runs in two stages — per (group, hash-bucket)
+then per group — so no single task ever sorts a whole group's distinct
+set. Output is k rows per group: thousands of rows total at any data
+scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Hash domain: 15 hex digits = 60 bits.
+HASH_DOMAIN = 16**15
+
+#: Pre-aggregation fan-out for the bottom-k (stage-1 partition count per
+#: group). 64 buckets keeps stage-1 sorts at ~1/64 of a group's distinct
+#: set while stage 2 sorts at most 64·k survivors.
+_N_BUCKETS = 64
+
+
+def kmv_hash(value: Column, salt: str = "kmv") -> Column:
+    """60-bit deterministic uniform hash of ``value`` (stringified)."""
+    hx = F.substring(F.md5(F.concat_ws(":", F.lit(salt), value.cast("string"))), 1, 15)
+    return F.conv(hx, 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Bottom-``k`` hash registers per group: ``group_cols + [h]``.
+
+    Two-stage bottom-k so the per-group sort never sees the full
+    distinct set: stage 1 keeps k per (group, h mod 64) — each a
+    ~1/64 slice — stage 2 keeps k of the ≤ 64·k survivors.
+    """
+    hashed = (
+        df.select(*group_cols, F.col(value_col).cast("string").alias("__v"))
+        .distinct()
+        .select(*group_cols, kmv_hash(F.col("__v"), salt).alias("h"))
+    )
+    bucket = F.pmod(F.col("h"), F.lit(_N_BUCKETS))
+    w1 = Window.partitionBy(*group_cols, bucket).orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= k)
+        .drop("__r1", "__r2")
+    )
+
+
+def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Merge sketch rows (a union of per-shard ``kmv_sketch`` outputs)
+    back to one bottom-k per group. Exact: min-k(min-k(A) ∪ min-k(B))
+    = min-k(A ∪ B). Duplicate registers (the same value seen by two
+    shards hashes identically) collapse via ``distinct`` first.
+    """
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        sketches.select(*group_cols, "h")
+        .distinct()
+        .withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
+    """Distinct-count estimate per group from sketch rows.
+
+    Emits the register summary (``n_kept``, ``kth_hash``) alongside the
+    estimate so downstream merges / audits keep the exact state, not
+    just the rounded scalar. ``est_distinct`` is computed in double —
+    both engines evaluate the identical correctly-rounded IEEE
+    expression, so the oracle matches bit-for-bit.
+    """
+    scale = float((k - 1) * HASH_DOMAIN)  # exactly representable: (k-1)·2^60
+    return sketch.groupBy(*group_cols).agg(
+        F.count("h").alias("n_kept"),
+        F.max("h").alias("kth_hash"),
+        F.when(F.count("h") < k, F.count("h").cast("double"))
+        .otherwise(F.lit(scale) / F.max("h").cast("double"))
+        .alias("est_distinct"),
+    )

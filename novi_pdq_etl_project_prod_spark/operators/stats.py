@@ -581,3 +581,53 @@ def poisson_bootstrap_means(
             ).alias("mean"),
         )
     )
+
+
+def mad_outlier_summary(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure: Column | str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier audit per group via Median Absolute Deviation:
+    ``med = median(x)``, ``mad = median(|x - med|)``, and a row is an
+    outlier when ``|x - med| > k * mad``.
+
+    MAD is the robust complement to the Tukey fences
+    (:func:`iqr_outlier_summary`) and to mean/stddev z-scores
+    (:func:`zscore_outliers`): its breakdown point is 50%, so it stays
+    meaningful when up to half the rows are already corrupt — the
+    situation where a mean-based gate silently widens to accept the
+    garbage it should flag.
+
+    Three bounded stages: an exact-``percentile`` aggregate per key
+    (the certified d11 pattern — interpolation matches DuckDB's
+    ``quantile_cont`` on DOUBLE bit-for-bit), a broadcast join of the
+    tiny median table back onto the rows for deviations plus a second
+    percentile aggregate for the MAD, and a final broadcast join +
+    count. Group cardinality bounds both join tables, so every join is
+    broadcast at any data scale; the rows shuffle twice (the two
+    per-key percentile sorts), never more.
+    """
+    m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
+    med = df.groupBy(*keys).agg(
+        F.percentile(m, F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    dev = df.join(F.broadcast(med), list(keys)).select(
+        *keys, "med", "n_rows", F.abs(m - F.col("med")).alias("__adev")
+    )
+    mad = dev.groupBy(*keys, "med", "n_rows").agg(
+        F.percentile(F.col("__adev"), F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad.select(*keys, "mad")), list(keys))
+        .groupBy(*keys, "med", "mad", "n_rows")
+        .agg(
+            F.sum(
+                F.when(F.col("__adev") > F.lit(float(k)) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

@@ -128,3 +128,66 @@ def gap_fill_monthly(
         *filled,
         is_filled.alias("is_filled"),
     )
+
+
+def grouped_ema(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    alpha: float = 0.25,
+) -> DataFrame:
+    """Exponential moving average per key over an ordered series:
+    ``ema_1 = x_1``, ``ema_t = alpha*x_t + (1-alpha)*ema_{t-1}``.
+
+    The recurrence is inherently sequential, which SQL window frames
+    can't express directly (every frame aggregate is associative; EMA
+    isn't) and the closed-form ``sum(x_i * a^(t-i))`` overflows for
+    long series. Instead each key's series is gathered once
+    (``sort_array(collect_list)``) and folded left-to-right with the
+    ``aggregate`` higher-order function — pure JVM expressions, no
+    Python, one shuffle (the groupBy). The DuckDB oracle walks the
+    identical recurrence as a recursive CTE; both engines evaluate
+    ``alpha*x + (1-alpha)*prev`` in correctly-rounded IEEE doubles in
+    the same order, so results match bit-for-bit (catalog query d18).
+
+    Scale shape: per-key state is the series length — bounded by the
+    time span (e.g. months), not by input rows; the heavy reduction
+    from raw rows to (key, period) happens upstream. Keys distribute
+    across the cluster; a fold over a few hundred periods is
+    row-local work. Use ``alpha`` with an exact binary representation
+    (0.25, 0.5, 0.125) when cross-engine bit-equality matters.
+    """
+    seq = df.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(order_col).alias("o"),
+                    F.col(value_col).cast("double").alias("v"),
+                )
+            )
+        ).alias("__seq")
+    )
+    fold = F.aggregate(
+        F.col("__seq"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, x["v"]).otherwise(
+                    F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    return (
+        seq.withColumn("__ema", fold)
+        .select(*keys, F.posexplode(F.arrays_zip("__seq", "__ema")).alias("__i", "__z"))
+        .select(
+            *keys,
+            (F.col("__i") + 1).alias("rn"),
+            F.col("__z.__seq.o").alias(order_col),
+            F.col("__z.__seq.v").alias(value_col),
+            F.col("__z.__ema").alias("ema"),
+        )
+    )

@@ -1,0 +1,166 @@
+"""Operator-level invariants for the round-6b additions (sketches, EMA,
+MAD, FD audit) on synthetic frames — properties the SQL oracle can't
+state directly (merge law under arbitrary sharding, robustness under
+contamination, EMA vs an independent Python model)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.quality import fd_violation_report
+from novi_pdq_etl_project_prod_spark.operators.sketches import (
+    HASH_DOMAIN,
+    kmv_estimate,
+    kmv_hash,
+    kmv_merge,
+    kmv_sketch,
+)
+from novi_pdq_etl_project_prod_spark.operators.stats import mad_outlier_summary
+from novi_pdq_etl_project_prod_spark.operators.timeseries import grouped_ema
+
+
+def _py_kmv_hash(v: str, salt: str = "kmv") -> int:
+    return int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+def test_kmv_hash_matches_python_model(spark):
+    df = spark.createDataFrame([(str(i),) for i in range(20)], ["v"])
+    got = {
+        r["v"]: r["h"]
+        for r in df.select("v", kmv_hash(F.col("v")).alias("h")).collect()
+    }
+    for v, h in got.items():
+        assert h == _py_kmv_hash(v)
+        assert 0 <= h < HASH_DOMAIN
+
+
+def test_kmv_sketch_is_exact_bottom_k(spark):
+    rows = [("g", str(i)) for i in range(500)] * 2  # duplicates collapse
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    sk = kmv_sketch(df, "v", ["grp"], k=32)
+    got = sorted(r["h"] for r in sk.collect())
+    want = sorted(_py_kmv_hash(str(i)) for i in range(500))[:32]
+    assert got == want
+
+
+def test_kmv_merge_law_arbitrary_sharding(spark):
+    """min-k of per-shard min-k's == min-k of the union, for a sharding
+    the oracle never sees (by value hash parity, 3 ways)."""
+    rows = [("g", str(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, ["grp", "v"])
+    direct = kmv_sketch(df, "v", ["grp"], k=16)
+    shards = [
+        kmv_sketch(
+            df.where(F.crc32(F.col("v")) % 3 == i), "v", ["grp"], k=16
+        )
+        for i in range(3)
+    ]
+    union = shards[0]
+    for s in shards[1:]:
+        union = union.unionByName(s)
+    merged = kmv_merge(union, ["grp"], k=16)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+
+
+def test_kmv_estimate_exact_when_small_and_close_when_large(spark):
+    small = spark.createDataFrame([("a", str(i)) for i in range(10)], ["grp", "v"])
+    row = kmv_estimate(kmv_sketch(small, "v", ["grp"], k=64), ["grp"], k=64).first()
+    assert row["n_kept"] == 10 and row["est_distinct"] == 10.0
+    big = spark.createDataFrame([("a", str(i)) for i in range(5000)], ["grp", "v"])
+    est = kmv_estimate(kmv_sketch(big, "v", ["grp"], k=256), ["grp"], k=256).first()
+    assert est["est_distinct"] == pytest.approx(5000, rel=0.15)
+
+
+# ---------------------------------------------------------------------------
+# EMA
+# ---------------------------------------------------------------------------
+
+def test_grouped_ema_matches_python_fold(spark):
+    vals = [3.0, 1.0, 4.0, 1.5, 9.0, 2.5]
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)]
+        + [("other", 0, 100.0)],
+        ["key", "t", "x"],
+    )
+    out = {
+        r["rn"]: r["ema"]
+        for r in grouped_ema(df, ["key"], "t", "x", alpha=0.25)
+        .where(F.col("key") == "k")
+        .collect()
+    }
+    ema = vals[0]
+    model = {1: ema}
+    for i, v in enumerate(vals[1:], start=2):
+        ema = 0.25 * v + 0.75 * ema
+        model[i] = ema
+    assert out == model  # bit-exact: same fold order, same doubles
+
+
+def test_grouped_ema_partition_invariant(spark):
+    df = spark.createDataFrame(
+        [("k", i, float((i * 37) % 11)) for i in range(200)], ["key", "t", "x"]
+    )
+    a = grouped_ema(df.repartition(1), ["key"], "t", "x").collect()
+    b = grouped_ema(df.repartition(17, "x"), ["key"], "t", "x").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# MAD
+# ---------------------------------------------------------------------------
+
+def test_mad_resists_contamination_where_zscore_would_not(spark):
+    """40% wild contamination: the MAD gate still flags exactly the
+    planted rows (median/MAD barely move), demonstrating the 50%
+    breakdown point that motivates the operator."""
+    clean = [("g", 100.0 + (i % 7)) for i in range(60)]
+    poison = [("g", 1e9 + i) for i in range(40)]
+    df = spark.createDataFrame(clean + poison, ["grp", "x"])
+    row = mad_outlier_summary(df, ["grp"], "x", k=3.0).first()
+    assert row["n_rows"] == 100
+    assert row["n_outliers"] == 40
+    assert 100.0 <= row["med"] <= 107.0
+    assert row["mad"] <= 7.0
+
+
+def test_mad_zero_for_constant_groups(spark):
+    df = spark.createDataFrame([("g", 5.0)] * 8 + [("h", 1.0), ("h", 3.0)], ["grp", "x"])
+    rows = {r["grp"]: r for r in mad_outlier_summary(df, ["grp"], "x").collect()}
+    assert rows["g"]["mad"] == 0.0 and rows["g"]["n_outliers"] == 0
+    assert rows["h"]["med"] == 2.0 and rows["h"]["mad"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# FD audit
+# ---------------------------------------------------------------------------
+
+def test_fd_violation_report(spark):
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (1, "a", "y"), (2, "b", "x"), (3, "a", "x")],
+        ["k", "attr", "other"],
+    )
+    rep = {
+        r["fd"]: r
+        for r in fd_violation_report(
+            df,
+            [
+                ("k->attr", ["k"], "attr"),  # holds: every k maps to one attr
+                ("k->other", ["k"], "other"),  # violated by k=1
+                ("attr->k", ["attr"], "k"),  # violated by attr='a' (k in 1,3)
+            ],
+        ).collect()
+    }
+    assert rep["k->attr"]["n_violating_keys"] == 0
+    assert rep["k->attr"]["n_keys"] == 3
+    assert rep["k->other"]["n_violating_keys"] == 1
+    assert rep["k->other"]["max_branching"] == 2
+    assert rep["attr->k"]["n_violating_keys"] == 1
