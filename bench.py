@@ -111,6 +111,12 @@ HEADLINE = [
     "m50_budgeted_mixture",
     "m51_shard_manifest",
     "m52_contamination_report",
+    # round-6b additions
+    "d18_ema",
+    "d19_mad_outliers",
+    "d20_kmv_distinct",
+    "d21_kmv_merge",
+    "dq10_fd_violations",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
