@@ -116,6 +116,7 @@ HEADLINE = [
     "d19_mad_outliers",
     "d20_kmv_distinct",
     "d21_kmv_merge",
+    "d22_kmv_set_overlap",
     "dq10_fd_violations",
 ]
 

@@ -29,6 +29,7 @@ from novi_pdq_etl_project_prod_spark.operators.sketches import (
     HASH_DOMAIN,
     kmv_estimate,
     kmv_merge,
+    kmv_set_overlap,
     kmv_sketch,
 )
 from novi_pdq_etl_project_prod_spark.operators.stats import mad_outlier_summary
@@ -222,6 +223,80 @@ FROM sk ORDER BY l_returnflag
 
 
 # ---------------------------------------------------------------------------
+# D22 — theta-sketch set intersection: how many distinct parts do two
+# return-flag populations share, answered from two k-row sketches plus
+# the exact truth for calibration. The estimate is a deterministic
+# function of the registers, so it certifies bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def d22_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    est = kmv_set_overlap(li, "l_partkey", "l_returnflag", k=_KMV_K)
+    pairs = li.select(F.col("l_returnflag").alias("set_a"), "l_partkey").distinct()
+    true = (
+        pairs.join(
+            li.select(F.col("l_returnflag").alias("set_b"), "l_partkey").distinct(),
+            "l_partkey",
+        )
+        .where(F.col("set_a") < F.col("set_b"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count(F.lit(1)).alias("true_intersection"))
+    )
+    return est.join(true, ["set_a", "set_b"], "left").orderBy("set_a", "set_b")
+
+
+D22_SQL = f"""
+WITH vals AS (
+  SELECT DISTINCT l_returnflag AS s, CAST(l_partkey AS VARCHAR) AS v FROM lineitem
+),
+h AS (
+  SELECT s, CAST(('0x' || substr(md5('kmv:' || v), 1, 15)) AS BIGINT) AS h
+  FROM vals
+),
+rk AS (
+  SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS rk FROM h
+),
+sk AS (SELECT s, h FROM rk WHERE rk <= {_KMV_K}),
+theta AS (
+  SELECT s,
+         CASE WHEN count(*) < {_KMV_K} THEN {HASH_DOMAIN} ELSE max(h) END
+           AS theta
+  FROM sk GROUP BY s
+),
+base AS (
+  SELECT a.s AS set_a, b.s AS set_b, a.theta AS ta, b.theta AS tb
+  FROM theta a JOIN theta b ON a.s < b.s
+),
+common AS (
+  SELECT a.s AS set_a, b.s AS set_b, count(*) AS n_common
+  FROM sk a
+  JOIN sk b ON a.h = b.h AND a.s < b.s
+  JOIN theta xa ON xa.s = a.s
+  JOIN theta xb ON xb.s = b.s
+  WHERE a.h < least(xa.theta, xb.theta)
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT a.s AS set_a, b.s AS set_b, count(*) AS true_intersection
+  FROM (SELECT DISTINCT l_returnflag AS s, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_returnflag AS s, l_partkey FROM lineitem) b
+    ON a.l_partkey = b.l_partkey AND a.s < b.s
+  GROUP BY 1, 2
+)
+SELECT base.set_a, base.set_b,
+       least(ta, tb) AS theta,
+       coalesce(n_common, 0) AS n_common,
+       CAST(coalesce(n_common, 0) AS DOUBLE) * {float(HASH_DOMAIN)!r}
+         / CAST(least(ta, tb) AS DOUBLE) AS est_intersection,
+       true_intersection
+FROM base
+LEFT JOIN common USING (set_a, set_b)
+LEFT JOIN truth USING (set_a, set_b)
+ORDER BY set_a, set_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # DQ10 — functional-dependency audit over orders + lineitem: two FDs
 # that hold by construction (key → attribute) and two plausible-looking
 # ones that don't. One count-distinct hash-agg per FD, 4-row output.
@@ -274,6 +349,7 @@ QUERIES = {
     "d19_mad_outliers": d19_mad_outliers,
     "d20_kmv_distinct": d20_kmv_distinct,
     "d21_kmv_merge": d21_kmv_merge,
+    "d22_kmv_set_overlap": d22_kmv_set_overlap,
     "dq10_fd_violations": dq10_fd_violations,
 }
 
@@ -282,5 +358,6 @@ ORACLES = {
     "d19_mad_outliers": D19_SQL,
     "d20_kmv_distinct": D20_SQL,
     "d21_kmv_merge": D21_SQL,
+    "d22_kmv_set_overlap": D22_SQL,
     "dq10_fd_violations": DQ10_SQL,
 }

@@ -113,3 +113,67 @@ def kmv_estimate(sketch: DataFrame, group_cols: list[str], k: int = 64) -> DataF
         .otherwise(F.lit(scale) / F.max("h").cast("double"))
         .alias("est_distinct"),
     )
+
+
+def kmv_set_overlap(
+    df: DataFrame,
+    value_col: str,
+    set_col: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Pairwise distinct-set overlap estimates from KMV sketches — the
+    theta-sketch intersection [Dasgupta et al. 2016, "Theta-Sketch
+    Framework"]: ``|A ∩ B| ≈ c · M / θ`` where ``θ = min(θ_A, θ_B)``
+    (each set's k-th smallest hash, or the full domain M when the set
+    has fewer than k distinct values — then its sketch IS the set) and
+    ``c`` counts registers below θ present in BOTH sketches.
+
+    This answers "how many distinct values do A and B share?" from two
+    k-row sketches — no shuffle of the raw sets, no distinct-join at
+    data scale. Sketches may come from different tables, days, or
+    clusters; only the register rows meet.
+
+    Output per unordered set pair: ``set_a < set_b``, ``theta``,
+    ``n_common`` and ``est_intersection`` (double — both engines
+    evaluate the identical correctly-rounded IEEE expression).
+
+    Scale shape: one :func:`kmv_sketch` pass over the data, then joins
+    over k-row-per-set frames (broadcast by construction).
+    """
+    sk = kmv_sketch(df, value_col, [set_col], k=k, salt=salt)
+    thetas = sk.groupBy(set_col).agg(
+        F.when(F.count("h") < k, F.lit(HASH_DOMAIN))
+        .otherwise(F.max("h"))
+        .alias("theta")
+    )
+    ta = thetas.select(F.col(set_col).alias("set_a"), F.col("theta").alias("__ta"))
+    tb = thetas.select(F.col(set_col).alias("set_b"), F.col("theta").alias("__tb"))
+    base = ta.crossJoin(tb).where(F.col("set_a") < F.col("set_b"))
+    # n_common must only count registers below the pair's theta, so the
+    # join with the theta table happens before the count.
+    common = (
+        sk.select(F.col(set_col).alias("set_a"), "h")
+        .join(sk.select(F.col(set_col).alias("set_b"), "h"), "h")
+        .where(F.col("set_a") < F.col("set_b"))
+        .join(F.broadcast(ta), "set_a")
+        .join(F.broadcast(tb), "set_b")
+        .where(F.col("h") < F.least("__ta", "__tb"))
+        .groupBy("set_a", "set_b")
+        .agg(F.count("h").alias("n_common"))
+    )
+    theta = F.least("__ta", "__tb")
+    return (
+        base.join(common, ["set_a", "set_b"], "left")
+        .na.fill({"n_common": 0})
+        .select(
+            "set_a",
+            "set_b",
+            theta.alias("theta"),
+            "n_common",
+            (
+                F.col("n_common").cast("double") * F.lit(float(HASH_DOMAIN))
+                / theta.cast("double")
+            ).alias("est_intersection"),
+        )
+    )

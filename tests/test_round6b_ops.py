@@ -164,3 +164,36 @@ def test_fd_violation_report(spark):
     assert rep["k->other"]["n_violating_keys"] == 1
     assert rep["k->other"]["max_branching"] == 2
     assert rep["attr->k"]["n_violating_keys"] == 1
+
+
+def test_kmv_set_overlap_estimates(spark):
+    """Three sets with known overlap structure: disjoint pair estimates
+    ~0, nested pair estimates ~|B|; exact when sets are below k."""
+    a = [("A", str(i)) for i in range(40)]          # A = 0..39
+    b = [("B", str(i)) for i in range(20, 60)]      # B = 20..59, |A∩B|=20
+    c = [("C", str(i)) for i in range(1000, 1040)]  # C disjoint
+    df = spark.createDataFrame(a + b + c, ["s", "v"])
+    from novi_pdq_etl_project_prod_spark.operators.sketches import kmv_set_overlap
+
+    rows = {
+        (r["set_a"], r["set_b"]): r
+        for r in kmv_set_overlap(df, "v", "s", k=64).collect()
+    }
+    # every set has < k distinct values -> theta = domain, estimates exact
+    assert rows[("A", "B")]["n_common"] == 20
+    assert rows[("A", "B")]["est_intersection"] == 20.0
+    assert rows[("A", "C")]["n_common"] == 0
+    assert rows[("A", "C")]["est_intersection"] == 0.0
+    assert rows[("B", "C")]["est_intersection"] == 0.0
+
+
+def test_kmv_set_overlap_sketched_accuracy(spark):
+    """Above-k regime: 5000-element sets with 50% overlap, k=256 —
+    estimate within 25% of truth."""
+    a = [("A", str(i)) for i in range(5000)]
+    b = [("B", str(i)) for i in range(2500, 7500)]
+    df = spark.createDataFrame(a + b, ["s", "v"])
+    from novi_pdq_etl_project_prod_spark.operators.sketches import kmv_set_overlap
+
+    row = kmv_set_overlap(df, "v", "s", k=256).first()
+    assert abs(row["est_intersection"] - 2500) / 2500 < 0.25
