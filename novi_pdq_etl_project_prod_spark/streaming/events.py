@@ -598,3 +598,67 @@ def stream_to_star_schema(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_kmv_sketch(
+    stream: DataFrame,
+    root: str,
+    table: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    k: int = 64,
+    salt: str = "kmv",
+) -> None:
+    """Continuously maintain a KMV distinct-count sketch over a stream:
+    each micro-batch is sketched (bounded: k registers per group) and
+    merged into the snapshot-committed sketch table.
+
+    Because the KMV merge law is exact (min-k(min-k(A) ∪ min-k(B)) =
+    min-k(A ∪ B), ``operators.sketches.kmv_merge``), the maintained
+    sketch is *identical* to the batch sketch over every row ever seen —
+    streaming introduces zero approximation beyond the sketch itself,
+    and a replayed micro-batch after restart re-merges registers the
+    sketch already contains (idempotent by set semantics). This is the
+    streaming answer to "distinct users so far today" that neither
+    re-scans history per trigger nor keeps per-value state: state is k
+    rows per group, forever.
+
+    Scale: the per-batch sketch is a hash-agg over the micro-batch only;
+    the merge joins two k-rows-per-group frames; the snapshot rewrite is
+    sketch-sized. Nothing in the trigger path touches historical raw
+    data.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        overwrite_snapshot,
+        resolve_table_path,
+        table_path,
+    )
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = kmv_sketch(batch_df, value_col, list(group_cols), k=k, salt=salt)
+        try:
+            existing = spark.read.parquet(
+                resolve_table_path(table_path(root, "curated", table))
+            )
+        except Exception:
+            existing = None
+        union = batch_sk if existing is None else existing.unionByName(batch_sk)
+        merged = kmv_merge(union, list(group_cols), k=k)
+        overwrite_snapshot(merged, root, "curated", table)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

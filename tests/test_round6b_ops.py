@@ -197,3 +197,55 @@ def test_kmv_set_overlap_sketched_accuracy(spark):
 
     row = kmv_set_overlap(df, "v", "s", k=256).first()
     assert abs(row["est_intersection"] - 2500) / 2500 < 0.25
+
+
+def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
+    """Streaming-maintained sketch over two micro-batches is IDENTICAL
+    to the batch sketch of all rows (the merge law makes streaming
+    lossless), and replaying from a fresh checkpoint changes nothing
+    (idempotent by register-set semantics)."""
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        resolve_table_path,
+        table_path,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import stream_kmv_sketch
+
+    src = str(tmp_path / "vals")
+    day1 = spark.createDataFrame(
+        [("g", str(i)) for i in range(300)], "grp string, v string"
+    )
+    day2 = spark.createDataFrame(
+        [("g", str(i)) for i in range(200, 500)], "grp string, v string"
+    )
+    day1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    day2.coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "wh")
+
+    def run(chk: str) -> None:
+        stream = (
+            spark.readStream.schema("grp string, v string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        stream_kmv_sketch(
+            stream, root, "sketch_v", "v", ("grp",),
+            checkpoint_dir=str(tmp_path / chk), k=32,
+        )
+
+    run("chk1")
+    got = spark.read.parquet(
+        resolve_table_path(table_path(root, "curated", "sketch_v"))
+    )
+    batch = kmv_sketch(day1.unionByName(day2), "v", ["grp"], k=32)
+    want = sorted(r["h"] for r in batch.collect())
+    assert sorted(r["h"] for r in got.collect()) == want
+
+    run("chk2")  # full replay against the existing sketch: no change
+    again = spark.read.parquet(
+        resolve_table_path(table_path(root, "curated", "sketch_v"))
+    )
+    assert sorted(r["h"] for r in again.collect()) == want
