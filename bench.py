@@ -118,6 +118,7 @@ HEADLINE = [
     "d21_kmv_merge",
     "d22_kmv_set_overlap",
     "dq10_fd_violations",
+    "m53_copurchase_triangles",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -361,3 +361,63 @@ ORACLES = {
     "d22_kmv_set_overlap": D22_SQL,
     "dq10_fd_violations": DQ10_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# M53 — triangle census of the co-purchase graph (parts linked when they
+# share an order). Spark runs the degree-oriented algorithm (arboricity-
+# bounded wedge join); the oracle counts the same triangles with the
+# naive a<b<c three-way join — different algorithm, identical integers.
+# Per-order fan-out is bounded by basket size (≤ 7 lineitems), so the
+# pair generation is linear in lineitems at any scale.
+# ---------------------------------------------------------------------------
+
+def m53_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.graphs import triangle_stats
+
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    other = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        items.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .select(F.col("l_partkey").alias("p1"), "p2")
+    )
+    return triangle_stats(pairs, "p1", "p2")
+
+
+M53_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT x, count(*) AS deg
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges)
+  GROUP BY x
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+summary AS (
+  SELECT count(*) AS n_vertices,
+         CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+  FROM deg
+),
+ne AS (SELECT count(*) AS n_edges FROM edges)
+SELECT n_vertices, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN 3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+            ELSE 0.0 END AS global_clustering
+FROM summary, ne, tri
+"""
+
+QUERIES["m53_copurchase_triangles"] = m53_copurchase_triangles
+ORACLES["m53_copurchase_triangles"] = M53_SQL

@@ -249,3 +249,55 @@ def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
         resolve_table_path(table_path(root, "curated", "sketch_v"))
     )
     assert sorted(r["h"] for r in again.collect()) == want
+
+
+def test_triangle_stats_known_graphs(spark):
+    from novi_pdq_etl_project_prod_spark.operators.graphs import triangle_stats
+
+    # K4: 6 edges, 4 triangles, wedges = 4*C(3,2) = 12, clustering = 1.0
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    row = triangle_stats(
+        spark.createDataFrame(k4, ["s", "d"]), "s", "d"
+    ).first()
+    assert (row["n_vertices"], row["n_edges"], row["n_wedges"]) == (4, 6, 12)
+    assert row["n_triangles"] == 4 and row["global_clustering"] == 1.0
+
+    # path 0-1-2-3: 1 wedge per internal vertex x2, zero triangles
+    path = [(0, 1), (1, 2), (2, 3)]
+    row = triangle_stats(
+        spark.createDataFrame(path, ["s", "d"]), "s", "d"
+    ).first()
+    assert row["n_triangles"] == 0 and row["n_wedges"] == 2
+    assert row["global_clustering"] == 0.0
+
+    # duplicate / reversed / self-loop edges collapse before counting
+    messy = [(1, 2), (2, 1), (1, 1), (2, 3), (3, 1), (1, 3)]
+    row = triangle_stats(
+        spark.createDataFrame(messy, ["s", "d"]), "s", "d"
+    ).first()
+    assert row["n_edges"] == 3 and row["n_triangles"] == 1
+
+
+def test_triangle_stats_hub_graph_matches_bruteforce(spark):
+    """Deterministic pseudo-random graph with a hub (the degree-skew the
+    orientation exists for): count matches a local brute force."""
+    import itertools
+
+    edges = [(0, i) for i in range(1, 30)]  # hub
+    edges += [((i * 7) % 30, (i * 11) % 30) for i in range(1, 60)]
+    canon = {tuple(sorted(e)) for e in edges}
+    adj = {}
+    for a, b in canon:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(adj), 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    from novi_pdq_etl_project_prod_spark.operators.graphs import triangle_stats
+
+    row = triangle_stats(
+        spark.createDataFrame(list(canon), ["s", "d"]), "s", "d"
+    ).first()
+    assert row["n_triangles"] == want
