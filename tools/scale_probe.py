@@ -567,7 +567,44 @@ def main_r6(k: int) -> None:
     shutil.rmtree(docs_dir, ignore_errors=True)
 
 
+def main_r6b(k: int) -> None:
+    """Round-6b probe at k× facts (key-shifted orders/lineitem, dims
+    fixed). Expected shapes: d18 linear in orders (then a fixed-size
+    fold per nation); d19 linear (two percentile sorts); d20/d21/d22
+    linear in the distinct pass with a constant-size sketch tail — rows
+    grow k× while part cardinality is fixed, exactly the
+    many-rows-few-distincts regime a sketch exists for; dq10 linear
+    (count-distinct hash-aggs); m53 superlinear in EDGES only if basket
+    co-occurrence density grows — with key-shifted orders the basket
+    size distribution is unchanged, so pairs grow k× and the wedge join
+    stays arboricity-bounded."""
+    spark = get_spark(app_name="scale_probe_r6b")
+    fact_dir = tempfile.mkdtemp(prefix=f"r6bfact{k}_")
+    replicate(spark, fact_dir, k)
+    probe = ["d18_ema", "d19_mad_outliers", "d20_kmv_distinct",
+             "d21_kmv_merge", "d22_kmv_set_overlap", "dq10_fd_violations",
+             "m53_copurchase_triangles"]
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), (f"facts x{k}", fact_dir)):
+        timings = {}
+        for name in probe:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        results[sf_label] = timings
+        print(sf_label, json.dumps(timings))
+    for name in probe:
+        a, b = results["sf0.1"][name], results[f"facts x{k}"][name]
+        print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall for {k}x)")
+    shutil.rmtree(fact_dir, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r6b" in sys.argv:
+        main_r6b(int(sys.argv[sys.argv.index("--r6b") + 1]))
+        return
     if "--r6" in sys.argv:
         main_r6(int(sys.argv[sys.argv.index("--r6") + 1]))
         return
