@@ -119,6 +119,7 @@ HEADLINE = [
     "d22_kmv_set_overlap",
     "dq10_fd_violations",
     "m53_copurchase_triangles",
+    "j7_bloom_prune",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -421,3 +421,99 @@ FROM summary, ne, tri
 
 QUERIES["m53_copurchase_triangles"] = m53_copurchase_triangles
 ORACLES["m53_copurchase_triangles"] = M53_SQL
+
+
+# ---------------------------------------------------------------------------
+# J7 — Bloom-filter semi-join pruning, with its false-positive ledger.
+# A deliberately small filter (256 bits / 2 hashes for ~80 build keys)
+# so false positives actually occur and the accounting is exercised:
+# n_pass - n_true IS the pruning inefficiency a production filter sizes
+# m against. Every integer is exact cross-engine (md5 positions, shift/
+# AND block math — f11's certified surface).
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 256
+_BLOOM_H = 2
+
+
+def j7_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem")
+    build = part.where(F.col("p_brand") == "Brand#7").select("p_partkey")
+    bloom = bloom_build(build, "p_partkey", m_bits=_BLOOM_M, n_hashes=_BLOOM_H)
+    n_probe = li.agg(F.count(F.lit(1)).alias("n_probe"))
+    n_pass = bloom_prune(
+        li, bloom, "l_partkey", m_bits=_BLOOM_M, n_hashes=_BLOOM_H
+    ).agg(F.count(F.lit(1)).alias("n_pass"))
+    n_true = li.join(
+        build.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_true"))
+    out = n_probe.crossJoin(n_pass).crossJoin(n_true)
+    fp = F.col("n_pass") - F.col("n_true")
+    denom = F.col("n_probe") - F.col("n_true")
+    return out.select(
+        "n_probe",
+        "n_pass",
+        "n_true",
+        fp.alias("n_false_pos"),
+        F.when(denom > 0, fp.cast("double") / denom.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("fp_rate"),
+    )
+
+
+J7_SQL = f"""
+WITH build AS (
+  SELECT DISTINCT p_partkey FROM part WHERE p_brand = 'Brand#7'
+),
+pos AS (
+  SELECT DISTINCT
+    (CAST(('0x' || substr(md5('bf' || j || ':' || CAST(p_partkey AS VARCHAR)), 1, 8))
+          AS BIGINT) % {_BLOOM_M}) AS p
+  FROM build, (VALUES (0), (1)) t(j)
+),
+blocks AS (
+  SELECT p >> 5 AS block_id,
+         bit_or(1::BIGINT << CAST(p & 31 AS INTEGER)) AS mask
+  FROM pos GROUP BY 1
+),
+probe AS (
+  SELECT l_partkey,
+    (CAST(('0x' || substr(md5('bf0:' || CAST(l_partkey AS VARCHAR)), 1, 8))
+          AS BIGINT) % {_BLOOM_M}) AS p0,
+    (CAST(('0x' || substr(md5('bf1:' || CAST(l_partkey AS VARCHAR)), 1, 8))
+          AS BIGINT) % {_BLOOM_M}) AS p1
+  FROM lineitem
+),
+flagged AS (
+  SELECT
+    ((coalesce((SELECT mask FROM blocks b WHERE b.block_id = p0 >> 5), 0)
+      & (1::BIGINT << CAST(p0 & 31 AS INTEGER))) <> 0
+     AND
+     (coalesce((SELECT mask FROM blocks b WHERE b.block_id = p1 >> 5), 0)
+      & (1::BIGINT << CAST(p1 & 31 AS INTEGER))) <> 0) AS pass,
+    l_partkey IN (SELECT p_partkey FROM build) AS is_true
+  FROM probe
+),
+agg AS (
+  SELECT count(*) AS n_probe,
+         count(*) FILTER (WHERE pass) AS n_pass,
+         count(*) FILTER (WHERE is_true) AS n_true
+  FROM flagged
+)
+SELECT n_probe, n_pass, n_true,
+       n_pass - n_true AS n_false_pos,
+       CASE WHEN n_probe - n_true > 0
+            THEN CAST(n_pass - n_true AS DOUBLE)
+                 / CAST(n_probe - n_true AS DOUBLE)
+            ELSE 0.0 END AS fp_rate
+FROM agg
+"""
+
+QUERIES["j7_bloom_prune"] = j7_bloom_prune
+ORACLES["j7_bloom_prune"] = J7_SQL

@@ -273,3 +273,103 @@ def interval_overlap_join(
         .where(overlap & (F.col("__bucket") == first_shared))
         .drop("__bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join pruning (runtime-filter pattern)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: m bits in 32-bit blocks (block math is pure integer
+#: bit ops — shiftright/AND — because a double-division block id would
+#: truncate in Spark but round-to-nearest in a DuckDB BIGINT cast),
+#: h hash functions. 4096 bits /
+#: 3 hashes holds ~400 keys at <2% false-positive rate; callers size m
+#: for their build side (m ≈ 10 bits/key for ~1% fp at h=3).
+BLOOM_BITS = 4096
+BLOOM_HASHES = 3
+_BLOCK_BITS = 32
+
+
+def _bloom_positions(key, salt: str, m_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES):
+    """The h deterministic bit positions of ``key``: independent 32-bit
+    md5 slices reduced mod m. Pure integer column expressions —
+    reproducible in any engine with md5 (the oracle contract)."""
+    cols = []
+    for j in range(n_hashes):
+        hx = F.substring(
+            F.md5(F.concat_ws(":", F.lit(f"{salt}{j}"), key.cast("string"))), 1, 8
+        )
+        cols.append(F.pmod(F.conv(hx, 16, 10).cast("long"), F.lit(m_bits)))
+    return cols
+
+
+def bloom_build(
+    build: DataFrame,
+    key_col: str,
+    salt: str = "bf",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Aggregate the build side into a Bloom bitmap: one row per 32-bit
+    block — ``block_id``, ``mask`` (bit_or of 1 << pos%32). At most
+    m/32 rows regardless of build cardinality, so the bitmap always
+    broadcasts. Absent blocks are all-zero by omission."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), salt, m_bits, n_hashes))
+    ).alias("pos")
+    return (
+        build.select(pos)
+        .distinct()
+        .groupBy(F.shiftright(F.col("pos"), 5).alias("block_id"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos & 31 AS INT))")
+            ).alias("mask")
+        )
+    )
+
+
+def bloom_prune(
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    salt: str = "bf",
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Keep probe rows whose key passes the Bloom filter (all h bits
+    set) — the explicit form of the runtime filter engines push below
+    big-join scans [Spark's own InSubqueryExec/bloom runtime filters do
+    this transparently; materializing it makes the pruning rate
+    auditable and lets a filter built on cluster A prune a scan on
+    cluster B].
+
+    No false negatives ever (a present key's bits are all set by
+    construction); false positives pass here and are eliminated by the
+    real join afterwards — pruning is correctness-neutral. Each of the
+    h probes is a broadcast equi-join against the ≤ m/32-row block
+    table plus one integer AND; no shuffle of the probe side.
+    """
+    out = probe
+    for j, pos in enumerate(_bloom_positions(F.col(key_col), salt, m_bits, n_hashes)):
+        blocks = bloom.select(
+            F.col("block_id").alias(f"__b{j}"), F.col("mask").alias(f"__m{j}")
+        )
+        out = (
+            out.withColumn(f"__p{j}", pos)
+            .join(
+                F.broadcast(blocks),
+                F.shiftright(F.col(f"__p{j}"), 5) == F.col(f"__b{j}"),
+                "left",
+            )
+            .where(
+                F.coalesce(F.col(f"__m{j}"), F.lit(0)).bitwiseAND(
+                    F.expr(
+                        f"shiftleft(CAST(1 AS BIGINT), CAST(__p{j} & 31 AS INT))"
+                    )
+                )
+                != 0
+            )
+            .drop(f"__p{j}", f"__b{j}", f"__m{j}")
+        )
+    return out

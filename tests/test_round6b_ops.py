@@ -301,3 +301,38 @@ def test_triangle_stats_hub_graph_matches_bruteforce(spark):
         spark.createDataFrame(list(canon), ["s", "d"]), "s", "d"
     ).first()
     assert row["n_triangles"] == want
+
+
+def test_bloom_prune_no_false_negatives_and_counts(spark):
+    """Every build key survives pruning (no false negatives, ever);
+    with a tiny 64-bit filter false positives occur and are exactly the
+    rows the exact semi-join would drop."""
+    from novi_pdq_etl_project_prod_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(0, 50, 5)], ["k"])  # 10 keys
+    probe = spark.createDataFrame([(i,) for i in range(200)], ["k"])
+    bloom = bloom_build(build, "k", m_bits=64, n_hashes=2)
+    kept = {r["k"] for r in bloom_prune(probe, bloom, "k", m_bits=64, n_hashes=2).collect()}
+    members = set(range(0, 50, 5))
+    assert members <= kept  # no false negatives
+    assert kept - members  # 64 bits for 10 keys: false positives exist
+    # the true members among kept rows == exact semi-join
+    assert kept & set(range(200)) >= members
+
+
+def test_bloom_prune_default_geometry_tight(spark):
+    """At the default 4096/3 geometry with a small build set, pruning is
+    nearly exact on a disjoint probe."""
+    from novi_pdq_etl_project_prod_spark.operators.joins import (
+        bloom_build,
+        bloom_prune,
+    )
+
+    build = spark.createDataFrame([(i,) for i in range(100)], ["k"])
+    probe = spark.createDataFrame([(i,) for i in range(10_000, 12_000)], ["k"])
+    bloom = bloom_build(build, "k")
+    n_fp = bloom_prune(probe, bloom, "k").count()
+    assert n_fp <= 5  # expected ~2000 * (300/4096)^3 ≈ 0.8
