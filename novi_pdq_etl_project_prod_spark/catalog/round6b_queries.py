@@ -364,12 +364,14 @@ ORACLES = {
 
 
 # ---------------------------------------------------------------------------
-# M53 — triangle census of the co-purchase graph (parts linked when they
-# share an order). Spark runs the degree-oriented algorithm (arboricity-
-# bounded wedge join); the oracle counts the same triangles with the
-# naive a<b<c three-way join — different algorithm, identical integers.
-# Per-order fan-out is bounded by basket size (≤ 7 lineitems), so the
-# pair generation is linear in lineitems at any scale.
+# M53 — triangle census of the FREQUENT co-purchase graph: parts are
+# linked when they co-occur in >= 2 orders (the market-basket support
+# threshold; without it the 2,000-part catalog saturates into a near-
+# complete graph where every triangle is coincidence). Spark runs the
+# degree-oriented algorithm (arboricity-bounded wedge join); the oracle
+# counts the same triangles with the naive a<b<c three-way join —
+# different algorithm, identical integers. Per-order fan-out is bounded
+# by basket size, so pair counting is one linear hash-agg at any scale.
 # ---------------------------------------------------------------------------
 
 def m53_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,7 +385,10 @@ def m53_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         items.join(other, "l_orderkey")
         .where(F.col("l_partkey") < F.col("p2"))
-        .select(F.col("l_partkey").alias("p1"), "p2")
+        .groupBy(F.col("l_partkey").alias("p1"), F.col("p2"))
+        .agg(F.count(F.lit(1)).alias("__support"))
+        .where(F.col("__support") >= 2)
+        .select("p1", "p2")
     )
     return triangle_stats(pairs, "p1", "p2")
 
@@ -391,9 +396,11 @@ def m53_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 M53_SQL = """
 WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 edges AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM items a
   JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
 ),
 deg AS (
   SELECT x, count(*) AS deg

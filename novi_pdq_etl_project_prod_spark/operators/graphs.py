@@ -51,9 +51,14 @@ def triangle_stats(df: DataFrame, src: str, dst: str) -> DataFrame:
 
     Scale: two hash-aggs (degrees, final), one self-join bounded by
     arboricity, one closure join keyed on canonical edges. No
-    collect(); the output is a single row.
+    collect(); the output is a single row. The canonical edge list
+    feeds four branches (degrees, orientation, closure, edge count), so
+    it is persisted through the cache-lifecycle seam — callers release
+    it at their query boundary (``cache.release()``).
     """
-    edges = canonical_edges(df, src, dst)
+    from novi_pdq_etl_project_prod_spark import cache
+
+    edges = cache.track(canonical_edges(df, src, dst), eager=True)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
