@@ -120,6 +120,7 @@ HEADLINE = [
     "dq10_fd_violations",
     "m53_copurchase_triangles",
     "j7_bloom_prune",
+    "d23_sample_quantiles",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

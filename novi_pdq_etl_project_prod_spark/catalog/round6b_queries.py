@@ -524,3 +524,80 @@ FROM agg
 
 QUERIES["j7_bloom_prune"] = j7_bloom_prune
 ORACLES["j7_bloom_prune"] = J7_SQL
+
+
+# ---------------------------------------------------------------------------
+# D23 — quantiles from the deterministic bottom-k row sample, vs truth.
+# The sample membership is a pure function of row ids, so the oracle
+# draws the IDENTICAL sample and the estimate certifies bit-for-bit;
+# the truth columns calibrate the O(1/sqrt(k)) sampling error.
+# ---------------------------------------------------------------------------
+
+_SQS_K = 512
+
+
+def d23_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.sketches import (
+        sample_quantile_sketch,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rid"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    samp = sample_quantile_sketch(li, "rid", "v", ["l_returnflag"], k=_SQS_K)
+    est = samp.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.percentile(F.col("v"), F.lit(0.5)).alias("est_p50"),
+        F.percentile(F.col("v"), F.lit(0.9)).alias("est_p90"),
+    )
+    true = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("true_p50"),
+        F.percentile(F.col("v"), F.lit(0.9)).alias("true_p90"),
+    )
+    return est.join(true, "l_returnflag").orderBy("l_returnflag")
+
+
+D23_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
+           AS rid,
+         CAST(l_extendedprice AS DOUBLE) AS v
+  FROM lineitem
+),
+h AS (
+  SELECT l_returnflag, v,
+         CAST(('0x' || substr(md5('sqs:' || rid), 1, 15)) AS BIGINT) AS h
+  FROM base
+),
+rk AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+  FROM h
+),
+est AS (
+  SELECT l_returnflag,
+         count(*) AS n_sample,
+         quantile_cont(v, 0.5) AS est_p50,
+         quantile_cont(v, 0.9) AS est_p90
+  FROM rk WHERE rk <= {_SQS_K} GROUP BY 1
+),
+tru AS (
+  SELECT l_returnflag,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS true_p50,
+         quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS true_p90
+  FROM lineitem GROUP BY 1
+)
+SELECT est.l_returnflag, n_sample, est_p50, est_p90, true_p50, true_p90
+FROM est JOIN tru USING (l_returnflag)
+ORDER BY est.l_returnflag
+"""
+
+QUERIES["d23_sample_quantiles"] = d23_sample_quantiles
+ORACLES["d23_sample_quantiles"] = D23_SQL

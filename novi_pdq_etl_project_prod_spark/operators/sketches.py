@@ -177,3 +177,46 @@ def kmv_set_overlap(
             ).alias("est_intersection"),
         )
     )
+
+
+def sample_quantile_sketch(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 512,
+    salt: str = "sqs",
+) -> DataFrame:
+    """Deterministic bounded-state quantile summary per group: the rows
+    whose ``id_col`` has the k smallest :func:`kmv_hash` values — a
+    uniform random sample WITHOUT replacement whose membership is a
+    pure function of the ids, so it is reproducible across engines,
+    re-runs, and partitionings (unlike ``TABLESAMPLE``/t-digest) and
+    auditable row by row.
+
+    Mergeable by the same bottom-k law as the KMV sketch: the bottom-k
+    of per-shard bottom-k's IS the bottom-k of the union, so per-day
+    samples roll up into exactly the sample a full rescan would draw.
+    Quantiles computed off the sample converge at the usual
+    O(1/sqrt(k)) sampling rate; state is k rows per group, forever.
+
+    Output: ``group_cols + [h, id_col, value_col]`` (register order by
+    ``h``). Feed to an exact ``percentile`` aggregate for estimates
+    (catalog query d23 pattern).
+    """
+    hashed = df.select(
+        *group_cols,
+        kmv_hash(F.col(id_col), salt).alias("h"),
+        F.col(id_col),
+        F.col(value_col),
+    )
+    bucket = F.pmod(F.col("h"), F.lit(_N_BUCKETS))
+    w1 = Window.partitionBy(*group_cols, bucket).orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashed.withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= k)
+        .withColumn("__r2", F.row_number().over(w2))
+        .where(F.col("__r2") <= k)
+        .drop("__r1", "__r2")
+    )

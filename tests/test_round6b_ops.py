@@ -336,3 +336,34 @@ def test_bloom_prune_default_geometry_tight(spark):
     bloom = bloom_build(build, "k")
     n_fp = bloom_prune(probe, bloom, "k").count()
     assert n_fp <= 5  # expected ~2000 * (300/4096)^3 ≈ 0.8
+
+
+def test_sample_quantile_sketch_merge_law_and_accuracy(spark):
+    """Per-shard samples merge into exactly the sample a full pass
+    draws; the sample quantile lands near the true quantile."""
+    from novi_pdq_etl_project_prod_spark.operators.sketches import (
+        kmv_merge,
+        sample_quantile_sketch,
+    )
+
+    rows = [("g", str(i), float(i)) for i in range(10_000)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "v"])
+    direct = sample_quantile_sketch(df, "rid", "v", ["grp"], k=200)
+    shards = [
+        sample_quantile_sketch(
+            df.where(F.crc32(F.col("rid")) % 4 == i), "rid", "v", ["grp"], k=200
+        )
+        for i in range(4)
+    ]
+    union = shards[0]
+    for s in shards[1:]:
+        union = union.unionByName(s)
+    merged = kmv_merge(union.select("grp", "h"), ["grp"], k=200)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(
+        r["h"] for r in direct.collect()
+    )
+    samp = [r["v"] for r in direct.collect()]
+    assert len(samp) == 200
+    import statistics
+
+    assert abs(statistics.median(samp) - 5000) < 700  # ~1/sqrt(200) rel err
