@@ -242,7 +242,9 @@ def d22_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("set_a", "set_b")
         .agg(F.count(F.lit(1)).alias("true_intersection"))
     )
-    return est.join(true, ["set_a", "set_b"], "left").orderBy("set_a", "set_b")
+    return est.join(F.broadcast(true), ["set_a", "set_b"], "left").orderBy(
+        "set_a", "set_b"
+    )
 
 
 D22_SQL = f"""

@@ -154,7 +154,7 @@ def kmv_set_overlap(
     # join with the theta table happens before the count.
     common = (
         sk.select(F.col(set_col).alias("set_a"), "h")
-        .join(sk.select(F.col(set_col).alias("set_b"), "h"), "h")
+        .join(F.broadcast(sk.select(F.col(set_col).alias("set_b"), "h")), "h")
         .where(F.col("set_a") < F.col("set_b"))
         .join(F.broadcast(ta), "set_a")
         .join(F.broadcast(tb), "set_b")
@@ -164,7 +164,7 @@ def kmv_set_overlap(
     )
     theta = F.least("__ta", "__tb")
     return (
-        base.join(common, ["set_a", "set_b"], "left")
+        base.join(F.broadcast(common), ["set_a", "set_b"], "left")
         .na.fill({"n_common": 0})
         .select(
             "set_a",
