@@ -530,7 +530,9 @@ ORACLES["j7_bloom_prune"] = J7_SQL
 
 # ---------------------------------------------------------------------------
 # D23 — quantiles from the deterministic bottom-k row sample, vs truth.
-# The sample membership is a pure function of row ids, so the oracle
+# The sample membership is a pure function of (row id, value) — the
+# value tie-break matters because the synthetic lineitem has duplicate
+# (orderkey, linenumber) keys with different prices — so the oracle
 # draws the IDENTICAL sample and the estimate certifies bit-for-bit;
 # the truth columns calibrate the O(1/sqrt(k)) sampling error.
 # ---------------------------------------------------------------------------
@@ -580,7 +582,7 @@ h AS (
 ),
 rk AS (
   SELECT l_returnflag, v,
-         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rk
   FROM h
 ),
 est AS (

@@ -80,15 +80,29 @@ def kmv_sketch(
     )
 
 
-def kmv_merge(sketches: DataFrame, group_cols: list[str], k: int = 64) -> DataFrame:
-    """Merge sketch rows (a union of per-shard ``kmv_sketch`` outputs)
-    back to one bottom-k per group. Exact: min-k(min-k(A) ∪ min-k(B))
-    = min-k(A ∪ B). Duplicate registers (the same value seen by two
-    shards hashes identically) collapse via ``distinct`` first.
+def kmv_merge(
+    sketches: DataFrame,
+    group_cols: list[str],
+    k: int = 64,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge sketch rows (a union of per-shard ``kmv_sketch`` /
+    ``sample_quantile_sketch`` outputs) back to one bottom-k per group.
+    Exact: min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B). Duplicate
+    registers (the same value seen by two shards hashes identically)
+    collapse via ``distinct`` first.
+
+    ``carry_cols`` rides payload columns (the sample sketch's id/value)
+    through the merge; they are part of the distinct key, which is safe
+    because a register's payload is a pure function of the hashed id.
     """
-    w = Window.partitionBy(*group_cols).orderBy("h")
+    carry = list(carry_cols or [])
+    # tie-break on the payload so duplicate-id registers (equal h,
+    # different payload) merge deterministically — see
+    # sample_quantile_sketch's dirty-key note
+    w = Window.partitionBy(*group_cols).orderBy("h", *carry)
     return (
-        sketches.select(*group_cols, "h")
+        sketches.select(*group_cols, "h", *carry)
         .distinct()
         .withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= k)
@@ -203,6 +217,14 @@ def sample_quantile_sketch(
     Output: ``group_cols + [h, id_col, value_col]`` (register order by
     ``h``). Feed to an exact ``percentile`` aggregate for estimates
     (catalog query d23 pattern).
+
+    Ids need not be globally unique — real fact tables have dirty keys
+    (the driver's synthetic lineitem carries ~20% duplicated
+    (orderkey, linenumber) pairs with different prices) — so the
+    bottom-k ordering tie-breaks equal hashes on ``value_col``:
+    without it, which duplicate crosses the k boundary is
+    partition-order luck and the sample median flickers run to run
+    (and against the oracle).
     """
     hashed = df.select(
         *group_cols,
@@ -211,8 +233,8 @@ def sample_quantile_sketch(
         F.col(value_col),
     )
     bucket = F.pmod(F.col("h"), F.lit(_N_BUCKETS))
-    w1 = Window.partitionBy(*group_cols, bucket).orderBy("h")
-    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    w1 = Window.partitionBy(*group_cols, bucket).orderBy("h", value_col)
+    w2 = Window.partitionBy(*group_cols).orderBy("h", value_col)
     return (
         hashed.withColumn("__r1", F.row_number().over(w1))
         .where(F.col("__r1") <= k)

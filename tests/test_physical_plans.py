@@ -136,6 +136,9 @@ def test_no_cartesian_products_in_catalog(spark):
         "d2_approx_distinct",
         "dq8_distribution_drift",  # 9-row cut-point + 1-row totals broadcasts
         "m44_pps_sample",        # scalar-max-weight cross join (1-row broadcast)
+        "d22_kmv_set_overlap",   # 3-row theta-table cross join (broadcast)
+        "j7_bloom_prune",        # three 1-row count aggregates composed
+        "m53_copurchase_triangles",  # 1-row summary × edges × triangles
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

@@ -367,3 +367,27 @@ def test_sample_quantile_sketch_merge_law_and_accuracy(spark):
     import statistics
 
     assert abs(statistics.median(samp) - 5000) < 700  # ~1/sqrt(200) rel err
+
+
+def test_sample_sketch_merge_carries_values(spark):
+    """Merging sample sketches with carry_cols preserves the payload:
+    the merged (h, id, value) rows equal the direct sketch's rows."""
+    from novi_pdq_etl_project_prod_spark.operators.sketches import (
+        kmv_merge,
+        sample_quantile_sketch,
+    )
+
+    rows = [("g", str(i), float(i * 3)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "v"])
+    direct = sample_quantile_sketch(df, "rid", "v", ["grp"], k=64)
+    halves = [
+        sample_quantile_sketch(
+            df.where(F.crc32(F.col("rid")) % 2 == i), "rid", "v", ["grp"], k=64
+        )
+        for i in range(2)
+    ]
+    merged = kmv_merge(
+        halves[0].unionByName(halves[1]), ["grp"], k=64, carry_cols=["rid", "v"]
+    )
+    key = lambda r: (r["h"], r["rid"], r["v"])
+    assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
