@@ -15,4 +15,7 @@
 - ``similarity``: embedding similarity search (brute-force + LSH-bucketed).
 - ``text``: language-ID, quality scoring, token counting, fingerprinting.
 - ``multimodal``: binary-column plumbing with stubbed decoders.
+- ``sketches``: mergeable bounded-state summaries (KMV distinct,
+  theta-intersection, deterministic sample quantiles).
+- ``graphs``: edge-list statistics (degree-oriented triangle census).
 """
