@@ -121,6 +121,8 @@ HEADLINE = [
     "m53_copurchase_triangles",
     "j7_bloom_prune",
     "d23_sample_quantiles",
+    "d24_weighted_median",
+    "d25_gini_spend",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -605,3 +605,110 @@ ORDER BY est.l_returnflag
 
 QUERIES["d23_sample_quantiles"] = d23_sample_quantiles
 ORACLES["d23_sample_quantiles"] = D23_SQL
+
+
+# ---------------------------------------------------------------------------
+# D24 — exact quantity-weighted median price per return flag. Integer
+# crossing test over a RANGE-frame cumulative (the SQL-standard default
+# frame), so the result is a pure function of the (value, weight)
+# multiset on both engines.
+# ---------------------------------------------------------------------------
+
+def d24_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import weighted_median
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        weighted_median(li, ["l_returnflag"], "price", "qty")
+        .select(
+            "l_returnflag",
+            F.col("weighted_median").alias("wmedian_price"),
+            F.col("total_weight").alias("total_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+D24_SQL = """
+WITH cum AS (
+  SELECT l_returnflag,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MIN(CASE WHEN 2 * c >= total THEN price END) AS wmedian_price,
+       CAST(MAX(total) AS BIGINT) AS total_qty
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# D25 — Gini concentration of customer spend per nation: rank-weighted
+# integer sums (permutation-invariant under ties), one double division
+# at the edge. The data-source-dominance audit for mixtures.
+# ---------------------------------------------------------------------------
+
+def d25_gini_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import gini_index
+
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "spend_cents"
+            )
+        )
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+    )
+    return gini_index(spend, ["n_name"], F.col("spend_cents")).orderBy("n_name")
+
+
+D25_SQL = """
+WITH spend AS (
+  SELECT n_name, o_custkey,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS x
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT n_name, x,
+         row_number() OVER (PARTITION BY n_name ORDER BY x) AS i
+  FROM spend
+),
+agg AS (
+  SELECT n_name,
+         count(*) AS n_rows,
+         CAST(SUM(x) AS BIGINT) AS total_cents,
+         CAST(SUM(i * x) AS BIGINT) AS a
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, n_rows, total_cents,
+       CASE WHEN n_rows * total_cents > 0
+            THEN CAST(2 * a - (n_rows + 1) * total_cents AS DOUBLE)
+                 / CAST(n_rows * total_cents AS DOUBLE)
+            ELSE 0.0 END AS gini
+FROM agg
+ORDER BY n_name
+"""
+
+QUERIES["d24_weighted_median"] = d24_weighted_median
+ORACLES["d24_weighted_median"] = D24_SQL
+QUERIES["d25_gini_spend"] = d25_gini_spend
+ORACLES["d25_gini_spend"] = D25_SQL

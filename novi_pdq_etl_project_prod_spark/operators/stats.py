@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -630,4 +630,87 @@ def mad_outlier_summary(
             .cast("long")
             .alias("n_outliers")
         )
+    )
+
+
+def weighted_median(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Exact weighted median per group: the smallest value whose
+    cumulative weight reaches half the group's total weight.
+
+    The crossing test is pure integer arithmetic (``2·cum ≥ total``, no
+    division) and the cumulative uses a RANGE frame ordered by value —
+    every row sees the total weight of all rows ≤ its value including
+    ties — so the result is a pure function of the (value, weight)
+    multiset: permutation- and partitioning-invariant, and identical in
+    any engine whose default window frame is RANGE UNBOUNDED PRECEDING
+    (SQL standard; DuckDB oracle d24).
+
+    Why not ``percentile`` with weights: Spark has no weighted
+    percentile, and approx sketches aren't auditable. Two shuffles: the
+    per-key window sort and the final aggregate.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(value_col)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = F.col(weight_col).cast("long")
+    cum = df.select(
+        *keys,
+        F.col(value_col),
+        F.sum(wt).over(w).alias("__cum"),
+        F.sum(wt).over(Window.partitionBy(*keys)).alias("__total"),
+    )
+    return cum.groupBy(*keys).agg(
+        F.min(
+            F.when(F.lit(2) * F.col("__cum") >= F.col("__total"), F.col(value_col))
+        ).alias("weighted_median"),
+        F.max("__total").alias("total_weight"),
+    )
+
+
+def gini_index(
+    df: DataFrame,
+    keys: Sequence[str],
+    measure_cents: Column,
+) -> DataFrame:
+    """Gini concentration index per group over an exact integer measure
+    (pass cents, not dollars): ``G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx)``
+    with values sorted ascending and ``i`` their 1-based rank.
+
+    The rank-weighted sum is invariant under permutations of tied
+    values (equal x share the same rank-index set), so the integer
+    accumulations are bit-deterministic and only the final division is
+    floating point — one identical IEEE expression in both engines.
+    The standard inequality probe for revenue concentration / data-source
+    dominance audits (a mixture where one source carries G ≈ 1 of the
+    tokens is a dedup or licensing problem, not a corpus).
+
+    Scale: one per-key window sort + one hash-agg. The integer products
+    fit a BIGINT up to ~10^5 rows × 10^11-cent sums per group; beyond
+    that switch the two sums to DECIMAL(38,0) (the m44/w11 idiom).
+    """
+    ranked = df.select(
+        *keys,
+        measure_cents.cast("long").alias("__x"),
+    ).withColumn("__i", F.row_number().over(Window.partitionBy(*keys).orderBy("__x")))
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("__x").alias("__s"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__a"),
+    )
+    num = F.lit(2) * F.col("__a") - (F.col("n_rows") + 1) * F.col("__s")
+    den = F.col("n_rows") * F.col("__s")
+    return agg.select(
+        *keys,
+        "n_rows",
+        F.col("__s").alias("total_cents"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("gini"),
     )

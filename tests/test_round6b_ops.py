@@ -391,3 +391,41 @@ def test_sample_sketch_merge_carries_values(spark):
     )
     key = lambda r: (r["h"], r["rid"], r["v"])
     assert sorted(map(key, merged.collect())) == sorted(map(key, direct.collect()))
+
+
+def test_weighted_median_crossing_and_invariance(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import weighted_median
+
+    # weights pull the median to 10 even though the plain median is 20
+    rows = [("g", 10.0, 8), ("g", 20.0, 1), ("g", 30.0, 1)]
+    row = weighted_median(
+        spark.createDataFrame(rows, ["grp", "v", "w"]), ["grp"], "v", "w"
+    ).first()
+    assert row["weighted_median"] == 10.0 and row["total_weight"] == 10
+    # exact half-crossing: 2*cum == total picks the crossing value
+    rows = [("g", 1.0, 1), ("g", 2.0, 1)]
+    row = weighted_median(
+        spark.createDataFrame(rows, ["grp", "v", "w"]), ["grp"], "v", "w"
+    ).first()
+    assert row["weighted_median"] == 1.0
+    # tie-heavy input is partitioning-invariant
+    big = spark.createDataFrame(
+        [("g", float(i % 5), 1 + i % 3) for i in range(999)], ["grp", "v", "w"]
+    )
+    a = weighted_median(big.repartition(1), ["grp"], "v", "w").first()
+    b = weighted_median(big.repartition(13, "w"), ["grp"], "v", "w").first()
+    assert a == b
+
+
+def test_gini_index_known_distributions(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import gini_index
+
+    # perfectly equal -> 0
+    eq = spark.createDataFrame([("g", 100)] * 10, ["grp", "cents"])
+    assert gini_index(eq, ["grp"], F.col("cents")).first()["gini"] == 0.0
+    # one holder of everything -> (n-1)/n
+    mono = spark.createDataFrame(
+        [("g", 0)] * 9 + [("g", 1000)], ["grp", "cents"]
+    )
+    row = gini_index(mono, ["grp"], F.col("cents")).first()
+    assert abs(row["gini"] - 0.9) < 1e-12
