@@ -651,20 +651,27 @@ def weighted_median(
     (SQL standard; DuckDB oracle d24).
 
     Why not ``percentile`` with weights: Spark has no weighted
-    percentile, and approx sketches aren't auditable. Two shuffles: the
-    per-key window sort and the final aggregate.
+    percentile, and approx sketches aren't auditable.
+
+    Scale shape: weights are FIRST aggregated to (key, value) grain —
+    a distributed hash-agg with map-side combine — so the per-key
+    window sorts distinct values, not raw rows. Without that pre-agg
+    the window partitions by the (few) keys and each task sorts its
+    whole group: the 10× probe measured 5.8× wall; with it, the sort
+    input is value-cardinality-bounded and the probe is ~linear.
     """
+    wt = F.col(weight_col).cast("long")
+    per_value = df.groupBy(*keys, value_col).agg(F.sum(wt).alias("__w"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(value_col)
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wt = F.col(weight_col).cast("long")
-    cum = df.select(
+    cum = per_value.select(
         *keys,
         F.col(value_col),
-        F.sum(wt).over(w).alias("__cum"),
-        F.sum(wt).over(Window.partitionBy(*keys)).alias("__total"),
+        F.sum("__w").over(w).alias("__cum"),
+        F.sum("__w").over(Window.partitionBy(*keys)).alias("__total"),
     )
     return cum.groupBy(*keys).agg(
         F.min(

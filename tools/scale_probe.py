@@ -583,7 +583,8 @@ def main_r6b(k: int) -> None:
     replicate(spark, fact_dir, k)
     probe = ["d18_ema", "d19_mad_outliers", "d20_kmv_distinct",
              "d21_kmv_merge", "d22_kmv_set_overlap", "dq10_fd_violations",
-             "m53_copurchase_triangles"]
+             "m53_copurchase_triangles", "d23_sample_quantiles",
+             "d24_weighted_median", "d25_gini_spend", "j7_bloom_prune"]
     results = {}
     for sf_label, sf_dir in (("sf0.1", SRC), (f"facts x{k}", fact_dir)):
         timings = {}
@@ -593,6 +594,11 @@ def main_r6b(k: int) -> None:
                 "overwrite"
             ).save()
             timings[name] = round(time.perf_counter() - t0, 2)
+            try:
+                from novi_pdq_etl_project_prod_spark import cache
+                cache.release()
+            except Exception:
+                pass
         results[sf_label] = timings
         print(sf_label, json.dumps(timings))
     for name in probe:
