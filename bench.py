@@ -123,6 +123,8 @@ HEADLINE = [
     "d23_sample_quantiles",
     "d24_weighted_median",
     "d25_gini_spend",
+    "d26_pareto_classes",
+    "m54_zipf_coverage",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

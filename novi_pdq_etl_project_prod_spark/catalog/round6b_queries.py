@@ -712,3 +712,168 @@ QUERIES["d24_weighted_median"] = d24_weighted_median
 ORACLES["d24_weighted_median"] = D24_SQL
 QUERIES["d25_gini_spend"] = d25_gini_spend
 ORACLES["d25_gini_spend"] = D25_SQL
+
+
+# ---------------------------------------------------------------------------
+# D26 — ABC (Pareto) classification of customer spend per nation:
+# class A = customers inside the first 80% of revenue (descending),
+# B = next 15%, C = the tail. The class boundary test is integer
+# cross-multiplication (cum·100 vs threshold·total) over a RANGE-frame
+# cumulative ordered by (spend desc, custkey) — deterministic and
+# engine-portable; only counts leave the query.
+# ---------------------------------------------------------------------------
+
+def d26_pareto_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("cents")
+        )
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .select("n_name", "o_custkey", "cents")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("n_name")
+        .orderBy(F.col("cents").desc(), F.col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("n_name")
+    classed = spend.select(
+        "n_name",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(tot).alias("total"),
+    ).select(
+        "n_name",
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return (
+        classed.groupBy("n_name", "abc")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("class_cents"),
+        )
+        .orderBy("n_name", "abc")
+    )
+
+
+D26_SQL = """
+WITH spend AS (
+  SELECT n_name, o_custkey,
+         SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT n_name, cents,
+         SUM(cents) OVER (PARTITION BY n_name
+                          ORDER BY cents DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c,
+         SUM(cents) OVER (PARTITION BY n_name) AS total
+  FROM spend
+),
+classed AS (
+  SELECT n_name, cents,
+         CASE WHEN c * 100 <= total * 80 THEN 'A'
+              WHEN c * 100 <= total * 95 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum
+)
+SELECT n_name, abc,
+       count(*) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS class_cents
+FROM classed
+GROUP BY 1, 2
+ORDER BY n_name, abc
+"""
+
+
+# ---------------------------------------------------------------------------
+# M54 — Zipf coverage curve of the corpus vocabulary: what share of all
+# token occurrences do the top-{100, 1000, 10000} words by frequency
+# carry? The BPE/vocab-budget sizing audit (a 30k-piece vocabulary is
+# justified by where this curve flattens). Exact integers + one double
+# division per row; rank ties break on the word itself.
+# ---------------------------------------------------------------------------
+
+def m54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda w: w != "")
+        ).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("cnt").desc(), F.col("w"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = freq.select(
+        "w",
+        "cnt",
+        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w"))).alias(
+            "rank"
+        ),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    total = freq.agg(F.sum("cnt").alias("total"))
+    curve = (
+        ranked.where(F.col("rank").isin(100, 1000, 10000))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col("cum").alias("cum_occurrences"),
+            "total",
+            (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+                "coverage"
+            ),
+        )
+    )
+    return curve.orderBy("rank")
+
+
+M54_SQL = """
+WITH words AS (
+  SELECT w FROM (
+    SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+freq AS (SELECT w, count(*) AS cnt FROM words GROUP BY w),
+ranked AS (
+  SELECT w, cnt,
+         row_number() OVER (ORDER BY cnt DESC, w) AS rank,
+         SUM(cnt) OVER (ORDER BY cnt DESC, w
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM freq
+),
+total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
+SELECT rank,
+       CAST(cum AS BIGINT) AS cum_occurrences,
+       total,
+       CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+FROM ranked, total
+WHERE rank IN (100, 1000, 10000)
+ORDER BY rank
+"""
+
+QUERIES["d26_pareto_classes"] = d26_pareto_classes
+ORACLES["d26_pareto_classes"] = D26_SQL
+QUERIES["m54_zipf_coverage"] = m54_zipf_coverage
+ORACLES["m54_zipf_coverage"] = M54_SQL
