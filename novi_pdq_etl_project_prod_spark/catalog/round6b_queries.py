@@ -803,10 +803,11 @@ ORDER BY n_name, abc
 
 # ---------------------------------------------------------------------------
 # M54 — Zipf coverage curve of the corpus vocabulary: what share of all
-# token occurrences do the top-{100, 1000, 10000} words by frequency
-# carry? The BPE/vocab-budget sizing audit (a 30k-piece vocabulary is
-# justified by where this curve flattens). Exact integers + one double
-# division per row; rank ties break on the word itself.
+# token occurrences do the top-ranked words carry, at vocab-relative
+# cuts (rank 1 / 10% / 50% / 100%)? The BPE/vocab-budget sizing audit
+# (a vocabulary budget is justified by where this curve flattens).
+# Exact integers + one double division per row; rank ties break on the
+# word itself.
 # ---------------------------------------------------------------------------
 
 def m54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -831,14 +832,33 @@ def m54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("cnt").over(w).alias("cum"),
     )
-    total = freq.agg(F.sum("cnt").alias("total"))
+    total = freq.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    # Vocab-relative cut ranks (1, 10%, 50%, 100% — integer ceil) so the
+    # curve is non-empty at any corpus scale: the driver's synthetic
+    # documents hold only ~31 distinct words, where absolute cuts like
+    # top-1000 select nothing.
+    cuts = total.select(
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.lit(1).cast("int"),
+                    F.expr("CAST((vocab + 9) div 10 AS INT)"),
+                    F.expr("CAST((vocab + 1) div 2 AS INT)"),
+                    F.col("vocab").cast("int"),
+                )
+            )
+        ).alias("rank")
+    )
     curve = (
-        ranked.where(F.col("rank").isin(100, 1000, 10000))
+        ranked.join(F.broadcast(cuts), "rank")
         .crossJoin(F.broadcast(total))
         .select(
             "rank",
             F.col("cum").alias("cum_occurrences"),
             "total",
+            "vocab",
             (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
                 "coverage"
             ),
@@ -863,13 +883,23 @@ ranked AS (
            AS cum
   FROM freq
 ),
-total AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM freq)
-SELECT rank,
+total AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM freq
+),
+cuts AS (
+  SELECT DISTINCT CAST(unnest(ARRAY[
+    1, (vocab + 9) // 10, (vocab + 1) // 2, vocab
+  ]) AS INTEGER) AS rank
+  FROM total
+)
+SELECT CAST(rank AS INTEGER) AS rank,
        CAST(cum AS BIGINT) AS cum_occurrences,
        total,
+       vocab,
        CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
-FROM ranked, total
-WHERE rank IN (100, 1000, 10000)
+FROM ranked JOIN cuts USING (rank), total
 ORDER BY rank
 """
 
