@@ -139,6 +139,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "d22_kmv_set_overlap",   # 3-row theta-table cross join (broadcast)
         "j7_bloom_prune",        # three 1-row count aggregates composed
         "m53_copurchase_triangles",  # 1-row summary × edges × triangles
+        "m54_zipf_coverage",     # 1-row total-occurrences broadcast
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans
