@@ -757,18 +757,26 @@ ORACLES["x15_salted_join"] = X15_SQL
 # ---------------------------------------------------------------------------
 
 def d11_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each measure's percentile runs over its own (flag, value, count)
+    # grain via the frequency argument — value-cardinality-bounded sort
+    # buffers instead of raw-row buffers (the d19/d24 scale fix),
+    # bit-identical to the row-expanded form.
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile(F.col("l_quantity").cast("double"), F.lit(0.5)).alias(
-                "median_qty"
-            ),
-            F.percentile(
-                F.col("l_extendedprice").cast("double"), F.lit(0.25)
-            ).alias("p25_price"),
-        )
+    med_qty = (
+        li.groupBy("l_returnflag", F.col("l_quantity").cast("double").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("l_returnflag")
+        .agg(F.percentile(F.col("__v"), F.lit(0.5), F.col("__c")).alias("median_qty"))
     )
+    p25_price = (
+        li.groupBy(
+            "l_returnflag", F.col("l_extendedprice").cast("double").alias("__v")
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("l_returnflag")
+        .agg(F.percentile(F.col("__v"), F.lit(0.25), F.col("__c")).alias("p25_price"))
+    )
+    return med_qty.join(p25_price, "l_returnflag")
 
 
 D11_SQL = """

@@ -184,13 +184,13 @@ def iqr_outlier_summary(
     the ``q1 - whisker*iqr / q3 + whisker*iqr`` fences, and how many rows
     fall outside them.
 
-    Two passes over one shuffle each: an exact-``percentile`` aggregate
-    per key (sort-based; the robust-statistics cost you accept when the
-    fence must be auditable — the approx path is ``d5``'s
-    ``approx_percentile``), then a broadcast join of the tiny per-key
-    fence table back onto the rows for the outside-fence counts. Group
-    cardinality, not row count, bounds the fence table, so the join is
-    broadcast at any data scale.
+    Two passes over the (key, value, count) grain: the exact
+    ``percentile`` takes the count as its frequency argument, so the
+    sort buffers are value-cardinality-bounded, never raw-row-bounded
+    (the approx path is ``d5``'s ``approx_percentile``); the fence
+    counts weight each distinct value by the same counts. Group
+    cardinality bounds the fence table, so its join is broadcast at
+    any data scale.
 
     Quartiles use exact ``percentile`` on DOUBLE inputs — sort-based, so
     partition-order independent, and the interpolation arithmetic matches
@@ -200,11 +200,17 @@ def iqr_outlier_summary(
     quartiles.
     """
     m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
-    fences = df.groupBy(*keys).agg(
-        F.percentile(m, F.lit(0.25)).alias("q1"),
-        F.percentile(m, F.lit(0.5)).alias("median"),
-        F.percentile(m, F.lit(0.75)).alias("q3"),
-        F.count(F.lit(1)).alias("n_rows"),
+    # (key, value, count) grain: percentile's frequency argument keeps
+    # the sort buffers value-cardinality-bounded (cf. mad_outlier_summary
+    # / d24 probe) and the fence counts reuse the same per-value counts.
+    per_value = df.groupBy(*keys, m.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    fences = per_value.groupBy(*keys).agg(
+        F.percentile(F.col("__v"), F.lit(0.25), F.col("__c")).alias("q1"),
+        F.percentile(F.col("__v"), F.lit(0.5), F.col("__c")).alias("median"),
+        F.percentile(F.col("__v"), F.lit(0.75), F.col("__c")).alias("q3"),
+        F.sum("__c").alias("n_rows"),
     )
     iqr = F.col("q3") - F.col("q1")
     fences = fences.select(
@@ -216,7 +222,7 @@ def iqr_outlier_summary(
         (F.col("q1") - F.lit(float(whisker)) * iqr).alias("lo_fence"),
         (F.col("q3") + F.lit(float(whisker)) * iqr).alias("hi_fence"),
     )
-    flagged = df.join(F.broadcast(fences), list(keys)).select(
+    flagged = per_value.join(F.broadcast(fences), list(keys)).select(
         *keys,
         "n_rows",
         "q1",
@@ -224,14 +230,15 @@ def iqr_outlier_summary(
         "q3",
         "lo_fence",
         "hi_fence",
-        (m < F.col("lo_fence")).alias("_lo"),
-        (m > F.col("hi_fence")).alias("_hi"),
+        "__c",
+        (F.col("__v") < F.col("lo_fence")).alias("_lo"),
+        (F.col("__v") > F.col("hi_fence")).alias("_hi"),
     )
     return flagged.groupBy(
         *keys, "n_rows", "q1", "median", "q3", "lo_fence", "hi_fence"
     ).agg(
-        F.sum(F.when(F.col("_lo"), 1).otherwise(0)).alias("n_below"),
-        F.sum(F.when(F.col("_hi"), 1).otherwise(0)).alias("n_above"),
+        F.sum(F.when(F.col("_lo"), F.col("__c")).otherwise(0)).alias("n_below"),
+        F.sum(F.when(F.col("_hi"), F.col("__c")).otherwise(0)).alias("n_above"),
     )
 
 
