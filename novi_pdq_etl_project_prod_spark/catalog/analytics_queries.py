@@ -941,13 +941,25 @@ GROUP BY 1
 def d3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     q = _dec("l_quantity")
-    agg = li.groupBy("l_returnflag").agg(
-        F.percentile(q, F.lit(0.5)).alias("median_qty"),
-        F.percentile(q, F.lit(0.9)).alias("p90_qty"),
+    # percentiles over the (flag, value, count) grain via the frequency
+    # argument (value-cardinality-bounded buffers; the d11/d19/d24 scale
+    # fix — quantity has ~50 distinct values, so this branch is tiny);
+    # moment sums stay row-grain (map-side combinable). Bit-identical.
+    pct = (
+        li.groupBy("l_returnflag", q.alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(F.col("__v"), F.lit(0.5), F.col("__c")).alias("median_qty"),
+            F.percentile(F.col("__v"), F.lit(0.9), F.col("__c")).alias("p90_qty"),
+        )
+    )
+    mom = li.groupBy("l_returnflag").agg(
         F.sum(q).alias("s1"),
         F.sum(q * q).alias("s2"),
         F.count(F.lit(1)).alias("n"),
     )
+    agg = pct.join(mom, "l_returnflag")
     n = F.col("n").cast("double")
     s1 = F.col("s1").cast("double")
     s2 = F.col("s2").cast("double")
