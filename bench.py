@@ -125,6 +125,7 @@ HEADLINE = [
     "d25_gini_spend",
     "d26_pareto_classes",
     "m54_zipf_coverage",
+    "a9_association_rules",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

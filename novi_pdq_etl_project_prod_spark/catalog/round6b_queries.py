@@ -907,3 +907,89 @@ QUERIES["d26_pareto_classes"] = d26_pareto_classes
 ORACLES["d26_pareto_classes"] = D26_SQL
 QUERIES["m54_zipf_coverage"] = m54_zipf_coverage
 ORACLES["m54_zipf_coverage"] = M54_SQL
+
+
+# ---------------------------------------------------------------------------
+# A9 — association rules over order baskets: support / confidence / lift
+# for the strongest part pairs (support ≥ 2 orders, top-20 by lift).
+# All counts are exact integers; the three ratios are identical IEEE
+# expressions on both engines, and the top-k ordering is fully
+# deterministic (lift desc, then the pair itself), compiling to
+# TakeOrderedAndProject, not a global sort.
+# ---------------------------------------------------------------------------
+
+def a9_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    other = items.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pair_n = (
+        items.join(other, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("p1"), F.col("p2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    na = item_n.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n_b"))
+    joined = (
+        pair_n.join(F.broadcast(na), "p1")
+        .join(F.broadcast(nb), "p2")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    support = F.col("n_pair").cast("double") / F.col("n_orders").cast("double")
+    confidence = F.col("n_pair").cast("double") / F.col("n_a").cast("double")
+    lift = (
+        F.col("n_pair").cast("double") * F.col("n_orders").cast("double")
+    ) / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    return (
+        joined.select(
+            "p1",
+            "p2",
+            "n_pair",
+            "n_a",
+            "n_b",
+            support.alias("support"),
+            confidence.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(20)
+    )
+
+
+A9_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+),
+item_n AS (
+  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+),
+pair_n AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, count(*) AS n_pair
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT p1, p2, n_pair,
+       na.n_item AS n_a,
+       nb.n_item AS n_b,
+       CAST(n_pair AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+       CAST(n_pair AS DOUBLE) / CAST(na.n_item AS DOUBLE) AS confidence,
+       (CAST(n_pair AS DOUBLE) * CAST(n_orders AS DOUBLE))
+         / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE)) AS lift
+FROM pair_n
+JOIN item_n na ON na.l_partkey = p1
+JOIN item_n nb ON nb.l_partkey = p2
+CROSS JOIN n_orders
+ORDER BY lift DESC, p1, p2
+LIMIT 20
+"""
+
+QUERIES["a9_association_rules"] = a9_association_rules
+ORACLES["a9_association_rules"] = A9_SQL
