@@ -126,6 +126,7 @@ HEADLINE = [
     "d26_pareto_classes",
     "m54_zipf_coverage",
     "a9_association_rules",
+    "m55_component_size_histogram",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

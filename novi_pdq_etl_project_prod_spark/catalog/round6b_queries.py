@@ -993,3 +993,90 @@ LIMIT 20
 
 QUERIES["a9_association_rules"] = a9_association_rules
 ORACLES["a9_association_rules"] = A9_SQL
+
+
+# ---------------------------------------------------------------------------
+# M55 — near-dup component size distribution: how many clusters of each
+# size does the dedup graph hold (singletons excluded — nodes appear in
+# the graph only if they have a near-dup pair)? The dedup health
+# histogram: mass in big components means aggressive transitive merging
+# (one wrong edge chains unrelated docs); all-pairs means conservative.
+# Composes m43's iterative components; the oracle re-derives the same
+# components with its recursive-CTE closure and histograms them.
+# ---------------------------------------------------------------------------
+
+def m55_component_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        near_dup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    comp = near_dup_clusters(pairs)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            (F.count(F.lit(1)) * F.col("size")).cast("long").alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
+_M43_CLOSURE = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+"""
+
+M55_SQL = (
+    _M43_CLOSURE
+    + """
+SELECT size,
+       count(*) AS n_components,
+       CAST(count(*) * size AS BIGINT) AS n_docs
+FROM (SELECT cluster_id, count(*) AS size FROM comp GROUP BY 1)
+GROUP BY size
+ORDER BY size
+"""
+)
+
+QUERIES["m55_component_size_histogram"] = m55_component_size_histogram
+ORACLES["m55_component_size_histogram"] = M55_SQL
