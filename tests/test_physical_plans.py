@@ -140,6 +140,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "j7_bloom_prune",        # three 1-row count aggregates composed
         "m53_copurchase_triangles",  # 1-row summary × edges × triangles
         "m54_zipf_coverage",     # 1-row total-occurrences broadcast
+        "a9_association_rules",  # 1-row basket-count broadcast
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans
