@@ -429,3 +429,24 @@ def test_gini_index_known_distributions(spark):
     )
     row = gini_index(mono, ["grp"], F.col("cents")).first()
     assert abs(row["gini"] - 0.9) < 1e-12
+
+
+def test_cluster_conf_arithmetic():
+    from novi_pdq_etl_project_prod_spark.session import cluster_conf
+
+    c = cluster_conf(executors=1000, cores_per_executor=4, data_tb=100.0)
+    parts = int(c["spark.sql.shuffle.partitions"])
+    # 100 TB / 192 MB ≈ 546k tasks, well above the 8k core floor
+    assert 500_000 < parts < 600_000
+    assert int(c["spark.sql.files.maxPartitionBytes"]) == 192 * 1024**2
+    assert c["spark.sql.adaptive.enabled"] == "true"
+    # small cluster, small data: the per-core floor dominates
+    c2 = cluster_conf(executors=4, cores_per_executor=8, data_tb=0.001)
+    assert int(c2["spark.sql.shuffle.partitions"]) == 64
+    # broadcast threshold bounded sanely
+    bc = int(c["spark.sql.autoBroadcastJoinThreshold"]) // 1024**2
+    assert 32 <= bc <= 256
+    import pytest
+
+    with pytest.raises(ValueError):
+        cluster_conf(executors=0)
