@@ -127,6 +127,7 @@ HEADLINE = [
     "m54_zipf_coverage",
     "a9_association_rules",
     "m55_component_size_histogram",
+    "m56_neyman_allocation",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

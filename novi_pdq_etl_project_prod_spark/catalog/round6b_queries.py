@@ -1080,3 +1080,94 @@ ORDER BY size
 
 QUERIES["m55_component_size_histogram"] = m55_component_size_histogram
 ORACLES["m55_component_size_histogram"] = M55_SQL
+
+
+# ---------------------------------------------------------------------------
+# M56 — Neyman (minimum-variance) sampling allocation across strata:
+# n_h ∝ N_h·σ_h. The statistically-optimal counterpart to m49's
+# token-budget mixture planner — when the goal is estimating a corpus
+# statistic, variance, not volume, should set the per-stratum budget.
+# σ_h comes from exact DECIMAL moment sums (the d16 pattern), weights
+# are floored to integer micro-units before summing so the share
+# denominators are exact integers, and every double step (int→double
+# conversion, division, sqrt, floor) is IEEE-correctly-rounded and
+# therefore identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 10_000
+
+
+def m56_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("decimal(38,0)")
+    mom = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("__s1"),
+        F.sum(cents * cents).alias("__s2"),
+    )
+    n = F.col("n_rows").cast("double")
+    s1 = F.col("__s1").cast("double")
+    s2 = F.col("__s2").cast("double")
+    sigma = F.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    weighted = mom.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        sigma.alias("sigma_cents"),
+        F.floor(n * sigma * F.lit(1e6)).cast("long").alias("w_micro"),
+    )
+    total = F.sum("w_micro").over(Window.partitionBy())
+    share = F.col("w_micro").cast("double") / F.col("__tw").cast("double")
+    return (
+        weighted.withColumn("__tw", total)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_rows",
+            "sigma_cents",
+            "w_micro",
+            share.alias("alloc_share"),
+            F.floor(share * F.lit(float(_NEYMAN_BUDGET)))
+            .cast("long")
+            .alias("alloc_n"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+M56_SQL = f"""
+WITH mom AS (
+  SELECT l_returnflag, l_linestatus,
+         count(*) AS n_rows,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS s1,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS HUGEINT)
+             * CAST(round(l_extendedprice * 100, 0) AS HUGEINT)) AS s2
+  FROM lineitem GROUP BY 1, 2
+),
+sig AS (
+  SELECT l_returnflag, l_linestatus, n_rows,
+         sqrt((CAST(n_rows AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(n_rows AS DOUBLE) * CAST(n_rows - 1 AS DOUBLE)))
+           AS sigma_cents
+  FROM mom
+),
+wt AS (
+  SELECT *,
+         CAST(floor(CAST(n_rows AS DOUBLE) * sigma_cents * 1e6) AS BIGINT)
+           AS w_micro
+  FROM sig
+),
+tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wt)
+SELECT l_returnflag, l_linestatus, n_rows, sigma_cents, w_micro,
+       CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS alloc_share,
+       CAST(floor(CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE)
+                  * {float(_NEYMAN_BUDGET)!r}) AS BIGINT) AS alloc_n
+FROM wt, tot
+ORDER BY l_returnflag, l_linestatus
+"""
+
+QUERIES["m56_neyman_allocation"] = m56_neyman_allocation
+ORACLES["m56_neyman_allocation"] = M56_SQL
