@@ -662,3 +662,70 @@ def stream_kmv_sketch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_sample_quantile_sketch(
+    stream: DataFrame,
+    root: str,
+    table: str,
+    id_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    checkpoint_dir: str,
+    k: int = 512,
+    salt: str = "sqs",
+) -> None:
+    """Continuously maintain the deterministic bottom-k row sample
+    (``operators.sketches.sample_quantile_sketch``) over a stream: each
+    micro-batch is sketched and merged — hash AND payload — into the
+    snapshot-committed sample table, from which exact ``percentile``
+    aggregates answer quantile queries at any moment.
+
+    Same exactness contract as :func:`stream_kmv_sketch`: the bottom-k
+    merge law makes the maintained sample IDENTICAL to the sample a
+    batch pass over all rows ever seen would draw, and replays are
+    idempotent (registers are a set). The payload columns (id, value)
+    ride through the merge via ``carry_cols``; ties on equal hashes
+    break on the value, so dirty duplicate ids cannot flicker the
+    boundary (the d23 lesson).
+
+    State: k rows per group, forever — streaming quantiles without
+    state-store percentile buffers or history re-scans.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.sketches import (
+        kmv_merge,
+        sample_quantile_sketch,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        overwrite_snapshot,
+        resolve_table_path,
+        table_path,
+    )
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        batch_sk = sample_quantile_sketch(
+            batch_df, id_col, value_col, list(group_cols), k=k, salt=salt
+        )
+        try:
+            existing = spark.read.parquet(
+                resolve_table_path(table_path(root, "curated", table))
+            )
+        except Exception:
+            existing = None
+        union = batch_sk if existing is None else existing.unionByName(batch_sk)
+        merged = kmv_merge(
+            union, list(group_cols), k=k, carry_cols=[id_col, value_col]
+        )
+        overwrite_snapshot(merged, root, "curated", table)
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -450,3 +450,56 @@ def test_cluster_conf_arithmetic():
 
     with pytest.raises(ValueError):
         cluster_conf(executors=0)
+
+
+def test_stream_sample_quantile_sketch_equals_batch(spark, tmp_path):
+    """Streaming-maintained quantile sample over two micro-batches
+    equals the batch sample of all rows, payload included, and the
+    quantile read off the maintained table matches the batch path."""
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.operators.sketches import (
+        sample_quantile_sketch,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        resolve_table_path,
+        table_path,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_sample_quantile_sketch,
+    )
+
+    src = str(tmp_path / "vals")
+    day1 = spark.createDataFrame(
+        [("g", str(i), float(i)) for i in range(400)],
+        "grp string, rid string, v double",
+    )
+    day2 = spark.createDataFrame(
+        [("g", str(i), float(i)) for i in range(400, 900)],
+        "grp string, rid string, v double",
+    )
+    day1.coalesce(1).write.mode("append").parquet(src)
+    _time.sleep(1.1)
+    day2.coalesce(1).write.mode("append").parquet(src)
+
+    root = str(tmp_path / "wh")
+    stream = (
+        spark.readStream.schema("grp string, rid string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_sample_quantile_sketch(
+        stream, root, "qsample", "rid", "v", ("grp",),
+        checkpoint_dir=str(tmp_path / "chk"), k=64,
+    )
+    got = spark.read.parquet(
+        resolve_table_path(table_path(root, "curated", "qsample"))
+    )
+    batch = sample_quantile_sketch(
+        day1.unionByName(day2), "rid", "v", ["grp"], k=64
+    )
+    key = lambda r: (r["h"], r["rid"], r["v"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, batch.collect()))
+    med_stream = got.agg(F.percentile("v", F.lit(0.5))).first()[0]
+    med_batch = batch.agg(F.percentile("v", F.lit(0.5))).first()[0]
+    assert med_stream == med_batch
