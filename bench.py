@@ -128,6 +128,7 @@ HEADLINE = [
     "a9_association_rules",
     "m55_component_size_histogram",
     "m56_neyman_allocation",
+    "d27_ks_statistic",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -1171,3 +1171,78 @@ ORDER BY l_returnflag, l_linestatus
 
 QUERIES["m56_neyman_allocation"] = m56_neyman_allocation
 ORACLES["m56_neyman_allocation"] = M56_SQL
+
+
+# ---------------------------------------------------------------------------
+# D27 — exact two-sample Kolmogorov–Smirnov statistic between the price
+# distributions of two populations: D = max |F_A(x) - F_B(x)| over the
+# merged support. Complements dq8's binned χ² with the unbinned exact
+# test. Shape: (value, side-counts) grain — one hash-agg — then a
+# RANGE-frame cumulative per side over distinct values and a 1-row max.
+# Every number is an integer count or a correctly-rounded double ratio,
+# so the statistic certifies bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def d27_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    per_value = (
+        li.where(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(F.col("l_extendedprice").cast("double").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("cr"),
+        )
+    )
+    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    cum = per_value.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cr").over(w).alias("cum_r"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cr").over(tot).alias("n_r"),
+    )
+    gap = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("cum_r").cast("double") / F.col("n_r").cast("double")
+    )
+    return cum.agg(
+        F.max("n_a").alias("n_a"),
+        F.max("n_r").alias("n_r"),
+        F.max(gap).alias("ks_d"),
+    )
+
+
+D27_SQL = """
+WITH per_value AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS cr
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1
+),
+cum AS (
+  SELECT
+    SUM(ca) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_a,
+    SUM(cr) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS cum_r,
+    SUM(ca) OVER () AS n_a,
+    SUM(cr) OVER () AS n_r
+  FROM per_value
+)
+SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+       CAST(MAX(n_r) AS BIGINT) AS n_r,
+       MAX(abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+               - CAST(cum_r AS DOUBLE) / CAST(n_r AS DOUBLE))) AS ks_d
+FROM cum
+"""
+
+QUERIES["d27_ks_statistic"] = d27_ks_statistic
+ORACLES["d27_ks_statistic"] = D27_SQL
