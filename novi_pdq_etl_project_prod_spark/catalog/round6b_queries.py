@@ -1181,6 +1181,13 @@ ORACLES["m56_neyman_allocation"] = M56_SQL
 # RANGE-frame cumulative per side over distinct values and a 1-row max.
 # Every number is an integer count or a correctly-rounded double ratio,
 # so the statistic certifies bit-for-bit.
+#
+# Scale stance: the unpartitioned cumulative sorts the merged distinct
+# support on one task — value-cardinality-bounded, which for
+# near-unique measures approaches row count. This is the EXACT-audit
+# path, run on bounded slices (a month, a sampled stratum); the
+# whole-corpus drift gate at 100 TB is dq8's binned chi-square, whose
+# cut-table shape is scan-bound by construction.
 # ---------------------------------------------------------------------------
 
 def d27_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
