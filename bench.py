@@ -129,6 +129,7 @@ HEADLINE = [
     "m55_component_size_histogram",
     "m56_neyman_allocation",
     "d27_ks_statistic",
+    "d28_mann_whitney",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

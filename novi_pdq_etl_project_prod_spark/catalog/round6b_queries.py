@@ -1253,3 +1253,59 @@ FROM cum
 
 QUERIES["d27_ks_statistic"] = d27_ks_statistic
 ORACLES["d27_ks_statistic"] = D27_SQL
+
+
+# ---------------------------------------------------------------------------
+# D28 — Mann–Whitney U (rank-sum) between the same two populations as
+# d27, with exact tie handling: doubled average ranks (2·avg = 2C−m+1,
+# C the cumulative count through the tied value group, m its size) keep
+# every rank quantity an integer, and the tie-corrected normal
+# approximation's variance uses exact Σ(m³−m). Doubles appear only in
+# the final z (correctly-rounded ops incl. sqrt), so the statistic
+# certifies bit-for-bit. Same exact-audit scale stance as d27.
+# ---------------------------------------------------------------------------
+
+def d28_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import mann_whitney
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return mann_whitney(li, "l_returnflag", "A", "R", "l_extendedprice")
+
+
+D28_SQL = """
+WITH per_value AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS cr
+  FROM lineitem
+  WHERE l_returnflag IN ('A', 'R')
+  GROUP BY 1
+),
+cum AS (
+  SELECT ca, cr, ca + cr AS m,
+         SUM(ca + cr) OVER (ORDER BY v
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS C
+  FROM per_value
+),
+agg AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+         CAST(SUM(cr) AS BIGINT) AS n_r,
+         CAST(SUM(ca * (2 * C - m + 1)) AS BIGINT) AS r2a,
+         CAST(SUM(m * m * m - m) AS BIGINT) AS tie_mass
+  FROM cum
+)
+SELECT n_a, n_r,
+       CAST(r2a - n_a * (n_a + 1) AS DOUBLE) / 2.0 AS u_a,
+       CAST((r2a - n_a * (n_a + 1)) - n_a * n_r AS DOUBLE)
+         / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_r AS DOUBLE) / 12.0
+                       * (CAST(n_a + n_r + 1 AS DOUBLE)
+                          - CAST(tie_mass AS DOUBLE)
+                            / (CAST(n_a + n_r AS DOUBLE)
+                               * CAST(n_a + n_r - 1 AS DOUBLE)))))
+         AS z_score
+FROM agg
+"""
+
+QUERIES["d28_mann_whitney"] = d28_mann_whitney
+ORACLES["d28_mann_whitney"] = D28_SQL

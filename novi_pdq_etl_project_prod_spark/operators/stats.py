@@ -742,3 +742,70 @@ def gini_index(
         .otherwise(F.lit(0.0))
         .alias("gini"),
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    side_col: str,
+    a_label: str,
+    b_label: str,
+    value_col: str,
+) -> DataFrame:
+    """Exact Mann–Whitney U (rank-sum) between two labeled populations,
+    with tie handling: average ranks are kept as DOUBLED integers
+    (2·avg = 2C − m + 1 for a tied group of size m whose cumulative
+    count through the group is C), so every rank quantity is exact;
+    doubles appear only in the final z-score (correctly-rounded ops,
+    incl. sqrt, with the standard Σ(m³−m) tie-corrected variance).
+
+    One (value, side-counts) hash-agg, one cumulative over distinct
+    values, a 1-row reduce. The unpartitioned cumulative makes this the
+    exact-audit path for bounded slices, same stance as the KS
+    statistic (catalog d27/d28).
+    """
+    per_value = (
+        df.where(F.col(side_col).isin(a_label, b_label))
+        .groupBy(F.col(value_col).cast("double").alias("__v"))
+        .agg(
+            F.sum(F.when(F.col(side_col) == a_label, 1).otherwise(0))
+            .cast("long")
+            .alias("ca"),
+            F.sum(F.when(F.col(side_col) == b_label, 1).otherwise(0))
+            .cast("long")
+            .alias("cr"),
+        )
+    )
+    m = F.col("ca") + F.col("cr")
+    w = (
+        Window.orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = per_value.select(
+        "ca", "cr", m.alias("m"), F.sum(m).over(w).alias("C")
+    )
+    agg = cum.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cr").alias("n_r"),
+        F.sum(F.col("ca") * (F.lit(2) * F.col("C") - F.col("m") + 1)).alias("r2a"),
+        F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m")).alias("tie_mass"),
+    )
+    na, nr = F.col("n_a"), F.col("n_r")
+    n = na + nr
+    u2 = F.col("r2a") - na * (na + 1)
+    var = (
+        na.cast("double")
+        * nr.cast("double")
+        / F.lit(12.0)
+        * (
+            (n + 1).cast("double")
+            - F.col("tie_mass").cast("double")
+            / (n.cast("double") * (n - 1).cast("double"))
+        )
+    )
+    z = (u2 - na * nr).cast("double") / (F.lit(2.0) * F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_r",
+        (u2.cast("double") / F.lit(2.0)).alias("u_a"),
+        z.alias("z_score"),
+    )

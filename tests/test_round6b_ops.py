@@ -503,3 +503,31 @@ def test_stream_sample_quantile_sketch_equals_batch(spark, tmp_path):
     med_stream = got.agg(F.percentile("v", F.lit(0.5))).first()[0]
     med_batch = batch.agg(F.percentile("v", F.lit(0.5))).first()[0]
     assert med_stream == med_batch
+
+
+def test_mann_whitney_hand_computed():
+    """Textbook tiny cases against hand-computed rank sums."""
+    # no ties: A=[1,2], B=[3,4] -> R_A=3, U_A=0
+    # (ranks 1..4; z = (0 - 2)/sqrt(2*2*5/12) = -2/1.29099..)
+    import math
+
+    from novi_pdq_etl_project_prod_spark.operators.stats import mann_whitney
+    from novi_pdq_etl_project_prod_spark.session import get_spark
+
+    spark = get_spark()
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0)], ["s", "v"]
+    )
+    row = mann_whitney(df, "s", "A", "B", "v").first()
+    assert (row["n_a"], row["n_r"], row["u_a"]) == (2, 2, 0.0)
+    assert abs(row["z_score"] - (-2.0 / math.sqrt(2 * 2 * 5 / 12.0))) < 1e-12
+
+    # ties: A=[1,2,2], B=[2,3] -> avg rank of the 2s is 3; R_A=7, U_A=1
+    df = spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("A", 2.0), ("B", 2.0), ("B", 3.0)], ["s", "v"]
+    )
+    row = mann_whitney(df, "s", "A", "B", "v").first()
+    assert row["u_a"] == 1.0
+    # tie-corrected variance: na*nr/12 * ((N+1) - (m^3-m)/(N(N-1)))
+    var = 3 * 2 / 12.0 * (6 - (27 - 3) / (5 * 4.0))
+    assert abs(row["z_score"] - (1.0 - 3.0) / math.sqrt(var)) < 1e-12
