@@ -130,6 +130,7 @@ HEADLINE = [
     "m56_neyman_allocation",
     "d27_ks_statistic",
     "d28_mann_whitney",
+    "d29_spearman",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -1309,3 +1309,76 @@ FROM agg
 
 QUERIES["d28_mann_whitney"] = d28_mann_whitney
 ORACLES["d28_mann_whitney"] = D28_SQL
+
+
+# ---------------------------------------------------------------------------
+# D29 — exact Spearman rank correlation (quantity vs price per return
+# flag): Pearson over doubled-integer average ranks with DECIMAL(38,0)
+# moments; doubles only in the final correctly-rounded expression. The
+# robust association measure beside d9's exact Pearson.
+# ---------------------------------------------------------------------------
+
+def d29_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        spearman_correlation,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return spearman_correlation(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
+D29_SQL = """
+WITH rx AS (
+  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS vx,
+         2 * SUM(count(*)) OVER (PARTITION BY l_returnflag
+                                 ORDER BY CAST(l_quantity AS DOUBLE)
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - count(*) + 1 AS r2x
+  FROM lineitem GROUP BY 1, 2
+),
+ry AS (
+  SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS vy,
+         2 * SUM(count(*)) OVER (PARTITION BY l_returnflag
+                                 ORDER BY CAST(l_extendedprice AS DOUBLE)
+                                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - count(*) + 1 AS r2y
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT l.l_returnflag, r2x, r2y
+  FROM lineitem l
+  JOIN rx ON rx.l_returnflag = l.l_returnflag
+         AND rx.vx = CAST(l.l_quantity AS DOUBLE)
+  JOIN ry ON ry.l_returnflag = l.l_returnflag
+         AND ry.vy = CAST(l.l_extendedprice AS DOUBLE)
+),
+agg AS (
+  SELECT l_returnflag,
+         count(*) AS n_rows,
+         SUM(CAST(r2x AS HUGEINT)) AS sx,
+         SUM(CAST(r2y AS HUGEINT)) AS sy,
+         SUM(CAST(r2x AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sxy,
+         SUM(CAST(r2x AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sxx,
+         SUM(CAST(r2y AS HUGEINT) * CAST(r2y AS HUGEINT)) AS syy
+  FROM ranked GROUP BY 1
+)
+SELECT l_returnflag, n_rows,
+       CASE WHEN sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0
+            THEN (CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS spearman_rho
+FROM agg
+ORDER BY l_returnflag
+"""
+
+QUERIES["d29_spearman"] = d29_spearman
+ORACLES["d29_spearman"] = D29_SQL

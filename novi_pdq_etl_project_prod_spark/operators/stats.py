@@ -809,3 +809,70 @@ def mann_whitney(
         (u2.cast("double") / F.lit(2.0)).alias("u_a"),
         z.alias("z_score"),
     )
+
+
+def spearman_correlation(
+    df: DataFrame,
+    keys: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation per group: Pearson over average
+    ranks, with ties handled by the doubled-rank trick (2·avg =
+    2C − m + 1 is always an integer), so the rank moments accumulate
+    exactly in DECIMAL(38,0) and the only doubles are the final
+    correctly-rounded divisions/sqrt — bit-reproducible cross-engine,
+    unlike a float ``corr`` over float ranks.
+
+    Shape: each measure's rank table is built at (key, value) grain
+    (hash-agg + a per-key cumulative over distinct values), joined back
+    onto the rows — broadcast for low-cardinality measures, an equi-
+    shuffle otherwise — then one exact moment aggregate per key.
+    """
+    def _rank_table(col: str, alias: str) -> DataFrame:
+        per_value = df.groupBy(
+            *keys, F.col(col).cast("double").alias(f"__v_{alias}")
+        ).agg(F.count(F.lit(1)).alias("__m"))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(f"__v_{alias}")
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return per_value.select(
+            *keys,
+            f"__v_{alias}",
+            (F.lit(2) * F.sum("__m").over(w) - F.col("__m") + 1).alias(
+                f"__r2_{alias}"
+            ),
+        )
+    rx = _rank_table(x_col, "x")
+    ry = _rank_table(y_col, "y")
+    ranked = (
+        df.select(
+            *keys,
+            F.col(x_col).cast("double").alias("__v_x"),
+            F.col(y_col).cast("double").alias("__v_y"),
+        )
+        .join(rx, [*keys, "__v_x"])
+        .join(ry, [*keys, "__v_y"])
+    )
+    d = lambda c: c.cast("decimal(38,0)")
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(d(F.col("__r2_x"))).alias("__sx"),
+        F.sum(d(F.col("__r2_y"))).alias("__sy"),
+        F.sum(d(F.col("__r2_x")) * d(F.col("__r2_y"))).alias("__sxy"),
+        F.sum(d(F.col("__r2_x")) * d(F.col("__r2_x"))).alias("__sxx"),
+        F.sum(d(F.col("__r2_y")) * d(F.col("__r2_y"))).alias("__syy"),
+    )
+    n = F.col("n_rows").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        *keys,
+        "n_rows",
+        F.when(den > 0, num / den).alias("spearman_rho"),
+    )

@@ -531,3 +531,37 @@ def test_mann_whitney_hand_computed():
     # tie-corrected variance: na*nr/12 * ((N+1) - (m^3-m)/(N(N-1)))
     var = 3 * 2 / 12.0 * (6 - (27 - 3) / (5 * 4.0))
     assert abs(row["z_score"] - (1.0 - 3.0) / math.sqrt(var)) < 1e-12
+
+
+def test_spearman_known_values(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        spearman_correlation,
+    )
+
+    # perfect monotone (nonlinear) -> rho = 1; reversed -> -1
+    mono = spark.createDataFrame(
+        [("g", float(i), float(i**3)) for i in range(1, 9)], ["grp", "x", "y"]
+    )
+    assert spearman_correlation(mono, ["grp"], "x", "y").first()[
+        "spearman_rho"
+    ] == 1.0
+    rev = spark.createDataFrame(
+        [("g", float(i), float(-i)) for i in range(1, 9)], ["grp", "x", "y"]
+    )
+    assert spearman_correlation(rev, ["grp"], "x", "y").first()[
+        "spearman_rho"
+    ] == -1.0
+    # hand case with ties: x=[1,2,2,3], y=[1,1,2,3]
+    # r2x=[2,5,5,8], r2y=[3,3,6,8]; rho = 0.8
+    tied = spark.createDataFrame(
+        [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 2.0, 2.0), ("g", 3.0, 3.0)],
+        ["grp", "x", "y"],
+    )
+    rho = spearman_correlation(tied, ["grp"], "x", "y").first()["spearman_rho"]
+    import math
+    n, sx, sy = 4, 20, 20
+    sxy = 2*3 + 5*3 + 5*6 + 8*8
+    sxx = 4 + 25 + 25 + 64
+    syy = 9 + 9 + 36 + 64
+    want = (n*sxy - sx*sy) / math.sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+    assert abs(rho - want) < 1e-12
