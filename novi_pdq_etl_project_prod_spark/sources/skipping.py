@@ -147,3 +147,47 @@ def pruned_read(
     for col, (lo, hi) in predicates.items():
         df = df.where(F.col(col).between(lo, hi))
     return df, len(keep), len(stats)
+
+
+def clustering_report(path: str, cols: list[str]) -> dict:
+    """Layout-health audit from footer statistics alone: how selective
+    would min/max file skipping actually be on this table?
+
+    For each column: ``avg_span_frac`` (mean file [min,max] span as a
+    fraction of the column's global span — small means each file covers
+    a narrow slice) and ``avg_overlap`` (mean number of OTHER files
+    whose interval intersects a file's — the clustering factor; a
+    perfectly clustered layout approaches 0, a shuffled layout
+    approaches n_files−1). The signal a table-maintenance job watches:
+    when appends/updates push overlap up, it is time to re-run
+    ``write_zordered`` (compaction), exactly like a Delta/Iceberg
+    OPTIMIZE scheduler.
+
+    Footer-only: O(files) metadata reads, no data scan. Numeric columns
+    only (span arithmetic).
+    """
+    stats = file_minmax_stats(path, cols)
+    report: dict = {"n_files": len(stats), "columns": {}}
+    for col in cols:
+        iv = [st[col] for st in stats if st[col][0] is not None]
+        if not iv:
+            report["columns"][col] = None
+            continue
+        glo = min(lo for lo, _ in iv)
+        ghi = max(hi for _, hi in iv)
+        span = float(ghi - glo) or 1.0
+        spans = [float(hi - lo) / span for lo, hi in iv]
+        overlaps = [
+            sum(
+                1
+                for j, (lo2, hi2) in enumerate(iv)
+                if j != i and not (hi2 < lo or lo2 > hi)
+            )
+            for i, (lo, hi) in enumerate(iv)
+        ]
+        report["columns"][col] = {
+            "avg_span_frac": sum(spans) / len(spans),
+            "avg_overlap": sum(overlaps) / len(overlaps),
+            "max_overlap": max(overlaps),
+        }
+    return report

@@ -565,3 +565,29 @@ def test_spearman_known_values(spark):
     syy = 9 + 9 + 36 + 64
     want = (n*sxy - sx*sy) / math.sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
     assert abs(rho - want) < 1e-12
+
+
+def test_clustering_report_zordered_vs_shuffled(spark, tmp_path):
+    """The clustering factor separates a z-ordered layout from a
+    shuffled one on the same data: z-ordered files cover narrow slices
+    with low mutual overlap; shuffled files all span everything."""
+    from novi_pdq_etl_project_prod_spark.sources.skipping import (
+        clustering_report,
+        write_zordered,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).cast("long").alias("x"),
+        ((F.col("id") * 7919) % 141).cast("long").alias("y"),
+    )
+    zdir = str(tmp_path / "z")
+    write_zordered(df, zdir, ["x", "y"], n_files=8)
+    sdir = str(tmp_path / "s")
+    df.repartition(8).write.mode("overwrite").parquet(sdir)
+
+    rz = clustering_report(zdir, ["x"])["columns"]["x"]
+    rs = clustering_report(sdir, ["x"])["columns"]["x"]
+    assert rz["avg_span_frac"] < rs["avg_span_frac"] * 0.8
+    assert rz["avg_overlap"] < rs["avg_overlap"]
+    # shuffled: every file overlaps every other on the full span
+    assert rs["avg_overlap"] >= 6.0
