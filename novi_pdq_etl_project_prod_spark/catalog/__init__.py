@@ -129,17 +129,22 @@ _DRIVER_CERTIFIED_FALLBACK = (
 ).split()
 
 
-def _derive_driver_certified():
+def _derive_driver_certified(repo=None):
     """Latest-wins union of CORRECTNESS_r*.json rows whose most recent
     driver outcome is successful (hash/rows green, or the documented
     ``no_oracle`` class). Mirrors tests/test_registry_order.py exactly so
     the ledger can never drift from the artifacts again (VERDICT r05 item
     1). Returns None when no artifacts are present (installed package
-    outside the build repo) so the caller falls back to the literal."""
+    outside the build repo) so the caller falls back to the literal.
+
+    ``repo`` overrides the artifact root (tests exercise future-round
+    artifact sets in a tmp dir — VERDICT r06 item 1)."""
     import json
     import pathlib
 
-    repo = pathlib.Path(__file__).resolve().parents[2]
+    if repo is None:
+        repo = pathlib.Path(__file__).resolve().parents[2]
+    repo = pathlib.Path(repo)
     files = sorted(repo.glob("CORRECTNESS_r*.json"))
     if not files:
         return None

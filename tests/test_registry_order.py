@@ -52,6 +52,30 @@ def test_certified_list_matches_correctness_files():
     )
 
 
+def test_ledger_derivation_survives_future_driver_rounds(tmp_path):
+    """Meta-test (VERDICT r06 item 1): the ledger derivation must stay
+    correct when the driver drops NEXT-round artifacts into the repo root.
+    Simulated in a tmp root: an r07 file that greens one query, reds a
+    previously-green one, and adds a no_oracle row — latest-wins on all
+    three, no crash on a malformed extra file."""
+    from novi_pdq_etl_project_prod_spark.catalog import _derive_driver_certified
+
+    (tmp_path / "CORRECTNESS_r06.json").write_text(json.dumps({
+        "old_green": {"hash_match": True, "rows_match": True, "err": None},
+        "newly_red": {"hash_match": True, "rows_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r07.json").write_text(json.dumps({
+        "newly_red": {"hash_match": False, "rows_match": False, "err": "boom"},
+        "new_green": {"hash_match": True, "rows_match": True, "err": None},
+        "new_sketch": {"hash_match": False, "rows_match": False,
+                       "err": "no_oracle"},
+    }))
+    (tmp_path / "CORRECTNESS_r08.json").write_text("not json {")
+    certified = _derive_driver_certified(tmp_path)
+    assert certified == {"old_green", "new_green", "new_sketch"}
+    assert _derive_driver_certified(tmp_path / "empty-missing") is None
+
+
 def test_every_query_has_oracle_or_documented_exception():
     """Non-oracled queries must be the documented approximate/iterative set."""
     no_oracle = {q for q in QUERIES if q not in ORACLES}
