@@ -19,24 +19,45 @@ breaks the consumer) and are therefore deliberately NOT tracked here;
 :func:`clear_session_state` exists for the between-queries case where
 *everything* prior is known-consumed.
 
+Concurrency (ADVICE r06): the tracked pool is lock-guarded, and
+multi-tenant drivers running queries on concurrent threads should wrap
+each query in :func:`scope` — a context-local pool, so one tenant's
+boundary ``release()`` can never unpersist an intermediate a concurrent
+query is still eagerly filling (semantically safe, but it reintroduces
+exactly the recompute races this seam exists to prevent).
+
 Callers:
 - ``bench.py`` releases between headline queries.
 - ``plans/pipeline.py`` releases after each task materializes.
 - Tests assert executor storage returns to baseline
   (``tests/test_cache_lifecycle.py``).
-- Long-lived sessions should call :func:`release` at query boundaries.
+- Long-lived sessions should call :func:`release` at query boundaries,
+  or wrap concurrent queries in ``with cache.scope(): ...``.
 """
 
 from __future__ import annotations
 
+import contextlib
+import threading
+from contextvars import ContextVar
+
 from pyspark.sql import DataFrame
 
-#: DataFrames persisted by operators since the last release().
+#: DataFrames persisted by operators since the last release() — the
+#: shared fallback pool for single-threaded drivers. Guarded by _LOCK.
 _TRACKED: list[DataFrame] = []
+_LOCK = threading.Lock()
+
+#: Active per-owner pool (None outside any scope). ContextVar gives each
+#: thread/async task its own binding, so concurrent scoped queries never
+#: see each other's intermediates.
+_SCOPE: ContextVar[list[DataFrame] | None] = ContextVar("cache_scope", default=None)
 
 
 def track(df: DataFrame, eager: bool = False) -> DataFrame:
-    """Persist ``df`` and register it for the next :func:`release`.
+    """Persist ``df`` and register it for the next :func:`release` (the
+    enclosing :func:`scope`'s pool when one is active, else the shared
+    pool).
 
     With ``eager=True`` the cache is filled immediately (a ``count()``),
     which the branch-reuse sites need anyway — without an eager fill,
@@ -44,27 +65,57 @@ def track(df: DataFrame, eager: bool = False) -> DataFrame:
     lineage (the ngram_jaccard_pairs lesson, measured 7.1s → 2.6s).
     """
     df = df.persist()
-    _TRACKED.append(df)
+    pool = _SCOPE.get()
+    if pool is not None:
+        pool.append(df)
+    else:
+        with _LOCK:
+            _TRACKED.append(df)
     if eager:
         df.count()
     return df
 
 
-def release() -> int:
-    """Unpersist every tracked intermediate; returns how many were freed.
-
-    Safe at any time: persisted intermediates keep their lineage, so a
-    consumer that has not materialized yet just recomputes.
-    """
+def _drain(pool: list[DataFrame]) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    while pool:
+        df = pool.pop()
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass  # session already stopped — nothing to free
     return n
+
+
+def release() -> int:
+    """Unpersist every intermediate tracked by the current owner (the
+    enclosing scope's pool, else the shared pool); returns how many were
+    freed.
+
+    Safe at any time: persisted intermediates keep their lineage, so a
+    consumer that has not materialized yet just recomputes.
+    """
+    pool = _SCOPE.get()
+    if pool is not None:
+        return _drain(pool)
+    with _LOCK:
+        grabbed, _TRACKED[:] = _TRACKED[:], []
+    return _drain(grabbed)
+
+
+@contextlib.contextmanager
+def scope():
+    """Context-local tracked pool: intermediates persisted inside the
+    ``with`` block are released on exit (and only those), isolating
+    concurrent queries from each other's cache boundaries."""
+    token = _SCOPE.set([])
+    try:
+        yield
+    finally:
+        pool = _SCOPE.get()
+        _SCOPE.reset(token)
+        _drain(pool)
 
 
 def clear_session_state(spark) -> None:

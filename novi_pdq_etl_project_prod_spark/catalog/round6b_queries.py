@@ -569,7 +569,7 @@ def d23_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D23_SQL = f"""
 WITH base AS (
-  SELECT l_returnflag,
+  SELECT DISTINCT l_returnflag,
          CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)
            AS rid,
          CAST(l_extendedprice AS DOUBLE) AS v

@@ -62,9 +62,16 @@ def kmv_sketch(
     Two-stage bottom-k so the per-group sort never sees the full
     distinct set: stage 1 keeps k per (group, h mod 64) — each a
     ~1/64 slice — stage 2 keeps k of the ≤ 64·k survivors.
+
+    NULL values are excluded before hashing — ``COUNT(DISTINCT)``
+    semantics, matching the reference pipeline's quality gates (ADVICE
+    r06: ``concat_ws`` silently drops NULL, which would otherwise fold
+    every NULL into the one fixed ``md5('kmv')`` register and count NULL
+    as a distinct value).
     """
     hashed = (
         df.select(*group_cols, F.col(value_col).cast("string").alias("__v"))
+        .where(F.col("__v").isNotNull())
         .distinct()
         .select(*group_cols, kmv_hash(F.col("__v"), salt).alias("h"))
     )
@@ -225,13 +232,21 @@ def sample_quantile_sketch(
     without it, which duplicate crosses the k boundary is
     partition-order luck and the sample median flickers run to run
     (and against the oracle).
+
+    The sample is over DISTINCT ``(group, id, value)`` rows: the direct
+    path applies the same dedup :func:`kmv_merge` applies via its
+    ``distinct`` over registers, so a merged roll-up of per-shard
+    sketches equals the direct sketch of the union register-for-register
+    (ADVICE r06: without this, exact-duplicate rows survived the direct
+    path but collapsed in the merge, breaking the documented merge law).
+    NULL ids are excluded — they would all fold into one fixed register.
     """
     hashed = df.select(
         *group_cols,
         kmv_hash(F.col(id_col), salt).alias("h"),
         F.col(id_col),
         F.col(value_col),
-    )
+    ).where(F.col(id_col).isNotNull()).distinct()
     bucket = F.pmod(F.col("h"), F.lit(_N_BUCKETS))
     w1 = Window.partitionBy(*group_cols, bucket).orderBy("h", value_col)
     w2 = Window.partitionBy(*group_cols).orderBy("h", value_col)

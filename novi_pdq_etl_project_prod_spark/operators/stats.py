@@ -719,9 +719,12 @@ def gini_index(
     dominance audits (a mixture where one source carries G ≈ 1 of the
     tokens is a dedup or licensing problem, not a corpus).
 
-    Scale: one per-key window sort + one hash-agg. The integer products
-    fit a BIGINT up to ~10^5 rows × 10^11-cent sums per group; beyond
-    that switch the two sums to DECIMAL(38,0) (the m44/w11 idiom).
+    Scale: one per-key window sort + one hash-agg. Both sums accumulate
+    in DECIMAL(38,0) (the m44/w11 idiom, same as ``spearman_correlation``)
+    — a BIGINT rank-weighted sum would wrap silently past ~10^5 rows ×
+    10^11-cent groups (ADVICE r06); decimal headroom covers 10^9 rows ×
+    10^18-cent sums with digits to spare, and the only doubles are the
+    final correctly-rounded casts feeding one IEEE division.
     """
     ranked = df.select(
         *keys,
@@ -729,8 +732,10 @@ def gini_index(
     ).withColumn("__i", F.row_number().over(Window.partitionBy(*keys).orderBy("__x")))
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("__x").alias("__s"),
-        F.sum(F.col("__i") * F.col("__x")).alias("__a"),
+        F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"),
+        F.sum(
+            F.col("__i").cast("decimal(19,0)") * F.col("__x").cast("decimal(19,0)")
+        ).alias("__a"),
     )
     num = F.lit(2) * F.col("__a") - (F.col("n_rows") + 1) * F.col("__s")
     den = F.col("n_rows") * F.col("__s")

@@ -578,11 +578,18 @@ def _manifest_path(root: str, layer: MedallionLayer | str) -> str:
     return os.path.join(root, layer_name, TX_MANIFEST_DIR)
 
 
+#: Reserved manifest key carrying commit metadata (e.g. a streaming
+#: sink's last-applied batch id) — never a table name. Readers that
+#: iterate manifest tables must skip it.
+MANIFEST_META_KEY = "_meta"
+
+
 def commit_tables(
     dfs: dict[str, DataFrame],
     root: str,
     layer: MedallionLayer | str,
     expected_base: str | None = ...,
+    meta: dict | None = None,
 ) -> dict[str, str]:
     """All-or-nothing publish of several tables — a star-schema's fact and
     dims move together, the way the reference's per-run Postgres
@@ -614,11 +621,20 @@ def commit_tables(
     never touches their pointers and roll-forward is ordered after the
     manifest commit.
 
+    ``meta`` (JSON-serializable dict) rides the same atomic flip under
+    the reserved :data:`MANIFEST_META_KEY` — the durability primitive
+    exactly-once streaming sinks need: a sink records its last-applied
+    batch id IN the commit it applies, so a replayed batch after a crash
+    between commit and checkpoint-offset write is detectable
+    (ADVICE r06, ``stream_to_star_schema``).
+
     Returns the committed ``{table: snapshot_name}`` manifest.
     """
     import json
     import shutil
 
+    if MANIFEST_META_KEY in dfs:
+        raise ValueError(f"table name {MANIFEST_META_KEY!r} is reserved")
     mpath = _manifest_path(root, layer)
     os.makedirs(mpath, exist_ok=True)
     # heal any interrupted previous commit before layering a new one
@@ -634,8 +650,11 @@ def commit_tables(
 
         def _write_manifest(snap_dir: str) -> None:
             target = os.path.join(snap_dir, "manifest.json")
+            doc = dict(staged)
+            if meta is not None:
+                doc[MANIFEST_META_KEY] = meta
             with open(target, "w", encoding="utf-8") as fh:
-                json.dump(staged, fh, sort_keys=True)
+                json.dump(doc, fh, sort_keys=True)
                 fh.flush()
                 os.fsync(fh.fileno())
 
@@ -658,9 +677,7 @@ def current_manifest_version(root: str, layer: MedallionLayer | str) -> str | No
     return current_snapshot(_manifest_path(root, layer))
 
 
-def read_manifest(root: str, layer: MedallionLayer | str) -> dict[str, str]:
-    """The live committed ``{table: snapshot_name}`` set (empty before
-    the first multi-table commit)."""
+def _read_manifest_doc(root: str, layer: MedallionLayer | str) -> dict:
     import json
 
     mpath = _manifest_path(root, layer)
@@ -670,6 +687,23 @@ def read_manifest(root: str, layer: MedallionLayer | str) -> dict[str, str]:
         return {}
     with open(target, encoding="utf-8") as fh:
         return json.load(fh)
+
+
+def read_manifest(root: str, layer: MedallionLayer | str) -> dict[str, str]:
+    """The live committed ``{table: snapshot_name}`` set (empty before
+    the first multi-table commit). The reserved metadata slot is NOT a
+    table and is stripped here — use :func:`read_manifest_meta` for it."""
+    doc = _read_manifest_doc(root, layer)
+    doc.pop(MANIFEST_META_KEY, None)
+    return doc
+
+
+def read_manifest_meta(root: str, layer: MedallionLayer | str) -> dict:
+    """Commit metadata recorded with the live manifest (empty when the
+    committer passed none). Atomic with the table set: a reader can never
+    see new metadata with old tables or vice versa."""
+    meta = _read_manifest_doc(root, layer).get(MANIFEST_META_KEY)
+    return meta if isinstance(meta, dict) else {}
 
 
 def read_manifest_tables(

@@ -543,11 +543,15 @@ def stream_to_star_schema(
     Fact semantics: a keyed running aggregate (sum of ``measure_cols``
     per ``dim_pk``) maintained by read-merge-overwrite against the
     manifest's own fact version — the set-consistent read feeding the
-    next set-consistent write. foreachBatch batches are totally ordered
-    per query, so cross-batch precedence is positional; a replayed batch
-    after a checkpoint restart re-merges rows already folded in, which
-    the latest-wins dim merge absorbs (fact replay protection belongs to
-    the checkpoint, exactly as in ``stream_to_medallion``).
+    next set-consistent write. A running sum is NOT idempotent under
+    replay, and foreachBatch is only at-least-once: a batch replayed
+    after a crash between the manifest commit and the checkpoint offset
+    write would re-add its delta (ADVICE r06). So the sink records the
+    batch id IN the manifest it commits (``commit_tables(meta=...)``) —
+    commit and applied-marker flip atomically — and ``_publish`` no-ops
+    when ``_batch_id <= last_applied``. foreachBatch batch ids are
+    monotonically increasing per checkpoint, which makes the ``<=``
+    comparison the exactly-once gate.
 
     Scale: dim and the keyed aggregate are entity-sized, not
     event-sized; the per-trigger cost is two small snapshot writes + one
@@ -561,12 +565,16 @@ def stream_to_star_schema(
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
+        read_manifest_meta,
         read_manifest_tables,
     )
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        last = read_manifest_meta(root, "curated").get("last_batch_id")
+        if isinstance(last, int) and _batch_id <= last:
+            return  # replayed batch: its delta is already in the fact
         spark = batch_df.sparkSession
         current = read_manifest_tables(spark, root, "curated")
         latest = dedup_dim(
@@ -587,7 +595,10 @@ def stream_to_star_schema(
             .agg(*[F.sum(F.col(m)).alias(m) for m in measure_cols])
         )
         commit_tables(
-            {fact_table: merged_fact, dim_table: merged_dim}, root, "curated"
+            {fact_table: merged_fact, dim_table: merged_dim},
+            root,
+            "curated",
+            meta={"last_batch_id": _batch_id},
         )
 
     q = (

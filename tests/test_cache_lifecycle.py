@@ -56,3 +56,31 @@ def test_release_before_materialization_is_safe(spark):
     assert df2.count() == expected
     cache.clear_session_state(spark)
     assert _n_persistent(spark) == 0
+
+
+def test_scoped_release_isolates_owners(spark):
+    """ADVICE r06: release() inside a scope frees only that scope's
+    frames — a concurrent owner's tracked intermediates stay cached until
+    its own boundary."""
+    from novi_pdq_etl_project_prod_spark import cache
+
+    outer = cache.track(spark.range(10).toDF("n"), eager=True)
+    with cache.scope():
+        inner = cache.track(spark.range(5).toDF("n"), eager=True)
+        assert inner.storageLevel.useMemory
+        assert cache.release() == 1  # frees inner only
+        assert not inner.storageLevel.useMemory
+        assert outer.storageLevel.useMemory, "scope released a foreign frame"
+    assert outer.storageLevel.useMemory
+    assert cache.release() == 1  # the shared pool still owns outer
+    assert not outer.storageLevel.useMemory
+
+
+def test_scope_exit_drains_unreleased_frames(spark):
+    from novi_pdq_etl_project_prod_spark import cache
+
+    with cache.scope():
+        df = cache.track(spark.range(7).toDF("n"), eager=True)
+        assert df.storageLevel.useMemory
+    assert not df.storageLevel.useMemory
+    assert cache.release() == 0

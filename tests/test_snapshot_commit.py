@@ -494,3 +494,31 @@ def test_commit_tables_concurrent_writers_serialize(spark, tmp_path):
         {"fact": ["fA"], "dim": ["dA"]},
         {"fact": ["fB"], "dim": ["dB"]},
     ), f"blended set observed: {final}"
+
+
+def test_commit_tables_meta_rides_the_flip(spark, tmp_path):
+    """Commit metadata (ADVICE r06: a streaming sink's last-applied batch
+    id) is atomic with the table set, invisible to table readers, and the
+    reserved key is rejected as a table name."""
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+
+    root = str(tmp_path)
+    assert read_manifest_meta(root, "curated") == {}
+    commit_tables({"dim": _dim(spark, "d0")}, root, "curated",
+                  meta={"last_batch_id": 3})
+    assert read_manifest_meta(root, "curated") == {"last_batch_id": 3}
+    # the meta slot is not a table: manifest and reader surfaces skip it
+    assert set(read_manifest(root, "curated")) == {"dim"}
+    assert set(read_manifest_tables(spark, root, "curated")) == {"dim"}
+    # a metadata-free commit clears it (meta belongs to ONE commit)
+    commit_tables({"dim": _dim(spark, "d1")}, root, "curated")
+    assert read_manifest_meta(root, "curated") == {}
+    with pytest.raises(ValueError, match="reserved"):
+        commit_tables({"_meta": _dim(spark, "x")}, root, "curated")

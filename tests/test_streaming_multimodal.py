@@ -618,3 +618,64 @@ def test_stream_to_star_schema_atomic_fact_dim(spark, tmp_path):
     assert set(fact) <= set(dim)
     # two micro-batches ⇒ two manifest versions, both internally complete
     assert len(read_manifest(root, "curated")) == 2
+
+
+def test_stream_to_star_schema_replay_is_exactly_once(spark, tmp_path):
+    """ADVICE r06 (high): the fact is a running sum, so a replayed batch
+    after a crash between commit_tables and the checkpoint offset write
+    must NOT re-add its delta. Simulated by deleting the checkpoint after
+    a full run and re-running the identical stream: every batch replays
+    with batch ids the committed manifest meta already covers, and the
+    fact must come out unchanged."""
+    import shutil
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_to_star_schema,
+    )
+
+    updates_dir = str(tmp_path / "orders")
+    spark.createDataFrame(
+        [(1, "alice", 10, 100.0), (2, "bob", 10, 40.0)],
+        "uid int, name string, ver int, amount double",
+    ).coalesce(1).write.mode("append").parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("uid int, name string, ver int, amount double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_to_star_schema(
+            stream, root, "fact_user_totals", "dim_user",
+            dim_pk=("uid",), dim_cols=("name",), order_col="ver",
+            measure_cols=("amount",), checkpoint_dir=chk,
+        )
+
+    _run()
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get("last_batch_id") == 0
+    fact_before = {
+        r.uid: r.amount
+        for r in read_manifest_tables(spark, root, "curated")[
+            "fact_user_totals"
+        ].collect()
+    }
+    assert fact_before == {1: 100.0, 2: 40.0}
+
+    # lost checkpoint ⇒ full replay with restarted batch ids
+    shutil.rmtree(chk)
+    _run()
+    fact_after = {
+        r.uid: r.amount
+        for r in read_manifest_tables(spark, root, "curated")[
+            "fact_user_totals"
+        ].collect()
+    }
+    assert fact_after == fact_before, "replayed batch double-counted the fact"
