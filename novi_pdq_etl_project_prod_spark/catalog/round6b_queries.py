@@ -811,6 +811,10 @@ ORDER BY n_name, abc
 # ---------------------------------------------------------------------------
 
 def m54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(
@@ -818,20 +822,19 @@ def m54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w")
     )
     freq = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
-    from pyspark.sql import Window
-
-    w = (
-        Window.orderBy(F.col("cnt").desc(), F.col("w"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = freq.select(
-        "w",
+    # Distributed vocab ranking (VERDICT r06 item 2): two-pass bucketed
+    # row_number + running occurrence total over (cnt desc, w) — the
+    # m40 lesson (never a full-vocab single-partition window) without
+    # giving up the exact full curve a TakeOrderedAndProject top-k would.
+    ranked = partitioned_cumulative(
+        freq,
+        [],
         "cnt",
-        F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("w"))).alias(
-            "rank"
-        ),
-        F.sum("cnt").over(w).alias("cum"),
-    )
+        sums={"cum": "cnt"},
+        row_number_col="rank",
+        descending=True,
+        tiebreak=["w"],
+    ).select("w", "cnt", F.col("rank").cast("int").alias("rank"), "cum")
     total = freq.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -1182,16 +1185,19 @@ ORACLES["m56_neyman_allocation"] = M56_SQL
 # Every number is an integer count or a correctly-rounded double ratio,
 # so the statistic certifies bit-for-bit.
 #
-# Scale stance: the unpartitioned cumulative sorts the merged distinct
-# support on one task — value-cardinality-bounded, which for
-# near-unique measures approaches row count. This is the EXACT-audit
-# path, run on bounded slices (a month, a sampled stratum); the
-# whole-corpus drift gate at 100 TB is dq8's binned chi-square, whose
-# cut-table shape is scan-bound by construction.
+# Scale stance (reworked, VERDICT r06 item 2): the cumulative is the
+# RANGE-partitioned two-pass (operators/cumulative.py) — no task ever
+# sorts the whole merged support, so the exact statistic stays
+# distributed even for near-unique measures; the totals ride a 1-row
+# broadcast, not an unpartitioned window. At whole-corpus 100 TB scale
+# dq8's binned chi-square remains the cheap continuous gate; this is
+# the exact test you can now afford on full columns, not just slices.
 # ---------------------------------------------------------------------------
 
 def d27_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
 
     li = read_table(spark, sf_dir, "lineitem")
     per_value = (
@@ -1206,14 +1212,12 @@ def d27_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cr"),
         )
     )
-    w = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    tot = Window.partitionBy()
-    cum = per_value.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cr").over(w).alias("cum_r"),
-        F.sum("ca").over(tot).alias("n_a"),
-        F.sum("cr").over(tot).alias("n_r"),
+    totals = per_value.agg(
+        F.sum("ca").alias("n_a"), F.sum("cr").alias("n_r")
     )
+    cum = partitioned_cumulative(
+        per_value, [], "v", sums={"cum_a": "ca", "cum_r": "cr"}
+    ).crossJoin(F.broadcast(totals))
     gap = F.abs(
         F.col("cum_a").cast("double") / F.col("n_a").cast("double")
         - F.col("cum_r").cast("double") / F.col("n_r").cast("double")

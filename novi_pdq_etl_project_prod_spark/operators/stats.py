@@ -675,25 +675,23 @@ def weighted_median(
     percentile, and approx sketches aren't auditable.
 
     Scale shape: weights are FIRST aggregated to (key, value) grain —
-    a distributed hash-agg with map-side combine — so the per-key
-    window sorts distinct values, not raw rows. Without that pre-agg
-    the window partitions by the (few) keys and each task sorts its
-    whole group: the 10× probe measured 5.8× wall; with it, the sort
-    input is value-cardinality-bounded and the probe is ~linear.
+    a distributed hash-agg with map-side combine — so the cumulative
+    runs over distinct values, not raw rows (the 5.8×→0.6× d24 probe),
+    and the cumulative itself is the RANGE-partitioned two-pass
+    (:func:`operators.cumulative.partitioned_cumulative`), so even a
+    near-unique measure with few groups never sorts a group's whole
+    distinct set in one task (VERDICT r06 item 2).
     """
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
     wt = F.col(weight_col).cast("long")
     per_value = df.groupBy(*keys, value_col).agg(F.sum(wt).alias("__w"))
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(value_col)
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_value.select(
-        *keys,
-        F.col(value_col),
-        F.sum("__w").over(w).alias("__cum"),
-        F.sum("__w").over(Window.partitionBy(*keys)).alias("__total"),
-    )
+    totals = per_value.groupBy(*keys).agg(F.sum("__w").alias("__total"))
+    cum = partitioned_cumulative(
+        per_value, list(keys), value_col, sums={"__cum": "__w"}
+    ).join(F.broadcast(totals), list(keys))
     return cum.groupBy(*keys).agg(
         F.min(
             F.when(F.lit(2) * F.col("__cum") >= F.col("__total"), F.col(value_col))
@@ -726,10 +724,20 @@ def gini_index(
     10^18-cent sums with digits to spare, and the only doubles are the
     final correctly-rounded casts feeding one IEEE division.
     """
-    ranked = df.select(
-        *keys,
-        measure_cents.cast("long").alias("__x"),
-    ).withColumn("__i", F.row_number().over(Window.partitionBy(*keys).orderBy("__x")))
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
+    # Distributed ranking (VERDICT r06 item 2): the two-pass bucketed
+    # row_number — tied values receive an arbitrary permutation of their
+    # tied rank range, under which Σ i·x is invariant, so the result is
+    # bit-identical to any single-window plan.
+    ranked = partitioned_cumulative(
+        df.select(*keys, measure_cents.cast("long").alias("__x")),
+        list(keys),
+        "__x",
+        row_number_col="__i",
+    )
     agg = ranked.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("__x").cast("decimal(38,0)")).alias("__s"),
@@ -763,11 +771,18 @@ def mann_whitney(
     doubles appear only in the final z-score (correctly-rounded ops,
     incl. sqrt, with the standard Σ(m³−m) tie-corrected variance).
 
-    One (value, side-counts) hash-agg, one cumulative over distinct
-    values, a 1-row reduce. The unpartitioned cumulative makes this the
-    exact-audit path for bounded slices, same stance as the KS
-    statistic (catalog d27/d28).
+    One (value, side-counts) hash-agg, then a RANGE-partitioned
+    two-pass cumulative over distinct values
+    (:func:`operators.cumulative.partitioned_cumulative` — VERDICT r06
+    item 2: the previous unpartitioned ``Window.orderBy`` serialized the
+    merged support through one sort task, which a near-unique measure
+    turns into the whole relation), and a 1-row reduce. Bit-identical
+    output — integer sums commute across the bucket split.
     """
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
     per_value = (
         df.where(F.col(side_col).isin(a_label, b_label))
         .groupBy(F.col(value_col).cast("double").alias("__v"))
@@ -779,15 +794,11 @@ def mann_whitney(
             .cast("long")
             .alias("cr"),
         )
+        .withColumn("m", F.col("ca") + F.col("cr"))
     )
-    m = F.col("ca") + F.col("cr")
-    w = (
-        Window.orderBy("__v")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = per_value.select(
-        "ca", "cr", m.alias("m"), F.sum(m).over(w).alias("C")
-    )
+    cum = partitioned_cumulative(
+        per_value, [], "__v", sums={"C": "m"}
+    ).select("ca", "cr", "m", "C")
     agg = cum.agg(
         F.sum("ca").alias("n_a"),
         F.sum("cr").alias("n_r"),
@@ -830,23 +841,28 @@ def spearman_correlation(
     unlike a float ``corr`` over float ranks.
 
     Shape: each measure's rank table is built at (key, value) grain
-    (hash-agg + a per-key cumulative over distinct values), joined back
-    onto the rows — broadcast for low-cardinality measures, an equi-
-    shuffle otherwise — then one exact moment aggregate per key.
+    (hash-agg + a RANGE-partitioned two-pass cumulative over distinct
+    values — :func:`operators.cumulative.partitioned_cumulative`, so a
+    near-unique measure never serializes a group's distinct set through
+    one sort task; VERDICT r06 item 2), joined back onto the rows —
+    broadcast for low-cardinality measures, an equi-shuffle otherwise —
+    then one exact moment aggregate per key.
     """
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
     def _rank_table(col: str, alias: str) -> DataFrame:
         per_value = df.groupBy(
             *keys, F.col(col).cast("double").alias(f"__v_{alias}")
         ).agg(F.count(F.lit(1)).alias("__m"))
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(f"__v_{alias}")
-            .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        cum = partitioned_cumulative(
+            per_value, list(keys), f"__v_{alias}", sums={"__cum": "__m"}
         )
-        return per_value.select(
+        return cum.select(
             *keys,
             f"__v_{alias}",
-            (F.lit(2) * F.sum("__m").over(w) - F.col("__m") + 1).alias(
+            (F.lit(2) * F.col("__cum") - F.col("__m") + 1).alias(
                 f"__r2_{alias}"
             ),
         )

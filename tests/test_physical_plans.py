@@ -141,6 +141,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "m53_copurchase_triangles",  # 1-row summary × edges × triangles
         "m54_zipf_coverage",     # 1-row total-occurrences broadcast
         "a9_association_rules",  # 1-row basket-count broadcast
+        "d27_ks_statistic",      # 1-row side-totals broadcast
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans
