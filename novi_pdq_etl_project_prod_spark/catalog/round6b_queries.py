@@ -380,14 +380,43 @@ def m53_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novi_pdq_etl_project_prod_spark.operators.graphs import triangle_stats
 
     li = read_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    other = items.select(
-        F.col("l_orderkey"), F.col("l_partkey").alias("p2")
+    # Frequency pre-prune (VERDICT r06 item 3): an item seen in a single
+    # order can never reach pair support >= 2, so drop it BEFORE pair
+    # generation — identical output (removing it changes no surviving
+    # pair's support), strictly smaller baskets. The frequent-item list
+    # is item-catalog-sized → broadcast semi-join.
+    frequent = (
+        li.groupBy("l_partkey")
+        .agg(F.count_distinct("l_orderkey").alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("l_partkey")
+    )
+    pruned = li.select("l_orderkey", "l_partkey").join(
+        F.broadcast(frequent), "l_partkey", "leftsemi"
+    )
+    # Basket-local pair generation: ONE shuffle (groupBy order) replaces
+    # the distinct + orderkey self-join of the r06 shape — the sorted
+    # basket array dedups items and emits each p1 < p2 pair exactly once,
+    # with per-order fan-out still C(basket, 2)-bounded.
+    baskets = pruned.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ps",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps")),
+                        lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                    ),
+                )
+            )
+        ).alias("pr")
     )
     pairs = (
-        items.join(other, "l_orderkey")
-        .where(F.col("l_partkey") < F.col("p2"))
-        .groupBy(F.col("l_partkey").alias("p1"), F.col("p2"))
+        pair.select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("__support"))
         .where(F.col("__support") >= 2)
         .select("p1", "p2")

@@ -156,7 +156,13 @@ def curate_corpus_v2(
         t.where("__e").select(id_col, "text"), id_col=id_col,
         text_col="text", n=3, threshold=containment_threshold,
     )
-    dropc = (
+    # The containment drop list is (dropped-subset-doc-id)-sized — a
+    # fraction of the near-dup mass, orders below the corpus — and the
+    # optimizer cannot see that through the miner's plan (it costed
+    # these joins sort-merge; VERDICT r06 item 4). The explicit
+    # broadcast turns all three consumers (left flag join + two
+    # anti-joins) into hash joins against a few-MB id set.
+    dropc = F.broadcast(
         pairs.where(F.col("id_b") < F.col("id_a"))
         .select(F.col("id_a").alias(id_col))
         .distinct()
