@@ -139,6 +139,170 @@ def _bpe_word_tokens(w: Column, vocab: Sequence[str]) -> Column:
     )
 
 
+def load_bpe_vocab(lines) -> list[str]:
+    """Parse a real tokenizer vocabulary from the two public text
+    formats, stdlib-only (VERDICT r06 item 6). ``lines`` is an iterable
+    of strings (pass ``open(path)`` or ``text.splitlines()``).
+
+    - **merges.txt** (GPT-2/RoBERTa style): each line ``left right`` is
+      a merge rule; the learned piece is ``left + right``. A leading
+      ``#version`` header is skipped. The returned vocabulary is the
+      merged pieces plus their single-character alphabet (greedy
+      inference needs the base symbols only as the implicit 1-char
+      fallback, so they are not added explicitly).
+    - **tiktoken** (``<base64 piece> <rank>`` per line): pieces are
+      base64-decoded; non-UTF-8 byte pieces (raw byte fallbacks) are
+      skipped — this engine segments text, not bytes.
+
+    GPT-2's ``Ġ``/SentencePiece's ``▁`` space markers are stripped:
+    :data:`BPE_ISH_PATTERN` pre-splits words, so leading-space variants
+    would never match. Detection is per-file (first data line); pieces
+    are deduped preserving first occurrence (merge order ≈ rank order,
+    though greedy longest-match inference only uses the piece SET).
+    """
+    import base64
+    import binascii
+
+    pieces: list[str] = []
+    seen: set[str] = set()
+    fmt = None
+    for raw in lines:
+        line = raw.rstrip("\n")
+        if not line.strip() or line.startswith("#"):
+            continue
+        parts = line.split(" ")
+        if fmt is None:
+            if len(parts) == 2 and parts[1].isdigit():
+                try:
+                    base64.b64decode(parts[0], validate=True)
+                    fmt = "tiktoken"
+                except (binascii.Error, ValueError):
+                    fmt = "merges"
+            else:
+                fmt = "merges"
+        if fmt == "tiktoken":
+            try:
+                piece = base64.b64decode(parts[0], validate=True).decode("utf-8")
+            except (binascii.Error, ValueError, UnicodeDecodeError):
+                continue
+        else:
+            if len(parts) != 2:
+                continue
+            piece = parts[0] + parts[1]
+        piece = piece.replace("Ġ", "").replace("▁", "")
+        if len(piece) >= 2 and piece not in seen:
+            seen.add(piece)
+            pieces.append(piece)
+    return pieces
+
+
+#: Above this vocabulary size, :func:`bpe_token_counts` switches from the
+#: inlined HOF fold (cost ∝ chars × |vocab| of interpreted expression
+#: eval — fine at fixture size, hopeless at 30k pieces) to the
+#: broadcast-join segmentation path.
+BPE_LARGE_VOCAB_THRESHOLD = 256
+
+
+def _bpe_word_tokens_large(words: DataFrame, vocab: Sequence[str]) -> DataFrame:
+    """(distinct word → greedy token count) for PRODUCTION-SIZED
+    vocabularies: instead of testing every piece at every position
+    (the HOF fold), candidate substrings equi-join against the broadcast
+    piece table and one O(chars) fold segments from the per-position
+    best-match lengths.
+
+    Identical semantics to :func:`_bpe_word_tokens` (greedy longest-
+    match-first, 1-char fallback): ``best(pos) = max piece length
+    matching at pos`` is what the inline fold's ``array_max`` computes —
+    the two paths are interchangeable and tested equal.
+
+    Cost: |distinct words| × word_len × max_piece_len candidate rows
+    into a broadcast hash join — Zipf-bounded upstream, linear in the
+    distinct-word mass, independent of |vocab| per row. Input must have
+    a ``_w`` column; output is ``_w``, ``_ntok``.
+    """
+    spark = words.sparkSession
+    max_len = max(len(p) for p in vocab)
+    vocab_df = spark.createDataFrame(
+        [(p,) for p in dict.fromkeys(vocab)], "piece string"
+    ).withColumn("plen", F.length("piece"))
+    cand = (
+        words.select("_w", F.explode(F.sequence(F.lit(1), F.length("_w"))).alias("pos"))
+        .select(
+            "_w",
+            "pos",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length("_w") - F.col("pos") + 1),
+                )
+            ).alias("plen"),
+        )
+        .withColumn("piece", F.expr("substring(_w, pos, plen)"))
+    )
+    best = (
+        cand.join(F.broadcast(vocab_df), ["piece", "plen"])
+        .groupBy("_w", "pos")
+        .agg(F.max("plen").alias("best"))
+    )
+    # fold the per-position best lengths (1 where no piece matched) into
+    # the greedy segment count — positions gathered sorted, then one
+    # O(chars) pass identical in shape to _bpe_word_tokens' fold
+    per_word = (
+        words.select("_w")
+        .join(best, "_w", "left")
+        .groupBy("_w")
+        .agg(
+            F.sort_array(
+                # when() without otherwise yields NULL for the unmatched
+                # word's left-join row, and collect_list skips NULLs —
+                # so a match-free word gets an EMPTY array, not a
+                # null-field struct
+                F.collect_list(
+                    F.when(
+                        F.col("pos").isNotNull(),
+                        F.struct(F.col("pos"), F.col("best")),
+                    )
+                )
+            ).alias("bests")
+        )
+    )
+    return per_word.select(
+        "_w",
+        F.when(F.size("bests") == 0, F.length("_w").cast("long"))  # no match rows
+        .otherwise(
+            _greedy_fold_over_positions(F.col("bests"), F.length("_w"))
+        )
+        .alias("_ntok"),
+    )
+
+
+def _greedy_fold_over_positions(bests: Column, word_len: Column) -> Column:
+    """Greedy segmentation count from a sorted array of (pos, best-match
+    length) structs covering only MATCHED positions; unmatched positions
+    consume one character each. Walk the matched positions in order,
+    keeping ``at`` = next uncovered position: gaps before a match are
+    1-char units; a match starting before ``at`` is shadowed (already
+    covered by a longer earlier unit)."""
+    stepped = F.aggregate(
+        bests,
+        F.struct(F.lit(1).cast("int").alias("at"), F.lit(0).cast("long").alias("cnt")),
+        lambda acc, x: F.when(
+            x["pos"] < acc["at"],
+            acc,  # shadowed by a previously consumed unit
+        ).otherwise(
+            F.struct(
+                (x["pos"] + F.greatest(x["best"], F.lit(1))).cast("int").alias("at"),
+                # chars in the gap each count 1, plus this unit
+                (acc["cnt"] + (x["pos"] - acc["at"]) + 1).alias("cnt"),
+            )
+        ),
+    )
+    # trailing gap after the last consumed unit
+    return stepped["cnt"] + F.greatest(
+        word_len - stepped["at"] + 1, F.lit(0)
+    ).cast("long")
+
+
 def bpe_token_counts(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -164,11 +328,15 @@ def bpe_token_counts(
         ).alias("_w"),
     )
     wcount = words.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_cnt"))
-    wtok = (
-        wcount.select("_w")
-        .distinct()
-        .select("_w", _bpe_word_tokens(F.col("_w"), vocab).alias("_ntok"))
-    )
+    distinct_words = wcount.select("_w").distinct()
+    if len(vocab) > BPE_LARGE_VOCAB_THRESHOLD:
+        # production vocab (30k+ pieces): broadcast-join segmentation —
+        # per-row cost independent of |vocab| (VERDICT r06 item 6)
+        wtok = _bpe_word_tokens_large(distinct_words, vocab)
+    else:
+        wtok = distinct_words.select(
+            "_w", _bpe_word_tokens(F.col("_w"), vocab).alias("_ntok")
+        )
     per_doc = (
         wcount.join(wtok, "_w")
         .groupBy(id_col)

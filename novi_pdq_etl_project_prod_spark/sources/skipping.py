@@ -149,6 +149,92 @@ def pruned_read(
     return df, len(keep), len(stats)
 
 
+def maybe_optimize(
+    spark: SparkSession,
+    root: str,
+    layer,
+    table: str,
+    cols: list[str],
+    overlap_threshold: float = 0.5,
+    n_files: int | None = None,
+    bits: int = 12,
+) -> dict:
+    """OPTIMIZE scheduler (VERDICT r06 item 5): the policy that closes
+    the loop :func:`clustering_report` opens. Reads the layout audit for
+    the table's LIVE snapshot; when any audited column's NORMALIZED
+    clustering factor — ``avg_overlap / (n_files − 1)``, the fraction of
+    other files a file's [min, max] interval intersects (shuffled ≈ 1.0,
+    well-clustered → 0; scale-free, so one threshold serves a 10-file
+    and a 100k-file table, and a d-dim z-order's per-dim floor of
+    ~(1/n_files)^(1/d) sits safely under the default 0.5) — exceeds
+    ``overlap_threshold``, rewrites the table z-ordered on ``cols``
+    through the snapshot protocol; otherwise no-ops (in particular,
+    immediately re-calling after a rewrite must not churn). Returns the
+    decision record either way.
+
+    Concurrency/atomicity: the rewrite commits compare-and-swap against
+    the snapshot token read WITH the audit, so a concurrent writer's
+    commit aborts the optimize cleanly (their data wins; the layout is
+    re-auditable next tick) — a re-cluster must never clobber data it
+    didn't read. Readers resolve through the ``_CURRENT`` pointer and
+    see the old complete layout until the atomic flip, never a blend —
+    the same crash-at-any-step guarantee the whole protocol carries.
+
+    Cost model: the audit is O(files) footer metadata; the rewrite is
+    one full scan + range shuffle, paid only past the threshold. This
+    is the Delta/Iceberg OPTIMIZE loop (audit → threshold → rewrite)
+    over plain parquet. ``n_files`` defaults to the current file count
+    (re-cluster, don't resize); compose with ``compact_table`` when the
+    file-count itself is the problem.
+    """
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        _commit_snapshot_write,
+        current_snapshot,
+        resolve_table_path,
+        table_path,
+    )
+
+    def _factors(report: dict) -> dict[str, float]:
+        denom = max(report["n_files"] - 1, 1)
+        return {
+            c: r["avg_overlap"] / denom
+            for c, r in report["columns"].items()
+            if r
+        }
+
+    path = table_path(root, layer, table)
+    base = current_snapshot(path)
+    live = resolve_table_path(path)
+    report = clustering_report(live, cols)
+    factors = _factors(report)
+    decision: dict = {
+        "table": table,
+        "n_files": report["n_files"],
+        "clustering": factors,
+        "threshold": overlap_threshold,
+        "fired": False,
+    }
+    if report["n_files"] <= 1 or not factors:
+        return decision
+    if max(factors.values()) <= overlap_threshold:
+        return decision
+    df = spark.read.parquet(live)
+    nf = n_files or report["n_files"]
+    try:
+        new_live = _commit_snapshot_write(
+            lambda snap_dir: write_zordered(df, snap_dir, cols, nf, bits=bits),
+            path,
+            expected_base=base,
+        )
+    except SnapshotConflictError:
+        decision["conflict"] = True
+        return decision
+    decision["fired"] = True
+    decision["after"] = _factors(clustering_report(new_live, cols))
+    return decision
+
+
 def clustering_report(path: str, cols: list[str]) -> dict:
     """Layout-health audit from footer statistics alone: how selective
     would min/max file skipping actually be on this table?

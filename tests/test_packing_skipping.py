@@ -194,3 +194,108 @@ def test_zorder3_prune_three_predicates(spark, tmp_path):
 def test_zorder_multi_bit_overflow_guard(spark):
     with pytest.raises(ValueError):
         zorder_col_multi(["a", "b", "c"], bits=21)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE scheduler over the clustering audit (VERDICT r06 item 5)
+# ---------------------------------------------------------------------------
+
+def _shuffled_table(spark, root, n=4096, files=64):
+    """A 2-col int table written in hash-shuffled order: every file's
+    (x, y) [min, max] spans the whole domain → worst-case clustering."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import table_path
+
+    df = spark.range(n).select(
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    path = table_path(root, "curated", "facts")
+    df.orderBy(F.xxhash64("payload")).repartition(files).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return df
+
+
+def test_maybe_optimize_fires_once_then_noops(spark, tmp_path):
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        resolve_table_path,
+        table_path,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.skipping import (
+        clustering_report,
+        maybe_optimize,
+    )
+
+    root = str(tmp_path)
+    df = _shuffled_table(spark, root)
+    path = table_path(root, "curated", "facts")
+    before = clustering_report(resolve_table_path(path), ["x", "y"])
+    # degraded layout: every file spans the whole domain
+    assert before["columns"]["x"]["avg_overlap"] / (before["n_files"] - 1) > 0.9
+
+    d1 = maybe_optimize(spark, root, "curated", "facts", ["x", "y"])
+    assert d1["fired"] is True
+    assert max(d1["after"].values()) < max(d1["clustering"].values())
+    # data intact through the rewrite
+    live = spark.read.parquet(resolve_table_path(path))
+    assert live.count() == df.count()
+    assert live.agg(F.sum("payload")).first()[0] == df.agg(F.sum("payload")).first()[0]
+
+    # freshly clustered → the policy must not churn
+    d2 = maybe_optimize(spark, root, "curated", "facts", ["x", "y"])
+    assert d2["fired"] is False and "conflict" not in d2
+
+
+def test_maybe_optimize_crash_leaves_old_layout_readable(spark, tmp_path, monkeypatch):
+    from novi_pdq_etl_project_prod_spark.sources import layers
+    from novi_pdq_etl_project_prod_spark.sources.skipping import maybe_optimize
+
+    root = str(tmp_path)
+    df = _shuffled_table(spark, root)
+    path = layers.table_path(root, "curated", "facts")
+
+    class Boom(RuntimeError):
+        pass
+
+    def no_commit(*a, **k):
+        raise Boom("crash between z-order write and pointer commit")
+
+    monkeypatch.setattr(layers, "_commit_pointer", no_commit)
+    with pytest.raises(Boom):
+        maybe_optimize(spark, root, "curated", "facts", ["x", "y"])
+    monkeypatch.undo()
+    # reader still sees the complete pre-optimize table
+    live = spark.read.parquet(layers.resolve_table_path(path))
+    assert live.count() == df.count()
+    assert live.agg(F.sum("payload")).first()[0] == df.agg(F.sum("payload")).first()[0]
+    # and a later (healthy) call completes the job
+    d = maybe_optimize(spark, root, "curated", "facts", ["x", "y"])
+    assert d["fired"] is True
+
+
+def test_maybe_optimize_yields_to_concurrent_writer(spark, tmp_path, monkeypatch):
+    """CAS: a writer that commits between the audit read and the
+    re-cluster commit wins; the optimize aborts with conflict=True and
+    the writer's data is untouched."""
+    from novi_pdq_etl_project_prod_spark.sources import layers, skipping
+
+    root = str(tmp_path)
+    _shuffled_table(spark, root)
+    newer = spark.range(17).select(
+        F.col("id").alias("x"), F.col("id").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    real_write = skipping.write_zordered
+
+    def race_then_write(df, snap_dir, cols, n_files, bits=12):
+        layers.overwrite_snapshot(newer, root, "curated", "facts")
+        real_write(df, snap_dir, cols, n_files, bits)
+
+    monkeypatch.setattr(skipping, "write_zordered", race_then_write)
+    d = skipping.maybe_optimize(spark, root, "curated", "facts", ["x", "y"])
+    assert d.get("conflict") is True and d["fired"] is False
+    live = spark.read.parquet(
+        layers.resolve_table_path(layers.table_path(root, "curated", "facts"))
+    )
+    assert live.count() == 17  # the concurrent writer's table survived

@@ -169,3 +169,110 @@ def test_jpeg_dimension_extraction_in_decode(spark):
         assert out[i].width == 16 + i % 240
         assert out[i].height == 16 + (i // 16) % 240
         assert out[i].feature is not None and len(out[i].feature) == 16
+
+
+# ---------------------------------------------------------------------------
+# Real-vocabulary BPE (VERDICT r06 item 6): stdlib vocab parsers + the
+# broadcast-join segmentation path for production-sized vocabularies,
+# parity-tested against a local Python reference greedy segmenter.
+# ---------------------------------------------------------------------------
+
+def _py_greedy(word: str, vocab: set, max_len: int) -> int:
+    """Reference greedy longest-match-first segmenter (plain Python)."""
+    i, n, cnt = 0, len(word), 0
+    while i < n:
+        step = 1
+        for length in range(min(max_len, n - i), 1, -1):
+            if word[i:i + length] in vocab:
+                step = length
+                break
+        cnt += 1
+        i += step
+    return cnt
+
+
+def _synth_vocab_30k() -> list:
+    """Deterministic ~30k-piece syllable-style vocabulary (95 cv +
+    1,805 cvc + 9,025 cvcv + ~20k cvcc ≈ 31k pieces)."""
+    cons = "bcdfghjklmnpqrstvwz"
+    vow = "aeiou"
+    pieces = [c + v for c in cons for v in vow]
+    pieces += [c + v + c2 for c in cons for v in vow for c2 in cons]
+    pieces += [c + v + c2 + v2 for c in cons for v in vow
+               for c2 in cons for v2 in vow]
+    pieces += [c + v + c2 + c3 for c in cons for v in vow
+               for c2 in cons for c3 in cons][:20000]
+    pieces += ["the", "ing", "tion", "ment", "er", "ed", "es", "ly"]
+    return list(dict.fromkeys(pieces))
+
+
+def test_bpe_large_path_matches_python_reference(spark):
+    import re
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        BPE_FIXTURE_VOCAB,
+        _bpe_word_tokens_large,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    texts = [r.text for r in docs.limit(200).collect()]
+    words = sorted({
+        w for t in texts
+        for w in re.findall(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]", t)
+    })
+    # corpus words + adversarial synthetics: piece chains, no-match,
+    # single char, long mixed
+    words += ["zzzzqqqq", "x", "bakademifosu", "thething", "a1b2c3", "....",
+              "supercalifragilistic"]
+    wdf = spark.createDataFrame([(w,) for w in set(words)], "_w string")
+    for vocab in (list(BPE_FIXTURE_VOCAB), _synth_vocab_30k()):
+        vs, ml = set(vocab), max(len(p) for p in vocab)
+        got = {r._w: r._ntok for r in _bpe_word_tokens_large(wdf, vocab).collect()}
+        for w in set(words):
+            assert got[w] == _py_greedy(w, vs, ml), (w, got[w])
+
+
+def test_bpe_token_counts_routes_large_vocab_identically(spark):
+    """The public entry point must give identical counts through the
+    inline-HOF and join paths; threshold routing is an implementation
+    detail, never a semantics change."""
+    import novi_pdq_etl_project_prod_spark.operators.text as TX
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r.doc_id: r.n_tokens
+         for r in TX.bpe_token_counts(docs, vocab=TX.BPE_FIXTURE_VOCAB).collect()}
+    # force the large path for the SAME fixture vocab
+    import unittest.mock as mock
+    with mock.patch.object(TX, "BPE_LARGE_VOCAB_THRESHOLD", 1):
+        b = {r.doc_id: r.n_tokens
+             for r in TX.bpe_token_counts(docs, vocab=TX.BPE_FIXTURE_VOCAB).collect()}
+    assert a == b
+
+
+def test_load_bpe_vocab_merges_format():
+    from novi_pdq_etl_project_prod_spark.operators.text import load_bpe_vocab
+
+    lines = [
+        "#version: 0.2",
+        "t h",            # -> th
+        "th e",           # -> the
+        "Ġ t",            # space-marker merge -> 't' (len 1, dropped)
+        "i n g",          # malformed 3-token line, skipped
+        "t h",            # duplicate, deduped
+        "in g",           # -> ing
+    ]
+    assert load_bpe_vocab(lines) == ["th", "the", "ing"]
+
+
+def test_load_bpe_vocab_tiktoken_format():
+    import base64
+
+    from novi_pdq_etl_project_prod_spark.operators.text import load_bpe_vocab
+
+    lines = [
+        base64.b64encode("the".encode()).decode() + " 0",
+        base64.b64encode("Ġing".encode()).decode() + " 1",  # marker stripped
+        base64.b64encode(b"\xff\xfe").decode() + " 2",       # non-UTF8, skipped
+        base64.b64encode("tion".encode()).decode() + " 3",
+    ]
+    assert load_bpe_vocab(lines) == ["the", "ing", "tion"]
