@@ -139,6 +139,28 @@ WARMUP_SF = "/root/testdata/sf0.001"
 #: the most recent prior round's recorded timing.
 REGRESSION_THRESHOLD = 1.20
 
+#: Queries whose timing deliberately moved this round because of a
+#: documented plan reshape — the gate still measures and reports them,
+#: but annotates each flag with the explanation so the artifact reads as
+#: "reshape cost" rather than silent drift (VERDICT r06 item 8 allows
+#: "code-explained entries"). Cleared every round once the new baseline
+#: absorbs the reshape.
+EXPLAINED_RESHAPES = {
+    name: (
+        "r07 range-partitioned two-pass cumulative (VERDICT r06 item 2): "
+        "+1 range exchange + persist buys no-single-task-sort on "
+        "near-unique measures; see SCALE.md round-7 probe"
+    )
+    for name in (
+        "d24_weighted_median",
+        "d25_gini_spend",
+        "d27_ks_statistic",
+        "d28_mann_whitney",
+        "d29_spearman",
+        "m54_zipf_coverage",
+    )
+}
+
 #: Timing-methodology version, recorded in the metric object. Bumped to 2
 #: in round 6 when the bench started clearing cached/persisted blocks
 #: between headline queries (VERDICT r05 item 2): v1 timings inherited
@@ -357,6 +379,8 @@ def main() -> None:
                         "ratio": round(r, 2),
                         "vs_drift": round(r / drift, 2),
                     }
+                    if n in EXPLAINED_RESHAPES:
+                        confirmed[n]["explained"] = EXPLAINED_RESHAPES[n]
             out["regressions"] = confirmed
     # durable per-round detail: the driver wrapper truncates stdout to a
     # 2,000-char tail, so also write the full metric object to a committed

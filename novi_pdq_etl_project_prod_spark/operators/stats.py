@@ -283,31 +283,52 @@ def quantile_bin_drift(
     # the cut points as literals — a broadcast-join form re-runs the
     # percentile aggregate once per consuming side
     cut_vals = [v for v in cuts.collect()[0] if v is not None]
+    r = bin_counts(ref, m, cut_vals, "n_ref")
+    c = bin_counts(cur, m, cut_vals, "n_cur")
+    return drift_from_bin_counts(r, c, n_bins)
 
-    def _binned(side: DataFrame, name: str) -> DataFrame:
-        # bin = number of cut points strictly below x (ties go left, like
-        # SQL width buckets on right-open intervals) as a row-local
-        # indicator sum over the literal cuts, so the only aggregation is
-        # a map-side-combined 10-bin hash-agg — no value-cardinality
-        # shuffle (an earlier distinct-values-first shape shuffled every
-        # distinct measure value, which for near-unique measures IS the
-        # row count).
-        x = m.cast("double")
-        bin_expr = None
-        for v in cut_vals:
-            ind = F.when(F.lit(v) < F.col("_x"), 1).otherwise(0)
-            bin_expr = ind if bin_expr is None else bin_expr + ind
-        if bin_expr is None:
-            bin_expr = F.lit(0)
-        return (
-            side.select(x.alias("_x"))
-            .select(bin_expr.alias("bin"))
-            .groupBy("bin")
-            .agg(F.count(F.lit(1)).alias(name))
-        )
 
-    r = _binned(ref, "n_ref")
-    c = _binned(cur, "n_cur")
+def bin_counts(
+    side: DataFrame,
+    measure: Column | str,
+    cut_vals: Sequence[float],
+    name: str = "n",
+) -> DataFrame:
+    """Per-bin row counts against FIXED cut points: ``(bin, name)``.
+
+    bin = number of cut points strictly below x (ties go left, like SQL
+    width buckets on right-open intervals) as a row-local indicator sum
+    over the literal cuts, so the only aggregation is a map-side-
+    combined n_bins-row hash-agg — no value-cardinality shuffle (an
+    earlier distinct-values-first shape shuffled every distinct measure
+    value, which for near-unique measures IS the row count).
+
+    Counts against fixed cuts are pure additions, so per-slice (or
+    per-micro-batch — ``streaming.events.stream_bin_counts``) count
+    tables merge by summing: the maintained counts equal a full rescan's
+    register-for-register.
+    """
+    m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
+    bin_expr = None
+    for v in cut_vals:
+        ind = F.when(F.lit(float(v)) < F.col("_x"), 1).otherwise(0)
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    if bin_expr is None:
+        bin_expr = F.lit(0)
+    return (
+        side.select(m.alias("_x"))
+        .select(bin_expr.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias(name))
+    )
+
+
+def drift_from_bin_counts(r: DataFrame, c: DataFrame, n_bins: int) -> DataFrame:
+    """The χ²-style drift report from two ``(bin, count)`` tables —
+    the reduction :func:`quantile_bin_drift` applies after binning,
+    exposed so maintained count tables (streaming, per-day slices)
+    produce the identical report without rescanning rows. Expects
+    ``n_ref`` / ``n_cur`` count column names."""
     bins = (
         r.join(c, "bin", "full")
         .select(

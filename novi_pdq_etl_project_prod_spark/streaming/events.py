@@ -740,3 +740,69 @@ def stream_sample_quantile_sketch(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_bin_counts(
+    stream: DataFrame,
+    root: str,
+    table: str,
+    value_col: str,
+    cut_vals: tuple[float, ...],
+    checkpoint_dir: str,
+    layer: str = "quality",
+) -> None:
+    """Streaming distribution-drift monitor (VERDICT r06 item 7):
+    maintain dq8-style quantile-bin counts of ``value_col`` against
+    FIXED reference cut points, one merge per micro-batch — so "has the
+    live distribution drifted from the reference?" is answerable at any
+    moment from an n_bins-row table, with no history rescan. Feed the
+    maintained table and the reference's counts to
+    ``operators.stats.drift_from_bin_counts`` for the exact report
+    ``quantile_bin_drift`` would produce over all rows ever seen.
+
+    Counts against fixed cuts merge by ADDITION, which is not
+    idempotent under replay — so, like :func:`stream_to_star_schema`,
+    the sink records its last-applied batch id in the atomic
+    ``commit_tables`` manifest and skips replayed batches: counts stay
+    exactly-once across crash/restart. The monitor gets its own layer
+    (default ``quality``) because a layer's manifest names one
+    consistent table set per commit.
+
+    State: n_bins rows, forever. Per-trigger cost: one map-side-combined
+    hash-agg over the micro-batch + an n_bins-row snapshot write.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.stats import bin_counts
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+
+    def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = read_manifest_meta(root, layer).get("last_batch_id")
+        if isinstance(last, int) and _batch_id <= last:
+            return  # replayed batch: its counts are already in
+        spark = batch_df.sparkSession
+        fresh = bin_counts(batch_df, value_col, list(cut_vals), "n")
+        existing = read_manifest_tables(spark, root, layer).get(table)
+        merged = (
+            fresh
+            if existing is None
+            else existing.unionByName(fresh)
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+        )
+        commit_tables(
+            {table: merged}, root, layer, meta={"last_batch_id": _batch_id}
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -679,3 +679,89 @@ def test_stream_to_star_schema_replay_is_exactly_once(spark, tmp_path):
         ].collect()
     }
     assert fact_after == fact_before, "replayed batch double-counted the fact"
+
+
+def test_stream_bin_counts_matches_batch_and_survives_replay(spark, tmp_path):
+    """Streaming drift monitor (VERDICT r06 item 7), metamorphic vs the
+    batch twin: after streaming N micro-batches, (1) the maintained bin
+    counts equal `stats.bin_counts` over all rows register-for-register;
+    (2) `drift_from_bin_counts` over (reference counts, maintained
+    counts) is row-identical to `quantile_bin_drift(ref, cur)` with the
+    same cuts; (3) a checkpoint loss + full replay changes nothing
+    (addition gated by the manifest batch id)."""
+    import shutil
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        bin_counts,
+        drift_from_bin_counts,
+        quantile_bin_drift,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_bin_counts,
+    )
+
+    # reference slice and its fitted cuts (quartiles of 1..100)
+    ref = spark.range(1, 101).select(F.col("id").cast("double").alias("v"))
+    n_bins = 4
+    cut_vals = [
+        v for v in ref.agg(
+            *[F.percentile(F.col("v"), F.lit(q)).alias(f"c{i}")
+              for i, q in enumerate((0.25, 0.5, 0.75))]
+        ).collect()[0]
+    ]
+
+    # current stream: 3 files → 3 micro-batches, drifted upward
+    updates_dir = str(tmp_path / "cur")
+    batches = [(1, 40), (30, 90), (80, 140)]
+    for lo, hi in batches:
+        spark.range(lo, hi).select(
+            F.col("id").cast("double").alias("v")
+        ).coalesce(1).write.mode("append").parquet(updates_dir)
+        _time.sleep(1.1)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_bin_counts(stream, root, "price_bins", "v", tuple(cut_vals), chk)
+
+    _run()
+    cur_all = spark.read.parquet(updates_dir)
+    expected = {
+        (r.bin, r.n)
+        for r in bin_counts(cur_all, "v", cut_vals, "n").collect()
+    }
+    maintained = read_manifest_tables(spark, root, "quality")["price_bins"]
+    assert {(r.bin, r.n) for r in maintained.collect()} == expected
+
+    # the maintained counts produce dq8's exact report
+    want = {
+        (r.bin, r.n_ref, r.n_cur, r.share_ref, r.share_cur, r.chi2_term)
+        for r in quantile_bin_drift(ref, cur_all, "v", n_bins).collect()
+    }
+    got = {
+        (r.bin, r.n_ref, r.n_cur, r.share_ref, r.share_cur, r.chi2_term)
+        for r in drift_from_bin_counts(
+            bin_counts(ref, "v", cut_vals, "n_ref"),
+            maintained.select("bin", F.col("n").alias("n_cur")),
+            n_bins,
+        ).collect()
+    }
+    assert got == want
+
+    # checkpoint loss → full replay with restarted batch ids: no change
+    shutil.rmtree(chk)
+    _run()
+    replayed = read_manifest_tables(spark, root, "quality")["price_bins"]
+    assert {(r.bin, r.n) for r in replayed.collect()} == expected
