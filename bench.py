@@ -131,6 +131,13 @@ HEADLINE = [
     "d27_ks_statistic",
     "d28_mann_whitney",
     "d29_spearman",
+    # round-7 additions
+    "d30_auc_exact",
+    "d31_chi2_independence",
+    "d32_calibration_bins",
+    "d33_kendall_tau",
+    "d34_trend_lines",
+    "m59_rank_fusion",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

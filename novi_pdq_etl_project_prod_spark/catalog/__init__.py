@@ -23,6 +23,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round5c_queries,
     round6_queries,
     round6b_queries,
+    round7_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -43,6 +44,7 @@ for _mod in (
     round5c_queries,
     round6_queries,
     round6b_queries,
+    round7_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

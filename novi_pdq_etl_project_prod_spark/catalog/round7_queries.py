@@ -1,0 +1,490 @@
+"""Round-7 catalog queries: classifier-audit statistics for training-data
+pipelines — exact ROC-AUC, categorical independence (χ² + Cramér's V),
+and score-calibration bins.
+
+Why these belong in a 100 TB corpus engine: every serious pre-training
+pipeline gates documents with learned classifiers (quality, toxicity,
+language). The gate's *statistics* are what make it auditable — AUC of
+the score against a trusted label slice, calibration of the score's
+probability claim, and independence checks between categorical gate
+outcomes and data sources (a gate correlated with source is a sampling
+bias, not a filter). All three reduce to hash-aggs + the
+range-partitioned cumulative, exact integers until final IEEE division
+— oracled bit-for-bit (SURVEY.md §7.3 determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+# ---------------------------------------------------------------------------
+# D30 — exact ROC-AUC with tie correction over an embedding-derived
+# score vs a binary label. The doubled-rank arithmetic is integer-exact;
+# the single division certifies bit-for-bit (operators/stats.exact_auc,
+# cumulative via the two-pass range-partitioned scan).
+# ---------------------------------------------------------------------------
+
+
+def d30_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import exact_auc
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") >= 5).alias("pos"),
+    )
+    return exact_auc(scored, "score", "pos")
+
+
+D30_SQL = """
+WITH per_value AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+         CAST(count(*) FILTER (WHERE label >= 5) AS BIGINT) AS cp,
+         CAST(count(*) FILTER (WHERE label < 5) AS BIGINT) AS cn
+  FROM embeddings GROUP BY 1
+),
+cum AS (
+  SELECT cp, cn, cp + cn AS m,
+         SUM(cp + cn) OVER (ORDER BY s
+                            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS C
+  FROM per_value
+),
+agg AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos,
+         CAST(SUM(cn) AS BIGINT) AS n_neg,
+         CAST(SUM(cp * (2 * C - m + 1)) AS BIGINT) AS r2p
+  FROM cum
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(r2p - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+       END AS auc
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# D31 — χ² independence test + Cramér's V between two categoricals
+# (order priority × order status): the gate-vs-source bias audit shape.
+# Observed counts are exact integers; each cell's χ² term is an
+# identical IEEE expression in both engines (mul/div only), and the
+# cross-cell SUM — where float addition order would differ between
+# engines/partitionings — goes through the m56 fixed-point idiom:
+# floor(term·1e9) is an exact integer per cell, integer sums commute,
+# and the statistic carries 1e-9 quantization (documented, far below
+# any test's decision resolution). Final Cramér's V uses
+# correctly-rounded sqrt (the certified d28 z-score stance). The cell
+# relation is category-cardinality-bounded (15 rows here), so the
+# window totals are broadcast-class work at any data scale; only the
+# one observed-count hash-agg touches rows.
+# ---------------------------------------------------------------------------
+
+
+def d31_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    obs = orders.groupBy(
+        F.col("o_orderpriority").alias("a"), F.col("o_orderstatus").alias("b")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    wr = Window.partitionBy("a")
+    wc = Window.partitionBy("b")
+    wt = Window.partitionBy()
+    cells = obs.select(
+        "a",
+        "b",
+        "n_obs",
+        F.sum("n_obs").over(wr).alias("row_tot"),
+        F.sum("n_obs").over(wc).alias("col_tot"),
+        F.sum("n_obs").over(wt).alias("n"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("n").cast("double")
+    )
+    term = (F.col("n_obs").cast("double") - expected) * (
+        F.col("n_obs").cast("double") - expected
+    ) / expected
+    dims = cells.agg(
+        F.count_distinct("a").alias("n_rows_dim"),
+        F.count_distinct("b").alias("n_cols_dim"),
+        F.sum(F.floor(term * F.lit(1e9)).cast("long")).alias("chi2_nano"),
+        F.max("n").alias("n"),
+    )
+    chi2 = F.col("chi2_nano").cast("double") / F.lit(1e9)
+    k = F.least(F.col("n_rows_dim"), F.col("n_cols_dim")) - 1
+    dof = (F.col("n_rows_dim") - 1) * (F.col("n_cols_dim") - 1)
+    return dims.select(
+        F.col("n").cast("long").alias("n"),
+        dof.cast("long").alias("dof"),
+        chi2.alias("chi2"),
+        F.sqrt(
+            chi2 / (F.col("n").cast("double") * k.cast("double"))
+        ).alias("cramers_v"),
+    )
+
+
+D31_SQL = """
+WITH obs AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(count(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1, 2
+),
+cells AS (
+  SELECT a, b, n_obs,
+         SUM(n_obs) OVER (PARTITION BY a) AS row_tot,
+         SUM(n_obs) OVER (PARTITION BY b) AS col_tot,
+         SUM(n_obs) OVER () AS n
+  FROM obs
+),
+terms AS (
+  SELECT a, b, n,
+         (CAST(n_obs AS DOUBLE)
+          - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(n AS DOUBLE))
+         * (CAST(n_obs AS DOUBLE)
+            - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+              / CAST(n AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+            / CAST(n AS DOUBLE)) AS term
+  FROM cells
+),
+dims AS (
+  SELECT count(DISTINCT a) AS n_rows_dim,
+         count(DISTINCT b) AS n_cols_dim,
+         CAST(SUM(CAST(floor(term * 1e9) AS BIGINT)) AS BIGINT) AS chi2_nano,
+         MAX(n) AS n
+  FROM terms
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((n_rows_dim - 1) * (n_cols_dim - 1) AS BIGINT) AS dof,
+       CAST(chi2_nano AS DOUBLE) / 1e9 AS chi2,
+       sqrt((CAST(chi2_nano AS DOUBLE) / 1e9)
+            / (CAST(n AS DOUBLE)
+               * CAST(least(n_rows_dim, n_cols_dim) - 1 AS DOUBLE)))
+         AS cramers_v
+FROM dims
+"""
+
+
+# ---------------------------------------------------------------------------
+# D32 — score-calibration (reliability) bins: does a score's magnitude
+# track the positive rate? Bin membership uses the literal-cut indicator
+# sum (the dq8 pattern — no double→int casts, which round in DuckDB but
+# truncate in Spark), per-bin positives/counts are exact integers, and
+# the only doubles are one ratio plus min/max order statistics (exact —
+# no float SUM crosses the oracle surface).
+# ---------------------------------------------------------------------------
+
+#: Fixed calibration cut points covering the fixture score domain
+#: (embedding components live in ~[-0.4, 0.4]); out-of-range scores fall
+#: into the open end bins.
+D32_CUTS = tuple(round(-0.4 + 0.08 * i, 2) for i in range(1, 10))
+
+
+def d32_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    s = F.element_at("embedding", 1).cast("double")
+    bin_expr = None
+    for c in D32_CUTS:
+        ind = F.when(F.lit(float(c)) < s, 1).otherwise(0)
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    binned = emb.select(
+        bin_expr.alias("bin"),
+        s.alias("score"),
+        (F.col("label") >= 5).alias("pos"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias(
+                "n_pos"
+            ),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n",
+            "n_pos",
+            (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "frac_pos"
+            ),
+            "min_score",
+            "max_score",
+        )
+        .orderBy("bin")
+    )
+
+
+_D32_BIN_SQL = " + ".join(
+    f"(CASE WHEN {c!r} < s THEN 1 ELSE 0 END)" for c in D32_CUTS
+)
+
+D32_SQL = f"""
+WITH scored AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS s, label >= 5 AS pos
+  FROM embeddings
+),
+binned AS (
+  SELECT CAST({_D32_BIN_SQL} AS INTEGER) AS bin, s, pos FROM scored
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+       CAST(count(*) FILTER (WHERE pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS frac_pos,
+       MIN(s) AS min_score,
+       MAX(s) AS max_score
+FROM binned
+GROUP BY bin
+ORDER BY bin
+"""
+
+
+QUERIES = {
+    "d30_auc_exact": d30_auc_exact,
+    "d31_chi2_independence": d31_chi2_independence,
+    "d32_calibration_bins": d32_calibration_bins,
+}
+
+ORACLES = {
+    "d30_auc_exact": D30_SQL,
+    "d31_chi2_independence": D31_SQL,
+    "d32_calibration_bins": D32_SQL,
+}
+
+
+# ---------------------------------------------------------------------------
+# D33 — exact Kendall τ-b between quantity and line number: the
+# cell-grid formulation (operators/stats.kendall_tau) keeps the
+# quadratic term at |cells|² (≤ 350² here), never rows². DECIMAL pair
+# masses, one final sqrt/division. The oracle computes the same grid
+# with explicit SQL joins.
+# ---------------------------------------------------------------------------
+
+
+def d33_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import kendall_tau
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return kendall_tau(li, "l_quantity", "l_linenumber")
+
+
+D33_SQL = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_linenumber AS DOUBLE) AS y,
+         CAST(count(*) AS BIGINT) AS nc
+  FROM lineitem GROUP BY 1, 2
+),
+cd AS (
+  SELECT
+    SUM(CASE WHEN a.y < b.y
+             THEN CAST(a.nc AS HUGEINT) * CAST(b.nc AS HUGEINT) END) AS C,
+    SUM(CASE WHEN a.y > b.y
+             THEN CAST(a.nc AS HUGEINT) * CAST(b.nc AS HUGEINT) END) AS D
+  FROM cells a JOIN cells b ON a.x < b.x
+),
+tx AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) / 2 AS n1
+       FROM (SELECT SUM(nc) AS t FROM cells GROUP BY x)),
+ty AS (SELECT SUM(CAST(t AS HUGEINT) * (t - 1)) / 2 AS n2
+       FROM (SELECT SUM(nc) AS t FROM cells GROUP BY y)),
+tot AS (SELECT SUM(nc) AS n,
+               CAST(SUM(nc) AS HUGEINT) * (SUM(nc) - 1) / 2 AS n0
+        FROM cells)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(coalesce(C, 0) AS DOUBLE) AS concordant,
+       CAST(coalesce(D, 0) AS DOUBLE) AS discordant,
+       CASE WHEN (CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)) > 0
+            THEN CAST(coalesce(C, 0) - coalesce(D, 0) AS DOUBLE)
+                 / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+       END AS kendall_tau_b
+FROM cd, tx, ty, tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# D34 — per-group OLS trend lines over the monthly revenue series:
+# slope / intercept / R² from exact DECIMAL moments (Σx, Σy, Σxy, Σx²,
+# Σy²) at (flag, month-index) grain — x is months-since-epoch (exact
+# int), y is revenue cents (exact int) — so every engine-crossing
+# number is either an exact integer or one identical IEEE rational.
+# The monthly pre-agg is the only row-shaped shuffle; the moment
+# reduce is group-cardinality-sized.
+# ---------------------------------------------------------------------------
+
+
+def d34_trend_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("mx"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = monthly.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum(d(F.col("mx"))).alias("sx"),
+        F.sum(d(F.col("cents"))).alias("sy"),
+        F.sum(d(F.col("mx")) * d(F.col("cents"))).alias("sxy"),
+        F.sum(d(F.col("mx")) * d(F.col("mx"))).alias("sxx"),
+        F.sum(d(F.col("cents")) * d(F.col("cents"))).alias("syy"),
+    )
+    n = F.col("n_months").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return mom.select(
+        "flag",
+        "n_months",
+        F.when(var_x > 0, slope).alias("slope_cents_per_month"),
+        F.when(var_x > 0, (sy - slope * sx) / n).alias("intercept_cents"),
+        F.when(
+            (var_x > 0) & (var_y > 0), cov_n * cov_n / (var_x * var_y)
+        ).alias("r2"),
+    ).orderBy("flag")
+
+
+D34_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag AS flag,
+         year(l_shipdate) * 12 + month(l_shipdate) - 1 AS mx,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+mom AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n_months,
+         SUM(CAST(mx AS HUGEINT)) AS sx,
+         SUM(CAST(cents AS HUGEINT)) AS sy,
+         SUM(CAST(mx AS HUGEINT) * cents) AS sxy,
+         SUM(CAST(mx AS HUGEINT) * mx) AS sxx,
+         SUM(CAST(cents AS HUGEINT) * cents) AS syy
+  FROM monthly GROUP BY 1
+)
+SELECT flag, n_months,
+       CASE WHEN CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       END AS slope_cents_per_month,
+       CASE WHEN CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+            THEN (CAST(sy AS DOUBLE)
+                  - ((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_months AS DOUBLE)
+       END AS intercept_cents,
+       CASE WHEN (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+             AND (CAST(n_months AS DOUBLE) * CAST(syy AS DOUBLE)
+                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+            THEN (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_months AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END AS r2
+FROM mom
+ORDER BY flag
+"""
+
+
+# ---------------------------------------------------------------------------
+# M59 — reciprocal-rank fusion of two exact retrieval channels (cosine
+# and raw dot-product rankings over the embedding corpus): only RANKS
+# cross channels, so the fusion is deterministic rational arithmetic
+# regardless of score scales — the multi-channel retrieval shape
+# (dense + lexical + LSH probes) a corpus search stack actually runs.
+# Oracle recomputes both rankings and the fusion in SQL.
+# ---------------------------------------------------------------------------
+
+_M59_NQ, _M59_KIN, _M59_KOUT, _M59_C = 10, 20, 10, 60
+
+
+def m59_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < _M59_NQ)
+    by_cos = brute_force_topk(emb, queries, k=_M59_KIN, metric="cosine")
+    by_dot = brute_force_topk(emb, queries, k=_M59_KIN, metric="dot")
+    return rrf_fuse([by_cos, by_dot], k=_M59_KOUT, c=_M59_C).orderBy(
+        "query_id", "rank"
+    )
+
+
+M59_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < {_M59_NQ}
+),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+           AS cos_score,
+         list_dot_product(qv, cv) AS dot_score
+  FROM c, q WHERE query_id <> neighbor_id
+),
+rc AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_score DESC, neighbor_id ASC) AS r
+  FROM scored QUALIFY r <= {_M59_KIN}
+),
+rd AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dot_score DESC, neighbor_id ASC) AS r
+  FROM scored QUALIFY r <= {_M59_KIN}
+),
+fused AS (
+  SELECT coalesce(rc.query_id, rd.query_id) AS query_id,
+         coalesce(rc.neighbor_id, rd.neighbor_id) AS neighbor_id,
+         coalesce(1.0 / ({_M59_C} + CAST(rc.r AS DOUBLE)), 0.0)
+         + coalesce(1.0 / ({_M59_C} + CAST(rd.r AS DOUBLE)), 0.0) AS rrf_score
+  FROM rc FULL JOIN rd USING (query_id, neighbor_id)
+)
+SELECT query_id, neighbor_id, rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, neighbor_id ASC)
+            AS INT) AS rank
+FROM fused
+QUALIFY rank <= {_M59_KOUT}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES["d33_kendall_tau"] = d33_kendall_tau
+ORACLES["d33_kendall_tau"] = D33_SQL
+QUERIES["d34_trend_lines"] = d34_trend_lines
+ORACLES["d34_trend_lines"] = D34_SQL
+QUERIES["m59_rank_fusion"] = m59_rank_fusion
+ORACLES["m59_rank_fusion"] = M59_SQL

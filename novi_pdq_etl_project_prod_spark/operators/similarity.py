@@ -1393,3 +1393,56 @@ def pca_project(
         return pd.Series(list(P))
 
     return df.select(F.col(id_col), proj_udf(F.col(vec_col)).alias("pc"))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion [Cormack, Clarke & Buettcher 2009] of
+    per-query candidate rankings: ``score = Σ_lists 1/(c + rank)``,
+    absent-from-a-list contributes 0. The standard way to combine
+    retrieval channels (dense cosine + lexical + LSH probes) without
+    calibrating their score scales — only ranks meet, so the fusion is
+    exact integer/rational arithmetic and deterministic wherever the
+    input rankings are (ties broken by neighbor id).
+
+    Inputs: DataFrames with (query_id, neighbor_id, rank). Output:
+    (query_id, neighbor_id, rrf_score, rank) — top-``k`` fused rows per
+    query.
+
+    Scale shape: full-outer joins on (query, neighbor) over
+    candidate-list-sized frames (|queries| × k_in rows each — never
+    corpus-sized), then one per-query top-k window over ≤ Σ list
+    lengths rows per query.
+    """
+    from functools import reduce
+
+    assert rankings, "need at least one ranking"
+    slim = [
+        r.select(
+            "query_id", "neighbor_id", F.col("rank").alias(f"__r{i}")
+        )
+        for i, r in enumerate(rankings)
+    ]
+    joined = reduce(
+        lambda a, b: a.join(b, ["query_id", "neighbor_id"], "full"), slim
+    )
+    score = reduce(
+        lambda acc, i: acc
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(f"__r{i}").cast("double")),
+            F.lit(0.0),
+        ),
+        range(len(slim)),
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.select("query_id", "neighbor_id", score.alias("rrf_score"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -848,6 +848,132 @@ def mann_whitney(
     )
 
 
+def kendall_tau(
+    df: DataFrame,
+    x_col: Column | str,
+    y_col: Column | str,
+) -> DataFrame:
+    """Exact Kendall τ-b (rank correlation with tie correction) for
+    BOUNDED-CARDINALITY measure pairs: concordant/discordant pair mass
+    is computed on the (x, y) cell grid — ``C = Σ n_a·n_b`` over cell
+    pairs with ``x_a<x_b ∧ y_a<y_b``, ``D`` likewise with ``y_a>y_b`` —
+    so the quadratic term is |cells|², not rows² (350 cells here; the
+    raw-pair formulation at 100 TB is 10²⁴ pairs). Tie terms
+    ``n1 = Σ_x t(t−1)/2``, ``n2 = Σ_y`` and ``n0 = n(n−1)/2`` complete
+    ``τ_b = (C−D)/√((n0−n1)(n0−n2))``.
+
+    All pair masses accumulate in DECIMAL(38,0) (products of cell counts
+    overflow BIGINT at ~10⁹-row cells); doubles appear only in the final
+    correctly-rounded sqrt/division — bit-reproducible cross-engine.
+
+    Contract: cell count must be bounded (categorical / discrete
+    measures — quantity, priority, rating). For near-unique continuous
+    measures use :func:`spearman_correlation`, whose cumulative-rank
+    shape is value-cardinality-linear.
+    """
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    cells = df.select(x.alias("__x"), y.alias("__y")).groupBy("__x", "__y").agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    a = cells.select(
+        F.col("__x").alias("xa"), F.col("__y").alias("ya"), F.col("nc").alias("na")
+    )
+    b = cells.select(
+        F.col("__x").alias("xb"), F.col("__y").alias("yb"), F.col("nc").alias("nb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("xa") < F.col("xb"))
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), d(F.col("na")) * d(F.col("nb")))
+        ).alias("C"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), d(F.col("na")) * d(F.col("nb")))
+        ).alias("D"),
+    )
+    tx = cells.groupBy("__x").agg(F.sum("nc").alias("t"))
+    ty = cells.groupBy("__y").agg(F.sum("nc").alias("t"))
+    tie = F.sum(d(F.col("t")) * d(F.col("t") - 1)).cast("decimal(38,0)")
+    n1 = tx.agg((tie / 2).cast("decimal(38,0)").alias("n1"))
+    n2 = ty.agg((tie / 2).cast("decimal(38,0)").alias("n2"))
+    tot = cells.agg(F.sum("nc").alias("n"))
+    n0 = (d(F.col("n")) * d(F.col("n") - 1) / 2).cast("decimal(38,0)")
+    out = (
+        cd.crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+        .crossJoin(F.broadcast(tot.select("n", n0.alias("n0"))))
+    )
+    num = (F.coalesce(F.col("C"), F.lit(0)) - F.coalesce(F.col("D"), F.lit(0))).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n0") - F.col("n1")).cast("double")
+        * (F.col("n0") - F.col("n2")).cast("double")
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.coalesce(F.col("C"), F.lit(0)).cast("double").alias("concordant"),
+        F.coalesce(F.col("D"), F.lit(0)).cast("double").alias("discordant"),
+        F.when(den > 0, num / den).alias("kendall_tau_b"),
+    )
+
+
+def exact_auc(
+    df: DataFrame,
+    score_col: Column | str,
+    pos_col: Column | str,
+) -> DataFrame:
+    """Exact ROC-AUC with tie correction — the rank formulation
+    ``AUC = (Σ ranks_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` with
+    average ranks kept as DOUBLED integers (the Mann–Whitney trick:
+    2·avg = 2C − m + 1 per tied value group), so everything is exact
+    integer arithmetic until one final IEEE division — bit-reproducible
+    cross-engine, unlike a trapezoidal sweep over float thresholds.
+
+    The standard audit for a quality/toxicity classifier gating a
+    training corpus: AUC of the score against a trusted label slice.
+
+    Shape: one (score, pos/neg-counts) hash-agg, the range-partitioned
+    two-pass cumulative (:mod:`operators.cumulative` — distributed even
+    for near-unique scores), a 1-row reduce. Returns
+    ``n_pos, n_neg, auc``.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    p = (F.col(pos_col) if isinstance(pos_col, str) else pos_col).cast("boolean")
+    per_value = (
+        df.select(s.alias("__s"), p.alias("__p"))
+        .groupBy("__s")
+        .agg(
+            F.sum(F.when(F.col("__p"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(F.col("__p"), 0).otherwise(1)).cast("long").alias("cn"),
+        )
+        .withColumn("m", F.col("cp") + F.col("cn"))
+    )
+    cum = partitioned_cumulative(per_value, [], "__s", sums={"C": "m"})
+    agg = cum.agg(
+        F.sum("cp").alias("n_pos"),
+        F.sum("cn").alias("n_neg"),
+        # 2·Σ ranks_pos, exact
+        F.sum(F.col("cp") * (F.lit(2) * F.col("C") - F.col("m") + 1)).alias("r2p"),
+    )
+    npos, nneg = F.col("n_pos"), F.col("n_neg")
+    auc = (F.col("r2p") - npos * (npos + 1)).cast("double") / (
+        F.lit(2.0) * npos.cast("double") * nneg.cast("double")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when((npos > 0) & (nneg > 0), auc).alias("auc"),
+    )
+
+
 def spearman_correlation(
     df: DataFrame,
     keys: Sequence[str],

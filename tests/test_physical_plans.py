@@ -142,6 +142,9 @@ def test_no_cartesian_products_in_catalog(spark):
         "m54_zipf_coverage",     # 1-row total-occurrences broadcast
         "a9_association_rules",  # 1-row basket-count broadcast
         "d27_ks_statistic",      # 1-row side-totals broadcast
+        "d33_kendall_tau",       # cell-grid non-equi join, |cells|²-bounded
+        "m59_rank_fusion",       # brute-force channels: bounded query-set
+                                 # cross join by design (the m7 baseline)
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

@@ -1,0 +1,116 @@
+"""Round-7 operator ground truths: exact AUC, Kendall τ-b, RRF fusion.
+
+Oracle parity (tests/test_oracle_parity.py) certifies cross-engine
+equality; these pin the STATISTICS against closed-form cases and plain
+Python references, so a consistent-but-wrong formula can't slip through
+both engines at once.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+
+from novi_pdq_etl_project_prod_spark.operators.stats import exact_auc, kendall_tau
+
+
+def _py_auc(pairs) -> float:
+    """Plain-Python AUC via pairwise comparisons (ties count half)."""
+    pos = [s for s, p in pairs if p]
+    neg = [s for s, p in pairs if not p]
+    wins = sum(1.0 if sp > sn else 0.5 if sp == sn else 0.0
+               for sp in pos for sn in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_exact_auc_matches_pairwise_definition(spark):
+    random.seed(11)
+    pairs = [
+        (round(random.gauss(1.0 if random.random() < 0.6 else 0.0, 1.0), 2),
+         random.random() < 0.5)
+        for _ in range(400)
+    ]
+    # inject heavy ties
+    pairs += [(0.5, True)] * 20 + [(0.5, False)] * 30
+    df = spark.createDataFrame(pairs, "score double, pos boolean")
+    got = exact_auc(df, "score", "pos").collect()[0]
+    assert got.n_pos == sum(1 for _, p in pairs if p)
+    assert got.auc == pytest.approx(_py_auc(pairs), abs=1e-12)
+
+
+def test_exact_auc_extremes(spark):
+    perfect = spark.createDataFrame(
+        [(float(i), i >= 5) for i in range(10)], "score double, pos boolean"
+    )
+    assert exact_auc(perfect, "score", "pos").collect()[0].auc == 1.0
+    inverted = spark.createDataFrame(
+        [(float(-i), i >= 5) for i in range(10)], "score double, pos boolean"
+    )
+    assert exact_auc(inverted, "score", "pos").collect()[0].auc == 0.0
+    onesided = spark.createDataFrame(
+        [(1.0, True), (2.0, True)], "score double, pos boolean"
+    )
+    assert exact_auc(onesided, "score", "pos").collect()[0].auc is None
+
+
+def _py_kendall_tau_b(xy) -> float:
+    import math
+
+    c = d = 0
+    for i in range(len(xy)):
+        for j in range(i + 1, len(xy)):
+            dx = xy[i][0] - xy[j][0]
+            dy = xy[i][1] - xy[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+    n = len(xy)
+    n0 = n * (n - 1) / 2
+    from collections import Counter
+
+    n1 = sum(t * (t - 1) / 2 for t in Counter(x for x, _ in xy).values())
+    n2 = sum(t * (t - 1) / 2 for t in Counter(y for _, y in xy).values())
+    return (c - d) / math.sqrt((n0 - n1) * (n0 - n2))
+
+
+def test_kendall_tau_matches_pairwise_definition(spark):
+    random.seed(5)
+    xy = [(random.randint(1, 8), random.randint(1, 5)) for _ in range(300)]
+    df = spark.createDataFrame(xy, "x int, y int")
+    got = kendall_tau(df, "x", "y").collect()[0]
+    assert got.kendall_tau_b == pytest.approx(_py_kendall_tau_b(xy), abs=1e-12)
+
+
+def test_kendall_tau_perfect_orders(spark):
+    mono = spark.createDataFrame(
+        [(i, i * 2) for i in range(20)], "x int, y int"
+    )
+    assert kendall_tau(mono, "x", "y").collect()[0].kendall_tau_b == 1.0
+    anti = spark.createDataFrame(
+        [(i, -i) for i in range(20)], "x int, y int"
+    )
+    assert kendall_tau(anti, "x", "y").collect()[0].kendall_tau_b == -1.0
+
+
+def test_rrf_fuse_orders_by_reciprocal_rank_sum(spark):
+    from novi_pdq_etl_project_prod_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "query_id int, neighbor_id int, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 12, 1), (1, 10, 2), (1, 99, 3)], "query_id int, neighbor_id int, rank int"
+    )
+    out = {r.neighbor_id: (r.rrf_score, r.rank)
+           for r in rrf_fuse([a, b], k=10, c=60).collect()}
+    # 10: 1/61 + 1/62 ; 12: 1/63 + 1/61 ; 11: 1/62 ; 99: 1/63
+    assert out[10][0] == pytest.approx(1 / 61 + 1 / 62, abs=1e-15)
+    assert out[12][0] == pytest.approx(1 / 63 + 1 / 61, abs=1e-15)
+    assert out[11][0] == pytest.approx(1 / 62, abs=1e-15)
+    # rank order: 10 (present high in both) first, then 12, then 11, 99
+    assert [nid for nid, v in sorted(out.items(), key=lambda kv: kv[1][1])] == [
+        10, 12, 11, 99,
+    ]
