@@ -138,6 +138,8 @@ HEADLINE = [
     "d33_kendall_tau",
     "d34_trend_lines",
     "m59_rank_fusion",
+    "m60_boilerplate_scrub",
+    "d35_monthly_drift",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -488,3 +488,244 @@ QUERIES["d34_trend_lines"] = d34_trend_lines
 ORACLES["d34_trend_lines"] = D34_SQL
 QUERIES["m59_rank_fusion"] = m59_rank_fusion
 ORACLES["m59_rank_fusion"] = M59_SQL
+
+
+# ---------------------------------------------------------------------------
+# M60 — positional boilerplate scrub (RefinedWeb-style): remove every
+# token position covered by a corpus-frequent trigram occurrence, and
+# report the per-document scrub accounting plus a content hash of the
+# cleaned text. Two corpus passes: trigram document-frequency (hash-agg
+# at trigram grain), then per-doc positional cover/reassembly — arrays
+# and windows bounded by DOCUMENT length, never corpus length; the
+# frequent set is vocabulary-sized (broadcast). md5 of the reassembled
+# text certifies the scrub byte-for-byte against the oracle.
+# ---------------------------------------------------------------------------
+
+_M60_MIN_DF = 4
+
+
+def m60_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("t"))
+    tri = base.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 2),
+                lambda i: F.struct(
+                    i.alias("start"),
+                    F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                        F.element_at(F.col("t"), i + 2),
+                    ).alias("g"),
+                ),
+            ),
+        )
+        .otherwise(F.array())
+        .alias("tris"),
+    ).select("doc_id", F.explode("tris").alias("tr"))
+    occ = tri.select("doc_id", F.col("tr.start").alias("start"), F.col("tr.g").alias("g"))
+    frequent = (
+        occ.select("doc_id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= _M60_MIN_DF)
+        .select("g")
+    )
+    covered = (
+        occ.join(F.broadcast(frequent), "g")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + 2)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id",
+        F.posexplode("t").alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    return (
+        base.select("doc_id", F.size("t").alias("n_tokens"))
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M60_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+occ AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - 1)) AS start,
+         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                 for i in range(1, len(t) - 1)]) AS g
+  FROM base WHERE len(t) >= 3
+),
+frequent AS (
+  SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM occ GROUP BY g)
+  WHERE df >= {_M60_MIN_DF}
+),
+covered AS (
+  SELECT DISTINCT occ.doc_id, occ.start + d AS pos
+  FROM occ JOIN frequent USING (g), unnest([0, 1, 2]) AS u(d)
+),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(1, len(t) + 1)) AS pos
+  FROM base
+),
+kept AS (
+  SELECT toks.* FROM toks
+  ANTI JOIN covered ON toks.doc_id = covered.doc_id AND toks.pos = covered.pos
+),
+cleaned AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.t) AS BIGINT) AS n_tokens,
+       coalesce(c.n_kept, 0) AS n_kept,
+       md5(coalesce(c.cleaned, '')) AS cleaned_md5
+FROM base b LEFT JOIN cleaned c USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# D35 — monthly drift matrix: every ship-month's price distribution
+# scored against the GLOBAL decile bins with the χ²-style statistic —
+# dq8's two-slice report generalized to the calendar, the view a data
+# engineer actually pages through ("which month moved?"). One global
+# cut fit (exact percentile, the d11 interpolation-parity pattern), one
+# (month, bin) hash-agg, then per-month fixed-point χ² via the m56
+# floor(x·1e9) idiom so no float sum crosses engines.
+# ---------------------------------------------------------------------------
+
+_D35_BINS = 10
+
+
+def d35_monthly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
+        F.col("l_extendedprice").cast("double").alias("x"),
+    )
+    qs = [i / _D35_BINS for i in range(1, _D35_BINS)]
+    cut_vals = [
+        v
+        for v in li.agg(
+            *[F.percentile(F.col("x"), F.lit(q)).alias(f"c{i}") for i, q in enumerate(qs)]
+        ).collect()[0]
+        if v is not None
+    ]
+    bin_expr = None
+    for v in cut_vals:
+        ind = F.when(F.lit(float(v)) < F.col("x"), 1).otherwise(0)
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    per = li.select("yyyymm", bin_expr.alias("bin")).groupBy("yyyymm", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    glob = per.groupBy("bin").agg(F.sum("n").alias("n_glob"))
+    month_tot = per.groupBy("yyyymm").agg(F.sum("n").alias("n_month"))
+    n_all = glob.agg(F.sum("n_glob").alias("n_all"))
+    joined = (
+        per.join(F.broadcast(glob), "bin")
+        .join(F.broadcast(month_tot), "yyyymm")
+        .crossJoin(F.broadcast(n_all))
+    )
+    p = (F.col("n_glob") + F.lit(1)).cast("double") / (
+        F.col("n_all") + F.lit(_D35_BINS)
+    ).cast("double")
+    q = (F.col("n") + F.lit(1)).cast("double") / (
+        F.col("n_month") + F.lit(_D35_BINS)
+    ).cast("double")
+    term = (p - q) * (p - q) / p
+    return (
+        joined.select(
+            "yyyymm",
+            "n_month",
+            F.floor(term * F.lit(1e9)).cast("long").alias("term_nano"),
+        )
+        .groupBy("yyyymm", "n_month")
+        .agg(
+            (F.sum("term_nano").cast("double") / F.lit(1e9)).alias("drift_chi2")
+        )
+        .select("yyyymm", F.col("n_month").cast("long").alias("n_rows"), "drift_chi2")
+        .orderBy("yyyymm")
+    )
+
+
+_D35_QUANTS = ", ".join(
+    f"quantile_cont(x, {i / _D35_BINS})" for i in range(1, _D35_BINS)
+)
+
+D35_SQL = f"""
+WITH rows_ AS (
+  SELECT year(l_shipdate) * 100 + month(l_shipdate) AS yyyymm,
+         CAST(l_extendedprice AS DOUBLE) AS x
+  FROM lineitem
+),
+cuts AS (SELECT unnest([{_D35_QUANTS}]) AS cut FROM rows_),
+xv AS (SELECT yyyymm, x, COUNT(*) AS n FROM rows_ GROUP BY 1, 2),
+xb AS (
+  SELECT yyyymm, x, n,
+         SUM(CASE WHEN c.cut < xv.x THEN 1 ELSE 0 END) AS bin
+  FROM xv CROSS JOIN cuts c GROUP BY yyyymm, x, n
+),
+per AS (SELECT yyyymm, bin, CAST(SUM(n) AS BIGINT) AS n FROM xb GROUP BY 1, 2),
+gbin AS (SELECT bin, CAST(SUM(n) AS BIGINT) AS n_glob FROM per GROUP BY 1),
+mt AS (SELECT yyyymm, CAST(SUM(n) AS BIGINT) AS n_month FROM per GROUP BY 1),
+na AS (SELECT CAST(SUM(n_glob) AS BIGINT) AS n_all FROM gbin),
+terms AS (
+  SELECT yyyymm, n_month,
+         CAST(floor(
+           (CAST(n_glob + 1 AS DOUBLE) / CAST(n_all + {_D35_BINS} AS DOUBLE)
+            - CAST(per.n + 1 AS DOUBLE) / CAST(n_month + {_D35_BINS} AS DOUBLE))
+           * (CAST(n_glob + 1 AS DOUBLE) / CAST(n_all + {_D35_BINS} AS DOUBLE)
+              - CAST(per.n + 1 AS DOUBLE) / CAST(n_month + {_D35_BINS} AS DOUBLE))
+           / (CAST(n_glob + 1 AS DOUBLE) / CAST(n_all + {_D35_BINS} AS DOUBLE))
+           * 1e9) AS BIGINT) AS term_nano
+  FROM per JOIN gbin USING (bin) JOIN mt USING (yyyymm) CROSS JOIN na
+)
+SELECT yyyymm,
+       n_month AS n_rows,
+       CAST(SUM(term_nano) AS DOUBLE) / 1e9 AS drift_chi2
+FROM terms
+GROUP BY yyyymm, n_month
+ORDER BY yyyymm
+"""
+
+
+QUERIES["m60_boilerplate_scrub"] = m60_boilerplate_scrub
+ORACLES["m60_boilerplate_scrub"] = M60_SQL
+QUERIES["d35_monthly_drift"] = d35_monthly_drift
+ORACLES["d35_monthly_drift"] = D35_SQL

@@ -145,6 +145,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "d33_kendall_tau",       # cell-grid non-equi join, |cells|²-bounded
         "m59_rank_fusion",       # brute-force channels: bounded query-set
                                  # cross join by design (the m7 baseline)
+        "d35_monthly_drift",     # 1-row corpus-total broadcast
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans
