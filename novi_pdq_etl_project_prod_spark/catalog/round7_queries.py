@@ -509,27 +509,24 @@ def m60_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     base = docs.select("doc_id", tokens("text").alias("t"))
-    tri = base.select(
+    # Trigrams via slice-zip, NOT per-index element_at: array indexing in
+    # a transform lambda is O(len) per access → O(len²) per document of
+    # interpreted expression eval (measured 39 s at sf0.1 before this
+    # rewrite); zipping three shifted slices is O(len).
+    n_tri = F.size("t") - 2
+    zipped = F.arrays_zip(
+        F.slice(F.col("t"), 1, n_tri).alias("w1"),
+        F.slice(F.col("t"), 2, n_tri).alias("w2"),
+        F.slice(F.col("t"), 3, n_tri).alias("w3"),
+    )
+    tri = base.where(F.size("t") >= 3).select(
+        "doc_id", F.posexplode(zipped).alias("start0", "z")
+    )
+    occ = tri.select(
         "doc_id",
-        F.when(
-            F.size("t") >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size("t") - 2),
-                lambda i: F.struct(
-                    i.alias("start"),
-                    F.concat_ws(
-                        " ",
-                        F.element_at(F.col("t"), i),
-                        F.element_at(F.col("t"), i + 1),
-                        F.element_at(F.col("t"), i + 2),
-                    ).alias("g"),
-                ),
-            ),
-        )
-        .otherwise(F.array())
-        .alias("tris"),
-    ).select("doc_id", F.explode("tris").alias("tr"))
-    occ = tri.select("doc_id", F.col("tr.start").alias("start"), F.col("tr.g").alias("g"))
+        (F.col("start0") + 1).alias("start"),
+        F.concat_ws(" ", F.col("z.w1"), F.col("z.w2"), F.col("z.w3")).alias("g"),
+    )
     frequent = (
         occ.select("doc_id", "g")
         .distinct()
@@ -635,18 +632,15 @@ _D35_BINS = 10
 
 
 def d35_monthly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        fit_quantile_cuts,
+    )
+
     li = read_table(spark, sf_dir, "lineitem").select(
         (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
         F.col("l_extendedprice").cast("double").alias("x"),
     )
-    qs = [i / _D35_BINS for i in range(1, _D35_BINS)]
-    cut_vals = [
-        v
-        for v in li.agg(
-            *[F.percentile(F.col("x"), F.lit(q)).alias(f"c{i}") for i, q in enumerate(qs)]
-        ).collect()[0]
-        if v is not None
-    ]
+    cut_vals = fit_quantile_cuts(li, "x", _D35_BINS)
     bin_expr = None
     for v in cut_vals:
         ind = F.when(F.lit(float(v)) < F.col("x"), 1).otherwise(0)

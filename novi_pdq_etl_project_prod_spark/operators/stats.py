@@ -271,21 +271,44 @@ def quantile_bin_drift(
     parity pattern).
     """
     m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
-    qs = [i / n_bins for i in range(1, n_bins)]
-    cuts = ref.agg(
-        *[
-            F.percentile(m, F.lit(q)).cast("double").alias(f"_c{i}")
-            for i, q in enumerate(qs)
-        ]
-    )
     # the cut table is ONE row of n_bins-1 doubles: collect it (bounded
     # by construction, the repo's sanctioned collect class) and inline
     # the cut points as literals — a broadcast-join form re-runs the
     # percentile aggregate once per consuming side
-    cut_vals = [v for v in cuts.collect()[0] if v is not None]
+    cut_vals = fit_quantile_cuts(ref, m, n_bins)
     r = bin_counts(ref, m, cut_vals, "n_ref")
     c = bin_counts(cur, m, cut_vals, "n_cur")
     return drift_from_bin_counts(r, c, n_bins)
+
+
+def fit_quantile_cuts(
+    ref: DataFrame,
+    measure: Column | str,
+    n_bins: int,
+) -> list[float]:
+    """Exact quantile cut points of ``measure`` (the ``n_bins − 1``
+    interior deciles), fitted scale-safely: the column is FIRST reduced
+    to (value, frequency) grain — a distributed hash-agg — and ONE
+    array-form ``percentile(v, array(qs), freq)`` computes every cut
+    from a single value-cardinality-bounded buffer. The naive
+    ``agg(percentile(x, q₁), …, percentile(x, q₉))`` buffers the whole
+    RAW column once per cut — 9 copies of every row in one reduce task,
+    which is exactly how the 10× probe OOM'd (round 7); this shape is
+    bit-identical (``percentile`` with a frequency column interpolates
+    as the expanded multiset would — the certified d11/d19 pattern).
+    Returns plain floats for literal inlining.
+    """
+    m = (F.col(measure) if isinstance(measure, str) else measure).cast("double")
+    qs = [i / n_bins for i in range(1, n_bins)]
+    per_value = ref.select(m.alias("__v")).groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    row = per_value.agg(
+        F.percentile(
+            F.col("__v"), F.array(*[F.lit(q) for q in qs]), F.col("__c")
+        ).alias("cuts")
+    ).collect()[0]
+    return [float(v) for v in (row.cuts or []) if v is not None]
 
 
 def bin_counts(
