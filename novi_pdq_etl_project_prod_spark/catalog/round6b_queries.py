@@ -589,9 +589,17 @@ def d23_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(F.col("v"), F.lit(0.5)).alias("est_p50"),
         F.percentile(F.col("v"), F.lit(0.9)).alias("est_p90"),
     )
-    true = li.groupBy("l_returnflag").agg(
-        F.percentile(F.col("v"), F.lit(0.5)).alias("true_p50"),
-        F.percentile(F.col("v"), F.lit(0.9)).alias("true_p90"),
+    # truth at (flag, value, count) grain: percentile buffers distinct
+    # values, not raw rows (the d19/d24 lesson; bit-identical by the
+    # frequency-interpolation contract)
+    true = (
+        li.groupBy("l_returnflag", "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile(F.col("v"), F.lit(0.5), F.col("__c")).alias("true_p50"),
+            F.percentile(F.col("v"), F.lit(0.9), F.col("__c")).alias("true_p90"),
+        )
     )
     return est.join(true, "l_returnflag").orderBy("l_returnflag")
 
