@@ -140,6 +140,8 @@ HEADLINE = [
     "m59_rank_fusion",
     "m60_boilerplate_scrub",
     "d35_monthly_drift",
+    "d36_pr_auc",
+    "d37_expected_calibration_error",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -723,3 +723,164 @@ QUERIES["m60_boilerplate_scrub"] = m60_boilerplate_scrub
 ORACLES["m60_boilerplate_scrub"] = M60_SQL
 QUERIES["d35_monthly_drift"] = d35_monthly_drift
 ORACLES["d35_monthly_drift"] = D35_SQL
+
+
+# ---------------------------------------------------------------------------
+# D36 — precision–recall AUC (trapezoidal over score tie groups): the
+# imbalanced-gate complement to d30's ROC-AUC — on a 5%-positive
+# quality gate, ROC can look excellent while PR collapses. Exact
+# integer cumulative counts via the two-pass cumulative; per-group
+# trapezoid terms are identical IEEE expressions; the cross-group sum
+# rides the fixed-point floor(term·1e12) idiom.
+# ---------------------------------------------------------------------------
+
+
+def d36_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import pr_auc_trapezoid
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") >= 8).alias("pos"),  # ~20% positives: imbalanced
+    )
+    return pr_auc_trapezoid(scored, "score", "pos")
+
+
+D36_SQL = """
+WITH per_value AS (
+  SELECT CAST(embedding[1] AS DOUBLE) AS s,
+         CAST(count(*) FILTER (WHERE label >= 8) AS BIGINT) AS cp,
+         CAST(count(*) FILTER (WHERE label < 8) AS BIGINT) AS cn
+  FROM embeddings GROUP BY 1
+),
+cum AS (
+  SELECT cp, cn,
+         SUM(cp) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_p,
+         SUM(cn) OVER (ORDER BY s DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_n
+  FROM per_value
+),
+tot AS (
+  SELECT CAST(SUM(cp) AS BIGINT) AS n_pos, CAST(SUM(cn) AS BIGINT) AS n_neg
+  FROM per_value
+),
+terms AS (
+  SELECT n_pos, n_neg,
+         CAST(floor(
+           CASE WHEN n_pos > 0 THEN
+             (CAST(cum_p AS DOUBLE) / CAST(n_pos AS DOUBLE)
+              - CAST(cum_p - cp AS DOUBLE) / CAST(n_pos AS DOUBLE))
+             * (CAST(cum_p AS DOUBLE) / CAST(cum_p + cum_n AS DOUBLE)
+                + CASE WHEN (cum_p - cp) + (cum_n - cn) > 0
+                       THEN CAST(cum_p - cp AS DOUBLE)
+                            / CAST((cum_p - cp) + (cum_n - cn) AS DOUBLE)
+                       ELSE 1.0 END)
+             / 2.0
+           ELSE 0.0 END * 1e12) AS BIGINT) AS term_pico
+  FROM cum CROSS JOIN tot
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND n_neg > 0
+            THEN CAST(SUM(term_pico) AS DOUBLE) / 1e12
+       END AS pr_auc
+FROM terms GROUP BY n_pos, n_neg
+"""
+
+
+# ---------------------------------------------------------------------------
+# D37 — expected calibration error over d32's reliability bins:
+# ECE = Σ_b (n_b/n)·|frac_pos_b − mean_score_b|. Mean scores are exact
+# by quantization (per-row floor(s·1e9) is an exact integer, integer
+# sums commute — no float SUM crosses partitions or engines); the
+# 10-term cross-bin sum rides the same fixed-point idiom. The one
+# number a "my quality score is a probability" claim must survive.
+# Scores are shifted to [0, 1] (s+0.5 on the ~[-0.4, 0.4] fixture
+# domain) so the calibration claim is well-posed.
+# ---------------------------------------------------------------------------
+
+
+def d37_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    s = F.element_at("embedding", 1).cast("double") + F.lit(0.5)
+    bin_expr = None
+    for c in [0.1 * i for i in range(1, 10)]:
+        ind = F.when(F.lit(float(c)) < s, 1).otherwise(0)
+        bin_expr = ind if bin_expr is None else bin_expr + ind
+    binned = emb.select(
+        bin_expr.alias("bin"),
+        F.floor(s * F.lit(1e9)).cast("long").alias("s_nano"),
+        (F.col("label") >= 5).alias("pos"),
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long").alias("n_pos"),
+        F.sum("s_nano").alias("sum_nano"),
+    )
+    n_tot = bins.agg(F.sum("n").alias("n_all"))
+    frac = F.col("n_pos").cast("double") / F.col("n").cast("double")
+    mean_s = F.col("sum_nano").cast("double") / F.lit(1e9) / F.col("n").cast("double")
+    term = (
+        F.abs(frac - mean_s)
+        * F.col("n").cast("double")
+        / F.col("n_all").cast("double")
+    )
+    return (
+        bins.crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_all",
+            F.floor(term * F.lit(1e12)).cast("long").alias("term_pico"),
+        )
+        .groupBy("n_all")
+        .agg((F.sum("term_pico").cast("double") / F.lit(1e12)).alias("ece"))
+        .select(F.col("n_all").cast("long").alias("n_rows"), "ece")
+    )
+
+
+D37_SQL = """
+WITH scored AS (
+  SELECT CAST(embedding[1] AS DOUBLE) + 0.5 AS s, label >= 5 AS pos
+  FROM embeddings
+),
+binned AS (
+  SELECT (CASE WHEN 0.1 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.2 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.3 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.4 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.5 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.6 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.7 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.8 < s THEN 1 ELSE 0 END)
+       + (CASE WHEN 0.9 < s THEN 1 ELSE 0 END) AS bin,
+       CAST(floor(s * 1e9) AS BIGINT) AS s_nano, pos
+  FROM scored
+),
+bins AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_pos,
+         CAST(SUM(s_nano) AS BIGINT) AS sum_nano
+  FROM binned GROUP BY bin
+),
+na AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all FROM bins),
+terms AS (
+  SELECT n_all,
+         CAST(floor(
+           abs(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)
+               - CAST(sum_nano AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+           * CAST(n AS DOUBLE) / CAST(n_all AS DOUBLE)
+           * 1e12) AS BIGINT) AS term_pico
+  FROM bins CROSS JOIN na
+)
+SELECT n_all AS n_rows,
+       CAST(SUM(term_pico) AS DOUBLE) / 1e12 AS ece
+FROM terms GROUP BY n_all
+"""
+
+
+QUERIES["d36_pr_auc"] = d36_pr_auc
+ORACLES["d36_pr_auc"] = D36_SQL
+QUERIES["d37_expected_calibration_error"] = d37_expected_calibration_error
+ORACLES["d37_expected_calibration_error"] = D37_SQL

@@ -997,6 +997,84 @@ def exact_auc(
     )
 
 
+def pr_auc_trapezoid(
+    df: DataFrame,
+    score_col: Column | str,
+    pos_col: Column | str,
+) -> DataFrame:
+    """Exact precision–recall AUC by trapezoidal integration over the
+    TIE-GROUP steps of the score: descending through distinct score
+    values, each group contributes ``(R_i − R_{i−1})·(P_i + P_{i−1})/2``
+    with cumulative counts taken through the group — the deterministic
+    tie convention (no per-row ordering luck inside a tied score), with
+    the conventional anchor ``P_0 = 1`` at ``R_0 = 0``.
+
+    Every recall/precision is a ratio of exact integers; the per-group
+    terms are identical IEEE expressions in both engines, and the
+    cross-group sum — where float addition order would split engines —
+    goes through the m56 fixed-point idiom (``floor(term·1e12)``,
+    quantization ≤ |groups|·1e-12, far below any decision resolution).
+
+    Shape: one (score, counts) hash-agg, the range-partitioned two-pass
+    cumulative, a 1-row reduce. The PR complement to :func:`exact_auc`
+    for imbalanced gate audits. Returns ``n_pos, n_neg, pr_auc``.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
+    s = (F.col(score_col) if isinstance(score_col, str) else score_col).cast(
+        "double"
+    )
+    p = (F.col(pos_col) if isinstance(pos_col, str) else pos_col).cast("boolean")
+    per_value = (
+        df.select(s.alias("__s"), p.alias("__p"))
+        .groupBy("__s")
+        .agg(
+            F.sum(F.when(F.col("__p"), 1).otherwise(0)).cast("long").alias("cp"),
+            F.sum(F.when(F.col("__p"), 0).otherwise(1)).cast("long").alias("cn"),
+        )
+    )
+    # sums named case-distinctly from cp/cn: Spark resolution is
+    # case-insensitive, "CP" vs "cp" would be ambiguous
+    cum = partitioned_cumulative(
+        per_value, [], "__s", sums={"cum_p": "cp", "cum_n": "cn"},
+        descending=True,
+    )
+    tot = per_value.agg(
+        F.sum("cp").alias("n_pos"), F.sum("cn").alias("n_neg")
+    )
+    c = cum.crossJoin(F.broadcast(tot))
+    cp_prev = F.col("cum_p") - F.col("cp")
+    cn_prev = F.col("cum_n") - F.col("cn")
+    np_d = F.col("n_pos").cast("double")
+    r_cur = F.col("cum_p").cast("double") / np_d
+    r_prev = cp_prev.cast("double") / np_d
+    p_cur = F.col("cum_p").cast("double") / (
+        F.col("cum_p") + F.col("cum_n")
+    ).cast("double")
+    p_prev = F.when(cp_prev + cn_prev > 0,
+                    cp_prev.cast("double") / (cp_prev + cn_prev).cast("double")
+                    ).otherwise(F.lit(1.0))
+    term = F.when(
+        F.col("n_pos") > 0,
+        (r_cur - r_prev) * (p_cur + p_prev) / F.lit(2.0),
+    ).otherwise(F.lit(0.0))  # guard: 0/0 recall would NaN the ANSI cast
+    agg = c.agg(
+        F.max("n_pos").alias("n_pos"),
+        F.max("n_neg").alias("n_neg"),
+        F.sum(F.floor(term * F.lit(1e12)).cast("long")).alias("auc_pico"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.col("auc_pico").cast("double") / F.lit(1e12),
+        ).alias("pr_auc"),
+    )
+
+
 def spearman_correlation(
     df: DataFrame,
     keys: Sequence[str],

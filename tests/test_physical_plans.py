@@ -146,6 +146,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "m59_rank_fusion",       # brute-force channels: bounded query-set
                                  # cross join by design (the m7 baseline)
         "d35_monthly_drift",     # 1-row corpus-total broadcast
+        "d36_pr_auc",            # 1-row side-totals broadcast
+        "d37_expected_calibration_error",  # 1-row corpus-total broadcast
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

@@ -114,3 +114,55 @@ def test_rrf_fuse_orders_by_reciprocal_rank_sum(spark):
     assert [nid for nid, v in sorted(out.items(), key=lambda kv: kv[1][1])] == [
         10, 12, 11, 99,
     ]
+
+
+def _py_pr_auc(pairs) -> float:
+    """Reference trapezoidal PR-AUC over score tie groups (desc), anchor
+    P0=1 — the exact convention pr_auc_trapezoid implements."""
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: [0, 0])
+    for s, p in pairs:
+        groups[s][0 if p else 1] += 1
+    n_pos = sum(1 for _, p in pairs if p)
+    cp = cn = 0
+    prev_r, prev_p = 0.0, 1.0
+    auc = 0.0
+    for s in sorted(groups, reverse=True):
+        g = groups[s]
+        cp += g[0]
+        cn += g[1]
+        r, pr = cp / n_pos, cp / (cp + cn)
+        auc += (r - prev_r) * (pr + prev_p) / 2
+        prev_r, prev_p = r, pr
+    return auc
+
+
+def test_pr_auc_matches_python_reference(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import pr_auc_trapezoid
+
+    random.seed(23)
+    pairs = [
+        (round(random.gauss(1.0 if random.random() < 0.2 else 0.0, 1.0), 1),
+         random.random() < 0.15)
+        for _ in range(500)
+    ]
+    pairs += [(0.7, True)] * 12 + [(0.7, False)] * 25  # tie block
+    df = spark.createDataFrame(pairs, "score double, pos boolean")
+    got = pr_auc_trapezoid(df, "score", "pos").collect()[0]
+    assert got.pr_auc == pytest.approx(_py_pr_auc(pairs), abs=1e-9)
+
+
+def test_pr_auc_extremes(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import pr_auc_trapezoid
+
+    perfect = spark.createDataFrame(
+        [(float(i), i >= 7) for i in range(10)], "score double, pos boolean"
+    )
+    assert pr_auc_trapezoid(perfect, "score", "pos").collect()[0].pr_auc == (
+        pytest.approx(1.0, abs=1e-9)
+    )
+    onesided = spark.createDataFrame(
+        [(1.0, False), (2.0, False)], "score double, pos boolean"
+    )
+    assert pr_auc_trapezoid(onesided, "score", "pos").collect()[0].pr_auc is None
