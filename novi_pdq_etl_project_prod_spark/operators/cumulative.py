@@ -55,7 +55,7 @@ def partitioned_cumulative(
     row_number_col: str | None = None,
     descending: bool = False,
     tiebreak: Sequence[str] = (),
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Append exact running totals (and/or a row number) ordered by
     ``order_col`` within each ``keys`` group, computed with the two-pass
@@ -77,6 +77,11 @@ def partitioned_cumulative(
 
     sums = dict(sums or {})
     out_cols = list(df.columns)
+    if n_buckets is None:
+        # scale the bucket count with the session's core budget (2 sort
+        # tasks per core, floor 32) so the same code saturates a
+        # 1000-executor cluster without a knob; values never depend on B
+        n_buckets = max(32, df.sparkSession.sparkContext.defaultParallelism * 2)
     order_exprs = [
         F.col(order_col).desc() if descending else F.col(order_col).asc()
     ] + [F.col(t) for t in tiebreak]

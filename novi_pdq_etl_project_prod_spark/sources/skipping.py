@@ -95,18 +95,31 @@ def file_minmax_stats(path: str, cols: list[str]) -> list[dict]:
     """Per-file min/max for ``cols`` from parquet footers (no data read).
     This is the manifest a table format would maintain; here it is
     derived on demand. Footer reads are O(files), not O(bytes) — at
-    cluster scale the listing itself would live in a manifest table."""
+    cluster scale the listing itself would live in a manifest table.
+
+    Recurses into partition directories (``yyyymm=…``) with the same
+    underscore/dot pruning as Spark's file discovery, so partitioned
+    month tables are auditable too; columns stored only in directory
+    names (not in the footers) report no stats and are conservatively
+    kept by :func:`pruned_read`."""
     import pyarrow.parquet as pq
 
+    files = []
+    for dirpath, dirs, names in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+        files.extend(
+            os.path.join(dirpath, n) for n in sorted(names)
+            if n.endswith(".parquet")
+        )
     out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        fpath = os.path.join(path, name)
+    for fpath in files:
         meta = pq.read_metadata(fpath)
         stat: dict = {"file": fpath}
         for col in cols:
             lo, hi = None, None
+            if col not in meta.schema.names:
+                stat[col] = (None, None)  # partition-dir column: no footer
+                continue
             idx = meta.schema.names.index(col)
             for rg in range(meta.num_row_groups):
                 s = meta.row_group(rg).column(idx).statistics

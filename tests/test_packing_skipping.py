@@ -299,3 +299,37 @@ def test_maybe_optimize_yields_to_concurrent_writer(spark, tmp_path, monkeypatch
         layers.resolve_table_path(layers.table_path(root, "curated", "facts"))
     )
     assert live.count() == 17  # the concurrent writer's table survived
+
+
+def test_maybe_optimize_composes_with_month_partitioned_tables(spark, tmp_path):
+    """A month-partitioned table re-clustered by the policy keeps its
+    read_month semantics: yyyymm directories become a data column in the
+    z-ordered snapshot (Spark recovers partition values on read), so
+    month slices stay identical — pruning moves from directory listing
+    to footer min/max skipping on the z-ordered files."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_month,
+        write_month_idempotent,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.skipping import maybe_optimize
+
+    root = str(tmp_path)
+    df = spark.range(4096).select(
+        (F.lit(200101) + (F.col("id") % 3)).cast("int").alias("yyyymm"),
+        (F.col("id") % 64).cast("long").alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # hash-shuffled month files → degraded layout inside each month
+    write_month_idempotent(
+        df.orderBy(F.xxhash64("payload")).repartition(8), root, "curated", "facts"
+    )
+    before = {
+        r.payload for r in read_month(spark, root, "curated", "facts", 200102).collect()
+    }
+    d = maybe_optimize(spark, root, "curated", "facts", ["x", "y"])
+    assert d["fired"] is True
+    after = {
+        r.payload for r in read_month(spark, root, "curated", "facts", 200102).collect()
+    }
+    assert after == before and len(after) > 0
