@@ -142,6 +142,7 @@ HEADLINE = [
     "d35_monthly_drift",
     "d36_pr_auc",
     "d37_expected_calibration_error",
+    "w12_distributed_rank",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

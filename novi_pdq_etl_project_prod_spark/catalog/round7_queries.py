@@ -884,3 +884,79 @@ QUERIES["d36_pr_auc"] = d36_pr_auc
 ORACLES["d36_pr_auc"] = D36_SQL
 QUERIES["d37_expected_calibration_error"] = d37_expected_calibration_error
 ORACLES["d37_expected_calibration_error"] = D37_SQL
+
+
+# ---------------------------------------------------------------------------
+# W12 — distributed global ranking of RAW rows by price (desc) with a
+# running revenue share: the textbook "rank every row in the table"
+# query that a single-partition window serializes and the two-pass
+# bucketed cumulative keeps distributed — deliberately run at raw-row
+# grain on a near-unique measure, the adversarial regime, as the
+# operator's standing demonstration. Unique (price desc, orderkey,
+# linenumber) ordering makes every output value deterministic; the
+# revenue cumulative is exact cents.
+# ---------------------------------------------------------------------------
+
+
+def w12_distributed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("__cents"),
+    )
+    ranked = partitioned_cumulative(
+        li,
+        [],
+        "price",
+        sums={"cum_cents": "__cents"},
+        row_number_col="rnk",
+        descending=True,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+    total = li.agg(F.sum("__cents").alias("__tot"))
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "price",
+            "rnk",
+            F.col("cum_cents").alias("cum_cents"),
+            (
+                F.col("cum_cents").cast("double") / F.col("__tot").cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("rnk")
+    )
+
+
+W12_SQL = """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DOUBLE) AS price,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_orderkey, l_linenumber, price,
+         CAST(row_number() OVER w AS BIGINT) AS rnk,
+         CAST(SUM(cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cum_cents
+  FROM base
+  WINDOW w AS (ORDER BY price DESC, l_orderkey, l_linenumber)
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM base)
+SELECT l_orderkey, l_linenumber, price, rnk, cum_cents,
+       CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE) AS revenue_share
+FROM ranked CROSS JOIN tot
+ORDER BY rnk
+"""
+
+
+QUERIES["w12_distributed_rank"] = w12_distributed_rank
+ORACLES["w12_distributed_rank"] = W12_SQL

@@ -148,6 +148,7 @@ def test_no_cartesian_products_in_catalog(spark):
         "d35_monthly_drift",     # 1-row corpus-total broadcast
         "d36_pr_auc",            # 1-row side-totals broadcast
         "d37_expected_calibration_error",  # 1-row corpus-total broadcast
+        "w12_distributed_rank",  # 1-row revenue-total broadcast
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans
