@@ -143,6 +143,7 @@ HEADLINE = [
     "d36_pr_auc",
     "d37_expected_calibration_error",
     "w12_distributed_rank",
+    "d38_winsorized_mean",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

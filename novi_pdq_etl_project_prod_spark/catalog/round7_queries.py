@@ -960,3 +960,66 @@ ORDER BY rnk
 
 QUERIES["w12_distributed_rank"] = w12_distributed_rank
 ORACLES["w12_distributed_rank"] = W12_SQL
+
+
+# ---------------------------------------------------------------------------
+# D38 — winsorized mean revenue per return flag: the robust mean for
+# heavy-tailed measures (caps outlier leverage, keeps tail mass).
+# Bounds are nearest-rank order statistics — actual data values via the
+# crossing test over the value-grain cumulative — so clamped sums stay
+# exact DECIMAL and only the final mean divides in double.
+# ---------------------------------------------------------------------------
+
+
+def d38_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import winsorized_mean
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return winsorized_mean(
+        li,
+        ["l_returnflag"],
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long"),
+    ).orderBy("l_returnflag")
+
+
+D38_SQL = """
+WITH per_value AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT g, v, c,
+         SUM(c) OVER (PARTITION BY g ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         SUM(c) OVER (PARTITION BY g) AS n
+  FROM per_value
+),
+bounds AS (
+  SELECT g,
+         MIN(CASE WHEN cm >= CAST(ceil(0.05 * n) AS BIGINT) THEN v END) AS lo,
+         MIN(CASE WHEN cm >= CAST(ceil(0.95 * n) AS BIGINT) THEN v END) AS hi,
+         MAX(n) AS n_rows
+  FROM cum GROUP BY g
+),
+agg AS (
+  SELECT p.g, b.lo, b.hi, b.n_rows,
+         SUM(CAST(greatest(least(p.v, b.hi), b.lo) AS HUGEINT) * p.c) AS ws,
+         SUM(CAST(p.v AS HUGEINT) * p.c) AS rs
+  FROM per_value p JOIN bounds b ON p.g = b.g
+  GROUP BY p.g, b.lo, b.hi, b.n_rows
+)
+SELECT g AS l_returnflag,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       lo AS lo_cents,
+       hi AS hi_cents,
+       CAST(ws AS DOUBLE) / CAST(n_rows AS DOUBLE) AS winsorized_mean_cents,
+       CAST(rs AS DOUBLE) / CAST(n_rows AS DOUBLE) AS raw_mean_cents
+FROM agg
+ORDER BY l_returnflag
+"""
+
+
+QUERIES["d38_winsorized_mean"] = d38_winsorized_mean
+ORACLES["d38_winsorized_mean"] = D38_SQL

@@ -744,6 +744,71 @@ def weighted_median(
     )
 
 
+def winsorized_mean(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_cents: Column | str,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Winsorized mean per group over an exact integer measure (pass
+    cents): values below the ``p_lo`` bound are raised to it, above the
+    ``p_hi`` bound lowered to it, then averaged — the robust mean that
+    keeps tail mass (unlike trimming) while capping outlier leverage.
+
+    Bounds are NEAREST-RANK order statistics (the smallest value whose
+    cumulative count reaches ``ceil(p·n)``) — actual data values, found
+    with the weighted-median crossing test over the (key, value, count)
+    grain — so every clamped value is an exact integer and the group
+    sums stay in DECIMAL; the only double is the final mean division.
+    An interpolated-percentile bound would inject a float into the sum
+    and lose both exactness and the oracle.
+
+    Shape: one value-grain hash-agg, the range-partitioned two-pass
+    cumulative, a group-cardinality bound table broadcast back, one
+    final hash-agg. Everything distributed, nothing raw-row-sorted.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.cumulative import (
+        partitioned_cumulative,
+    )
+
+    v = (F.col(value_cents) if isinstance(value_cents, str) else value_cents).cast(
+        "long"
+    )
+    per_value = df.select(*keys, v.alias("__v")).groupBy(*keys, "__v").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    cum = partitioned_cumulative(per_value, list(keys), "__v", sums={"__cum": "__c"})
+    tot = per_value.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+    c = cum.join(F.broadcast(tot), list(keys))
+    k_lo = F.ceil(F.lit(float(p_lo)) * F.col("__n")).cast("long")
+    k_hi = F.ceil(F.lit(float(p_hi)) * F.col("__n")).cast("long")
+    bounds = c.groupBy(*keys).agg(
+        F.min(F.when(F.col("__cum") >= k_lo, F.col("__v"))).alias("lo"),
+        F.min(F.when(F.col("__cum") >= k_hi, F.col("__v"))).alias("hi"),
+        F.max("__n").alias("n_rows"),
+    )
+    d = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    clamped = F.greatest(F.least(F.col("__v"), F.col("hi")), F.col("lo"))
+    agg = (
+        per_value.join(F.broadcast(bounds), list(keys))
+        .groupBy(*keys, "lo", "hi", "n_rows")
+        .agg(
+            F.sum(d(clamped) * d(F.col("__c"))).alias("__ws"),
+            F.sum(d(F.col("__v")) * d(F.col("__c"))).alias("__rs"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    return agg.select(
+        *keys,
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("lo").alias("lo_cents"),
+        F.col("hi").alias("hi_cents"),
+        (F.col("__ws").cast("double") / n).alias("winsorized_mean_cents"),
+        (F.col("__rs").cast("double") / n).alias("raw_mean_cents"),
+    )
+
+
 def gini_index(
     df: DataFrame,
     keys: Sequence[str],

@@ -166,3 +166,32 @@ def test_pr_auc_extremes(spark):
         [(1.0, False), (2.0, False)], "score double, pos boolean"
     )
     assert pr_auc_trapezoid(onesided, "score", "pos").collect()[0].pr_auc is None
+
+
+def test_winsorized_mean_matches_python_reference(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import winsorized_mean
+
+    random.seed(31)
+    rows = [("A", random.randint(1, 1000)) for _ in range(500)]
+    rows += [("A", 10_000_000)] * 3  # extreme outliers the mean must cap
+    rows += [("B", v) for v in (5, 5, 5, 5)]  # tiny constant group
+    df = spark.createDataFrame(rows, "g string, cents long")
+    got = {r.g: r for r in winsorized_mean(df, ["g"], "cents").collect()}
+
+    import math
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v in rows:
+        by_g[g].append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        lo = vals[math.ceil(0.05 * n) - 1]
+        hi = vals[math.ceil(0.95 * n) - 1]
+        ws = sum(min(max(v, lo), hi) for v in vals) / n
+        assert got[g].lo_cents == lo and got[g].hi_cents == hi, g
+        assert got[g].winsorized_mean_cents == pytest.approx(ws, abs=1e-9), g
+    # the outliers moved the raw mean far above the winsorized one
+    assert got["A"].raw_mean_cents > got["A"].winsorized_mean_cents * 10
+    assert got["B"].winsorized_mean_cents == 5.0
