@@ -144,6 +144,7 @@ HEADLINE = [
     "d37_expected_calibration_error",
     "w12_distributed_rank",
     "d38_winsorized_mean",
+    "d39_autocorrelation",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -1023,3 +1023,93 @@ ORDER BY l_returnflag
 
 QUERIES["d38_winsorized_mean"] = d38_winsorized_mean
 ORACLES["d38_winsorized_mean"] = D38_SQL
+
+
+# ---------------------------------------------------------------------------
+# D39 — lag-1 autocorrelation of the monthly revenue series per return
+# flag: the seasonality/momentum probe completing the time-series
+# battery (d34 trend, d18 EMA, d13 WMA). The lagged pairing is an
+# equi-join on consecutive month indexes (no window at all), and the
+# correlation is Pearson over exact DECIMAL moments of the paired
+# (y_t, y_{t−1}) set — the certified d9/grouped_correlation idiom, so
+# the statistic is bit-reproducible cross-engine.
+# ---------------------------------------------------------------------------
+
+
+def d39_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("mx"),
+    ).agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    cur = monthly.select("flag", "mx", F.col("cents").alias("y"))
+    prev = monthly.select(
+        "flag", (F.col("mx") + 1).alias("mx"), F.col("cents").alias("x")
+    )
+    pairs = cur.join(prev, ["flag", "mx"])
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    mom = pairs.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(d(F.col("x"))).alias("sx"),
+        F.sum(d(F.col("y"))).alias("sy"),
+        F.sum(d(F.col("x")) * d(F.col("y"))).alias("sxy"),
+        F.sum(d(F.col("x")) * d(F.col("x"))).alias("sxx"),
+        F.sum(d(F.col("y")) * d(F.col("y"))).alias("syy"),
+    )
+    # cov/var numerators computed EXACTLY in decimal (n·Σxy − Σx·Σy fits
+    # 38 digits at these magnitudes): a float a·b − c·d here is
+    # contraction-sensitive — DuckDB's compiled expression may fuse a
+    # multiply-add where the JVM (strict by spec) cannot, and the R-flag
+    # series diverged in the last bits exactly that way. After the exact
+    # subtraction, the only float ops are one multiply, one sqrt, one
+    # divide — single correctly-rounded ops on both engines.
+    nd = F.col("n_pairs").cast("decimal(19,0)")
+    cov = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("decimal(38,0)")
+    vx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("decimal(38,0)")
+    vy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("decimal(38,0)")
+    den = F.sqrt(vx.cast("double") * vy.cast("double"))
+    return mom.select(
+        "flag",
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), cov.cast("double") / den).alias("acf_lag1"),
+    ).orderBy("flag")
+
+
+D39_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag AS flag,
+         year(l_shipdate) * 12 + month(l_shipdate) - 1 AS mx,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS cents
+  FROM lineitem GROUP BY 1, 2
+),
+pairs AS (
+  SELECT c.flag, c.cents AS y, p.cents AS x
+  FROM monthly c JOIN monthly p ON c.flag = p.flag AND c.mx = p.mx + 1
+),
+mom AS (
+  SELECT flag,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs GROUP BY 1
+)
+SELECT flag, n_pairs,
+       CASE WHEN (n_pairs * sxx - sx * sx) > 0 AND (n_pairs * syy - sy * sy) > 0
+            THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+       END AS acf_lag1
+FROM mom
+ORDER BY flag
+"""
+
+
+QUERIES["d39_autocorrelation"] = d39_autocorrelation
+ORACLES["d39_autocorrelation"] = D39_SQL

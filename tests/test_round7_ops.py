@@ -195,3 +195,37 @@ def test_winsorized_mean_matches_python_reference(spark):
     # the outliers moved the raw mean far above the winsorized one
     assert got["A"].raw_mean_cents > got["A"].winsorized_mean_cents * 10
     assert got["B"].winsorized_mean_cents == 5.0
+
+
+def test_d39_autocorrelation_matches_python_reference(spark):
+    """Lag-1 ACF per flag == numpy-free Pearson over the lagged pairing,
+    recomputed independently from the same parquet with pandas."""
+    import pandas as pd
+
+    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+    from tests.conftest import SF_SMOKE
+
+    got = {r.flag: r for r in QUERIES["d39_autocorrelation"](spark, SF_SMOKE).collect()}
+
+    li = pd.read_parquet(f"{SF_SMOKE}/lineitem.parquet",
+                         columns=["l_returnflag", "l_shipdate", "l_extendedprice"])
+    li["mx"] = li.l_shipdate.dt.year * 12 + li.l_shipdate.dt.month - 1
+    li["cents"] = (li.l_extendedprice * 100).round(0).astype("int64")
+    monthly = li.groupby(["l_returnflag", "mx"], as_index=False).cents.sum()
+    for flag, g in monthly.groupby("l_returnflag"):
+        g = g.sort_values("mx")
+        pairs = [(a, b) for (ma, a), (mb, b) in zip(g[["mx", "cents"]].values[:-1],
+                                                    g[["mx", "cents"]].values[1:])
+                 if mb == ma + 1]
+        assert got[flag].n_pairs == len(pairs)
+        xs = [float(a) for a, _ in pairs]
+        ys = [float(b) for _, b in pairs]
+        n = len(pairs)
+        sx, sy = sum(xs), sum(ys)
+        cov = n * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+        vx = n * sum(x * x for x in xs) - sx * sx
+        vy = n * sum(y * y for y in ys) - sy * sy
+        expect = cov / (vx * vy) ** 0.5
+        assert got[flag].acf_lag1 == pytest.approx(expect, rel=1e-9), flag
+        # a real series, not degenerate: the statistic is a genuine correlation
+        assert -1.0 <= got[flag].acf_lag1 <= 1.0
