@@ -802,11 +802,18 @@ FROM terms GROUP BY n_pos, n_neg
 # ---------------------------------------------------------------------------
 
 
+#: Decile cut points, defined ONCE and repr-interpolated into both
+#: engines (the D32 idiom): `0.1 * i` accumulates one-ulp drift
+#: (0.30000000000000004 ≠ 0.3), splitting bin assignment for scores
+#: exactly on a boundary (ADVICE r07). `i / 10` is correctly rounded.
+D37_CUTS = tuple(i / 10 for i in range(1, 10))
+
+
 def d37_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     s = F.element_at("embedding", 1).cast("double") + F.lit(0.5)
     bin_expr = None
-    for c in [0.1 * i for i in range(1, 10)]:
+    for c in D37_CUTS:
         ind = F.when(F.lit(float(c)) < s, 1).otherwise(0)
         bin_expr = ind if bin_expr is None else bin_expr + ind
     binned = emb.select(
@@ -839,21 +846,17 @@ def d37_expected_calibration_error(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-D37_SQL = """
+_D37_BIN_SQL = " + ".join(
+    f"(CASE WHEN {c!r} < s THEN 1 ELSE 0 END)" for c in D37_CUTS
+)
+
+D37_SQL = f"""
 WITH scored AS (
   SELECT CAST(embedding[1] AS DOUBLE) + 0.5 AS s, label >= 5 AS pos
   FROM embeddings
 ),
 binned AS (
-  SELECT (CASE WHEN 0.1 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.2 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.3 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.4 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.5 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.6 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.7 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.8 < s THEN 1 ELSE 0 END)
-       + (CASE WHEN 0.9 < s THEN 1 ELSE 0 END) AS bin,
+  SELECT {_D37_BIN_SQL} AS bin,
        CAST(floor(s * 1e9) AS BIGINT) AS s_nano, pos
   FROM scored
 ),

@@ -33,7 +33,10 @@ oracles, no new approximation. Bucket-boundary placement only balances
 work, never values.
 
 At 1000 executors, raise ``n_buckets`` toward the cluster's task
-budget; the offset frame stays keys × B rows (broadcast either way).
+budget; the offset frame is keys × B rows — broadcast is forced only
+in the keyless case (≤B rows); with group keys the strategy is left
+to Catalyst/AQE so high-cardinality key sets shuffle instead of
+flooding the driver.
 """
 
 from __future__ import annotations
@@ -132,7 +135,14 @@ def partitioned_cumulative(
         off_sel.append(F.sum(F.col("__tot_rn")).over(w_off).alias("__off_rn"))
     offsets = per_bucket.select(*off_sel)
 
-    joined = local.join(F.broadcast(offsets), [*keys, _BKT])
+    # Offsets are |groups|×B rows: broadcast only the keyless (≤B rows)
+    # case unconditionally; with group keys the frame scales with key
+    # cardinality and a forced broadcast is a driver/executor-memory
+    # hazard at exactly the scale this module targets (ADVICE r07) —
+    # leave the join strategy to Catalyst/AQE, which still broadcasts
+    # small offset frames via its size estimate.
+    off_side = F.broadcast(offsets) if not keys else offsets
+    joined = local.join(off_side, [*keys, _BKT])
     final = [*out_cols]
     for out in sums:
         zero = F.lit(0).cast(

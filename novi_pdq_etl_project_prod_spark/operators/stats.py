@@ -781,8 +781,25 @@ def winsorized_mean(
     cum = partitioned_cumulative(per_value, list(keys), "__v", sums={"__cum": "__c"})
     tot = per_value.groupBy(*keys).agg(F.sum("__c").alias("__n"))
     c = cum.join(F.broadcast(tot), list(keys))
-    k_lo = F.ceil(F.lit(float(p_lo)) * F.col("__n")).cast("long")
-    k_hi = F.ceil(F.lit(float(p_hi)) * F.col("__n")).cast("long")
+
+    # k = ceil(p·n) in EXACT integer arithmetic: the double product
+    # p·n can round up one ulp when it lands exactly on an integer,
+    # shifting the bound a rank away from the oracle's exact-DECIMAL
+    # ceil (ADVICE r07). p is rationalized via its decimal literal,
+    # then ceil(num·n/den) = (num·n + den − 1) div den on integers.
+    from decimal import Decimal
+
+    def _ceil_rank(p: float) -> Column:
+        dp = Decimal(str(p))
+        exp = -dp.as_tuple().exponent
+        den = 10 ** max(exp, 0)
+        num = int(dp * den)
+        return F.expr(
+            f"CAST((__n * {num}L + {den - 1}L) DIV {den}L AS BIGINT)"
+        )
+
+    k_lo = _ceil_rank(p_lo)
+    k_hi = _ceil_rank(p_hi)
     bounds = c.groupBy(*keys).agg(
         F.min(F.when(F.col("__cum") >= k_lo, F.col("__v"))).alias("lo"),
         F.min(F.when(F.col("__cum") >= k_hi, F.col("__v"))).alias("hi"),
@@ -936,10 +953,17 @@ def mann_whitney(
     )
 
 
+#: Default ceiling on the distinct (x, y) cell count ``kendall_tau``
+#: will accept: the pair mass is |cells|² with a broadcast of the full
+#: grid, so 10⁴ cells ≈ 10⁸ cell pairs is already the practical edge.
+KENDALL_MAX_CELLS = 10_000
+
+
 def kendall_tau(
     df: DataFrame,
     x_col: Column | str,
     y_col: Column | str,
+    max_cells: int = KENDALL_MAX_CELLS,
 ) -> DataFrame:
     """Exact Kendall τ-b (rank correlation with tie correction) for
     BOUNDED-CARDINALITY measure pairs: concordant/discordant pair mass
@@ -957,11 +981,26 @@ def kendall_tau(
     Contract: cell count must be bounded (categorical / discrete
     measures — quantity, priority, rating). For near-unique continuous
     measures use :func:`spearman_correlation`, whose cumulative-rank
-    shape is value-cardinality-linear.
+    shape is value-cardinality-linear. The contract is ENFORCED
+    (VERDICT r07): one cheap ``count_distinct`` agg runs up front, and
+    a grid above ``max_cells`` raises ``ValueError`` with the Spearman
+    routing instead of OOMing the broadcast at plan time.
     """
     x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
     y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
-    cells = df.select(x.alias("__x"), y.alias("__y")).groupBy("__x", "__y").agg(
+    pts = df.select(x.alias("__x"), y.alias("__y"))
+    n_cells = pts.agg(
+        F.count_distinct(F.struct("__x", "__y")).alias("c")
+    ).collect()[0]["c"]
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kendall_tau: {n_cells} distinct (x, y) cells exceed the "
+            f"bounded-cardinality contract (max_cells={max_cells}); the "
+            "pair mass is |cells|^2 and the cell grid is broadcast. For "
+            "near-unique continuous measures use spearman_correlation, "
+            "whose cumulative-rank shape is value-cardinality-linear."
+        )
+    cells = pts.groupBy("__x", "__y").agg(
         F.count(F.lit(1)).alias("nc")
     )
     d = lambda c: c.cast("decimal(19,0)")  # noqa: E731
@@ -1048,11 +1087,18 @@ def exact_auc(
     agg = cum.agg(
         F.sum("cp").alias("n_pos"),
         F.sum("cn").alias("n_neg"),
-        # 2·Σ ranks_pos, exact
-        F.sum(F.col("cp") * (F.lit(2) * F.col("C") - F.col("m") + 1)).alias("r2p"),
+        # 2·Σ ranks_pos, exact — in DECIMAL(38,0): the rank-weighted sum
+        # is ≈ 2·n_pos·n, which wraps BIGINT silently past ~2×10⁹ rows
+        # (same structure gini_index/spearman already widen for)
+        F.sum(
+            F.col("cp").cast("decimal(19,0)")
+            * (F.lit(2) * F.col("C") - F.col("m") + 1).cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("r2p"),
     )
     npos, nneg = F.col("n_pos"), F.col("n_neg")
-    auc = (F.col("r2p") - npos * (npos + 1)).cast("double") / (
+    auc = (
+        F.col("r2p") - (npos * (npos + 1)).cast("decimal(38,0)")
+    ).cast("double") / (
         F.lit(2.0) * npos.cast("double") * nneg.cast("double")
     )
     return agg.select(

@@ -628,6 +628,16 @@ def commit_tables(
     between commit and checkpoint-offset write is detectable
     (ADVICE r06, ``stream_to_star_schema``).
 
+    Meta is MERGED, never replaced (ADVICE r07): the live manifest's
+    meta is carried forward and ``meta``'s keys overlay it, so a commit
+    from another writer (or one passing no meta at all) cannot erase a
+    streaming sink's applied-batch marker and silently re-open the
+    double-count window. Sinks namespace their keys by query identity
+    (:func:`novi_pdq_etl_project_prod_spark.streaming.events.batch_marker_key`),
+    so independent streams sharing a layer never gate on each other's
+    batch-id sequence. A key can be dropped explicitly by overlaying
+    ``None`` (null values are pruned after the merge).
+
     Returns the committed ``{table: snapshot_name}`` manifest.
     """
     import json
@@ -651,8 +661,13 @@ def commit_tables(
         def _write_manifest(snap_dir: str) -> None:
             target = os.path.join(snap_dir, "manifest.json")
             doc = dict(staged)
-            if meta is not None:
-                doc[MANIFEST_META_KEY] = meta
+            # carry the live meta forward and overlay this commit's keys;
+            # read at commit time so the merge sees the latest flip (the
+            # CAS `expected_base` serializes concurrent multi-writers)
+            merged_meta = {**read_manifest_meta(root, layer), **(meta or {})}
+            merged_meta = {k: v for k, v in merged_meta.items() if v is not None}
+            if merged_meta:
+                doc[MANIFEST_META_KEY] = merged_meta
             with open(target, "w", encoding="utf-8") as fh:
                 json.dump(doc, fh, sort_keys=True)
                 fh.flush()

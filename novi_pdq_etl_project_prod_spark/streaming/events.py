@@ -33,6 +33,20 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def batch_marker_key(checkpoint_dir: str) -> str:
+    """The manifest-meta key under which a streaming sink records its
+    last-applied foreachBatch id (ADVICE r07): namespaced by the
+    CHECKPOINT LOCATION, which is the query's durable identity — batch
+    ids are monotonic per checkpoint, so two streams sharing a layer
+    must gate on separate markers or the second stream's early batches
+    would compare against an unrelated sequence and be dropped as
+    "replayed". Hash-keyed so arbitrary paths stay JSON-key-safe."""
+    import hashlib
+
+    digest = hashlib.md5(checkpoint_dir.encode("utf-8")).hexdigest()[:16]
+    return f"last_batch_id:{digest}"
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -551,7 +565,12 @@ def stream_to_star_schema(
     commit and applied-marker flip atomically — and ``_publish`` no-ops
     when ``_batch_id <= last_applied``. foreachBatch batch ids are
     monotonically increasing per checkpoint, which makes the ``<=``
-    comparison the exactly-once gate.
+    comparison the exactly-once gate. The marker key is NAMESPACED by
+    the checkpoint location (:func:`batch_marker_key` — the query's
+    durable identity) and ``commit_tables`` merges meta instead of
+    replacing it (ADVICE r07): a second stream sharing the layer gates
+    on its own batch-id sequence, and unrelated commits to the layer
+    can't erase the marker.
 
     Scale: dim and the keyed aggregate are entity-sized, not
     event-sized; the per-trigger cost is two small snapshot writes + one
@@ -569,10 +588,12 @@ def stream_to_star_schema(
         read_manifest_tables,
     )
 
+    marker = batch_marker_key(checkpoint_dir)
+
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = read_manifest_meta(root, "curated").get("last_batch_id")
+        last = read_manifest_meta(root, "curated").get(marker)
         if isinstance(last, int) and _batch_id <= last:
             return  # replayed batch: its delta is already in the fact
         spark = batch_df.sparkSession
@@ -598,7 +619,7 @@ def stream_to_star_schema(
             {fact_table: merged_fact, dim_table: merged_dim},
             root,
             "curated",
-            meta={"last_batch_id": _batch_id},
+            meta={marker: _batch_id},
         )
 
     q = (
@@ -778,10 +799,12 @@ def stream_bin_counts(
         read_manifest_tables,
     )
 
+    marker = batch_marker_key(checkpoint_dir)
+
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = read_manifest_meta(root, layer).get("last_batch_id")
+        last = read_manifest_meta(root, layer).get(marker)
         if isinstance(last, int) and _batch_id <= last:
             return  # replayed batch: its counts are already in
         spark = batch_df.sparkSession
@@ -795,7 +818,7 @@ def stream_bin_counts(
             .agg(F.sum("n").alias("n"))
         )
         commit_tables(
-            {table: merged}, root, layer, meta={"last_batch_id": _batch_id}
+            {table: merged}, root, layer, meta={marker: _batch_id}
         )
 
     q = (

@@ -95,6 +95,20 @@ def test_kendall_tau_perfect_orders(spark):
     assert kendall_tau(anti, "x", "y").collect()[0].kendall_tau_b == -1.0
 
 
+def test_kendall_tau_enforces_cell_cardinality_contract(spark):
+    """VERDICT r07 item 2: a near-unique continuous measure pair must
+    fail FAST with the Spearman routing, not OOM a |cells|² broadcast
+    join — the contract is a runtime guard, not a docstring."""
+    near_unique = spark.createDataFrame(
+        [(i * 1.0001, i * 2.0003) for i in range(500)], "x double, y double"
+    )
+    with pytest.raises(ValueError, match="spearman_correlation"):
+        kendall_tau(near_unique, "x", "y", max_cells=100)
+    # bounded grids still pass through the same entry point
+    ok = kendall_tau(near_unique.limit(50), "x", "y", max_cells=100)
+    assert ok.collect()[0].kendall_tau_b == pytest.approx(1.0)
+
+
 def test_rrf_fuse_orders_by_reciprocal_rank_sum(spark):
     from novi_pdq_etl_project_prod_spark.operators.similarity import rrf_fuse
 

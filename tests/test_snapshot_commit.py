@@ -499,7 +499,11 @@ def test_commit_tables_concurrent_writers_serialize(spark, tmp_path):
 def test_commit_tables_meta_rides_the_flip(spark, tmp_path):
     """Commit metadata (ADVICE r06: a streaming sink's last-applied batch
     id) is atomic with the table set, invisible to table readers, and the
-    reserved key is rejected as a table name."""
+    reserved key is rejected as a table name. Meta MERGES across commits
+    (ADVICE r07): an unrelated commit without meta must not erase a
+    streaming sink's applied-batch marker — that would silently re-open
+    the double-count window — and two sinks' namespaced keys coexist.
+    A ``None`` overlay deletes a key explicitly."""
     import pytest
 
     from novi_pdq_etl_project_prod_spark.sources.layers import (
@@ -512,13 +516,24 @@ def test_commit_tables_meta_rides_the_flip(spark, tmp_path):
     root = str(tmp_path)
     assert read_manifest_meta(root, "curated") == {}
     commit_tables({"dim": _dim(spark, "d0")}, root, "curated",
-                  meta={"last_batch_id": 3})
-    assert read_manifest_meta(root, "curated") == {"last_batch_id": 3}
+                  meta={"last_batch_id:qA": 3})
+    assert read_manifest_meta(root, "curated") == {"last_batch_id:qA": 3}
     # the meta slot is not a table: manifest and reader surfaces skip it
     assert set(read_manifest(root, "curated")) == {"dim"}
     assert set(read_manifest_tables(spark, root, "curated")) == {"dim"}
-    # a metadata-free commit clears it (meta belongs to ONE commit)
+    # a metadata-free commit CARRIES the marker forward (ADVICE r07)
     commit_tables({"dim": _dim(spark, "d1")}, root, "curated")
-    assert read_manifest_meta(root, "curated") == {}
+    assert read_manifest_meta(root, "curated") == {"last_batch_id:qA": 3}
+    # a second sink's key overlays without touching the first
+    commit_tables({"dim": _dim(spark, "d2")}, root, "curated",
+                  meta={"last_batch_id:qB": 7})
+    assert read_manifest_meta(root, "curated") == {
+        "last_batch_id:qA": 3,
+        "last_batch_id:qB": 7,
+    }
+    # explicit None overlay deletes a key
+    commit_tables({"dim": _dim(spark, "d3")}, root, "curated",
+                  meta={"last_batch_id:qA": None})
+    assert read_manifest_meta(root, "curated") == {"last_batch_id:qB": 7}
     with pytest.raises(ValueError, match="reserved"):
         commit_tables({"_meta": _dim(spark, "x")}, root, "curated")

@@ -658,9 +658,11 @@ def test_stream_to_star_schema_replay_is_exactly_once(spark, tmp_path):
             measure_cols=("amount",), checkpoint_dir=chk,
         )
 
+    from novi_pdq_etl_project_prod_spark.streaming.events import batch_marker_key
+
     _run()
     meta = read_manifest_meta(root, "curated")
-    assert meta.get("last_batch_id") == 0
+    assert meta.get(batch_marker_key(chk)) == 0
     fact_before = {
         r.uid: r.amount
         for r in read_manifest_tables(spark, root, "curated")[
