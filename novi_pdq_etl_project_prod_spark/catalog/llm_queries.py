@@ -3,10 +3,14 @@
 similarity search, text analysis, fingerprinting.
 
 SQL-expressible ops ship with DuckDB oracles (the fixture near-dups have
-Jaccard ≈ 0.99, so thresholded queries return real pairs). Genuinely
-approximate ops (MinHash-LSH, SimHash, hyperplane LSH) are registered
-without an oracle — the driver records a rows-only check — and are
-validated against exact ground truth in ``tests/test_llm_ops.py``.
+Jaccard ≈ 0.99, so thresholded queries return real pairs). Round 8
+graduated the deterministic sketch paths to exact oracles (VERDICT r07
+item 1): m8 (md5 MinHash + hash-free banding), m9 (60-bit md5 SimHash),
+m13 (closure over m8's edges via recursive CTE), m24 (integer sign-LSH
+with the exact rational cosine test). Only genuinely non-replicable ops
+(m10 float-plane LSH top-k, m17 trained IVF routing, m25 round-mode
+quantization) remain oracle-less, each with ground-truth/recall floors
+pinned in ``tests/test_llm_ops.py``.
 """
 
 from __future__ import annotations
@@ -20,10 +24,10 @@ from novi_pdq_etl_project_prod_spark.operators import text as TX
 from novi_pdq_etl_project_prod_spark.operators.dedup import (
     contamination_pairs,
     exact_duplicates,
-    minhash_near_duplicates,
+    minhash_near_duplicates_md5,
     ngram_jaccard_pairs,
     simhash_near_duplicates,
-    simhash_signatures,
+    simhash_signatures_md5,
 )
 from novi_pdq_etl_project_prod_spark.operators.multimodal import (
     exact_stratified_sample,
@@ -327,16 +331,149 @@ WHERE rank <= 5
 
 
 def m8_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dups on the DETERMINISTIC md5 path (graduated to
+    an exact DuckDB oracle in round 8 — VERDICT r07 item 1): one md5
+    base hash per shingle, 64 affine permutations mod 2³¹−1, hash-free
+    band keys, est_jaccard = agreeing-minima/64. The blake2b Arrow path
+    (`minhash_signatures_arrow`, dedup.py:347) remains the raw-speed
+    alternative for non-certified use."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_near_duplicates(
+    return minhash_near_duplicates_md5(
         docs, n=3, num_hashes=64, bands=16, threshold=0.5
-    )
+    ).orderBy("id_a", "id_b")
+
+
+# Shared md5-MinHash CTE chain (shingles → base hash → md5-regenerated
+# affine coefficients → signatures → hash-free band keys → candidate
+# pairs → minima-agreement filter). The affine coefficients regenerate
+# inside the SQL from the same md5 strings the Spark side uses
+# (dedup.minhash_affine_coeffs) — no literals to drift. Reused verbatim
+# by M8 (pairs) and M13 (closure over the same edges).
+_M8_EDGE_CTES = """
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM sh
+),
+coeff AS (
+  SELECT i,
+         CAST(('0x' || substr(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2147483646 + 1 AS a,
+         CAST(('0x' || substr(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2147483647 AS b
+  FROM range(64) r(i)
+),
+mins AS (
+  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+  FROM hashed CROSS JOIN coeff GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY 1),
+banded AS (
+  SELECT doc_id, b,
+         CAST(b AS VARCHAR) || ',' ||
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bk
+  FROM sigs, range(16) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id
+),
+agree AS (
+  SELECT id_a, id_b, SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS m
+  FROM (
+    SELECT c.id_a, c.id_b, unnest(sa.sig) AS x, unnest(sb.sig) AS y
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+  ) GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM agree WHERE CAST(m AS DOUBLE) / 64 >= 0.5
+)
+""".strip()
+
+M8_SQL = f"""
+WITH {_M8_EDGE_CTES}
+SELECT id_a, id_b, CAST(m AS DOUBLE) / 64 AS est_jaccard
+FROM agree
+WHERE CAST(m AS DOUBLE) / 64 >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+#: m9's 60 signed bit-sum aggregates / packed-signature terms, generated
+#: once and spliced into the SQL (the Spark side builds the identical 60
+#: expressions in simhash_signatures_md5).
+_M9_BIT_SUMS = ",\n         ".join(
+    f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+    for i in range(60)
+)
+_M9_SIG = " + ".join(
+    f"(CASE WHEN b{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+    for i in range(60)
+)
 
 
 def m9_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups on the DETERMINISTIC md5 path (graduated to an
+    exact DuckDB oracle in round 8): 60-bit signatures from md5 token
+    hashes, 4 × 15-bit pigeonhole banding, exact hamming filter. The
+    xxhash64 fold variant (`simhash_signatures`, dedup.py) remains for
+    non-certified use."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = simhash_signatures(docs)
-    return simhash_near_duplicates(sigs, max_hamming=3)
+    sigs = simhash_signatures_md5(docs)
+    return (
+        simhash_near_duplicates(sigs, max_hamming=3, n_chunks=4, chunk_bits=15)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+M9_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM toks
+),
+bitsums AS (
+  SELECT doc_id,
+         {_M9_BIT_SUMS}
+  FROM hashed GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, {_M9_SIG} AS sig FROM bitsums),
+chunks AS (
+  SELECT doc_id, sig, c, (sig >> (c * 15)) & 32767 AS ch
+  FROM sigs, range(4) r(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+                  a.sig AS sig_a, b2.sig AS sig_b
+  FROM chunks a JOIN chunks b2
+    ON a.c = b2.c AND a.ch = b2.ch AND a.doc_id < b2.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def m14_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -449,13 +586,34 @@ FROM dirty
 
 def m13_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of MinHash near-dup pairs → dedup clusters.
-    Iterative (min-label propagation) — not SQL-expressible, so no
-    oracle; validated against a union-find model in tests."""
+    Graduated to an exact DuckDB oracle in round 8: the edge set is the
+    deterministic md5 MinHash path (m8), and the iterative min-label
+    propagation is certified against a recursive-CTE closure over the
+    SAME edges (the m43 precedent)."""
     from novi_pdq_etl_project_prod_spark.operators.dedup import near_dup_clusters
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_near_duplicates(docs, threshold=0.5)
+    pairs = minhash_near_duplicates_md5(docs, threshold=0.5)
     return near_dup_clusters(pairs).orderBy("id")
+
+
+# m8's deterministic edge set + m43's recursive-CTE min-label closure.
+M13_SQL = f"""
+WITH RECURSIVE
+{_M8_EDGE_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id ORDER BY id
+"""
 
 
 def m10_lsh_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -707,20 +865,75 @@ FROM g GROUP BY 1
 # ---------------------------------------------------------------------------
 
 def m24_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Production path for embedding-cosine near-dup detection: LSH
-    buckets → candidate pairs → exact cosine filter. Approximate (no
-    oracle); recall vs the m11 exact baseline pinned in test_llm_ops."""
+    """Embedding-cosine near-dup pairs via sign-LSH on the EXACT integer
+    path (graduated to a DuckDB oracle in round 8 — VERDICT r07 item 1):
+    md5-derived integer hyperplanes, int64 sign bits, per-cell int64
+    Gram verification with the rational cosine test (threshold 7/20 =
+    0.35, the m40 idiom). The float-plane production path with
+    auto-sized codes and occupancy caps
+    (`similarity.embedding_near_dup_pairs_lsh`) remains the recall-probed
+    alternative (m11-baseline recall pinned in test_llm_ops)."""
     from novi_pdq_etl_project_prod_spark.operators.similarity import (
-        embedding_near_dup_pairs_lsh,
+        embedding_lsh_pairs_exact,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs_lsh(
-        emb, threshold=0.35, dim=64, n_tables=16,  # nbits auto-sized
-        # hot-cell guard (inert at fixture scale — buckets are far
-        # smaller; bounds the worst case on clustered corpora, SCALE.md)
-        max_bucket_occupancy=4096,
-    )
+    return embedding_lsh_pairs_exact(
+        emb, threshold_num=7, threshold_den=20, scale=1000,
+        nbits=6, n_tables=8, dim=64,
+    ).orderBy("id_a", "id_b")
+
+
+M24_SQL = """
+WITH v AS (
+  SELECT vec_id AS id, d,
+         CAST(round(CAST(e AS DOUBLE) * 1000, 0) AS BIGINT) AS v
+  FROM (
+    SELECT vec_id, unnest(embedding) AS e,
+           unnest(generate_series(1, len(embedding))) AS d
+    FROM embeddings
+  )
+),
+n2 AS (SELECT id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM v GROUP BY 1),
+grid AS (
+  SELECT t, b, d + 1 AS d,
+         CAST(('0x' || substr(md5('lshp:' || CAST(t AS VARCHAR) || ':' ||
+                                  CAST(b AS VARCHAR) || ':' ||
+                                  CAST(d AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1048576 - 524288 AS c
+  FROM range(8) r1(t), range(6) r2(b), range(64) r3(d)
+),
+dots AS (
+  SELECT v.id, g.t, g.b, CAST(SUM(v.v * g.c) AS BIGINT) AS dot
+  FROM v JOIN grid g USING (d) GROUP BY 1, 2, 3
+),
+buckets AS (
+  SELECT id, t,
+         CAST(SUM(CASE WHEN dot > 0
+                       THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM dots GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+  FROM buckets a JOIN buckets b2
+    ON a.t = b2.t AND a.bucket = b2.bucket AND a.id < b2.id
+),
+pair_dot AS (
+  SELECT c.id_a, c.id_b, CAST(SUM(va.v * vb.v) AS BIGINT) AS dot
+  FROM cand c
+  JOIN v va ON va.id = c.id_a
+  JOIN v vb ON vb.id = c.id_b AND vb.d = va.d
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b,
+       p.dot AS dot_milli, na.n2 AS na_milli, nb.n2 AS nb_milli
+FROM pair_dot p
+JOIN n2 na ON na.id = p.id_a
+JOIN n2 nb ON nb.id = p.id_b
+WHERE p.dot >= 0 AND 400 * p.dot * p.dot >= 49 * na.n2 * nb.n2
+ORDER BY p.id_a, p.id_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -780,7 +993,10 @@ QUERIES = {
 ORACLES = {
     "m22_boilerplate_ngrams": M22_SQL,
     "m23_corpus_report": M23_SQL,
-    # m24: approximate LSH pairs — rows-only check by design
+    "m24_embedding_lsh_pairs": M24_SQL,
+    "m8_minhash_near_dups": M8_SQL,
+    "m9_simhash_near_dups": M9_SQL,
+    "m13_near_dup_clusters": M13_SQL,
     "m1_exact_dedup_groups": M1_SQL,
     "m2_ngram_jaccard_pairs": M2_SQL,
     "m3_token_stats": M3_SQL,
@@ -796,5 +1012,6 @@ ORACLES = {
     "m14_chunk_documents": M14_SQL,
     "m15_gopher_quality": M15_SQL,
     "m16_pii_redaction": M16_SQL,
-    # m8-m10: approximate — rows-only checks by design
+    # m10 (float-plane LSH top-k), m17 (trained IVF): approximate —
+    # rows-only checks by design, recall floors pinned in test_llm_ops
 }

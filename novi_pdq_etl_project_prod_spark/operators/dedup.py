@@ -520,6 +520,160 @@ def minhash_near_duplicates(
 
 
 # ---------------------------------------------------------------------------
+# Cross-engine-deterministic MinHash (md5-derived) — the oracled variant
+# ---------------------------------------------------------------------------
+
+#: Modulus for the md5-derived affine MinHash permutations: the Mersenne
+#: prime 2³¹−1. Small enough that (a·h + b) stays under 2⁶² — exact in
+#: BIGINT in BOTH engines (no HUGEINT/DECIMAL needed) — while 31-bit
+#: minima keep per-shingle collision probability ≈ 2⁻³¹, negligible for
+#: signature quality.
+MINHASH_MERSENNE31 = (1 << 31) - 1
+
+
+def _md5_long60_py(s: str) -> int:
+    """Driver-side twin of the certified cross-engine md5→int idiom:
+    ``int(md5(s)[:15 hex], 16)`` == Spark ``conv(substring(md5(s),1,15),
+    16,10)`` == DuckDB ``CAST(('0x' || substr(md5(s),1,15)) AS BIGINT)``
+    (60 bits, fits BIGINT)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def md5_long60(col: Column) -> Column:
+    """The Spark side of the certified md5→int idiom (see
+    :func:`_md5_long60_py`)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """The k affine permutation coefficients (aᵢ, bᵢ), themselves
+    md5-derived (``mh:a:i`` / ``mh:b:i``) so a SQL oracle regenerates
+    them from the same strings instead of carrying 2k literals."""
+    m = MINHASH_MERSENNE31
+    return [
+        (
+            _md5_long60_py(f"mh:a:{i}") % (m - 1) + 1,
+            _md5_long60_py(f"mh:b:{i}") % m,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Cross-engine-DETERMINISTIC MinHash: one md5 base hash per distinct
+    shingle, k affine permutations ``(aᵢ·h + bᵢ) mod 2³¹−1`` — every step
+    replicable in ANSI SQL (the m8 DuckDB oracle), unlike the
+    blake2b/xxhash64 fast paths (:func:`minhash_signatures_arrow`,
+    :func:`minhash_signatures`), which stay the throughput choice when
+    cross-engine certification isn't needed.
+
+    Shape: shingle explode → k min-aggregates in ONE map-side-combined
+    hash-agg (whole-stage codegen — no interpreted lambda folds, no
+    Python). Duplicate shingles are harmless under min, so no distinct
+    pass is spent. Docs with < n tokens produce no rows (equivalent to
+    the null signatures the other variants emit — banding drops both).
+    """
+    m = MINHASH_MERSENNE31
+    coeffs = minhash_affine_coeffs(num_hashes)
+    df = _spread_small_input(df)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__sh")
+    )
+    hashed = sh.select("id", (md5_long60(F.col("__sh")) % m).alias("__h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % m).alias(f"__m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    return per_doc.select(
+        "id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    )
+
+
+def lsh_candidate_pairs_exact(
+    signatures: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    persist: bool = True,
+) -> DataFrame:
+    """Banded candidate pairs with HASH-FREE band keys: the key is the
+    plain ``"band,v1,..,vr"`` value string, so a SQL oracle reproduces
+    the banding verbatim (``array_to_string(list_slice(sig,..), ',')``)
+    — no xxhash64 on the grouping path. Semantics and output schema
+    match :func:`lsh_candidate_pairs`.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    if persist:
+        signatures = cache.track(signatures, eager=True)
+    banded = signatures.where(F.col("signature").isNotNull()).select(
+        "id",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(j)),
+                        *[
+                            F.col("signature")[j * r + k].cast("string")
+                            for k in range(r)
+                        ],
+                    )
+                    for j in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+    )
+
+
+def minhash_near_duplicates_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup detection on the DETERMINISTIC md5 path —
+    bit-for-bit oracle-able in DuckDB (the m8 graduation, VERDICT r07
+    item 1). Same pipeline shape as :func:`minhash_near_duplicates`."""
+    sigs = minhash_signatures_md5(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs_exact(sigs, num_hashes, bands)
+    return cands.where(F.col("est_jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
 # Transitive clustering of near-dup pairs
 # ---------------------------------------------------------------------------
 
@@ -677,11 +831,17 @@ def simhash_near_duplicates(
     signatures: DataFrame,
     max_hamming: int = 3,
     persist: bool = True,
+    n_chunks: int = 4,
+    chunk_bits: int = 16,
 ) -> DataFrame:
-    """Candidate pairs within a hamming ball: band the 64-bit signature
-    into 4 × 16-bit chunks; by pigeonhole any pair with hamming ≤ 3
-    matches exactly on ≥1 chunk. Exact-match join per chunk, then filter
-    by true hamming distance (bit_count of xor)."""
+    """Candidate pairs within a hamming ball: band the signature into
+    ``n_chunks`` × ``chunk_bits``-bit chunks (defaults cover the 64-bit
+    signature; the md5 60-bit variant passes 4 × 15); by pigeonhole any
+    pair with hamming ≤ n_chunks − 1 matches exactly on ≥1 chunk.
+    Exact-match join per chunk, then filter by true hamming distance
+    (bit_count of xor)."""
+    assert max_hamming <= n_chunks - 1, "pigeonhole needs hamming < n_chunks"
+    mask = (1 << chunk_bits) - 1
     if persist:
         # self-join input is evaluated twice (see lsh_candidate_pairs)
         signatures = cache.track(signatures, eager=True)
@@ -693,11 +853,11 @@ def simhash_near_duplicates(
                 *[
                     F.struct(
                         F.lit(j).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), j * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col("simhash"), j * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("ch"),
                     )
-                    for j in range(4)
+                    for j in range(n_chunks)
                 ]
             )
         ).alias("c"),
@@ -723,6 +883,46 @@ def simhash_near_duplicates(
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def simhash_signatures_md5(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 60,
+) -> DataFrame:
+    """Cross-engine-DETERMINISTIC SimHash: the token hash is the
+    certified 60-bit md5 idiom (so the whole signature — bit sums, sign
+    threshold, bit packing — is replicable in DuckDB SQL; the m9
+    graduation, VERDICT r07 item 1). 60 bits instead of 64: the md5
+    idiom yields 60, and a 60-bit simhash bands into 4 × 15-bit chunks
+    with the same pigeonhole guarantee. :func:`simhash_signatures`
+    (xxhash64, interpreted fold) remains the no-oracle alternative.
+
+    Shape: token explode → ``bits`` signed bit-sums in ONE map-side
+    combined hash-agg (codegen — term frequency weighting falls out of
+    summing over the token multiset), then one projection packs the
+    sign bits. Docs with no tokens produce no rows (equivalent to the
+    null signatures the other variant emits)."""
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    df = _spread_small_input(df)
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    hashed = tok.select("id", md5_long60(F.col("__t")).alias("__h"))
+    aggs = [
+        F.sum(
+            F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"__b{i}")
+        for i in range(bits)
+    ]
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    sig: Column | None = None
+    for i in range(bits):
+        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return per_doc.select("id", sig.cast("long").alias("simhash"))
 
 
 def repeated_ngram_stats(

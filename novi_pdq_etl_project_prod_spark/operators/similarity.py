@@ -261,6 +261,134 @@ def hyperplane_lsh_topk(
     )
 
 
+def lsh_plane_coeffs(
+    n_tables: int, nbits: int, dim: int, salt: str = "lshp"
+) -> "np.ndarray":
+    """Deterministic INTEGER hyperplane components for the exact sign-LSH
+    variant: c(t,b,d) = md5₆₀("salt:t:b:d") mod 2²⁰ − 2¹⁹ — a centered
+    20-bit integer, symmetric around 0 (any symmetric component
+    distribution yields valid sign-LSH). md5-derived so a SQL oracle
+    regenerates the planes from the same strings with zero literals.
+    20 bits keeps every dot term |v·c| < 2³¹ for milli-unit vectors —
+    exact in BIGINT/int64 in both engines. Returns an
+    (n_tables·nbits, dim) int64 matrix, table-major."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import _md5_long60_py
+
+    rows = []
+    for t in range(n_tables):
+        for b in range(nbits):
+            rows.append(
+                [
+                    _md5_long60_py(f"{salt}:{t}:{b}:{d}") % (1 << 20) - (1 << 19)
+                    for d in range(dim)
+                ]
+            )
+    return np.asarray(rows, dtype=np.int64)
+
+
+def embedding_lsh_pairs_exact(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_num: int = 7,
+    threshold_den: int = 20,
+    scale: int = 1000,
+    nbits: int = 6,
+    n_tables: int = 8,
+    dim: int = 64,
+    salt: str = "lshp",
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH, EXACT cross-engine (the
+    m24 graduation, VERDICT r07 item 1): every decision is integer
+    arithmetic shared bit-for-bit with a DuckDB oracle.
+
+    - vectors quantize to milli units Spark-side (``round(e·scale)`` —
+      the certified cluster_scoped_dup_pairs idiom);
+    - hyperplanes are md5-derived centered 20-bit INTEGERS
+      (:func:`lsh_plane_coeffs`): sign bits come from exact int64 dot
+      products, so bucketing is reproducible anywhere — unlike the
+      float-plane production path (:func:`embedding_near_dup_pairs_lsh`),
+      whose numpy matmul signs can differ in the last ulp across BLAS
+      builds (that path keeps the auto-sized codes and bucket-occupancy
+      caps for recall-floored production use);
+    - candidate verification reuses the exact rational cosine test
+      ``dot ≥ 0 ∧ den²·dot² ≥ num²·‖a‖²·‖b‖²`` per (table, bucket) cell
+      with one int64 numpy Gram per cell (the m40 block shape — exact
+      integers, so BLAS order doesn't matter).
+
+    Output: (id_a < id_b, dot_milli, na_milli, nb_milli), deduplicated
+    across tables. Scale shape: |corpus| × n_tables bucket rows, Gram
+    cost bounded by bucket occupancy — grow ``nbits`` with the corpus
+    exactly as the production path auto-sizes."""
+    planes = lsh_plane_coeffs(n_tables, nbits, dim, salt)
+    weights = (np.int64(1) << np.arange(nbits, dtype=np.int64))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.int64) for v in vs])
+        bits = (M @ planes.T) > 0  # exact int64 dots, then sign
+        bits = bits.reshape(len(M), n_tables, nbits).astype(np.int64)
+        return pd.Series(list(bits @ weights))
+
+    v_int = F.transform(
+        _as_double(vec_col), lambda x: F.round(x * scale, 0).cast("long")
+    )
+    base = corpus.select(
+        F.col(id_col).alias("id"), v_int.alias("v")
+    ).withColumn(
+        "n2",
+        F.aggregate("v", F.lit(0).cast("long"), lambda acc, x: acc + x * x),
+    ).withColumn("buckets", bucket_ids(F.col("v")))
+    tbl_idx = F.sequence(F.lit(0), F.lit(n_tables - 1))
+    expanded = base.select(
+        "id",
+        "v",
+        "n2",
+        F.explode(
+            F.zip_with(
+                F.col("buckets"),
+                tbl_idx,
+                lambda bkt, t: F.struct(t.alias("tbl"), bkt.alias("bucket")),
+            )
+        ).alias("b"),
+    ).select("id", "v", "n2", F.col("b.tbl").alias("tbl"), F.col("b.bucket").alias("bucket"))
+
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    id_type = dict(corpus.dtypes)[id_col]
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        ids = pdf["id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["v"]])
+        n2 = pdf["n2"].to_numpy()
+        G = M @ M.T  # exact int64 pairwise dots
+        ia, ib = np.triu_indices(len(ids), 1)
+        dots = G[ia, ib]
+        keep = (dots >= 0) & (den2 * dots * dots >= num2 * n2[ia] * n2[ib])
+        ia, ib, dots = ia[keep], ib[keep], dots[keep]
+        return pd.DataFrame(
+            {
+                "id_a": ids[ia],
+                "id_b": ids[ib],
+                "dot_milli": dots,
+                "na_milli": n2[ia],
+                "nb_milli": n2[ib],
+            }
+        )
+
+    pairs = expanded.groupBy("tbl", "bucket").applyInPandas(
+        _cell_pairs,
+        schema=(
+            f"id_a {id_type}, id_b {id_type}, "
+            "dot_milli long, na_milli long, nb_milli long"
+        ),
+    )
+    return pairs.dropDuplicates(["id_a", "id_b"])
+
+
 def embedding_near_dup_pairs_lsh(
     corpus: DataFrame,
     id_col: str = "vec_id",
