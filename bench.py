@@ -145,6 +145,10 @@ HEADLINE = [
     "w12_distributed_rank",
     "d38_winsorized_mean",
     "d39_autocorrelation",
+    # round-8 additions
+    "g3_merge_into",
+    "m9_simhash_near_dups",
+    "m13_near_dup_clusters",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

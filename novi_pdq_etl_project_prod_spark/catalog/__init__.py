@@ -24,6 +24,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round6_queries,
     round6b_queries,
     round7_queries,
+    round8_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -45,6 +46,7 @@ for _mod in (
     round6_queries,
     round6b_queries,
     round7_queries,
+    round8_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
@@ -170,12 +172,26 @@ _DRIVER_CERTIFIED = _derive_driver_certified()
 if _DRIVER_CERTIFIED is None:
     _DRIVER_CERTIFIED = _DRIVER_CERTIFIED_FALLBACK
 
+#: Queries whose ORACLE SURFACE changed this round — the round-8
+#: graduation moved these from documented no_oracle to exact DuckDB SQL
+#: (VERDICT r07 item 1) — forced into the driver's first-50 sampling
+#: window so CORRECTNESS_r08 records fresh HASH rows instead of
+#: inheriting the stale no_oracle outcome. Clear once re-certified.
+RECERTIFY = frozenset(
+    {
+        "m8_minhash_near_dups",
+        "m9_simhash_near_dups",
+        "m13_near_dup_clusters",
+        "m24_embedding_lsh_pairs",
+    }
+)
+
 #: Uncertified (never driver-green) queries lead the registry so they fall
 #: inside the driver's first-50 sampling window. The budget check in
 #: tests/test_registry_order.py asserts (uncertified + new) fits.
 _certified = set(_DRIVER_CERTIFIED)
-_uncertified = [q for q in QUERIES if q not in _certified]
-_order = _uncertified + [q for q in QUERIES if q in _certified]
+_uncertified = [q for q in QUERIES if q not in _certified or q in RECERTIFY]
+_order = _uncertified + [q for q in QUERIES if q not in set(_uncertified)]
 QUERIES = {q: QUERIES[q] for q in _order}
 ORACLES = {q: ORACLES[q] for q in _order if q in ORACLES}
 

@@ -141,6 +141,180 @@ def merge_into_snapshot(
     return merged
 
 
+def merge_frames(
+    target: DataFrame | None,
+    source: DataFrame,
+    on: tuple[str, ...],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: dict[str, str] | bool = True,
+    check_duplicate_source: bool = True,
+) -> DataFrame:
+    """Declarative MERGE as a pure DataFrame op (VERDICT r07 item 5) —
+    the Delta-parity idiom users reach for first, composing the
+    snapshot-layer pieces (:func:`merge_into_snapshot`, CDC tombstones)
+    behind ONE entry point:
+
+    - ``when_matched_update``: {target_col: SQL expr} evaluated over the
+      joined row with aliases ``t`` (target) and ``s`` (source) — e.g.
+      ``{"acctbal": "t.acctbal + s.delta"}``;
+    - ``when_matched_delete``: SQL predicate (same aliases); delete wins
+      over update when both apply (Delta's clause-order semantics with
+      the delete clause first);
+    - ``when_not_matched_insert``: True inserts source rows mapped by
+      column name (missing target columns become NULL), a {target_col:
+      expr} mapping builds the row explicitly (``s`` alias only), False
+      skips inserts;
+    - NOT MATCHED BY SOURCE rows pass through unchanged (ANSI MERGE).
+
+    Multiple source rows matching one target key make the update
+    non-deterministic, so (like Delta) the operator REFUSES them —
+    ``check_duplicate_source`` runs one cheap count-distinct agg and
+    raises. Output schema = target schema (or the insert mapping when
+    the target is None/empty).
+
+    Scale: one full-outer shuffle join on ``on`` (broadcast if the
+    source is small — Catalyst/AQE decides from size estimates), one
+    dup-guard agg over the source keys. Nothing corpus-sized touches
+    the driver.
+    """
+    on = tuple(on)
+    if check_duplicate_source:
+        dup = (
+            source.groupBy(*on)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            key = {k: dup[0][k] for k in on}
+            raise ValueError(
+                f"merge_frames: source has multiple rows for key {key} — "
+                "MERGE updates would be non-deterministic; dedup the "
+                "source first (dedup_dim / latest-wins)."
+            )
+    if target is None:
+        if when_not_matched_insert is False:
+            raise ValueError("merge_frames: no target and inserts disabled")
+        s = source.alias("s")
+        if when_not_matched_insert is True:
+            return s.select(*source.columns)
+        return s.select(
+            *[F.expr(e).alias(c) for c, e in when_not_matched_insert.items()]
+        )
+
+    out_cols = list(target.columns)
+    t = target.withColumn("__t_present", F.lit(True)).alias("t")
+    s = source.withColumn("__s_present", F.lit(True)).alias("s")
+    cond = None
+    for k in on:
+        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col("t.__t_present").isNotNull() & F.col(
+        "s.__s_present"
+    ).isNotNull()
+    target_only = F.col("s.__s_present").isNull()
+    update_map = dict(when_matched_update or {})
+
+    def _matched_value(c: str) -> Column:
+        if c in update_map:
+            return F.expr(update_map[c])
+        return F.col(f"t.{c}")
+
+    def _insert_value(c: str) -> Column:
+        if when_not_matched_insert is False:
+            return F.lit(None)
+        if when_not_matched_insert is True:
+            return F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        expr = when_not_matched_insert.get(c)
+        return F.expr(expr) if expr is not None else F.lit(None)
+
+    survives = F.when(
+        matched,
+        F.lit(True)
+        if when_matched_delete is None
+        else ~F.coalesce(F.expr(when_matched_delete), F.lit(False)),
+    ).otherwise(
+        F.when(target_only, F.lit(True)).otherwise(
+            F.lit(when_not_matched_insert is not False)
+        )
+    )
+    cols = [
+        F.when(matched, _matched_value(c))
+        .when(target_only, F.col(f"t.{c}"))
+        .otherwise(_insert_value(c))
+        .alias(c)
+        for c in out_cols
+    ]
+    return joined.where(survives).select(*cols)
+
+
+def _read_live_snapshot(spark, path: str) -> DataFrame | None:
+    """Current committed snapshot of a pointer table (None before the
+    first commit). Module-level so tests can monkeypatch it to inject a
+    concurrent writer between read and commit."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        resolve_table_path,
+    )
+
+    live = resolve_table_path(path)
+    if live == path:
+        return None
+    return spark.read.parquet(live)
+
+
+def merge_into(
+    spark,
+    root: str,
+    layer: str,
+    table: str,
+    source: DataFrame,
+    on: tuple[str, ...],
+    when_matched_update: dict[str, str] | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert: dict[str, str] | bool = True,
+    max_retries: int = 3,
+) -> str:
+    """MERGE committed through the snapshot CAS pointer: read the live
+    snapshot AND its version token, build :func:`merge_frames`, commit
+    with ``expected_base`` — a concurrent writer flipping the pointer in
+    between raises ``SnapshotConflictError`` and the merge re-reads and
+    re-applies (optimistic concurrency, Delta's loop), up to
+    ``max_retries`` before propagating. Lost updates are impossible:
+    every committed merge was computed against the snapshot it replaced.
+
+    Returns the table path."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        current_snapshot,
+        overwrite_snapshot,
+        table_path,
+    )
+
+    path = table_path(root, layer, table)
+    attempts = max_retries + 1
+    for attempt in range(attempts):
+        token = current_snapshot(path)
+        target = _read_live_snapshot(spark, path)
+        merged = merge_frames(
+            target,
+            source,
+            on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
+        try:
+            overwrite_snapshot(merged, root, layer, table, expected_base=token)
+            return path
+        except SnapshotConflictError:
+            if attempt == attempts - 1:
+                raise
+    raise AssertionError("unreachable")
+
+
 def scd2_apply(
     existing: DataFrame | None,
     incoming: DataFrame,

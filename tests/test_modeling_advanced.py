@@ -102,3 +102,135 @@ def test_snapshot_diff_all_four_statuses(spark):
     # NULL -> 30.0 must count as changed (null-safe compare)
     assert diff == {1: "unchanged", 2: "changed", 3: "changed",
                     4: "removed", 5: "added"}
+
+
+# ---------------------------------------------------------------------------
+# Declarative MERGE (VERDICT r07 item 5): merge_frames grammar +
+# merge_into CAS commit with optimistic retry.
+# ---------------------------------------------------------------------------
+
+
+def test_merge_frames_all_clauses(spark):
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+
+    target = _df(
+        spark,
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, "e", 50)],
+        "id int, name string, v int",
+    )
+    source = _df(
+        spark,
+        [(2, 7), (3, -1), (4, 40)],
+        "id int, delta int",
+    )
+    out = merge_frames(
+        target,
+        source,
+        on=("id",),
+        when_matched_delete="s.delta < 0",
+        when_matched_update={"v": "t.v + s.delta", "name": "concat(t.name, '+')"},
+        when_not_matched_insert={
+            "id": "s.id",
+            "name": "concat('n', CAST(s.id AS STRING))",
+            "v": "s.delta",
+        },
+    )
+    got = {(r.id, r.name, r.v) for r in out.collect()}
+    # 1, 5 untouched (not matched by source), 2 updated, 3 deleted,
+    # 4 inserted via the explicit mapping
+    assert got == {
+        (1, "a", 10),
+        (5, "e", 50),
+        (2, "b+", 27),
+        (4, "n4", 40),
+    }
+
+
+def test_merge_frames_insert_by_name_and_skip(spark):
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+
+    target = _df(spark, [(1, "a", 10)], "id int, name string, v int")
+    # source missing the `name` column: insert-by-name nulls it
+    source = _df(spark, [(1, 99), (2, 20)], "id int, v int")
+    by_name = merge_frames(target, source, on=("id",),
+                           when_matched_update={"v": "s.v"})
+    got = {(r.id, r.name, r.v) for r in by_name.collect()}
+    assert got == {(1, "a", 99), (2, None, 20)}
+    no_insert = merge_frames(target, source, on=("id",),
+                             when_matched_update={"v": "s.v"},
+                             when_not_matched_insert=False)
+    assert {(r.id, r.name, r.v) for r in no_insert.collect()} == {(1, "a", 99)}
+
+
+def test_merge_frames_rejects_duplicate_source_keys(spark):
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+
+    target = _df(spark, [(1, "a", 10)], "id int, name string, v int")
+    dup = _df(spark, [(1, 5), (1, 6)], "id int, v int")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_frames(target, dup, on=("id",))
+
+
+def test_merge_into_commits_through_cas_and_retries(spark, tmp_path, monkeypatch):
+    """Optimistic-concurrency pin: writer A reads the snapshot, writer B
+    commits in between, A's first commit hits SnapshotConflictError and
+    the retry re-reads B's snapshot — BOTH merges land (no lost update).
+    With max_retries=0 the conflict propagates instead."""
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.operators import modeling
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        resolve_table_path,
+        table_path,
+    )
+
+    root = str(tmp_path)
+    seed = _df(spark, [(1, 100), (2, 200)], "id int, v int")
+    modeling.merge_into(spark, root, "curated", "acct", seed, on=("id",))
+
+    def _read(root_, table_):
+        path = resolve_table_path(table_path(root_, "curated", table_))
+        return {r.id: r.v for r in spark.read.parquet(path).collect()}
+
+    assert _read(root, "acct") == {1: 100, 2: 200}
+
+    # inject writer B between A's snapshot read and A's commit, once
+    real_read = modeling._read_live_snapshot
+    fired = {"done": False}
+
+    def racy_read(spark_, path_):
+        df = real_read(spark_, path_)
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.undo()  # B must not recurse into the race hook
+            modeling.merge_into(
+                spark, root, "curated", "acct",
+                _df(spark, [(2, 1)], "id int, delta int"), on=("id",),
+                when_matched_update={"v": "t.v + s.delta"},
+                when_not_matched_insert=False,
+            )
+        return df
+
+    monkeypatch.setattr(modeling, "_read_live_snapshot", racy_read)
+    modeling.merge_into(
+        spark, root, "curated", "acct",
+        _df(spark, [(1, 10), (3, 300)], "id int, delta int"), on=("id",),
+        when_matched_update={"v": "t.v + s.delta"},
+        when_not_matched_insert={"id": "s.id", "v": "s.delta"},
+    )
+    # both B's +1 on id=2 and A's +10 on id=1 / insert id=3 survived
+    assert _read(root, "acct") == {1: 110, 2: 201, 3: 300}
+
+    # with retries disabled the same race propagates the conflict
+    fired["done"] = False
+    monkeypatch.setattr(modeling, "_read_live_snapshot", racy_read)
+    with pytest.raises(SnapshotConflictError):
+        modeling.merge_into(
+            spark, root, "curated", "acct",
+            _df(spark, [(1, 1)], "id int, delta int"), on=("id",),
+            when_matched_update={"v": "t.v + s.delta"},
+            when_not_matched_insert=False, max_retries=0,
+        )

@@ -79,15 +79,13 @@ def test_ledger_derivation_survives_future_driver_rounds(tmp_path):
 def test_every_query_has_oracle_or_documented_exception():
     """Non-oracled queries must be the documented approximate/iterative set."""
     no_oracle = {q for q in QUERIES if q not in ORACLES}
+    # m8/m9/m13/m24 graduated to exact DuckDB oracles in round 8
+    # (md5-deterministic sketch paths) and left this list.
     documented = {
         "d2_approx_distinct",
         "d5_approx_percentiles",
-        "m8_minhash_near_dups",
-        "m9_simhash_near_dups",
         "m10_lsh_embedding_topk",
-        "m13_near_dup_clusters",
         "m17_ivf_embedding_topk",
-        "m24_embedding_lsh_pairs",
         "m25_quantization_fidelity",
         "m35_kmeans_clusters",
         "m37_ivf_related_pairs",
