@@ -1158,7 +1158,14 @@ def m56_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigma.alias("sigma_cents"),
         F.floor(n * sigma * F.lit(1e6)).cast("long").alias("w_micro"),
     )
-    total = F.sum("w_micro").over(Window.partitionBy())
+    # total weight accumulates in DECIMAL(38,0): w_micro ≈ n·σ·1e6 per
+    # stratum reaches ~4.5e18 at 10× lineitem, so a BIGINT sum across
+    # strata wraps (caught by the r08 full-catalog 10× sweep). The
+    # decimal→double cast is correctly rounded, matching the oracle's
+    # HUGEINT→DOUBLE.
+    total = F.sum(F.col("w_micro").cast("decimal(38,0)")).over(
+        Window.partitionBy()
+    )
     share = F.col("w_micro").cast("double") / F.col("__tw").cast("double")
     return (
         weighted.withColumn("__tw", total)
@@ -1200,7 +1207,7 @@ wt AS (
            AS w_micro
   FROM sig
 ),
-tot AS (SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM wt)
+tot AS (SELECT SUM(CAST(w_micro AS HUGEINT)) AS tw FROM wt)
 SELECT l_returnflag, l_linestatus, n_rows, sigma_cents, w_micro,
        CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS alloc_share,
        CAST(floor(CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE)

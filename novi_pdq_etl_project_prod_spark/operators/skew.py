@@ -83,6 +83,18 @@ def salted_agg(
         salted_agg(li, ["l_suppkey"],
                    {"sum_qty": ("sum", F.col("l_quantity").cast("decimal(18,2)")),
                     "n": ("count", F.lit(1))})
+
+    WHEN TO SALT (measured, SCALE.md round-8 skew probes at 10×, hot key
+    carrying 50% of 6M rows): for ALGEBRAIC aggs like these, Spark's
+    map-side partial aggregation already collapses the hot key to one
+    row per map task before the shuffle — plain groupBy beat this
+    operator 0.82× and AQE-coalesced plain groupBy beat it 1.9×. Use
+    salting when partial aggregation CANNOT absorb the key: holistic
+    aggs (collect_list/percentile — per-row state crosses the shuffle),
+    or as the decomposition template for exact count-distinct (first
+    groupBy (key, value), then count — the same two-stage idea with the
+    value as the salt). For skewed JOINS, salting is the real win — see
+    :func:`salted_join` (2.0× vs plain at the same probe).
     """
     # content-derived (see _content_salt): retry-deterministic, and input
     # layouts with < n_salts partitions don't collapse the salt domain
@@ -113,7 +125,14 @@ def salted_join(
     small side is replicated ``n_salts`` times so every salted big key
     finds its match. Use when the small side is too large to broadcast
     but the big side's keys are skewed. Prefer AQE skew-join when
-    available; this is the explicit fallback."""
+    available; this is the explicit fallback.
+
+    Measured (SCALE.md round-8 skew probes, 10× lineitem, 0-sentinel hot
+    key carrying 50% of 6M rows, dim non-broadcastable): plain SMJ
+    3.99 s → AQE skew-split 2.46 s (1.6×) → salted_join 2.02 s (2.0×).
+    Salting beats even AQE here because AQE splits the hot PARTITION
+    but every split still probes the same dim rows; salting spreads the
+    hot KEY itself."""
     # content-derived salt, NOT spark_partition_id() % n_salts (a big
     # side read from few input splits would yield only as many distinct
     # salts as partitions, silently un-spreading the hot key) and NOT

@@ -84,7 +84,9 @@ def replicate(spark, out_dir: str, k: int) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
-def replicate_docs_distinct(spark, out_dir: str, k: int) -> None:
+def replicate_docs_distinct(
+    spark, out_dir: str, k: int, copy_rest: bool = True
+) -> None:
     """k copies of documents with SHIFTED TOKENS, not just shifted ids:
     every token in replica i gets an ``x<i>`` suffix, so replicas are
     neither exact nor near duplicates of their source (all shingles
@@ -110,6 +112,8 @@ def replicate_docs_distinct(spark, out_dir: str, k: int) -> None:
         .drop("rep")
     )
     out.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    if not copy_rest:
+        return
     for t in (
         "lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "embeddings", "events",
@@ -117,7 +121,9 @@ def replicate_docs_distinct(spark, out_dir: str, k: int) -> None:
         shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
 
 
-def replicate_embeddings_isometric(spark, out_dir: str, k: int) -> None:
+def replicate_embeddings_isometric(
+    spark, out_dir: str, k: int, copy_rest: bool = True
+) -> None:
     """k copies of embeddings, each replica transformed by a deterministic
     ISOMETRY (coordinate rotation + sign flips keyed by the replica
     index). An isometry preserves every pairwise cosine WITHIN a replica
@@ -158,6 +164,8 @@ def replicate_embeddings_isometric(spark, out_dir: str, k: int) -> None:
         .drop("rep")
     )
     rot.write.mode("overwrite").parquet(f"{out_dir}/embeddings.parquet")
+    if not copy_rest:
+        return
     for t in (
         "lineitem", "orders", "customer", "supplier", "part", "nation",
         "region", "documents", "events",
@@ -607,7 +615,191 @@ def main_r6b(k: int) -> None:
     shutil.rmtree(fact_dir, ignore_errors=True)
 
 
+def _bounded_run(spark, fn, budget_s: float) -> dict:
+    """Run ``fn`` (a Spark action) with a wall budget: on timeout the
+    probe cancels the job group and records TIMEOUT instead of hanging
+    the whole sweep on one pathological query. setJobGroup is
+    thread-local, so it is set inside the worker thread."""
+    import threading
+
+    result: dict = {}
+
+    def _run():
+        try:
+            spark.sparkContext.setJobGroup(
+                "scale_sweep", "scale_sweep", interruptOnCancel=True
+            )
+            t0 = time.perf_counter()
+            fn()
+            result["t"] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — recorded, not swallowed
+            result.setdefault("err", f"{type(e).__name__}: {e}"[:300])
+
+    th = threading.Thread(target=_run, daemon=True)
+    th.start()
+    th.join(budget_s)
+    if th.is_alive():
+        spark.sparkContext.cancelJobGroup("scale_sweep")
+        th.join(60)
+        result.setdefault("err", f"TIMEOUT>{budget_s}s")
+    return result
+
+
+def replicate_full(spark, out_dir: str, k: int) -> None:
+    """One directory with ALL fixture tables scaled artifact-free: facts
+    and events key-shifted k× (dims fixed — star semantics), documents
+    token-suffixed DISTINCT (near-dup structure preserved per replica,
+    no cross-replica dup artifact), embeddings isometric (per-replica
+    neighbor structure preserved, cross-replica scrambled)."""
+    replicate(spark, out_dir, k)
+    replicate_docs_distinct(spark, out_dir, k, copy_rest=False)
+    replicate_embeddings_isometric(spark, out_dir, k, copy_rest=False)
+
+
+def main_full(k: int) -> None:
+    """Full-catalog k× sweep (VERDICT r07 item 3): run EVERY catalog
+    query at sf0.1 and at k×, record growth ratios to
+    tools/scale_sweep_r08.json, and print the outlier triage. Budgets:
+    90 s at base, 420 s at k× — a query blowing either bound is itself a
+    finding (recorded, not hung). Caches are cleared between queries so
+    timings don't inherit leaked persists (bench methodology v2)."""
+    from novi_pdq_etl_project_prod_spark import cache
+
+    spark = get_spark(app_name="scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = tempfile.mkdtemp(prefix=f"full{k}_")
+    t0 = time.perf_counter()
+    replicate_full(spark, out_dir, k)
+    print(f"replicated full fixture x{k} in {time.perf_counter()-t0:.1f}s")
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(here, "tools", "scale_sweep_r08.json")
+    done = {}
+    if os.path.exists(out_path):  # resumable across interrupted runs
+        with open(out_path) as fh:
+            done = json.load(fh)
+
+    names = list(QUERIES)
+    for i, name in enumerate(names):
+        if name in done:
+            continue
+        row = {}
+        for label, sf_dir, budget in (
+            ("base", SRC, 90.0),
+            ("scaled", out_dir, 420.0),
+        ):
+            r = _bounded_run(
+                spark,
+                lambda: QUERIES[name](spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save(),
+                budget,
+            )
+            row[label] = r.get("t")
+            if "err" in r:
+                row[f"{label}_err"] = r["err"]
+            cache.release()
+        if row.get("base") and row.get("scaled"):
+            row["ratio"] = round(row["scaled"] / max(row["base"], 0.01), 2)
+        done[name] = row
+        with open(out_path, "w") as fh:
+            json.dump(done, fh, indent=1, sort_keys=True)
+        print(f"[{i+1}/{len(names)}] {name}: {json.dumps(row)}", flush=True)
+
+    ratios = {n: r["ratio"] for n, r in done.items() if "ratio" in r}
+    errs = {n: r for n, r in done.items() if "base_err" in r or "scaled_err" in r}
+    print("\n=== sweep summary (k=%d) ===" % k)
+    print("queries:", len(done), "with ratios:", len(ratios), "errors:", len(errs))
+    for n, r in sorted(ratios.items(), key=lambda kv: -kv[1])[:25]:
+        print(f"  {r:6.1f}x  {n}  ({done[n]['base']}s -> {done[n]['scaled']}s)")
+    for n, r in errs.items():
+        print("  ERR", n, r)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def main_skewagg(k: int = 10) -> None:
+    """Skewed-AGG demonstration at k× (VERDICT r07 item 7), the agg twin
+    of --skewjoin: manufacture the reference's 0-sentinel hot key (half
+    of all rows collapse onto operator_no=0, SURVEY §7.3) at sf0.1×k and
+    measure plain groupBy vs two-stage salted aggregation vs AQE."""
+    from novi_pdq_etl_project_prod_spark.operators.skew import salted_agg
+
+    spark = get_spark(app_name="scale_probe_skewagg")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    reps = spark.range(k).withColumnRenamed("id", "rep")
+    fact = (
+        li.crossJoin(F.broadcast(reps))
+        .select(
+            F.when(F.col("l_orderkey") % 2 == 0, F.lit(0))
+            .otherwise(F.pmod(F.hash("l_orderkey", "rep"), F.lit(100_000)))
+            .alias("k"),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .repartition(64)
+        .persist()
+    )
+    n = fact.count()
+    print(f"fact rows: {n} ({k}x lineitem), hot-key share ~0.5")
+
+    def timed(label, fn, **conf):
+        saved = {c: spark.conf.get(c) for c in conf}
+        for c, v in conf.items():
+            spark.conf.set(c, v)
+        try:
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+        finally:
+            for c, v in saved.items():
+                spark.conf.set(c, v)
+        print(f"  {label}: {dt:.2f}s")
+        return dt
+
+    aggs = lambda df: df.groupBy("k").agg(  # noqa: E731
+        F.sum("qty").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+        F.avg("price").alias("avg_price"),
+    )
+    plain = timed(
+        "plain groupBy (AQE off)        ",
+        lambda: aggs(fact),
+        **{"spark.sql.adaptive.enabled": "false"},
+    )
+    aqe = timed(
+        "plain groupBy (AQE on)         ",
+        lambda: aggs(fact),
+        **{"spark.sql.adaptive.enabled": "true"},
+    )
+    salted = timed(
+        "salted_agg (32 salts, AQE off) ",
+        lambda: salted_agg(
+            fact,
+            ["k"],
+            {"sum_qty": ("sum", F.col("qty")), "n": ("count", F.lit(1))},
+        ),
+        **{"spark.sql.adaptive.enabled": "false"},
+    )
+    print(
+        f"  vs plain: AQE {plain/max(aqe,0.01):.2f}x, "
+        f"salted {plain/max(salted,0.01):.2f}x "
+        "(map-side partial aggregation already absorbs sum/count skew; "
+        "salting matters for high-cardinality-state aggs — see SCALE.md)"
+    )
+    fact.unpersist()
+
+
 def main() -> None:
+    if "--full" in sys.argv:
+        idx = sys.argv.index("--full")
+        main_full(int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 10)
+        return
+    if "--skewagg" in sys.argv:
+        idx = sys.argv.index("--skewagg")
+        arg = sys.argv[idx + 1] if len(sys.argv) > idx + 1 else "10"
+        main_skewagg(int(arg))
+        return
     if "--r6b" in sys.argv:
         main_r6b(int(sys.argv[sys.argv.index("--r6b") + 1]))
         return
