@@ -17,10 +17,13 @@ from tests.conftest import SF_ORACLE
 
 #: Queries whose operators are known to persist shared intermediates —
 #: one per persisting family (gram miner, LSH, IVF, funnel).
+#: m24 left this list in round 8: the exact integer sign-LSH path is a
+#: single-consumer pipeline (bucket UDF → per-cell Gram) with no
+#: self-join, so it persists nothing; m10 keeps the float-LSH family's
+#: persist coverage via m8's banding cache.
 PERSISTING = [
     "m2_ngram_jaccard_pairs",
     "m8_minhash_near_dups",
-    "m24_embedding_lsh_pairs",
     "m42_curation_v2",
 ]
 
