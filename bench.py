@@ -149,6 +149,7 @@ HEADLINE = [
     "g3_merge_into",
     "m9_simhash_near_dups",
     "m13_near_dup_clusters",
+    "dq11_expectations",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -114,10 +114,108 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# DQ11 — declarative expectations report: per-rule violation counts over
+# a deterministically dirtied lineitem (clean fixture rows are planted
+# with violations keyed on l_orderkey residues so every rule fires).
+# One row-local tagging pass + one map-side aggregate, rules evaluated
+# keep-when-TRUE with NULL counting as violation (the DLT convention).
+# ---------------------------------------------------------------------------
+
+#: Expectation rules shared between the Spark query and the DuckDB twin.
+DQ11_RULES = {
+    "non_negative_qty": "l_quantity >= 0",
+    "price_positive": "l_extendedprice > 0",
+    "valid_returnflag": "l_returnflag IN ('A', 'N', 'R')",
+    "discount_range": "l_discount BETWEEN 0 AND 0.5",
+    "shipdate_present": "l_shipdate IS NOT NULL",
+}
+
+
+def dq11_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.expectations import (
+        expectation_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(-1.0))
+        .otherwise(F.col("l_quantity"))
+        .alias("l_quantity"),
+        F.when(F.col("l_orderkey") % 101 == 0, F.lit(0.0))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("l_extendedprice"),
+        F.when(F.col("l_orderkey") % 103 == 0, F.lit("X"))
+        .otherwise(F.col("l_returnflag"))
+        .alias("l_returnflag"),
+        F.when(F.col("l_orderkey") % 107 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_discount"))
+        .alias("l_discount"),
+        F.when(
+            F.col("l_orderkey") % 109 == 0,
+            F.lit(None).cast("timestamp_ntz"),
+        )
+        .otherwise(F.col("l_shipdate"))
+        .alias("l_shipdate"),
+        "l_orderkey",
+    )
+    return expectation_report(dirty, DQ11_RULES)
+
+
+_DQ11_VIOLATIONS = {
+    name: f"NOT coalesce({expr}, FALSE)" for name, expr in DQ11_RULES.items()
+}
+_DQ11_COUNT_COLS = ",\n         ".join(
+    f"SUM(CASE WHEN {v} THEN 1 ELSE 0 END) AS {name}"
+    for name, v in _DQ11_VIOLATIONS.items()
+)
+_DQ11_ANY = " OR ".join(f"({v})" for v in _DQ11_VIOLATIONS.values())
+_DQ11_ROWS = "\n  UNION ALL\n".join(
+    f"  SELECT '{name}' AS rule, {name} AS n_violations, n_rows FROM agg"
+    for name in DQ11_RULES
+)
+
+DQ11_SQL = f"""
+WITH dirty AS (
+  SELECT CASE WHEN l_orderkey % 97 = 0 THEN -1.0 ELSE l_quantity END
+           AS l_quantity,
+         CASE WHEN l_orderkey % 101 = 0 THEN 0.0 ELSE l_extendedprice END
+           AS l_extendedprice,
+         CASE WHEN l_orderkey % 103 = 0 THEN 'X' ELSE l_returnflag END
+           AS l_returnflag,
+         CASE WHEN l_orderkey % 107 = 0 THEN NULL ELSE l_discount END
+           AS l_discount,
+         CASE WHEN l_orderkey % 109 = 0 THEN NULL ELSE l_shipdate END
+           AS l_shipdate
+  FROM lineitem
+),
+agg AS (
+  SELECT {_DQ11_COUNT_COLS},
+         SUM(CASE WHEN {_DQ11_ANY} THEN 1 ELSE 0 END)
+           AS _total_rows_failing,
+         count(*) AS n_rows
+  FROM dirty
+)
+SELECT rule,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_violations AS DOUBLE) / CAST(n_rows AS DOUBLE)
+         AS violation_rate
+FROM (
+{_DQ11_ROWS}
+  UNION ALL
+  SELECT '_total_rows_failing', _total_rows_failing, n_rows FROM agg
+)
+ORDER BY rule
+"""
+
+
 QUERIES = {
     "g3_merge_into": g3_merge_into,
+    "dq11_expectations": dq11_expectations,
 }
 
 ORACLES = {
     "g3_merge_into": G3_SQL,
+    "dq11_expectations": DQ11_SQL,
 }

@@ -769,6 +769,124 @@ def _roll_forward_table_pointers(root: str, layer: MedallionLayer | str) -> None
             break
 
 
+class SnapshotNotFoundError(RuntimeError):
+    """Raised by a time-travel read for a version the GC has already
+    collected (or that never existed). History depth is
+    ``GC_RETAIN_PREVIOUS`` + grace — raise it before a run that needs
+    deeper time travel (module constant, consulted at GC time)."""
+
+
+def snapshot_history(
+    root: str, layer: MedallionLayer | str, table: str
+) -> list[dict]:
+    """Retained versions of a snapshot table, newest first:
+    ``[{"version", "is_live", "committed_at"}]`` — the time-travel
+    catalog (Delta's DESCRIBE HISTORY, bounded by the GC horizon).
+    ``committed_at`` is the snapshot dir's mtime in epoch seconds: the
+    wall-clock of its last data write, a lower bound on commit time."""
+    path = table_path(root, layer, table)
+    if not os.path.isdir(path):
+        return []
+    live = current_snapshot(path)
+    out = []
+    for entry in sorted(os.listdir(path), reverse=True):
+        if not entry.startswith(_SNAPSHOT_PREFIX):
+            continue
+        full = os.path.join(path, entry)
+        if not os.path.isdir(full):
+            continue
+        out.append(
+            {
+                "version": entry,
+                "is_live": entry == live,
+                "committed_at": os.path.getmtime(full),
+            }
+        )
+    return out
+
+
+def read_snapshot_as_of(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    version: str,
+) -> DataFrame:
+    """Time-travel read of one retained snapshot version (a name from
+    :func:`snapshot_history` / :func:`current_snapshot`). Snapshot dirs
+    are immutable once committed, so the returned frame is a stable
+    point-in-time view for as long as the GC horizon retains it."""
+    d = os.path.join(table_path(root, layer, table), version)
+    if not os.path.isdir(d):
+        raise SnapshotNotFoundError(
+            f"{layer}/{table} version {version!r} is not retained "
+            f"(GC keeps live + {GC_RETAIN_PREVIOUS}; raise "
+            "GC_RETAIN_PREVIOUS before runs that need deeper history)"
+        )
+    return spark.read.parquet(d)
+
+
+def manifest_history(root: str, layer: MedallionLayer | str) -> list[dict]:
+    """Retained MANIFEST versions (newest first) — each one names a
+    set-consistent multi-table state, so time travel through manifests
+    can never observe a torn star schema."""
+    import json
+
+    mpath = _manifest_path(root, layer)
+    if not os.path.isdir(mpath):
+        return []
+    live = current_snapshot(mpath)
+    out = []
+    for entry in sorted(os.listdir(mpath), reverse=True):
+        if not entry.startswith(_SNAPSHOT_PREFIX):
+            continue
+        doc_path = os.path.join(mpath, entry, "manifest.json")
+        if not os.path.isfile(doc_path):
+            continue
+        with open(doc_path, encoding="utf-8") as fh:
+            doc = json.load(fh)
+        doc.pop(MANIFEST_META_KEY, None)
+        out.append(
+            {
+                "version": entry,
+                "is_live": entry == live,
+                "committed_at": os.path.getmtime(doc_path),
+                "tables": doc,
+            }
+        )
+    return out
+
+
+def read_manifest_tables_as_of(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    version: str,
+) -> dict[str, DataFrame]:
+    """Set-consistent TIME-TRAVEL read: every table at exactly the
+    version named by one retained historical manifest — the multi-table
+    guarantee of :func:`read_manifest_tables` at a past commit point.
+    Raises :class:`SnapshotNotFoundError` when the manifest version or
+    any table snapshot it references has been GC'd (per-table retention
+    and manifest retention share ``GC_RETAIN_PREVIOUS``, so within the
+    horizon the referenced dirs are present by construction)."""
+    for h in manifest_history(root, layer):
+        if h["version"] == version:
+            frames = {}
+            for tbl, snap in h["tables"].items():
+                d = os.path.join(table_path(root, layer, tbl), snap)
+                if not os.path.isdir(d):
+                    raise SnapshotNotFoundError(
+                        f"{layer}/{tbl} snapshot {snap!r} referenced by "
+                        f"manifest {version!r} has been GC'd"
+                    )
+                frames[tbl] = spark.read.parquet(d)
+            return frames
+    raise SnapshotNotFoundError(
+        f"{layer} manifest version {version!r} is not retained"
+    )
+
+
 def recover_manifest(root: str, layer: MedallionLayer | str) -> None:
     """Crash recovery: finish the per-table roll-forward of the live
     manifest (a no-op when everything already matches). Called

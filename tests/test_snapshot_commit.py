@@ -537,3 +537,84 @@ def test_commit_tables_meta_rides_the_flip(spark, tmp_path):
     assert read_manifest_meta(root, "curated") == {"last_batch_id:qB": 7}
     with pytest.raises(ValueError, match="reserved"):
         commit_tables({"_meta": _dim(spark, "x")}, root, "curated")
+
+
+# ---------------------------------------------------------------------------
+# Time travel (round 8): snapshot history + as-of reads, single-table and
+# set-consistent manifest level, bounded by the GC retention horizon.
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_history_and_as_of_read(spark, tmp_path):
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    layers.overwrite_snapshot(_dim(spark, "v1"), root, "curated", "dim")
+    v1 = layers.current_snapshot(layers.table_path(root, "curated", "dim"))
+    layers.overwrite_snapshot(_dim(spark, "v2"), root, "curated", "dim")
+    v2 = layers.current_snapshot(layers.table_path(root, "curated", "dim"))
+
+    hist = layers.snapshot_history(root, "curated", "dim")
+    assert [h["version"] for h in hist] == [v2, v1]
+    assert hist[0]["is_live"] and not hist[1]["is_live"]
+
+    old = layers.read_snapshot_as_of(spark, root, "curated", "dim", v1)
+    assert {r.v for r in old.collect()} == {"v1"}
+    new = layers.read_snapshot_as_of(spark, root, "curated", "dim", v2)
+    assert {r.v for r in new.collect()} == {"v2"}
+    with pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
+        layers.read_snapshot_as_of(spark, root, "curated", "dim", "_snap_v99999999")
+
+
+def test_snapshot_history_respects_gc_horizon(spark, tmp_path, monkeypatch):
+    """Versions past live + GC_RETAIN_PREVIOUS disappear from history and
+    as-of reads raise — the documented MVCC horizon."""
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_GRACE_SECONDS", 0.0)
+    root = str(tmp_path)
+    versions = []
+    for tag in ("v1", "v2", "v3"):
+        layers.overwrite_snapshot(_dim(spark, tag), root, "curated", "dim")
+        versions.append(
+            layers.current_snapshot(layers.table_path(root, "curated", "dim"))
+        )
+    hist = [h["version"] for h in layers.snapshot_history(root, "curated", "dim")]
+    # live + 1 previous retained; v1 collected
+    assert hist == [versions[2], versions[1]]
+    with pytest.raises(layers.SnapshotNotFoundError):
+        layers.read_snapshot_as_of(spark, root, "curated", "dim", versions[0])
+
+
+def test_manifest_time_travel_is_set_consistent(spark, tmp_path):
+    """As-of manifest reads return the EXACT multi-table set of that
+    commit — fact and dim from the same flip, never mixed."""
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    layers.commit_tables(
+        {"fact": _dim(spark, "fA"), "dim": _dim(spark, "dA")}, root, "curated"
+    )
+    mv1 = layers.current_manifest_version(root, "curated")
+    layers.commit_tables(
+        {"fact": _dim(spark, "fB"), "dim": _dim(spark, "dB")}, root, "curated"
+    )
+    mv2 = layers.current_manifest_version(root, "curated")
+
+    hist = layers.manifest_history(root, "curated")
+    assert [h["version"] for h in hist] == [mv2, mv1]
+    assert set(hist[0]["tables"]) == {"fact", "dim"}
+
+    old = layers.read_manifest_tables_as_of(spark, root, "curated", mv1)
+    assert {r.v for r in old["fact"].collect()} == {"fA"}
+    assert {r.v for r in old["dim"].collect()} == {"dA"}
+    new = layers.read_manifest_tables_as_of(spark, root, "curated", mv2)
+    assert {r.v for r in new["fact"].collect()} == {"fB"}
+    with pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
+        layers.read_manifest_tables_as_of(spark, root, "curated", "_snap_v999")
