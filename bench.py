@@ -150,6 +150,8 @@ HEADLINE = [
     "m9_simhash_near_dups",
     "m13_near_dup_clusters",
     "dq11_expectations",
+    "m61_domain_frequency_cap",
+    "m62_lm_perplexity",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

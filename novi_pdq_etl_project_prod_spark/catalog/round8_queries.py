@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from novi_pdq_etl_project_prod_spark.operators import text as TX
 from novi_pdq_etl_project_prod_spark.session import read_table
 
 
@@ -210,12 +211,111 @@ ORDER BY rule
 """
 
 
+# ---------------------------------------------------------------------------
+# M61 — per-source frequency cap (RefinedWeb "max N docs per domain"):
+# deterministic preference order (longest docs first, id tie-break), so
+# the kept set is reproducible across engines and retries.
+# ---------------------------------------------------------------------------
+
+
+def m61_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        frequency_cap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        frequency_cap(
+            docs.select("doc_id", "source", "n_chars"),
+            group_col="source",
+            cap=10,
+            id_col="doc_id",
+            prefer=(F.col("n_chars").desc(),),
+        )
+        .select("doc_id", "source", "n_chars", F.col("kept_rank").cast("int").alias("kept_rank"))
+        .orderBy("doc_id")
+    )
+
+
+M61_SQL = """
+SELECT doc_id, source, n_chars, CAST(kept_rank AS INT) AS kept_rank
+FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS kept_rank
+  FROM documents
+)
+WHERE kept_rank <= 10
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# M62 — self-trained bigram-LM cross-entropy (the CCNet perplexity
+# filter, distributed): add-½-smoothed bigram model over the corpus,
+# per-doc mean −log2 p(w2|w1). Counts are exact integers; each bigram's
+# term is one identical IEEE expression (the m12 ln surface); the
+# per-doc sum rides the m56 fixed-point idiom.
+# ---------------------------------------------------------------------------
+
+
+def m62_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.ngram_lm_scores(docs)
+        .select(
+            F.col("id").alias("doc_id"), "n_bigrams", "cross_entropy_bits"
+        )
+        .orderBy("doc_id")
+    )
+
+
+M62_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+  FROM toks WHERE len(t) >= 2
+),
+big AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM idx),
+uni AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT doc_id, unnest(t) AS w1 FROM toks) GROUP BY 1
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS vocab FROM uni),
+bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+terms AS (
+  SELECT big.doc_id,
+         CAST(floor(
+           -(ln(CAST(bg.c2 * 2 + 1 AS DOUBLE))
+             - ln(CAST(uni.c1 * 2 + 1 * v.vocab AS DOUBLE)))
+           / ln(2.0) * 1e6) AS BIGINT) AS tq
+  FROM big
+  JOIN bg ON big.w1 = bg.w1 AND big.w2 = bg.w2
+  JOIN uni ON big.w1 = uni.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(tq) AS DOUBLE) / 1e6 / count(*) AS cross_entropy_bits
+FROM terms GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "g3_merge_into": g3_merge_into,
     "dq11_expectations": dq11_expectations,
+    "m61_domain_frequency_cap": m61_domain_frequency_cap,
+    "m62_lm_perplexity": m62_lm_perplexity,
 }
 
 ORACLES = {
     "g3_merge_into": G3_SQL,
     "dq11_expectations": DQ11_SQL,
+    "m61_domain_frequency_cap": M61_SQL,
+    "m62_lm_perplexity": M62_SQL,
 }

@@ -824,6 +824,40 @@ def exact_stratified_sample(
     )
 
 
+def frequency_cap(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    id_col: str,
+    prefer: tuple = (),
+) -> DataFrame:
+    """Per-group frequency capping — the RefinedWeb/C4 "at most N
+    documents per domain" rule that stops one crawler-friendly host from
+    dominating the mixture. Keeps the top ``cap`` rows of every group
+    under a DETERMINISTIC preference order (``prefer`` expressions, e.g.
+    quality descending; ``id_col`` ascending always breaks ties), so a
+    re-run, a retry, or another engine keeps the same rows — unlike a
+    ``sample``-based thinning.
+
+    Output: the surviving rows plus ``kept_rank`` (1-based position in
+    the group's preference order — downstream mixture planners use it
+    to tighten the cap without re-running the window).
+
+    Scale: one window shuffle on ``group_col``; rank never materializes
+    more than the group's row count and the filter drops everything past
+    ``cap`` before any wide columns move again. A pathologically hot
+    group is exactly one partition's sort — cap it upstream with
+    ``exact_stratified_sample`` if a single domain exceeds executor
+    memory (the same guidance as the LSH bucket caps).
+    """
+    order = [*prefer, F.col(id_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("kept_rank", F.row_number().over(w))
+        .where(F.col("kept_rank") <= cap)
+    )
+
+
 def pps_sample(
     df: DataFrame,
     weight_col: str,

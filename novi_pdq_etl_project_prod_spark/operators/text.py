@@ -731,6 +731,82 @@ def corpus_frequency_stats(
     )
 
 
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k_num: int = 1,
+    add_k_den: int = 2,
+) -> DataFrame:
+    """CCNet-style language-model quality score: train an add-k-smoothed
+    BIGRAM word model on the corpus itself, then score every document by
+    its per-bigram cross-entropy — the classic "perplexity filter" that
+    drops machine-generated or boilerplate text whose local word
+    transitions are unlike the corpus at large (low entropy) or pure
+    noise (high entropy). CCNet uses a pre-trained KenLM; this is the
+    self-trained, fully-distributed analogue with identical decision
+    semantics (rank/threshold by cross-entropy).
+
+    Per doc: ``H = mean over positional bigrams of
+    −log2((c(w1,w2) + k) / (c(w1) + k·V))`` with ``k = add_k_num /
+    add_k_den`` (default ½) and ``V`` the corpus vocabulary size.
+
+    Determinism: each bigram's term is one identical IEEE expression in
+    both engines (counts are exact integers; ln is the same certified
+    surface m12's tf-idf oracles ride); the PER-DOC sum — where float
+    addition order would split engines — rides the m56 fixed-point
+    idiom (``floor(term·1e6)`` summed as BIGINT, quantization 1e-6·1/n,
+    identical both sides).
+
+    Scale shape: bigram explode → one hash-agg for the bigram table +
+    one for unigrams (both Zipf-bounded) → two hash-joins carrying only
+    (id, w1, w2) → per-doc agg. Linear, no pair joins, text never
+    shuffles. Output: (id, n_bigrams, cross_entropy_bits), docs with
+    < 2 tokens excluded (no bigrams to score).
+    """
+    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__t"))
+    # positional bigrams via zip of shifted slices — NOT element_at in a
+    # transform lambda, which is O(len) per call → O(len²) per row
+    # interpreted (the measured m31 trap, see spark-plan-shape notes)
+    zipped = F.zip_with(
+        F.expr("slice(__t, 1, size(__t) - 1)"),
+        F.expr("slice(__t, 2, size(__t) - 1)"),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        toks.where(F.size("__t") >= 2)
+        .select("id", F.explode(zipped).alias("b"))
+        .select("id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    uni = df.select(F.explode(tokens(text_col)).alias("w1")).groupBy("w1").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    vocab_n = uni.agg(F.count(F.lit(1)).alias("__v"))  # 1-row scalar
+    bigrams = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    kn, kd = add_k_num, add_k_den
+    # term = -log2((c2 + kn/kd) / (c1 + kn/kd * V))
+    #      = -(ln(c2·kd + kn) - ln(c1·kd + kn·V)) / ln(2)
+    # kept in integer numerators so the only doubles are the two ln()
+    # calls and one division — identical expression trees cross-engine
+    term = -(
+        F.log(F.col("c2") * kd + kn) - F.log(F.col("c1") * kd + kn * F.col("__v"))
+    ) / F.log(F.lit(2.0))
+    scored = (
+        big.join(bigrams, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vocab_n))
+        .select("id", F.floor(term * F.lit(1e6)).cast("long").alias("__tq"))
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.sum("__tq").cast("double")
+            / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("cross_entropy_bits"),
+    )
+
+
 def max_ngram_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1,0 +1,83 @@
+"""Round-8 operators: per-group frequency capping and the self-trained
+bigram-LM cross-entropy (perplexity-filter) score."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.operators.multimodal import frequency_cap
+from novi_pdq_etl_project_prod_spark.operators.text import ngram_lm_scores
+
+
+def test_frequency_cap_keeps_top_by_preference(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a", 100),
+            (2, "a", 300),
+            (3, "a", 200),
+            (4, "b", 50),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    out = frequency_cap(
+        df, "source", cap=2, id_col="doc_id", prefer=(F.col("n_chars").desc(),)
+    )
+    got = {(r.doc_id, r.kept_rank) for r in out.collect()}
+    # a: longest two kept (2 then 3); 1 dropped. b: lone row kept.
+    assert got == {(2, 1), (3, 2), (4, 1)}
+
+
+def test_frequency_cap_is_partitioning_invariant(spark):
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        F.pmod(F.col("id") * 37, 113).alias("n_chars"),
+    )
+    a = frequency_cap(df, "source", 5, "doc_id",
+                      prefer=(F.col("n_chars").desc(),))
+    b = frequency_cap(df.repartition(13), "source", 5, "doc_id",
+                      prefer=(F.col("n_chars").desc(),))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ngram_lm_scores_hand_computed(spark):
+    """Tiny corpus, hand-derived add-1/2 bigram cross-entropy.
+
+    corpus: d1 = "a b a b", d2 = "a b"
+      unigrams: c(a)=3, c(b)=3, V=2
+      bigrams: c(a,b)=3, c(b,a)=1
+      term(a,b) = -log2((3+.5)/(3+.5*2)) = log2(8/7)
+      term(b,a) = -log2((1+.5)/4)       = log2(8/3)
+    """
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.id: r for r in ngram_lm_scores(df).collect()}
+    t_ab = math.floor(math.log(8 / 7) / math.log(2) * 1e6)
+    t_ba = math.floor(math.log(8 / 3) / math.log(2) * 1e6)
+    assert got[1].n_bigrams == 3
+    assert got[1].cross_entropy_bits == pytest.approx(
+        (2 * t_ab + t_ba) / 1e6 / 3, abs=1e-12
+    )
+    assert got[2].n_bigrams == 1
+    assert got[2].cross_entropy_bits == pytest.approx(t_ab / 1e6, abs=1e-12)
+
+
+def test_ngram_lm_scores_excludes_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "two words")], "doc_id long, text string"
+    )
+    got = {r.id for r in ngram_lm_scores(df).collect()}
+    assert got == {3}
+
+
+def test_ngram_lm_scores_partitioning_invariant(spark):
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = ngram_lm_scores(docs).collect()
+    b = ngram_lm_scores(docs.repartition(17)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
