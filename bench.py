@@ -152,6 +152,7 @@ HEADLINE = [
     "dq11_expectations",
     "m61_domain_frequency_cap",
     "m62_lm_perplexity",
+    "m63_supplier_pagerank",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -306,11 +306,94 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# M63 — integer PageRank over the supplier co-occurrence graph (two
+# suppliers are adjacent when they co-serve ≥ 2 orders): the domain/
+# document-authority signal crawl pipelines rank hosts with. Exact
+# integer arithmetic at every step, so the oracle replays the SAME 10
+# rounds as unrolled CTEs — an ITERATIVE op under the bit-exact hash
+# gate (float PageRank can't be oracled: per-node float sums are
+# addition-order-dependent).
+# ---------------------------------------------------------------------------
+
+_M63_ITERS = 10
+
+
+def m63_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.graphs import (
+        pagerank_integer,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.select("l_orderkey", "l_suppkey").distinct()
+    a = per_order.alias("a")
+    b = per_order.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select("u", "v")
+    )
+    return pagerank_integer(edges, iterations=_M63_ITERS).orderBy("node")
+
+
+def _m63_rounds(k: int) -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(1, k + 1):
+        rounds.append(
+            f"""r{i} AS (
+  SELECT e.t AS node,
+         150000 + SUM((p.r * 17) // (20 * dg.deg)) AS r
+  FROM edges e
+  JOIN {prev} p ON p.node = e.s
+  JOIN deg dg ON dg.s = e.s
+  GROUP BY e.t
+)"""
+        )
+        prev = f"r{i}"
+    return ",\n".join(rounds)
+
+
+M63_SQL = f"""
+WITH per_order AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+),
+und AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM per_order a
+  JOIN per_order b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+),
+edges AS (
+  SELECT u AS s, v AS t FROM und
+  UNION ALL
+  SELECT v AS s, u AS t FROM und
+),
+deg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+r0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+{_m63_rounds(_M63_ITERS)}
+SELECT node, CAST(r AS BIGINT) AS rank_micro
+FROM r{_M63_ITERS}
+ORDER BY node
+"""
+
+
 QUERIES = {
     "g3_merge_into": g3_merge_into,
     "dq11_expectations": dq11_expectations,
     "m61_domain_frequency_cap": m61_domain_frequency_cap,
     "m62_lm_perplexity": m62_lm_perplexity,
+    "m63_supplier_pagerank": m63_supplier_pagerank,
 }
 
 ORACLES = {
@@ -318,4 +401,5 @@ ORACLES = {
     "dq11_expectations": DQ11_SQL,
     "m61_domain_frequency_cap": M61_SQL,
     "m62_lm_perplexity": M62_SQL,
+    "m63_supplier_pagerank": M63_SQL,
 }

@@ -103,3 +103,79 @@ def triangle_stats(df: DataFrame, src: str, dst: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("global_clustering"),
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic integer-arithmetic PageRank over an undirected edge
+    list — the domain/document-authority signal crawl pipelines rank
+    hosts with (Common Crawl publishes exactly this as its harmonic/
+    PageRank host ranking): ``r₀ = unit`` per node, then ``iterations``
+    rounds of
+
+        r_{t+1}(v) = (unit·(den−num)) div den
+                     + Σ_{u∈N(v)} (r_t(u)·num) div (den·deg(u))
+
+    with damping ``num/den`` (default 17/20 = 0.85). EVERY step is
+    integer multiply / floor-divide / sum — no float mass anywhere — so
+    a fixed iteration count is bit-reproducible across engines,
+    partitionings, and retries, and a SQL oracle replays it as unrolled
+    CTE rounds (floating-point PageRank cannot be oracled: the per-node
+    float sum is addition-order-dependent). Quantization loss per node
+    per round is < 1 micro-unit per neighbor — ranking-irrelevant at
+    ``unit = 1e6``.
+
+    Scale shape: the symmetrized edge list is persisted ONCE,
+    pre-partitioned on ``src`` so every round's contribution join reuses
+    that partitioning (the ``near_dup_clusters`` loop discipline);
+    per-round state is one (node, rank) row per vertex —
+    node-list-sized, never edge-sized; ``localCheckpoint`` truncates the
+    growing lineage each round. Rounds are inherently sequential (each
+    needs the previous ranks), so wall scales with iterations ×
+    one-join cost, all shuffles key-partitioned.
+
+    Output: (node, rank_micro) — exact integers; normalize downstream
+    if a probability reading is needed.
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+
+    und = canonical_edges(edges, src, dst)
+    sym = cache.track(
+        und.select(F.col("u").alias("s"), F.col("v").alias("t"))
+        .unionAll(und.select(F.col("v").alias("s"), F.col("u").alias("t")))
+        .repartition("s"),
+        eager=True,
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("s").alias("node"))
+    base = (unit * (damping_den - damping_num)) // damping_den
+    r = nodes.withColumn("r", F.lit(unit).cast("long")).localCheckpoint()
+    for _ in range(iterations):
+        contrib = (
+            sym.join(r.withColumnRenamed("node", "s"), "s")
+            .join(deg, "s")
+            .select(
+                F.col("t").alias("node"),
+                F.expr(
+                    f"(r * {damping_num}L) div ({damping_den}L * deg)"
+                ).alias("__c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        r = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.coalesce(F.col("__in"), F.lit(0).cast("long"))
+            ).alias("r"),
+        ).localCheckpoint()
+    sym.unpersist()
+    return r.select("node", F.col("r").alias("rank_micro"))

@@ -81,3 +81,34 @@ def test_ngram_lm_scores_partitioning_invariant(spark):
     a = ngram_lm_scores(docs).collect()
     b = ngram_lm_scores(docs.repartition(17)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    from novi_pdq_etl_project_prod_spark.operators.graphs import (
+        pagerank_integer,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 9)], "u long, v long"
+    )
+    got = {r.node: r.rank_micro for r in pagerank_integer(star).collect()}
+    hub, leaves = got[0], [got[i] for i in range(1, 9)]
+    assert hub > max(leaves)
+    assert len(set(leaves)) == 1, "symmetric leaves must tie exactly"
+    # damped mass stays near the n * unit total (floor-div loss only)
+    assert sum(got.values()) <= 9 * 1_000_000
+    assert sum(got.values()) > 9 * 1_000_000 * 0.9
+
+
+def test_pagerank_is_exactly_deterministic(spark):
+    from novi_pdq_etl_project_prod_spark.operators.graphs import (
+        pagerank_integer,
+    )
+
+    edges = spark.range(300).select(
+        F.pmod(F.col("id") * 13, 40).alias("u"),
+        F.pmod(F.col("id") * 29 + 7, 40).alias("v"),
+    )
+    a = pagerank_integer(edges).collect()
+    b = pagerank_integer(edges.repartition(11)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
