@@ -153,6 +153,7 @@ HEADLINE = [
     "m61_domain_frequency_cap",
     "m62_lm_perplexity",
     "m63_supplier_pagerank",
+    "d40_cusum_changepoint",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -388,8 +388,96 @@ ORDER BY node
 """
 
 
+# ---------------------------------------------------------------------------
+# D40 — CUSUM changepoint per return flag over the monthly revenue
+# series: the month maximizing |n·cumsum_i − i·S_n| (the mean-centered
+# CUSUM statistic scaled by n to stay in EXACT integers — no float mean
+# subtraction crosses the oracle surface). The standard "when did this
+# pipeline's distribution shift" monitor next to d35's drift matrix.
+# Ties break to the earliest month. Cumulatives ride a per-flag window:
+# the grain is MONTHS (bounded ~84 per flag), so the single-window
+# shape is scale-correct here, unlike raw-row cumulatives.
+# ---------------------------------------------------------------------------
+
+
+def d40_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    monthly = li.groupBy(
+        "l_returnflag",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.partitionBy("l_returnflag").orderBy("yyyymm")
+    wall = Window.partitionBy("l_returnflag")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cum = monthly.select(
+        "l_returnflag",
+        "yyyymm",
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cs"),
+        F.row_number().over(w).alias("i"),
+        F.sum("x").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    ).select(
+        "l_returnflag",
+        "yyyymm",
+        "n",
+        F.abs(d(F.col("n")) * d(F.col("cs")) - d(F.col("i")) * d(F.col("tot")))
+        .alias("absd"),
+    )
+    peak = cum.groupBy("l_returnflag").agg(F.max("absd").alias("absd"))
+    return (
+        cum.join(peak, ["l_returnflag", "absd"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("n").cast("long").alias("n_months"),
+            F.min("yyyymm").cast("int").alias("cp_month"),
+            F.max("absd").cast("double").alias("max_abs_d"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+D40_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS yyyymm,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS x
+  FROM lineitem GROUP BY 1, 2
+),
+cum AS (
+  SELECT l_returnflag, yyyymm,
+         SUM(x) OVER (PARTITION BY l_returnflag ORDER BY yyyymm
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY yyyymm) AS i,
+         SUM(x) OVER (PARTITION BY l_returnflag) AS tot,
+         count(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM monthly
+),
+scored AS (
+  SELECT l_returnflag, yyyymm, n,
+         abs(CAST(n AS HUGEINT) * CAST(cs AS HUGEINT)
+             - CAST(i AS HUGEINT) * CAST(tot AS HUGEINT)) AS absd
+  FROM cum
+),
+peak AS (SELECT l_returnflag, MAX(absd) AS absd FROM scored GROUP BY 1)
+SELECT s.l_returnflag,
+       CAST(MAX(s.n) AS BIGINT) AS n_months,
+       CAST(MIN(s.yyyymm) AS INT) AS cp_month,
+       CAST(MAX(s.absd) AS DOUBLE) AS max_abs_d
+FROM scored s JOIN peak p
+  ON s.l_returnflag = p.l_returnflag AND s.absd = p.absd
+GROUP BY s.l_returnflag
+ORDER BY s.l_returnflag
+"""
+
+
 QUERIES = {
     "g3_merge_into": g3_merge_into,
+    "d40_cusum_changepoint": d40_cusum_changepoint,
     "dq11_expectations": dq11_expectations,
     "m61_domain_frequency_cap": m61_domain_frequency_cap,
     "m62_lm_perplexity": m62_lm_perplexity,
@@ -398,6 +486,7 @@ QUERIES = {
 
 ORACLES = {
     "g3_merge_into": G3_SQL,
+    "d40_cusum_changepoint": D40_SQL,
     "dq11_expectations": DQ11_SQL,
     "m61_domain_frequency_cap": M61_SQL,
     "m62_lm_perplexity": M62_SQL,
