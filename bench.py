@@ -154,6 +154,7 @@ HEADLINE = [
     "m62_lm_perplexity",
     "m63_supplier_pagerank",
     "d40_cusum_changepoint",
+    "m64_bpe_train",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -492,3 +492,95 @@ ORACLES = {
     "m62_lm_perplexity": M62_SQL,
     "m63_supplier_pagerank": M63_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# M64 — distributed BPE merge TRAINING (Sennrich 2016), exactly oracled:
+# 5 rounds of argmax-pair + set-wise rewrite at distinct-word grain,
+# replayed by the DuckDB twin as unrolled CTE rounds (the m63
+# discipline). Same-symbol merges are excluded so occurrences never
+# overlap — the greedy-scan ambiguity every engine resolves differently
+# is designed out, keeping the hash gate bit-exact.
+# ---------------------------------------------------------------------------
+
+_M64_ROUNDS = 5
+
+
+def m64_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return TX.bpe_train_merges(docs, rounds=_M64_ROUNDS)
+
+
+def _m64_sql_rounds(k: int) -> str:
+    out = []
+    for r in range(1, k + 1):
+        out.append(
+            f"""pairs{r} AS (
+  SELECT p[1] AS x, p[2] AS y, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (
+    SELECT freq,
+           unnest(list_zip(list_slice(syms, 1, len(syms) - 1),
+                           list_slice(syms, 2, len(syms)))) AS p
+    FROM seq{r} WHERE len(syms) >= 2
+  )
+  WHERE p[1] <> p[2]
+  GROUP BY 1, 2
+),
+best{r} AS (SELECT x, y, cnt FROM pairs{r} ORDER BY cnt DESC, x, y LIMIT 1)"""
+        )
+        if r < k:
+            out.append(
+                f"""seq{r + 1} AS (
+  SELECT w, freq,
+    list_filter(
+      list_transform(
+        list_zip(
+          list_zip(s.syms,
+                   list_transform(
+                     list_zip(s.syms,
+                              list_concat(list_slice(s.syms, 2, len(s.syms)),
+                                          [''])),
+                     p -> p[1] = b.x AND p[2] = b.y)),
+          list_concat([false],
+                      list_slice(
+                        list_transform(
+                          list_zip(s.syms,
+                                   list_concat(list_slice(s.syms, 2,
+                                                          len(s.syms)),
+                                               [''])),
+                          p -> p[1] = b.x AND p[2] = b.y),
+                        1, len(s.syms) - 1))),
+        e -> CASE WHEN e[1][2] THEN e[1][1] || b.y
+                  WHEN e[2] THEN NULL
+                  ELSE e[1][1] END),
+      v -> v IS NOT NULL) AS syms
+  FROM seq{r} s CROSS JOIN best{r} b
+)"""
+            )
+    return ",\n".join(out)
+
+
+_M64_FINAL = "\nUNION ALL\n".join(
+    f"SELECT {r} AS round, x, y, x || y AS merged, cnt AS pair_count "
+    f"FROM best{r}"
+    for r in range(1, _M64_ROUNDS + 1)
+)
+
+M64_SQL = f"""
+WITH words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  ) GROUP BY 1
+),
+seq1 AS (SELECT w, freq, regexp_extract_all(w, '.') AS syms FROM words),
+{_m64_sql_rounds(_M64_ROUNDS)}
+SELECT CAST(round AS INT) AS round, x, y, merged, pair_count
+FROM ({_M64_FINAL})
+ORDER BY round
+"""
+
+QUERIES["m64_bpe_train"] = m64_bpe_train
+ORACLES["m64_bpe_train"] = M64_SQL

@@ -1040,3 +1040,137 @@ def compression_signal(
             c["n_raw"] > 0, c["n_zlib"].cast("double") / c["n_raw"]
         ).alias("compression_ratio"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rounds: int = 5,
+) -> DataFrame:
+    """Distributed BPE merge TRAINING — learn the top merge rule per
+    round from corpus pair frequencies (Sennrich et al. 2016), the
+    companion to the vocabulary-APPLICATION path (``load_bpe_vocab`` /
+    ``bpe_token_count``). Works at the distinct-word grain with word
+    frequencies (the m47 Zipf amortization: pair statistics are summed
+    as ``freq``-weighted counts, so the per-round cost scales with
+    VOCABULARY, not corpus rows).
+
+    One deliberate variant for exact cross-engine reproducibility:
+    same-symbol pairs (x == x) are excluded from merge candidates, so
+    merge occurrences can NEVER overlap and the per-round rewrite is a
+    set-wise array transform — no greedy left-to-right scan whose
+    overlap resolution every engine implements differently. Ties on
+    pair count break (x, y) lexicographic. Every statistic is an exact
+    integer and every step is deterministic, so a SQL oracle replays
+    the SAME ``rounds`` rounds as unrolled CTEs (the m63 discipline) —
+    BPE *training* under the bit-exact hash gate.
+
+    Scale shape per round: one pair explode + map-side-combined
+    hash-agg over the (vocabulary-sized) sequence table, one 1-row
+    argmax reduce, one row-local array rewrite. The sequence table is
+    persisted each round (it feeds both the next round's statistics and
+    the rewrite — without the cache the lineage re-executes
+    exponentially across rounds, and shared lambda subtrees under join
+    dedup are the known INTERNAL_ERROR trap). Rounds are inherently
+    sequential; everything inside a round is distributed.
+
+    Output: (round, x, y, merged, pair_count) — the learned merge
+    table, ``rounds`` rows.
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+
+    words = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = cache.track(
+        words.select(
+            "w", "freq", F.regexp_extract_all("w", F.lit("."), 0).alias("syms")
+        ),
+        eager=True,
+    )
+    bests = []
+    for r in range(1, rounds + 1):
+        sl_a = F.expr("slice(syms, 1, size(syms) - 1)")
+        sl_b = F.expr("slice(syms, 2, size(syms) - 1)")
+        pairs = (
+            seq.where(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        sl_a, sl_b,
+                        lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+                    )
+                ).alias("p"),
+            )
+            .where(F.col("p.x") != F.col("p.y"))
+            .groupBy(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("x"),
+                    F.col("y"),
+                )
+            ).alias("b")
+        ).select(
+            F.col("b.x").alias("x"),
+            F.col("b.y").alias("y"),
+            (-F.col("b.nc")).cast("long").alias("pair_count"),
+        )
+        # an exhausted corpus (no mergeable pair left) yields a NULL agg
+        # row in Spark but zero rows from the oracle's LIMIT 1 — drop it
+        # so both sides emit fewer rows identically
+        bests.append(
+            best.where(F.col("x").isNotNull()).select(
+                F.lit(r).alias("round"), "x", "y", "pair_count"
+            )
+        )
+        if r == rounds:
+            break
+        joined = seq.crossJoin(F.broadcast(best))
+        bpad = F.concat(
+            F.expr("slice(syms, 2, size(syms) - 1)"), F.array(F.lit(""))
+        )
+        m = F.zip_with(
+            F.col("syms"),
+            bpad,
+            lambda s, t: (s == F.col("x")) & (t == F.col("y")),
+        )
+        step = joined.select("w", "freq", "x", "y", F.col("syms"), m.alias("m"))
+        mprev = F.concat(
+            F.array(F.lit(False)), F.expr("slice(m, 1, size(m) - 1)")
+        )
+        z = F.zip_with(
+            F.col("syms"),
+            F.col("m"),
+            lambda s, mi: F.struct(s.alias("s"), mi.alias("mi")),
+        )
+        rewritten = F.filter(
+            F.zip_with(
+                z,
+                mprev,
+                lambda e, mp: F.when(e["mi"], F.concat(e["s"], F.col("y")))
+                .when(mp, F.lit(None))
+                .otherwise(e["s"]),
+            ),
+            lambda v: v.isNotNull(),
+        )
+        seq = cache.track(
+            step.select("w", "freq", rewritten.alias("syms")), eager=True
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        "x",
+        "y",
+        F.concat("x", "y").alias("merged"),
+        "pair_count",
+    ).orderBy("round")

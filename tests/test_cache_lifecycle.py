@@ -25,6 +25,7 @@ PERSISTING = [
     "m2_ngram_jaccard_pairs",
     "m8_minhash_near_dups",
     "m42_curation_v2",
+    "m64_bpe_train",
 ]
 
 

@@ -112,3 +112,37 @@ def test_pagerank_is_exactly_deterministic(spark):
     a = pagerank_integer(edges).collect()
     b = pagerank_integer(edges.repartition(11)).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bpe_train_merges_hand_computed(spark):
+    """corpus 'low low lower': round1 (l,o)x3 [tie with (o,w) broken by
+    x asc], round2 (lo,w)x3, round3 (e,r)x1 [tie with (low,e) broken by
+    x asc], round4 (low,er)x1, round5 exhausted -> 4 rows only."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, "lower")], "doc_id long, text string"
+    )
+    got = [(r.round, r.x, r.y, r.merged, r.pair_count)
+           for r in bpe_train_merges(df, rounds=5).collect()]
+    assert got == [
+        (1, "l", "o", "lo", 3),
+        (2, "lo", "w", "low", 3),
+        (3, "e", "r", "er", 1),
+        (4, "low", "er", "lower", 1),
+    ]
+
+
+def test_bpe_train_merges_is_partitioning_invariant(spark):
+    from tests.conftest import SF_ORACLE
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    a = bpe_train_merges(docs, rounds=3).collect()
+    b = bpe_train_merges(docs.repartition(13), rounds=3).collect()
+    assert list(map(tuple, a)) == list(map(tuple, b))
