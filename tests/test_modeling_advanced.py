@@ -234,3 +234,31 @@ def test_merge_into_commits_through_cas_and_retries(spark, tmp_path, monkeypatch
             when_matched_update={"v": "t.v + s.delta"},
             when_not_matched_insert=False, max_retries=0,
         )
+
+
+def test_merge_frames_schema_evolution(spark):
+    """Delta mergeSchema parity: with schema_evolution=True, source-only
+    columns append to the output — matched/inserted rows take the source
+    value, unmatched target rows take NULL; without the flag they are
+    dropped."""
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+
+    target = _df(spark, [(1, "a", 10), (2, "b", 20)], "id int, name string, v int")
+    source = spark.createDataFrame(
+        [(2, 99, "EU"), (3, 30, "US")], "id int, v int, region string"
+    )
+    out = merge_frames(
+        target, source, on=("id",),
+        when_matched_update={"v": "s.v"},
+        schema_evolution=True,
+    )
+    got = {(r.id, r.name, r.v, r.region) for r in out.collect()}
+    assert got == {
+        (1, "a", 10, None),     # not matched by source: NULL new column
+        (2, "b", 99, "EU"),     # matched: updated v, evolved region
+        (3, None, 30, "US"),    # inserted by name, evolved region
+    }
+    # default: evolved column dropped, schema stays target-shaped
+    strict = merge_frames(target, source, on=("id",),
+                          when_matched_update={"v": "s.v"})
+    assert strict.columns == ["id", "name", "v"]
