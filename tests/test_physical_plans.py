@@ -149,6 +149,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "d36_pr_auc",            # 1-row side-totals broadcast
         "d37_expected_calibration_error",  # 1-row corpus-total broadcast
         "w12_distributed_rank",  # 1-row revenue-total broadcast
+        "m62_lm_perplexity",     # 1-row vocabulary-size broadcast
+        "m64_bpe_train",         # 1-row argmax-merge broadcast per round
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans
