@@ -590,6 +590,7 @@ def commit_tables(
     layer: MedallionLayer | str,
     expected_base: str | None = ...,
     meta: dict | None = None,
+    drop_tables: tuple[str, ...] = (),
 ) -> dict[str, str]:
     """All-or-nothing publish of several tables — a star-schema's fact and
     dims move together, the way the reference's per-run Postgres
@@ -638,6 +639,13 @@ def commit_tables(
     batch-id sequence. A key can be dropped explicitly by overlaying
     ``None`` (null values are pruned after the merge).
 
+    TABLES merge the same way (round 8): a commit overlays its staged
+    tables onto the live manifest's set instead of replacing it, so two
+    sinks sharing a layer keep each other's tables visible to manifest
+    readers; ``drop_tables`` removes names explicitly. Atomicity is
+    unchanged — the merged doc flips in one pointer commit, and with
+    ``expected_base`` the read-merge-write is CAS-protected.
+
     Returns the committed ``{table: snapshot_name}`` manifest.
     """
     import json
@@ -660,7 +668,18 @@ def commit_tables(
 
         def _write_manifest(snap_dir: str) -> None:
             target = os.path.join(snap_dir, "manifest.json")
-            doc = dict(staged)
+            # tables MERGE like meta (round 8): the live manifest's
+            # tables are carried forward and this commit's staged
+            # versions overlay them, so two sinks sharing a layer (a
+            # star sink + a drift monitor, or two star sinks) can't
+            # silently drop each other's tables from manifest readers —
+            # a commit names ITS tables, not the universe. Remove a
+            # table explicitly with ``drop_tables``.
+            doc = {
+                k: v
+                for k, v in {**read_manifest(root, layer), **staged}.items()
+                if k not in set(drop_tables)
+            }
             # carry the live meta forward and overlay this commit's keys;
             # read at commit time so the merge sees the latest flip (the
             # CAS `expected_base` serializes concurrent multi-writers)

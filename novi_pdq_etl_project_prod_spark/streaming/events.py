@@ -785,9 +785,11 @@ def stream_bin_counts(
     idempotent under replay — so, like :func:`stream_to_star_schema`,
     the sink records its last-applied batch id in the atomic
     ``commit_tables`` manifest and skips replayed batches: counts stay
-    exactly-once across crash/restart. The monitor gets its own layer
-    (default ``quality``) because a layer's manifest names one
-    consistent table set per commit.
+    exactly-once across crash/restart. Sharing a layer with other sinks
+    is safe since round 8 (manifest tables and meta both merge across
+    commits, and the batch marker is checkpoint-namespaced); the
+    separate default layer (``quality``) is just the tidy-cataloging
+    choice.
 
     State: n_bins rows, forever. Per-trigger cost: one map-side-combined
     hash-agg over the micro-batch + an n_bins-row snapshot write.

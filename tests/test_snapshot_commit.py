@@ -618,3 +618,29 @@ def test_manifest_time_travel_is_set_consistent(spark, tmp_path):
     assert {r.v for r in new["fact"].collect()} == {"fB"}
     with pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
         layers.read_manifest_tables_as_of(spark, root, "curated", "_snap_v999")
+
+
+def test_commit_tables_carries_forward_other_sinks_tables(spark, tmp_path):
+    """Round-8 table merge: a commit overlays its staged tables onto the
+    live manifest instead of replacing the set, so co-located sinks keep
+    each other's tables visible to manifest readers; drop_tables removes
+    names explicitly."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+        read_manifest_tables,
+    )
+
+    root = str(tmp_path)
+    commit_tables({"fact_a": _dim(spark, "a1")}, root, "curated")
+    commit_tables({"fact_b": _dim(spark, "b1")}, root, "curated")
+    assert set(read_manifest(root, "curated")) == {"fact_a", "fact_b"}
+    # updating one table leaves the other's version in place
+    commit_tables({"fact_a": _dim(spark, "a2")}, root, "curated")
+    tables = read_manifest_tables(spark, root, "curated")
+    assert {r.v for r in tables["fact_a"].collect()} == {"a2"}
+    assert {r.v for r in tables["fact_b"].collect()} == {"b1"}
+    # explicit removal
+    commit_tables({"fact_a": _dim(spark, "a3")}, root, "curated",
+                  drop_tables=("fact_b",))
+    assert set(read_manifest(root, "curated")) == {"fact_a"}

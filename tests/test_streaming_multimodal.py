@@ -767,3 +767,65 @@ def test_stream_bin_counts_matches_batch_and_survives_replay(spark, tmp_path):
     _run()
     replayed = read_manifest_tables(spark, root, "quality")["price_bins"]
     assert {(r.bin, r.n) for r in replayed.collect()} == expected
+
+
+def test_two_streams_sharing_a_layer_gate_independently(spark, tmp_path):
+    """ADVICE r07 (medium), second failure mode: two streaming sinks
+    committing to ONE layer must gate replay on their OWN batch-id
+    sequences. Before the namespaced markers, stream B's early batches
+    satisfied `batch_id <= A's marker` and were silently dropped as
+    'replayed'. Run A (two micro-batches, so its marker is 1), then run
+    B (one micro-batch, batch id 0) into the same layer: B's batch 0
+    must APPLY, and both markers must coexist in the manifest meta."""
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        batch_marker_key,
+        stream_to_star_schema,
+    )
+
+    root = str(tmp_path / "wh")
+    schema = "uid int, name string, ver int, amount double"
+
+    a_dir = str(tmp_path / "a_updates")
+    spark.createDataFrame([(1, "alice", 10, 100.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(a_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame([(2, "bob", 10, 40.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(a_dir)
+    chk_a = str(tmp_path / "chk_a")
+    stream_to_star_schema(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(a_dir),
+        root, "fact_a", "dim_a", dim_pk=("uid",), dim_cols=("name",),
+        order_col="ver", measure_cols=("amount",), checkpoint_dir=chk_a,
+    )
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get(batch_marker_key(chk_a)) == 1  # two batches applied
+
+    b_dir = str(tmp_path / "b_updates")
+    spark.createDataFrame([(7, "gina", 1, 5.0)], schema).coalesce(
+        1
+    ).write.mode("append").parquet(b_dir)
+    chk_b = str(tmp_path / "chk_b")
+    stream_to_star_schema(
+        spark.readStream.schema(schema).parquet(b_dir),
+        root, "fact_b", "dim_b", dim_pk=("uid",), dim_cols=("name",),
+        order_col="ver", measure_cols=("amount",), checkpoint_dir=chk_b,
+    )
+    tables = read_manifest_tables(spark, root, "curated")
+    # B's batch 0 applied even though A's marker is already 1
+    assert {r.uid: r.amount for r in tables["fact_b"].collect()} == {7: 5.0}
+    # and A's state was carried forward untouched through B's commit
+    assert {r.uid: r.amount for r in tables["fact_a"].collect()} == {
+        1: 100.0, 2: 40.0,
+    }
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get(batch_marker_key(chk_a)) == 1
+    assert meta.get(batch_marker_key(chk_b)) == 0
