@@ -262,3 +262,56 @@ def test_merge_frames_schema_evolution(spark):
     strict = merge_frames(target, source, on=("id",),
                           when_matched_update={"v": "s.v"})
     assert strict.columns == ["id", "name", "v"]
+
+
+def test_lakehouse_composition_expectations_merge_timetravel(spark, tmp_path):
+    """Round-8 integration: the new surfaces compose into the standard
+    lakehouse flow — validated publish → MERGE → time travel → diff.
+
+    1. write_with_expectations quarantines bad rows and commits good+bad
+       atomically; 2. merge_into applies a delta through the CAS
+       pointer; 3. snapshot_history/read_snapshot_as_of recover the
+       pre-merge state; 4. snapshot_diff between the two versions
+       reports exactly the merge's effects."""
+    from novi_pdq_etl_project_prod_spark.operators import modeling
+    from novi_pdq_etl_project_prod_spark.operators.expectations import (
+        write_with_expectations,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.modeling import (
+        snapshot_diff,
+    )
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    raw = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, -5)], "id int, v int"
+    )
+    counts = write_with_expectations(
+        spark, root, "curated", "acct", raw, {"pos": "v >= 0"}
+    )
+    assert counts["pos"] == 1  # id=3 quarantined
+    tpath = layers.table_path(root, "curated", "acct")
+    v1 = layers.current_snapshot(tpath)
+
+    modeling.merge_into(
+        spark, root, "curated", "acct",
+        spark.createDataFrame([(1, 11), (9, 900)], "id int, delta int"),
+        on=("id",),
+        when_matched_update={"v": "t.v + s.delta"},
+        when_not_matched_insert={"id": "s.id", "v": "s.delta"},
+    )
+    v2 = layers.current_snapshot(tpath)
+    assert v2 != v1
+
+    # time travel: the pre-merge state is intact and readable
+    old = layers.read_snapshot_as_of(spark, root, "curated", "acct", v1)
+    assert {r.id: r.v for r in old.collect()} == {1: 100, 2: 200}
+    new = layers.read_snapshot_as_of(spark, root, "curated", "acct", v2)
+    assert {r.id: r.v for r in new.collect()} == {1: 111, 2: 200, 9: 900}
+
+    # diff between the two retained versions reports the merge exactly
+    diff = {
+        r.id: r.diff_status
+        for r in snapshot_diff(old, new, pk=("id",), compare_cols=("v",)).collect()
+    }
+    assert diff == {1: "changed", 2: "unchanged", 9: "added"}
