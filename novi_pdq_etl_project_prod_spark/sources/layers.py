@@ -680,9 +680,7 @@ def commit_tables(
                 for k, v in {**read_manifest(root, layer), **staged}.items()
                 if k not in set(drop_tables)
             }
-            # carry the live meta forward and overlay this commit's keys;
-            # read at commit time so the merge sees the latest flip (the
-            # CAS `expected_base` serializes concurrent multi-writers)
+            # carry the live meta forward and overlay this commit's keys
             merged_meta = {**read_manifest_meta(root, layer), **(meta or {})}
             merged_meta = {k: v for k, v in merged_meta.items() if v is not None}
             if merged_meta:
@@ -692,7 +690,26 @@ def commit_tables(
                 fh.flush()
                 os.fsync(fh.fileno())
 
-        _commit_snapshot_write(_write_manifest, mpath, expected_base)
+        if expected_base is not ...:
+            # explicit CAS: the caller owns conflict handling
+            _commit_snapshot_write(_write_manifest, mpath, expected_base)
+        else:
+            # The carry-forward reads happen BEFORE the pointer flock, so
+            # without CAS two concurrent commits to DIFFERENT tables of
+            # one layer could both merge against the same base and the
+            # second flip would silently drop the first's tables/meta —
+            # exactly the lost-update the merge semantics promise away.
+            # Close it with an internal CAS retry: pin the base the merge
+            # read, flip against it, and on conflict re-read + re-merge
+            # (staged DATA dirs are written once; only the tiny manifest
+            # doc is rewritten per retry).
+            while True:
+                token = current_manifest_version(root, layer)
+                try:
+                    _commit_snapshot_write(_write_manifest, mpath, token)
+                    break
+                except SnapshotConflictError:
+                    continue
     except BaseException:
         for tbl, snap in staged.items():
             shutil.rmtree(

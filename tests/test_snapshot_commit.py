@@ -644,3 +644,46 @@ def test_commit_tables_carries_forward_other_sinks_tables(spark, tmp_path):
     commit_tables({"fact_a": _dim(spark, "a3")}, root, "curated",
                   drop_tables=("fact_b",))
     assert set(read_manifest(root, "curated")) == {"fact_a"}
+
+
+def test_concurrent_different_table_commits_both_survive(spark, tmp_path):
+    """Round-8 lost-update closure: two writers committing DIFFERENT
+    tables to one layer concurrently (no explicit CAS) must BOTH appear
+    in the final manifest — the internal CAS retry re-merges on
+    conflict instead of letting the second flip drop the first's
+    tables."""
+    import threading
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+    )
+
+    root = str(tmp_path)
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def writer(tbl, tag):
+        try:
+            df = _dim(spark, tag)
+            barrier.wait(timeout=30)
+            commit_tables({tbl: df}, root, "curated",
+                          meta={f"marker:{tbl}": tag})
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=("fact_a", "A")),
+        threading.Thread(target=writer, args=("fact_b", "B")),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+    assert set(read_manifest(root, "curated")) == {"fact_a", "fact_b"}
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+    )
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get("marker:fact_a") == "A" and meta.get("marker:fact_b") == "B"
