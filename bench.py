@@ -155,6 +155,7 @@ HEADLINE = [
     "m63_supplier_pagerank",
     "d40_cusum_changepoint",
     "m64_bpe_train",
+    "d41_theil_sen_trend",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

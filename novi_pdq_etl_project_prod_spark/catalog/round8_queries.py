@@ -584,3 +584,100 @@ ORDER BY round
 
 QUERIES["m64_bpe_train"] = m64_bpe_train
 ORACLES["m64_bpe_train"] = M64_SQL
+
+
+# ---------------------------------------------------------------------------
+# D41 — Theil–Sen robust trend per return flag over the monthly revenue
+# series: the (lower-)median of all pairwise slopes — insensitive to up
+# to ~29% outlier months, the robust companion to d34's OLS lines. The
+# pair space is MONTH-cell-bounded (≤ ~84 months per flag → ≤ 3.5k
+# pairs), the same bounded-quadratic contract as d33's cell grid — never
+# raw rows. Slopes are exact-integer ratios divided once in double
+# (identical IEEE both engines); the median is the deterministic
+# nearest-rank LOWER median with a (slope, i, j) tie-break, so no
+# interpolation convention can split engines.
+# ---------------------------------------------------------------------------
+
+
+def d41_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    monthly = li.groupBy(
+        "l_returnflag",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
+    ).agg(F.sum(cents).alias("x"))
+    w = Window.partitionBy("l_returnflag").orderBy("yyyymm")
+    idx = monthly.select(
+        "l_returnflag", "x", F.row_number().over(w).alias("i")
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.l_returnflag") == F.col("b.l_returnflag"))
+        & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.l_returnflag").alias("l_returnflag"),
+        (
+            (F.col("b.x") - F.col("a.x")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("slope"),
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+    )
+    ws = Window.partitionBy("l_returnflag").orderBy("slope", "i", "j")
+    ranked = slopes.select(
+        "l_returnflag",
+        "slope",
+        F.row_number().over(ws).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("np"),
+    )
+    return (
+        ranked.where(F.col("rk") == F.expr("(np + 1) div 2"))
+        .select(
+            "l_returnflag",
+            F.col("np").cast("long").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+D41_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS yyyymm,
+         SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS x
+  FROM lineitem GROUP BY 1, 2
+),
+idx AS (
+  SELECT l_returnflag, x,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY yyyymm) AS i
+  FROM monthly
+),
+slopes AS (
+  SELECT a.l_returnflag,
+         CAST(b.x - a.x AS DOUBLE) / CAST(b.i - a.i AS DOUBLE) AS slope,
+         a.i AS i, b.i AS j
+  FROM idx a JOIN idx b
+    ON a.l_returnflag = b.l_returnflag AND a.i < b.i
+),
+ranked AS (
+  SELECT l_returnflag, slope,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY slope, i, j) AS rk,
+         count(*) OVER (PARTITION BY l_returnflag) AS np
+  FROM slopes
+)
+SELECT l_returnflag,
+       CAST(np AS BIGINT) AS n_pairs,
+       slope AS theil_sen_slope_cents
+FROM ranked
+WHERE rk = (np + 1) // 2
+ORDER BY l_returnflag
+"""
+
+QUERIES["d41_theil_sen_trend"] = d41_theil_sen_trend
+ORACLES["d41_theil_sen_trend"] = D41_SQL

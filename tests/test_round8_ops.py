@@ -146,3 +146,51 @@ def test_bpe_train_merges_is_partitioning_invariant(spark):
     a = bpe_train_merges(docs, rounds=3).collect()
     b = bpe_train_merges(docs.repartition(13), rounds=3).collect()
     assert list(map(tuple, a)) == list(map(tuple, b))
+
+
+def test_theil_sen_even_pair_count_takes_lower_median(spark, tmp_path):
+    """The fixture's pair counts are odd, so parity alone can't pin the
+    even case: with 4 months (6 pairs) both engines must take the
+    nearest-rank LOWER median (rank (np+1) div 2 = 3)."""
+    import duckdb
+
+    from novi_pdq_etl_project_prod_spark.catalog.round8_queries import (
+        D41_SQL,
+        d41_theil_sen_trend,
+    )
+
+    li = spark.createDataFrame(
+        [
+            # one flag, 4 months, values chosen so all 6 slopes differ
+            ("A", "2024-01-15", 10.00),
+            ("A", "2024-02-15", 12.00),
+            ("A", "2024-03-15", 19.00),
+            ("A", "2024-04-15", 21.00),
+        ],
+        "l_returnflag string, d string, l_extendedprice double",
+    ).select(
+        "l_returnflag",
+        F.col("d").cast("timestamp_ntz").alias("l_shipdate"),
+        "l_extendedprice",
+    )
+    pq = str(tmp_path / "lineitem.parquet")
+    li.write.parquet(pq)
+    # drive the query body directly over the tiny table
+    import novi_pdq_etl_project_prod_spark.catalog.round8_queries as r8
+    orig = r8._t
+    try:
+        r8._t = lambda s, sf, name: li if name == "lineitem" else orig(s, sf, name)
+        got = [(r.l_returnflag, r.n_pairs, r.theil_sen_slope_cents)
+               for r in r8.d41_theil_sen_trend(spark, "ignored").collect()]
+    finally:
+        r8._t = orig
+    # slopes (cents/month): pairs (1,2)=200,(1,3)=450,(1,4)=366.67,
+    # (2,3)=700,(2,4)=450,(3,4)=200 -> sorted: 200,200,366.67,450,450,700
+    # lower median = rank 3 = 366.666...
+    assert got == [("A", 6, pytest.approx(1100 / 3))]
+    con = duckdb.connect()
+    con.register("lineitem_view", li.toPandas())
+    con.sql("CREATE VIEW lineitem AS SELECT * FROM lineitem_view")
+    du = con.sql(D41_SQL).fetchall()
+    assert du[0][1] == 6 and du[0][2] == pytest.approx(1100 / 3)
+    assert abs(got[0][2] - du[0][2]) == 0.0
