@@ -166,7 +166,9 @@ def merge_frames(
       column name (missing target columns become NULL), a {target_col:
       expr} mapping builds the row explicitly (``s`` alias only), False
       skips inserts;
-    - NOT MATCHED BY SOURCE rows pass through unchanged (ANSI MERGE).
+    - NOT MATCHED BY SOURCE rows pass through unchanged (ANSI MERGE);
+    - NULL merge keys never match (ANSI / Delta): a NULL-key source row
+      inserts, a NULL-key target row passes through untouched.
 
     Multiple source rows matching one target key make the update
     non-deterministic, so (like Delta) the operator REFUSES them —
@@ -184,8 +186,16 @@ def merge_frames(
     """
     on = tuple(on)
     if check_duplicate_source:
+        # NULL-key source rows are exempt: under ANSI equality they can
+        # never match a target row (they always insert), so multiples
+        # are not a non-determinism hazard
+        non_null = None
+        for k in on:
+            nn = F.col(k).isNotNull()
+            non_null = nn if non_null is None else (non_null & nn)
         dup = (
-            source.groupBy(*on)
+            source.where(non_null)
+            .groupBy(*on)
             .agg(F.count(F.lit(1)).alias("__n"))
             .where(F.col("__n") > 1)
             .limit(1)
@@ -217,7 +227,11 @@ def merge_frames(
     s = source.withColumn("__s_present", F.lit(True)).alias("s")
     cond = None
     for k in on:
-        eq = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+        # plain equality, NOT eqNullSafe: ANSI MERGE (and Delta) treat a
+        # NULL merge key as never-matching — a NULL-key source row
+        # INSERTS rather than updating a NULL-key target row, and a
+        # NULL-key target row passes through as NOT MATCHED BY SOURCE
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else (cond & eq)
     joined = t.join(s, cond, "full_outer")
     matched = F.col("t.__t_present").isNotNull() & F.col(

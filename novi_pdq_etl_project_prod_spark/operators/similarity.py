@@ -359,15 +359,46 @@ def embedding_lsh_pairs_exact(
     den2 = threshold_den * threshold_den
     id_type = dict(corpus.dtypes)[id_col]
 
+    _I64_MAX = np.iinfo(np.int64).max
+
     def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort")
         ids = pdf["id"].to_numpy()
         M = np.stack([np.asarray(v, dtype=np.int64) for v in pdf["v"]])
         n2 = pdf["n2"].to_numpy()
-        G = M @ M.T  # exact int64 pairwise dots
+        # the Spark-side n2 (F.aggregate in LONG) wraps silently when
+        # dim·max|coord|² exceeds int64 — past that everything downstream
+        # is garbage, so fail loudly (lower `scale` / normalize inputs)
+        cmax = int(np.abs(M).max()) if M.size else 0
+        if M.size and M.shape[1] * cmax * cmax > _I64_MAX:
+            raise ValueError(
+                "embedding_lsh_pairs_exact: quantized coordinates too "
+                f"large (max |coord| = {cmax}, dim = {M.shape[1]}) — the "
+                "int64 squared-norm accumulation would wrap; reduce "
+                "`scale` or pre-normalize the embeddings"
+            )
+        G = M @ M.T  # exact int64 pairwise dots (|G| ≤ n2max by C-S)
         ia, ib = np.triu_indices(len(ids), 1)
         dots = G[ia, ib]
-        keep = (dots >= 0) & (den2 * dots * dots >= num2 * n2[ia] * n2[ib])
+        n2max = int(n2.max()) if len(n2) else 0
+        dmax = int(np.abs(dots).max()) if len(dots) else 0
+        if (
+            den2 * dmax * dmax > _I64_MAX
+            or num2 * n2max * n2max > _I64_MAX
+        ):
+            # exact arbitrary-precision fallback: the int64 products
+            # would wrap silently (the DuckDB oracle's BIGINT ERRORS
+            # here — silent divergence is the one unacceptable outcome),
+            # so run the oversized cell through Python ints
+            d_o = dots.astype(object)
+            keep_o = (den2 * d_o * d_o) >= (
+                num2 * n2[ia].astype(object) * n2[ib].astype(object)
+            )
+            keep = (dots >= 0) & keep_o.astype(bool)
+        else:
+            keep = (dots >= 0) & (
+                den2 * dots * dots >= num2 * n2[ia] * n2[ib]
+            )
         ia, ib, dots = ia[keep], ib[keep], dots[keep]
         return pd.DataFrame(
             {

@@ -1096,8 +1096,12 @@ def exact_auc(
         ).cast("decimal(38,0)").alias("r2p"),
     )
     npos, nneg = F.col("n_pos"), F.col("n_neg")
+    # cast EACH factor before the product: npos·(npos+1) evaluated in
+    # BIGINT first wraps silently past n_pos ≈ 3·10⁹ — the exact regime
+    # the DECIMAL widening exists for (same d() idiom as kendall_tau)
     auc = (
-        F.col("r2p") - (npos * (npos + 1)).cast("decimal(38,0)")
+        F.col("r2p")
+        - npos.cast("decimal(19,0)") * (npos + F.lit(1)).cast("decimal(19,0)")
     ).cast("double") / (
         F.lit(2.0) * npos.cast("double") * nneg.cast("double")
     )

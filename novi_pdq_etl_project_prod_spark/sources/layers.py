@@ -24,9 +24,18 @@ from __future__ import annotations
 
 import enum
 import os
+import random
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Upper bound on commit_tables' internal manifest-CAS retries: enough to
+#: absorb realistic co-located sink contention (retries cost ~1ms each —
+#: only the tiny manifest doc is rewritten), small enough that a writer
+#: stuck behind a pathological committer storm fails loudly instead of
+#: spinning forever.
+_CAS_MAX_RETRIES = 100
 
 
 class MedallionLayer(str, enum.Enum):
@@ -702,14 +711,29 @@ def commit_tables(
             # Close it with an internal CAS retry: pin the base the merge
             # read, flip against it, and on conflict re-read + re-merge
             # (staged DATA dirs are written once; only the tiny manifest
-            # doc is rewritten per retry).
-            while True:
+            # doc is rewritten per retry). Bounded: under sustained
+            # contention an unbounded spin would livelock silently, so
+            # after _CAS_MAX_RETRIES the writer fails loudly with the
+            # conflict instead; a tiny jittered sleep de-synchronizes
+            # co-located committers between attempts.
+            last_conflict: SnapshotConflictError | None = None
+            for attempt in range(_CAS_MAX_RETRIES):
                 token = current_manifest_version(root, layer)
                 try:
                     _commit_snapshot_write(_write_manifest, mpath, token)
+                    last_conflict = None
                     break
-                except SnapshotConflictError:
-                    continue
+                except SnapshotConflictError as exc:
+                    last_conflict = exc
+                    time.sleep(
+                        min(0.05, 0.001 * (attempt + 1))
+                        * (1.0 + random.random())
+                    )
+            if last_conflict is not None:
+                raise SnapshotConflictError(
+                    f"manifest CAS for layer {layer!r} failed after "
+                    f"{_CAS_MAX_RETRIES} retries under contention"
+                ) from last_conflict
     except BaseException:
         for tbl, snap in staged.items():
             shutil.rmtree(

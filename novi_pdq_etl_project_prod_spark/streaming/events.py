@@ -47,6 +47,36 @@ def batch_marker_key(checkpoint_dir: str) -> str:
     return f"last_batch_id:{digest}"
 
 
+#: Pre-round-8 un-namespaced marker key (one global gate per layer).
+_LEGACY_MARKER_KEY = "last_batch_id"
+
+
+def _last_applied_batch(
+    root: str, layer: str, marker: str
+) -> tuple[int | None, bool]:
+    """The exactly-once gate's last-applied batch id, with a one-time
+    MIGRATION from the pre-round-8 un-namespaced ``last_batch_id`` key
+    (ADVICE r08): a sink upgraded in place has real applied history
+    under the legacy key, and ignoring it would re-apply the first
+    replayed batch once. On a namespaced-marker miss the legacy value
+    is honored; whenever the legacy key is present at all the caller
+    retires it (overlays None in its next commit — the meta merge drops
+    None values) so it doesn't shadow future sequences or get carried
+    forward forever. Returns ``(last_applied, retire_legacy)``."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+    )
+
+    meta = read_manifest_meta(root, layer)
+    last = meta.get(marker)
+    legacy = meta.get(_LEGACY_MARKER_KEY)
+    if isinstance(last, int):
+        return last, legacy is not None
+    if isinstance(legacy, int):
+        return legacy, True
+    return None, legacy is not None
+
+
 def read_event_stream(
     spark: SparkSession,
     path: str,
@@ -584,7 +614,6 @@ def stream_to_star_schema(
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_meta,
         read_manifest_tables,
     )
 
@@ -593,8 +622,8 @@ def stream_to_star_schema(
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = read_manifest_meta(root, "curated").get(marker)
-        if isinstance(last, int) and _batch_id <= last:
+        last, retire_legacy = _last_applied_batch(root, "curated", marker)
+        if last is not None and _batch_id <= last:
             return  # replayed batch: its delta is already in the fact
         spark = batch_df.sparkSession
         current = read_manifest_tables(spark, root, "curated")
@@ -615,11 +644,14 @@ def stream_to_star_schema(
             .groupBy(*dim_pk)
             .agg(*[F.sum(F.col(m)).alias(m) for m in measure_cols])
         )
+        meta: dict = {marker: _batch_id}
+        if retire_legacy:
+            meta[_LEGACY_MARKER_KEY] = None  # retire the pre-r08 key
         commit_tables(
             {fact_table: merged_fact, dim_table: merged_dim},
             root,
             "curated",
-            meta={marker: _batch_id},
+            meta=meta,
         )
 
     q = (
@@ -797,7 +829,6 @@ def stream_bin_counts(
     from novi_pdq_etl_project_prod_spark.operators.stats import bin_counts
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_meta,
         read_manifest_tables,
     )
 
@@ -806,8 +837,8 @@ def stream_bin_counts(
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last = read_manifest_meta(root, layer).get(marker)
-        if isinstance(last, int) and _batch_id <= last:
+        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
             return  # replayed batch: its counts are already in
         spark = batch_df.sparkSession
         fresh = bin_counts(batch_df, value_col, list(cut_vals), "n")
@@ -819,9 +850,10 @@ def stream_bin_counts(
             .groupBy("bin")
             .agg(F.sum("n").alias("n"))
         )
-        commit_tables(
-            {table: merged}, root, layer, meta={marker: _batch_id}
-        )
+        meta: dict = {marker: _batch_id}
+        if retire_legacy:
+            meta[_LEGACY_MARKER_KEY] = None  # retire the pre-r08 key
+        commit_tables({table: merged}, root, layer, meta=meta)
 
     q = (
         stream.writeStream.foreachBatch(_merge_batch)

@@ -315,3 +315,52 @@ def test_lakehouse_composition_expectations_merge_timetravel(spark, tmp_path):
         for r in snapshot_diff(old, new, pk=("id",), compare_cols=("v",)).collect()
     }
     assert diff == {1: "changed", 2: "unchanged", 9: "added"}
+
+
+def test_merge_frames_null_keys_never_match(spark):
+    """ANSI MERGE / Delta semantics (ADVICE r08): a NULL merge key never
+    matches — a NULL-key source row INSERTS (it must not update or
+    delete the NULL-key target row), and the NULL-key target row passes
+    through untouched as NOT MATCHED BY SOURCE."""
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+
+    target = spark.createDataFrame(
+        [(1, "a"), (None, "t-null")], "id int, v string"
+    )
+    source = spark.createDataFrame(
+        [(1, "a2"), (None, "s-null")], "id int, v string"
+    )
+    out = merge_frames(
+        target, source, on=("id",), when_matched_update={"v": "s.v"}
+    )
+    rows = {(r.id, r.v) for r in out.collect()}
+    assert rows == {(1, "a2"), (None, "t-null"), (None, "s-null")}
+
+    # a matched-delete must not reach the NULL-key target row either
+    deleted = merge_frames(
+        target, source, on=("id",),
+        when_matched_delete="true", when_not_matched_insert=False,
+    )
+    assert {(r.id, r.v) for r in deleted.collect()} == {(None, "t-null")}
+
+
+def test_merge_frames_null_key_duplicates_allowed(spark):
+    """Duplicate NULL-key source rows are NOT a non-determinism hazard
+    (they can never match, each just inserts), so the duplicate-source
+    guard must exempt them — while still rejecting real key dups."""
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+
+    target = spark.createDataFrame([(1, "a")], "id int, v string")
+    null_dups = spark.createDataFrame(
+        [(None, "x"), (None, "y"), (2, "b")], "id int, v string"
+    )
+    rows = {(r.id, r.v) for r in merge_frames(target, null_dups, on=("id",)).collect()}
+    assert rows == {(1, "a"), (None, "x"), (None, "y"), (2, "b")}
+
+    real_dups = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "id int, v string"
+    )
+    with _pytest.raises(ValueError, match="multiple rows"):
+        merge_frames(target, real_dups, on=("id",))

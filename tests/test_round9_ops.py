@@ -1,0 +1,101 @@
+"""Round-9 hardening tests (ADVICE r08 + VERDICT r08 punch list):
+int64-overflow safety in the exact rational-cosine verifier, the
+exact_auc subtrahend widening, and the basket-local m63 edge build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+def _clustered_corpus(spark, dim=8, n_noise=6, seed=7):
+    """3 tight near-dup pairs (cos ≈ 0.999) + unrelated noise vectors,
+    unit-normalized, deterministic."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    vid = 0
+    for _ in range(3):
+        base = rng.randn(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(2):
+            v = base + rng.randn(dim) * 0.01
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(n_noise):
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        rows.append((vid, [float(x) for x in v]))
+        vid += 1
+    return spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+
+def test_lsh_pairs_exact_bigint_fallback_matches_int64_path(spark):
+    """ADVICE r08: at scale=10⁶ the rational-cosine products exceed
+    int64 (num2·n2² ≈ 10²⁵), where the old code wrapped silently. The
+    guarded path must detect the regime and produce the SAME pair set
+    as the safe milli-unit quantization of the same vectors."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_lsh_pairs_exact,
+    )
+
+    corpus = _clustered_corpus(spark)
+    kw = dict(dim=8, nbits=4, n_tables=4, threshold_num=7, threshold_den=20)
+    safe = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_pairs_exact(corpus, scale=1000, **kw).collect()
+    }
+    oversized = {
+        (r.id_a, r.id_b)
+        for r in embedding_lsh_pairs_exact(corpus, scale=10**6, **kw).collect()
+    }
+    assert safe, "LSH found no near-dup pairs — fixture broken"
+    assert oversized == safe
+
+
+def test_lsh_pairs_exact_raises_on_norm_accumulator_overflow(spark):
+    """Past dim·max|coord|² > int64 even the squared-norm accumulation
+    overflows — everything downstream would be garbage, so the failure
+    must be LOUD, never wrong pairs: under ANSI (Spark 4 default) the
+    F.aggregate itself raises ARITHMETIC_OVERFLOW; with ANSI off the
+    cell verifier's coordinate guard catches the wrapped norms."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        embedding_lsh_pairs_exact,
+    )
+
+    corpus = _clustered_corpus(spark)
+    with pytest.raises(
+        Exception,
+        match="ARITHMETIC_OVERFLOW|quantized coordinates too large",
+    ):
+        embedding_lsh_pairs_exact(
+            corpus, scale=4 * 10**9, dim=8, nbits=4, n_tables=4
+        ).collect()
+
+
+def test_exact_auc_subtrahend_widens_before_multiply(spark):
+    """ADVICE r08: npos·(npos+1) must be a DECIMAL product (each factor
+    cast first), not a BIGINT multiply cast afterwards — the BIGINT
+    product wraps silently past n_pos ≈ 3·10⁹, inside the regime the
+    DECIMAL(38,0) widening exists for."""
+    import re
+
+    from novi_pdq_etl_project_prod_spark.operators.stats import exact_auc
+
+    df = spark.createDataFrame(
+        [(0.1, True), (0.2, False), (0.3, True)], "score double, pos boolean"
+    )
+    out = exact_auc(df, "score", "pos")
+    assert out.collect()[0].auc == 0.5
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # no surviving bigint (n_pos * (n_pos + 1)) shape: every multiply
+    # touching n_pos must see decimal-cast factors
+    assert not re.search(
+        r"cast\(\(n_pos#\d+L \* \(n_pos#\d+L \+ [^)]*\)\) as decimal", plan
+    ), plan
+    assert re.search(
+        r"cast\(n_pos#\d+L as decimal\(19,0\)\) \* "
+        r"cast\(\(n_pos#\d+L \+ cast\(1 as bigint\)\) as decimal\(19,0\)\)",
+        plan,
+    ), plan

@@ -687,3 +687,32 @@ def test_concurrent_different_table_commits_both_survive(spark, tmp_path):
     )
     meta = read_manifest_meta(root, "curated")
     assert meta.get("marker:fact_a") == "A" and meta.get("marker:fact_b") == "B"
+
+
+def test_commit_tables_cas_retry_is_bounded(spark, tmp_path, monkeypatch):
+    """ADVICE r08: the internal manifest-CAS retry must not livelock
+    under sustained contention — after _CAS_MAX_RETRIES it raises
+    SnapshotConflictError loudly and cleans up its staged data."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path)
+    df = spark.range(3).toDF("id")
+    calls = {"n": 0}
+
+    def always_conflict(writer, path, token):
+        calls["n"] += 1
+        raise layers.SnapshotConflictError("simulated contention")
+
+    monkeypatch.setattr(layers, "_commit_snapshot_write", always_conflict)
+    monkeypatch.setattr(layers, "_CAS_MAX_RETRIES", 5)
+    monkeypatch.setattr(layers.time, "sleep", lambda s: None)
+    with pytest.raises(layers.SnapshotConflictError, match="after 5 retries"):
+        commit_tables({"t": df}, root, "curated")
+    assert calls["n"] == 5
+    # the staged snapshot dir was rolled back — nothing half-published
+    tpath = layers.table_path(root, "curated", "t")
+    leftover = [
+        d for d in os.listdir(tpath)
+        if os.path.isdir(os.path.join(tpath, d))
+    ] if os.path.isdir(tpath) else []
+    assert leftover == []

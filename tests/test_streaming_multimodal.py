@@ -829,3 +829,75 @@ def test_two_streams_sharing_a_layer_gate_independently(spark, tmp_path):
     meta = read_manifest_meta(root, "curated")
     assert meta.get(batch_marker_key(chk_a)) == 1
     assert meta.get(batch_marker_key(chk_b)) == 0
+
+
+def test_stream_to_star_schema_migrates_legacy_marker(spark, tmp_path):
+    """ADVICE r08: a layer written by a pre-round-8 sink carries its
+    applied history under the un-namespaced 'last_batch_id' meta key.
+    On the first post-upgrade replay the namespaced marker is missing,
+    so the gate must fall back to the legacy key (the replayed batch is
+    skipped, not double-applied), and the next applied commit retires
+    the legacy key so it can't shadow future batch-id sequences."""
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        batch_marker_key,
+        stream_to_star_schema,
+    )
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+    updates_dir = str(tmp_path / "orders")
+
+    # pre-upgrade state: batch 0 (100.0 for alice) already applied, the
+    # marker recorded under the legacy un-namespaced key
+    commit_tables(
+        {
+            "fact_user_totals": spark.createDataFrame(
+                [(1, 100.0)], "uid int, amount double"
+            ),
+            "dim_user": spark.createDataFrame(
+                [(1, "alice")], "uid int, name string"
+            ),
+        },
+        root,
+        "curated",
+        meta={"last_batch_id": 0},
+    )
+
+    spark.createDataFrame(
+        [(1, "alice", 10, 100.0)], "uid int, name string, ver int, amount double"
+    ).coalesce(1).write.mode("append").parquet(updates_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(1, "alice", 20, 50.0)], "uid int, name string, ver int, amount double"
+    ).coalesce(1).write.mode("append").parquet(updates_dir)
+
+    # post-upgrade restart with a fresh checkpoint: batch 0 replays (must
+    # be skipped via the legacy key), batch 1 is genuinely new
+    stream = (
+        spark.readStream.schema("uid int, name string, ver int, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    stream_to_star_schema(
+        stream, root, "fact_user_totals", "dim_user",
+        dim_pk=("uid",), dim_cols=("name",), order_col="ver",
+        measure_cols=("amount",), checkpoint_dir=chk,
+    )
+
+    fact = {
+        r.uid: r.amount
+        for r in read_manifest_tables(spark, root, "curated")[
+            "fact_user_totals"
+        ].collect()
+    }
+    assert fact == {1: 150.0}, "batch 0 double-applied or batch 1 dropped"
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get(batch_marker_key(chk)) == 1
+    assert "last_batch_id" not in meta, "legacy key not retired"
