@@ -113,6 +113,7 @@ def pagerank_integer(
     damping_num: int = 17,
     damping_den: int = 20,
     unit: int = 1_000_000,
+    on_round=None,
 ) -> DataFrame:
     """Deterministic integer-arithmetic PageRank over an undirected edge
     list — the domain/document-authority signal crawl pipelines rank
@@ -143,7 +144,14 @@ def pagerank_integer(
 
     Output: (node, rank_micro) — exact integers; normalize downstream
     if a probability reading is needed.
+
+    ``on_round(i, seconds)``, when given, is called after each round's
+    localCheckpoint with the round's wall — the scale-probe hook for
+    verifying the per-round cost tracks edge mass while checkpoint
+    state stays node-bounded (no behavior change when None).
     """
+    import time as _time
+
     from novi_pdq_etl_project_prod_spark import cache
 
     und = canonical_edges(edges, src, dst)
@@ -165,7 +173,8 @@ def pagerank_integer(
     r = deg.select(
         F.col("s").alias("node"), F.lit(unit).cast("long").alias("r")
     ).localCheckpoint()
-    for _ in range(iterations):
+    for _i in range(iterations):
+        _t0 = _time.perf_counter()
         r = (
             sym.join(r.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("t").alias("node"))
@@ -187,5 +196,7 @@ def pagerank_integer(
         # per-job overhead, even though the chain is single-consumer
         # and would never recompute
         r = r.localCheckpoint()
+        if on_round is not None:
+            on_round(_i, _time.perf_counter() - _t0)
     sym.unpersist()
     return r.select("node", F.col("r").alias("rank_micro"))

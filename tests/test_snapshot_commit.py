@@ -716,3 +716,38 @@ def test_commit_tables_cas_retry_is_bounded(spark, tmp_path, monkeypatch):
         if os.path.isdir(os.path.join(tpath, d))
     ] if os.path.isdir(tpath) else []
     assert leftover == []
+
+
+def test_manifest_time_travel_respects_gc_horizon(spark, tmp_path, monkeypatch):
+    """VERDICT r08 item 6 — the manifest half of the GC contract: a
+    reader holding a manifest version older than live + GC_RETAIN_
+    PREVIOUS gets a descriptive SnapshotNotFoundError (never a
+    missing-file crash), and a retained manifest whose referenced table
+    snapshot disappeared (external cleanup) names the missing snapshot
+    instead of failing inside the parquet scan."""
+    import shutil
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_GRACE_SECONDS", 0.0)
+    root = str(tmp_path)
+    manifest_versions = []
+    for tag in ("v1", "v2", "v3"):
+        layers.commit_tables({"dim": _dim(spark, tag)}, root, "curated")
+        manifest_versions.append(layers.current_manifest_version(root, "curated"))
+
+    hist = [h["version"] for h in layers.manifest_history(root, "curated")]
+    assert manifest_versions[0] not in hist, "oldest manifest not GC'd"
+    with pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
+        layers.read_manifest_tables_as_of(
+            spark, root, "curated", manifest_versions[0]
+        )
+
+    # retained manifest, externally-deleted table snapshot: descriptive
+    retained = layers.manifest_history(root, "curated")[-1]
+    snap = retained["tables"]["dim"]
+    shutil.rmtree(os.path.join(layers.table_path(root, "curated", "dim"), snap))
+    with pytest.raises(layers.SnapshotNotFoundError, match="has been GC'd"):
+        layers.read_manifest_tables_as_of(
+            spark, root, "curated", retained["version"]
+        )

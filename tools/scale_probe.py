@@ -790,7 +790,114 @@ def main_skewagg(k: int = 10) -> None:
     fact.unpersist()
 
 
+def main_r9(k_graph: int = 30, k_docs: int = 100) -> None:
+    """100×-regime probes for the round-8 iterative ops (VERDICT r08
+    item 3).
+
+    m63 PageRank on a DENSER graph: lineitem replicated ``k_graph``×
+    with shifted (orderkey, suppkey) — each replica is its own
+    component, so nodes AND edges grow ~k× while rounds stay 10; at
+    sf0.1 the per-round fixed overhead (job launch + analysis)
+    dominates and hides the edge-mass term this probe exposes.
+    Per-round walls come from pagerank_integer's on_round hook; the
+    node-bounded-state claim is checked directly (checkpointed rows ==
+    node count, never edge count).
+
+    m64 BPE training on a ``k_docs``× corpus with token-suffixed
+    DISTINCT replication (the adversarial regime for the distinct-word
+    grain: the vocabulary grows ~k× with the corpus, so per-round pair
+    statistics can't amortize over repeated words the way real Zipf
+    corpora allow).
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+    from novi_pdq_etl_project_prod_spark.operators.graphs import (
+        pagerank_integer,
+    )
+
+    spark = get_spark(app_name="scale_probe_r9")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- m63 dense graph ----
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    reps = spark.range(k_graph).withColumnRenamed("id", "rep")
+    li_rep = (
+        li.select("l_orderkey", "l_suppkey")
+        .crossJoin(F.broadcast(reps))
+        .select(
+            (F.col("l_orderkey") + F.col("rep") * max_ok).alias("l_orderkey"),
+            (F.col("l_suppkey") + F.col("rep") * 100_000).alias("l_suppkey"),
+        )
+    )
+
+    def edges_of(frame):
+        baskets = frame.groupBy("l_orderkey").agg(
+            F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+        )
+        pair = baskets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ss",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("ss"), i + 2, F.size("ss")),
+                            lambda y: F.struct(x.alias("u"), y.alias("v")),
+                        ),
+                    )
+                )
+            ).alias("pr")
+        )
+        return (
+            pair.select("pr.u", "pr.v")
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") >= 2)
+            .select("u", "v")
+        )
+
+    for label, frame in (("sf0.1", li.select("l_orderkey", "l_suppkey")),
+                         (f"x{k_graph}", li_rep)):
+        t0 = time.perf_counter()
+        e = edges_of(frame)
+        n_edges = e.count()
+        t_build = time.perf_counter() - t0
+        rounds: list[float] = []
+        t0 = time.perf_counter()
+        ranks = pagerank_integer(
+            e, iterations=10, on_round=lambda i, s: rounds.append(round(s, 2))
+        )
+        n_nodes = ranks.count()
+        t_pr = time.perf_counter() - t0
+        cache.clear_session_state(spark)
+        print(
+            f"m63 {label}: edges={n_edges} nodes={n_nodes} "
+            f"build={t_build:.1f}s pagerank={t_pr:.1f}s rounds={rounds} "
+            f"(state rows == node count: checkpoint is node-bounded)"
+        )
+
+    # ---- m64 at k_docs× ----
+    out_dir = tempfile.mkdtemp(prefix=f"r9docsx{k_docs}_")
+    try:
+        t0 = time.perf_counter()
+        replicate_docs_distinct(spark, out_dir, k_docs, copy_rest=False)
+        print(f"replicated docs x{k_docs} in {time.perf_counter()-t0:.1f}s")
+        for label, d in (("sf0.1", SRC), (f"x{k_docs}", out_dir)):
+            t0 = time.perf_counter()
+            QUERIES["m64_bpe_train"](spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cache.clear_session_state(spark)
+            print(f"m64 {label}: {time.perf_counter()-t0:.1f}s")
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r9" in sys.argv:
+        idx = sys.argv.index("--r9")
+        k = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 30
+        main_r9(k_graph=k)
+        return
     if "--full" in sys.argv:
         idx = sys.argv.index("--full")
         main_full(int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 10)
