@@ -863,3 +863,187 @@ def stream_bin_counts(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_write_with_expectations(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    table: str,
+    rules: dict,
+    checkpoint_dir: str,
+    quarantine_table: str | None = None,
+) -> None:
+    """Streaming twin of ``operators.expectations.write_with_expectations``
+    (VERDICT r08 item 5): per micro-batch, split rows on the declared
+    rules and APPEND good rows to ``table`` and violating rows (with
+    their ``__failed_rules`` audit column) to the quarantine table —
+    both through ONE atomic ``commit_tables`` manifest, with cumulative
+    per-rule violation counts riding the same flip as commit meta
+    (``expectations:{table}``).
+
+    Appends are not idempotent under foreachBatch's at-least-once
+    replay, so the sink gates on the checkpoint-namespaced batch marker
+    (the ``stream_to_star_schema`` discipline): a replayed batch whose
+    id the committed manifest already covers is a no-op, making table
+    contents AND counts exactly-once.
+
+    Scale: the expectation tagging is one row-local projection compiled
+    into the micro-batch scan (zero shuffles); the append path unions
+    the batch onto the manifest's current version — entity-sized state
+    never rides the stream. The batch twin is certified by the dq11
+    oracle; this sink is certified stream==batch metamorphically.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.expectations import (
+        FAILED_RULES_COL,
+        apply_expectations,
+        expectation_report,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+
+    marker = batch_marker_key(checkpoint_dir)
+    qt = quarantine_table or f"{table}_quarantine"
+    counts_key = f"expectations:{table}"
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its rows and counts already landed
+        spark = batch_df.sparkSession
+        tagged = apply_expectations(batch_df, rules).persist()
+        try:
+            fresh = {
+                r.rule: r.n_violations
+                for r in expectation_report(
+                    tagged.drop(FAILED_RULES_COL), rules
+                ).collect()
+            }
+            fresh["n_rows"] = tagged.count()
+            prior = read_manifest_meta(root, layer).get(counts_key) or {}
+            total = {
+                k: int(prior.get(k, 0)) + int(v) for k, v in fresh.items()
+            }
+            good = tagged.where(
+                F.size(F.col(FAILED_RULES_COL)) == 0
+            ).drop(FAILED_RULES_COL)
+            bad = tagged.where(F.size(F.col(FAILED_RULES_COL)) > 0)
+            current = read_manifest_tables(spark, root, layer)
+            tables = {
+                table: (
+                    current[table].unionByName(good)
+                    if table in current
+                    else good
+                ),
+                qt: (
+                    current[qt].unionByName(bad) if qt in current else bad
+                ),
+            }
+            meta: dict = {marker: _batch_id, counts_key: total}
+            if retire_legacy:
+                meta[_LEGACY_MARKER_KEY] = None
+            commit_tables(tables, root, layer, meta=meta)
+        finally:
+            tagged.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_publish)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_merge_into(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    table: str,
+    on: tuple[str, ...],
+    checkpoint_dir: str,
+    when_matched_update: dict | None = None,
+    when_matched_delete: str | None = None,
+    when_not_matched_insert=True,
+    source_dedup_order: tuple[str, ...] | None = None,
+) -> None:
+    """Declarative MERGE as the micro-batch sink — the Delta
+    streaming-MERGE idiom (VERDICT r08 item 5): each micro-batch is the
+    MERGE source against the table's current committed snapshot, with
+    the full ``merge_frames`` clause grammar (matched update / matched
+    delete / not-matched insert, ANSI NULL-key semantics).
+
+    ``source_dedup_order``: columns whose descending order picks the
+    surviving source row per key within a batch (the
+    ``stream_apply_changes`` collapse) — without it a batch carrying
+    two rows for one key is REFUSED by merge_frames' dup guard, which
+    is the right default for genuinely-unordered sources.
+
+    MERGE with expression updates (``t.v + s.delta``) is not idempotent
+    under replay, so the sink gates on the checkpoint-namespaced batch
+    marker and commits state + marker in one atomic manifest flip —
+    exactly-once table state over at-least-once delivery.
+
+    Scale: per trigger, one full-outer join of |snapshot| + |batch| and
+    one snapshot write — the same rewrite unit as ``stream_apply_
+    changes``; for snapshots too large to rewrite per trigger, raise
+    the trigger interval (the merge itself stays shuffle-bound on the
+    key).
+    """
+    from novi_pdq_etl_project_prod_spark.operators.modeling import (
+        merge_frames,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_tables,
+    )
+
+    marker = batch_marker_key(checkpoint_dir)
+
+    def _publish(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its merge is already in the state
+        spark = batch_df.sparkSession
+        source = batch_df
+        if source_dedup_order:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*on).orderBy(
+                *[F.col(c).desc() for c in source_dedup_order]
+            )
+            source = (
+                source.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        target = read_manifest_tables(spark, root, layer).get(table)
+        merged = merge_frames(
+            target,
+            source,
+            on=on,
+            when_matched_update=when_matched_update,
+            when_matched_delete=when_matched_delete,
+            when_not_matched_insert=when_not_matched_insert,
+        )
+        meta: dict = {marker: _batch_id}
+        if retire_legacy:
+            meta[_LEGACY_MARKER_KEY] = None
+        commit_tables({table: merged}, root, layer, meta=meta)
+
+    q = (
+        stream.writeStream.foreachBatch(_publish)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

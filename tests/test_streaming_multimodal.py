@@ -901,3 +901,155 @@ def test_stream_to_star_schema_migrates_legacy_marker(spark, tmp_path):
     meta = read_manifest_meta(root, "curated")
     assert meta.get(batch_marker_key(chk)) == 1
     assert "last_batch_id" not in meta, "legacy key not retired"
+
+
+def test_stream_expectations_matches_batch_and_survives_replay(spark, tmp_path):
+    """VERDICT r08 item 5a — streaming expectations-with-quarantine,
+    metamorphic vs the batch twin: after N micro-batches the good
+    table, the quarantine table (with audit column), and the cumulative
+    counts equal `write_with_expectations` over all rows at once; a
+    checkpoint loss + full replay changes nothing (appends gated by the
+    manifest batch marker)."""
+    import shutil
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.operators.expectations import (
+        FAILED_RULES_COL,
+        write_with_expectations,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_write_with_expectations,
+    )
+
+    rules = {"pos": "v >= 0", "small": "v < 100"}
+    batch1 = [(1, 5), (2, -1), (3, 7)]
+    batch2 = [(4, 200), (5, -3), (6, 9)]
+    updates_dir = str(tmp_path / "rows")
+    spark.createDataFrame(batch1, "id int, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(updates_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, "id int, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("id int, v int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_write_with_expectations(
+            stream, root, "curated", "vals", rules, checkpoint_dir=chk
+        )
+
+    _run()
+
+    # batch twin over ALL rows
+    broot = str(tmp_path / "bwh")
+    bcounts = write_with_expectations(
+        spark, broot, "curated", "vals",
+        spark.createDataFrame(batch1 + batch2, "id int, v int"), rules,
+    )
+
+    stables = read_manifest_tables(spark, root, "curated")
+    btables = read_manifest_tables(spark, broot, "curated")
+    for tbl in ("vals", "vals_quarantine"):
+        got = sorted(map(tuple, stables[tbl].collect()))
+        want = sorted(map(tuple, btables[tbl].collect()))
+        assert got == want, tbl
+    # quarantine keeps the audit column
+    assert FAILED_RULES_COL in stables["vals_quarantine"].columns
+    scounts = read_manifest_meta(root, "curated")["expectations:vals"]
+    assert scounts == {k: int(v) for k, v in bcounts.items()}
+
+    # lost checkpoint => full replay; marker gate keeps all state fixed
+    shutil.rmtree(chk)
+    _run()
+    after = read_manifest_tables(spark, root, "curated")
+    assert sorted(map(tuple, after["vals"].collect())) == sorted(
+        map(tuple, btables["vals"].collect())
+    )
+    assert read_manifest_meta(root, "curated")["expectations:vals"] == scounts
+
+
+def test_stream_merge_into_matches_sequential_batch_merges(spark, tmp_path):
+    """VERDICT r08 item 5b — MERGE as the micro-batch sink, metamorphic:
+    streaming N micro-batches through stream_merge_into equals folding
+    the same batches through merge_frames sequentially; a replayed
+    run after checkpoint loss must not re-apply any delta."""
+    import shutil
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.operators.modeling import merge_frames
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_merge_into,
+    )
+
+    clauses = dict(
+        when_matched_update={"v": "t.v + s.v"},
+        when_matched_delete="s.v = 0",
+        when_not_matched_insert=True,
+    )
+    batch1 = [(1, 10), (2, 20)]
+    batch2 = [(1, 5), (2, 0), (3, 30)]  # bump 1, delete 2, insert 3
+    updates_dir = str(tmp_path / "deltas")
+    spark.createDataFrame(batch1, "id int, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(updates_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, "id int, v int").coalesce(1).write.mode(
+        "append"
+    ).parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("id int, v int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_merge_into(
+            stream, root, "curated", "state", on=("id",),
+            checkpoint_dir=chk, **clauses,
+        )
+
+    _run()
+
+    # batch twin: fold the same two batches sequentially
+    folded = None
+    for rows in (batch1, batch2):
+        folded = merge_frames(
+            folded, spark.createDataFrame(rows, "id int, v int"),
+            on=("id",), **clauses,
+        )
+    want = sorted(map(tuple, folded.collect()))
+    got = sorted(
+        map(
+            tuple,
+            read_manifest_tables(spark, root, "curated")["state"].collect(),
+        )
+    )
+    assert got == want == [(1, 15), (3, 30)]
+
+    shutil.rmtree(chk)
+    _run()
+    after = sorted(
+        map(
+            tuple,
+            read_manifest_tables(spark, root, "curated")["state"].collect(),
+        )
+    )
+    assert after == want, "replayed merge re-applied a delta"
