@@ -25,6 +25,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round6b_queries,
     round7_queries,
     round8_queries,
+    round9_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -47,6 +48,7 @@ for _mod in (
     round6b_queries,
     round7_queries,
     round8_queries,
+    round9_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)
@@ -177,14 +179,9 @@ if _DRIVER_CERTIFIED is None:
 #: (VERDICT r07 item 1) — forced into the driver's first-50 sampling
 #: window so CORRECTNESS_r08 records fresh HASH rows instead of
 #: inheriting the stale no_oracle outcome. Clear once re-certified.
-RECERTIFY = frozenset(
-    {
-        "m8_minhash_near_dups",
-        "m9_simhash_near_dups",
-        "m13_near_dup_clusters",
-        "m24_embedding_lsh_pairs",
-    }
-)
+#: (r08's four graduated queries were re-certified by the driver in
+#: CORRECTNESS_r08 — cleared per the protocol.)
+RECERTIFY = frozenset()
 
 #: Uncertified (never driver-green) queries lead the registry so they fall
 #: inside the driver's first-50 sampling window. The budget check in

@@ -1026,3 +1026,82 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .where(F.col("n_common") >= min_overlap)
     )
+
+
+def minhash_calibration_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Per-pair calibration of the MinHash estimate against EXACT
+    shingle Jaccard — the audit that tells you whether (num_hashes,
+    bands) are tuned for your corpus before trusting the estimate at
+    100 TB: for every reported near-dup pair, the agreeing-minima
+    estimate ``m/num_hashes`` next to the true ``|A∩B|/|A∪B|`` and the
+    fixed-point absolute error ``err_micro = ⌊10⁶·|m·u − k·i|/(k·u)⌋``.
+
+    Runs on the md5-deterministic path (:func:`minhash_signatures_md5`)
+    so every column is oracle-exact. Scale shape: the expensive parts
+    are exactly m8's (signatures + banding); the truth join is PAIR-
+    SCOPED — shingles are semi-joined down to the docs appearing in
+    reported pairs before the intersection count, so its cost tracks
+    the (small) pair list, never the corpus.
+
+    Output: (id_a, id_b, m_agree, n_common, n_union, est_jaccard,
+    true_jaccard, err_micro), one row per reported pair.
+    """
+    k = num_hashes
+    pairs = minhash_near_duplicates_md5(
+        df, id_col, text_col, n, num_hashes, bands, threshold
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("est_jaccard") * k).cast("long").alias("m_agree"),
+    )
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
+        )
+        .join(F.broadcast(pair_ids), "id", "leftsemi")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    x = sh.select(F.col("id").alias("id_a"), "sh")
+    y = sh.select(F.col("id").alias("id_b"), "sh")
+    inter = (
+        pairs.join(x, "id_a")
+        .join(y, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .withColumn("n_common", F.coalesce(F.col("n_common"), F.lit(0)))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("n_union", F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "m_agree",
+        "n_common",
+        "n_union",
+        (F.col("m_agree").cast("double") / k).alias("est_jaccard"),
+        (F.col("n_common").cast("double") / F.col("n_union")).alias(
+            "true_jaccard"
+        ),
+        F.expr(
+            f"(1000000L * abs(m_agree * n_union - {k}L * n_common))"
+            f" div ({k}L * n_union)"
+        ).alias("err_micro"),
+    )

@@ -1260,3 +1260,73 @@ def spearman_correlation(
         "n_rows",
         F.when(den > 0, num / den).alias("spearman_rho"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: Column | str,
+    rater_b: Column | str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two
+    categorical labelers [Cohen 1960], the standard consistency audit
+    for LLM-data annotation pipelines (two quality raters, a model
+    grader vs. a rule, an old vs. new labeling run):
+
+        kappa = (p_o − p_e) / (1 − p_e)
+              = (n·Σᵢ n_ii − Σᵢ r_i·c_i) / (n² − Σᵢ r_i·c_i)
+
+    with row/column marginals r_i, c_i of the confusion matrix. The
+    second form is computed: every term is an exact integer widened to
+    DECIMAL(38,0) (n² wraps BIGINT past n ≈ 3·10⁹ rows — the exact_auc
+    regime), so the two divisions at the end are the only floats and
+    are identical IEEE expressions in both engines (HUGEINT twin on the
+    DuckDB side).
+
+    Shape: ONE map-side-combined hash-agg over the corpus down to the
+    label-alphabet² confusion cells (persisted — three tiny reductions
+    read it), then cell-sized aggregates. Output: one row (n_rows,
+    n_agree, po, pe, kappa).
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+
+    a = F.col(rater_a) if isinstance(rater_a, str) else rater_a
+    b = F.col(rater_b) if isinstance(rater_b, str) else rater_b
+    cells = cache.track(
+        df.select(a.alias("__a"), b.alias("__b"))
+        .groupBy("__a", "__b")
+        .agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("c")),
+        eager=True,
+    )
+    ra = cells.groupBy("__a").agg(F.sum("c").cast("decimal(19,0)").alias("r"))
+    rb = cells.groupBy("__b").agg(F.sum("c").cast("decimal(19,0)").alias("cc"))
+    rc = (
+        ra.join(rb, ra["__a"] == rb["__b"], "full_outer")
+        .select(
+            (
+                F.coalesce(F.col("r"), F.lit(0).cast("decimal(19,0)"))
+                * F.coalesce(F.col("cc"), F.lit(0).cast("decimal(19,0)"))
+            ).alias("p")
+        )
+        .agg(F.sum("p").cast("decimal(38,0)").alias("rc"))
+    )
+    tot = cells.agg(
+        F.sum("c").cast("decimal(19,0)").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("c"))),
+            F.lit(0),
+        )
+        .cast("decimal(19,0)")
+        .alias("diag"),
+    )
+    n, diag, rcv = F.col("n"), F.col("diag"), F.col("rc")
+    n2 = (n * n).cast("decimal(38,0)")
+    return tot.crossJoin(rc).select(
+        n.cast("long").alias("n_rows"),
+        diag.cast("long").alias("n_agree"),
+        ((n * diag).cast("decimal(38,0)").cast("double") / n2.cast("double")).alias("po"),
+        (rcv.cast("double") / n2.cast("double")).alias("pe"),
+        (
+            ((n * diag).cast("decimal(38,0)") - rcv).cast("double")
+            / (n2 - rcv).cast("double")
+        ).alias("kappa"),
+    )

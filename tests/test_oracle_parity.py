@@ -28,7 +28,14 @@ from tests.oracle_harness import compare_query
 
 ORACLED = sorted(ORACLES)
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PARITY_SHARDS = int(os.environ.get("SPARK_GRAFT_PARITY_SHARDS", "4"))
+#: Default shard count scales with the box (VERDICT r08 item 4): 8 on a
+#: 32-core machine. Workers run 8 Spark threads each — oversubscription
+#: is fine here because parity checks VALUES, not walls, and much of a
+#: worker's wall is single-threaded DuckDB + Python compare.
+PARITY_SHARDS = int(
+    os.environ.get("SPARK_GRAFT_PARITY_SHARDS")
+    or max(2, min(8, (os.cpu_count() or 8) // 4))
+)
 #: Below this many selected parity tests the sharded path costs more
 #: than it saves (full-catalog workers) — run inline instead.
 SHARD_MIN_SELECTED = 24

@@ -99,3 +99,63 @@ def test_exact_auc_subtrahend_widens_before_multiply(spark):
         r"cast\(\(n_pos#\d+L \+ cast\(1 as bigint\)\) as decimal\(19,0\)\)",
         plan,
     ), plan
+
+
+def test_cohens_kappa_hand_computed(spark):
+    """3-label confusion with known marginals: n=10, diag=6,
+    rc = 4*5 + 3*3 + 3*2 = 35, kappa = (60-35)/(100-35) = 5/13."""
+    from novi_pdq_etl_project_prod_spark.operators.stats import cohens_kappa
+
+    rows = (
+        [("a", "a")] * 3 + [("a", "b")] * 1
+        + [("b", "b")] * 2 + [("b", "c")] * 1
+        + [("c", "c")] * 1 + [("c", "a")] * 2
+    )
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    got = cohens_kappa(df, "ra", "rb").collect()[0]
+    assert got.n_rows == 10 and got.n_agree == 6
+    assert got.po == 0.6
+    assert got.pe == 0.35
+    assert abs(got.kappa - (25 / 65)) < 1e-15
+
+
+def test_cohens_kappa_extremes(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import cohens_kappa
+
+    perfect = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "ra string, rb string"
+    )
+    assert cohens_kappa(perfect, "ra", "rb").collect()[0].kappa == 1.0
+    # independence: labels unrelated => kappa == 0 when po == pe
+    indep = spark.createDataFrame(
+        [("x", "u"), ("x", "v"), ("y", "u"), ("y", "v")], "ra string, rb string"
+    )
+    assert cohens_kappa(indep, "ra", "rb").collect()[0].kappa == 0.0
+
+
+def test_minhash_calibration_exact_duplicates(spark):
+    """Planted exact duplicates: the signature estimate and the true
+    Jaccard must both be 1.0 with zero calibration error; a near-dup
+    pair's err_micro must equal the hand-computed fixed-point gap."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        minhash_calibration_report,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"  # one extra token -> 9 of 11 shingles shared
+    rows = [(1, base), (2, base), (3, near), (4, "totally different words here now")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    rep = {
+        (r.id_a, r.id_b): r
+        for r in minhash_calibration_report(df, threshold=0.5).collect()
+    }
+    dup = rep[(1, 2)]
+    assert dup.m_agree == 64 and dup.est_jaccard == 1.0
+    assert dup.true_jaccard == 1.0 and dup.err_micro == 0
+    for key in ((1, 3), (2, 3)):
+        if key in rep:
+            r = rep[key]
+            # base has 8 shingles, near has 9, sharing 8 => J = 8/9
+            assert (r.n_common, r.n_union) == (8, 9)
+            expect = (10**6 * abs(r.m_agree * 9 - 64 * 8)) // (64 * 9)
+            assert r.err_micro == expect
