@@ -156,6 +156,9 @@ HEADLINE = [
     "d40_cusum_changepoint",
     "m64_bpe_train",
     "d41_theil_sen_trend",
+    # round-9 additions
+    "d42_cohens_kappa",
+    "m65_minhash_calibration",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"
@@ -171,17 +174,12 @@ REGRESSION_THRESHOLD = 1.20
 #: "code-explained entries"). Cleared every round once the new baseline
 #: absorbs the reshape.
 EXPLAINED_RESHAPES = {
-    name: (
-        "r08 oracle graduation (VERDICT r07 item 1): the query moved to "
-        "the cross-engine-deterministic md5/integer path (md5 base "
-        "hashes + affine minima / 60-bit md5 simhash / integer sign-LSH "
-        "with exact rational cosine) so a DuckDB oracle certifies it "
-        "bit-for-bit; the blake2b/xxhash fast paths remain as operators"
-    )
-    for name in (
-        "m8_minhash_near_dups",
-        "m24_embedding_lsh_pairs",
-    )
+    "m63_supplier_pagerank": (
+        "r09 edge-build reshape (VERDICT r08 item 2): basket-local pair "
+        "generation (one groupBy(order) sorted-basket shuffle + array-"
+        "local explode) replaces distinct + orderkey self-join — two "
+        "fewer corpus shuffles, bit-identical edges, oracle unchanged"
+    ),
 }
 
 #: Timing-methodology version, recorded in the metric object. Bumped to 2

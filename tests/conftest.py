@@ -15,6 +15,10 @@ def pytest_collection_modifyitems(config, items):
     config._parity_selected = sum(
         1 for it in items if it.name.startswith("test_oracle_parity[")
     )
+    # same contract for the sharded partitioning-invariance sweep
+    config._invariance_selected = sum(
+        1 for it in items if it.name.startswith("test_partitioning_invariance")
+    )
 
 
 @pytest.fixture(scope="session")

@@ -42,6 +42,9 @@ SHARD_MIN_SELECTED = 24
 
 
 def _run_sharded(n_shards: int) -> dict[str, dict]:
+    from tools.parity_worker import shard_assignment
+
+    assignment = shard_assignment(ORACLED, n_shards)
     tmp = tempfile.mkdtemp(prefix="parity_shards_")
     procs = []
     for i in range(n_shards):
@@ -68,7 +71,7 @@ def _run_sharded(n_shards: int) -> dict[str, dict]:
     for i, out, p in procs:
         rc = p.wait()
         if rc != 0 or not os.path.exists(out):
-            for name in ORACLED[i::n_shards]:
+            for name in assignment[i]:
                 reports.setdefault(
                     name, {"match": False, "detail": f"shard {i} died rc={rc}"}
                 )
@@ -98,9 +101,17 @@ def test_oracle_parity(spark, parity_reports, name):
 
 
 def test_all_queries_return_rows(spark):
-    for name, fn in QUERIES.items():
-        df = fn(spark, SF_ORACLE)
-        assert df.columns, f"{name} has no columns"
+    # analysis-only (no actions beyond what query-build itself does) —
+    # thread-pooled: Catalyst analysis releases the GIL inside py4j, so
+    # 8 threads cut the 220-query wall ~4-5x (VERDICT r08 item 4)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(item):
+        name, fn = item
+        assert fn(spark, SF_ORACLE).columns, f"{name} has no columns"
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(check, QUERIES.items()))
 
 
 def test_entry_smoke(spark):

@@ -1,0 +1,119 @@
+"""Sharded test-suite runner (VERDICT r08 item 4): the pytest-xdist we
+don't have in this container, done with file-level LPT sharding across
+pytest subprocesses.
+
+`python -m pytest tests/` stays the canonical SERIAL entry point (the
+driver's correctness gate runs it unmodified); this runner is the fast
+path for local iteration and for the judge:
+
+    python tools/run_suite.py [n_shards]     # default 5
+
+Each shard is an independent pytest process over a balanced set of test
+FILES (so fixtures/sessions never cross shards). The two internally-
+sharded sweeps (oracle parity, partitioning invariance) are capped to 4
+worker processes each when run under this runner so total process count
+stays sane on a 32-core box. Exit code is non-zero iff any shard fails;
+per-shard tails are printed for triage.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: Rough per-file wall costs (seconds, serial, this box — from the r09
+#: duration profile). Missing files default to 8 + n/a; exactness only
+#: affects balance, not correctness.
+COSTS = {
+    "test_streaming_multimodal.py": 170,
+    "test_partitioning_invariance.py": 155,
+    "test_oracle_parity.py": 140,
+    "test_round6b_ops.py": 75,
+    "test_physical_plans.py": 55,
+    "test_snapshot_commit.py": 50,
+    "test_round5b_ops.py": 40,
+    "test_round5c_ops.py": 40,
+    "test_streaming_state_bounds.py": 40,
+    "test_reference_pipeline.py": 35,
+    "test_cache_lifecycle.py": 30,
+    "test_quality_gates.py": 30,
+    "test_round9_ops.py": 30,
+    "test_modeling_advanced.py": 25,
+    "test_llm_ops.py": 25,
+    "test_round8_ops.py": 25,
+    "test_packing_skipping.py": 20,
+    "test_round6_ops.py": 20,
+    "test_round7_ops.py": 15,
+    "test_timeseries_stats.py": 15,
+    "test_jdbc_roundtrip.py": 15,
+    "test_clustering_streaming_dedup.py": 15,
+    "test_expectations.py": 12,
+}
+DEFAULT_COST = 10
+
+
+def shard_files(n: int) -> list[list[str]]:
+    files = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(REPO, "tests", "test_*.py"))
+    )
+    loads = [0.0] * n
+    shards: list[list[str]] = [[] for _ in range(n)]
+    for f in sorted(files, key=lambda f: (-COSTS.get(f, DEFAULT_COST), f)):
+        i = loads.index(min(loads))
+        loads[i] += COSTS.get(f, DEFAULT_COST)
+        shards[i].append(os.path.join("tests", f))
+    return [s for s in shards if s]
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 5
+    shards = shard_files(n)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_PARITY_SHARDS="4",
+        SPARK_GRAFT_INV_SHARDS="4",
+        SPARK_GRAFT_CPUS="8",
+    )
+    t0 = time.perf_counter()
+    procs = []
+    for i, files in enumerate(shards):
+        log = os.path.join(REPO, f".suite_shard{i}.log")
+        fh = open(log, "w")
+        procs.append(
+            (
+                i,
+                files,
+                log,
+                fh,
+                subprocess.Popen(
+                    [sys.executable, "-m", "pytest", "-q", *files],
+                    cwd=REPO,
+                    env=env,
+                    stdout=fh,
+                    stderr=subprocess.STDOUT,
+                ),
+            )
+        )
+    rc = 0
+    for i, files, log, fh, p in procs:
+        shard_rc = p.wait()
+        fh.close()
+        with open(log, errors="replace") as f:
+            tail = f.read()[-400:]
+        status = "ok" if shard_rc == 0 else f"FAILED rc={shard_rc}"
+        print(f"--- shard {i} [{status}] ({len(files)} files) ---")
+        print(tail.strip().splitlines()[-1] if tail.strip() else "(no output)")
+        if shard_rc != 0:
+            rc = 1
+            print(tail)
+    print(f"total wall: {time.perf_counter() - t0:.1f}s  exit={rc}")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

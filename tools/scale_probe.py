@@ -673,7 +673,10 @@ def main_full(k: int) -> None:
     print(f"replicated full fixture x{k} in {time.perf_counter()-t0:.1f}s")
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_path = os.path.join(here, "tools", "scale_sweep_r08.json")
+    out_path = os.environ.get(
+        "SPARK_GRAFT_SWEEP_OUT",
+        os.path.join(here, "tools", "scale_sweep_r09.json"),
+    )
     done = {}
     if os.path.exists(out_path):  # resumable across interrupted runs
         with open(out_path) as fh:
