@@ -180,6 +180,14 @@ EXPLAINED_RESHAPES = {
         "local explode) replaces distinct + orderkey self-join — two "
         "fewer corpus shuffles, bit-identical edges, oracle unchanged"
     ),
+    "m24_embedding_lsh_pairs": (
+        "r09 overflow hardening (ADVICE r08): the exact rational-cosine "
+        "cell verifier now computes per-cell coordinate/dot/norm maxima "
+        "to detect the int64-wrap regime (loud error or arbitrary-"
+        "precision fallback instead of silently wrong pairs) — ~1.2x on "
+        "a 1.4s query, the price of never diverging silently from the "
+        "BIGINT-erroring oracle"
+    ),
 }
 
 #: Timing-methodology version, recorded in the metric object. Bumped to 2

@@ -1055,24 +1055,31 @@ def minhash_calibration_report(
     true_jaccard, err_micro), one row per reported pair.
     """
     k = num_hashes
-    pairs = minhash_near_duplicates_md5(
-        df, id_col, text_col, n, num_hashes, bands, threshold
-    ).select(
-        "id_a",
-        "id_b",
-        F.round(F.col("est_jaccard") * k).cast("long").alias("m_agree"),
+    # pairs feeds FOUR branches (both pair_ids unions, the intersection
+    # join, the final assembly): without the persist each branch
+    # re-executes the entire MinHash pipeline — measured 8.2s vs 3.5s
+    # at sf0.1. Same for the pair-scoped shingle table (three readers).
+    pairs = cache.track(
+        minhash_near_duplicates_md5(
+            df, id_col, text_col, n, num_hashes, bands, threshold
+        ).select(
+            "id_a",
+            "id_b",
+            F.round(F.col("est_jaccard") * k).cast("long").alias("m_agree"),
+        ),
+        eager=True,
     )
     pair_ids = (
         pairs.select(F.col("id_a").alias("id"))
         .unionAll(pairs.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = (
+    sh = cache.track(
         df.select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(text_col, n))).alias("sh"),
-        )
-        .join(F.broadcast(pair_ids), "id", "leftsemi")
+        ).join(F.broadcast(pair_ids), "id", "leftsemi"),
+        eager=True,
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     x = sh.select(F.col("id").alias("id_a"), "sh")
