@@ -53,6 +53,7 @@ COSTS = {
     "test_jdbc_roundtrip.py": 15,
     "test_clustering_streaming_dedup.py": 15,
     "test_expectations.py": 12,
+    "test_merge_properties.py": 55,
 }
 DEFAULT_COST = 10
 
