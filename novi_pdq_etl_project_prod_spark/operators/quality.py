@@ -260,3 +260,36 @@ def fd_violation_report(
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> list[dict]:
+    """Schema diff between two frames (typically two snapshot versions
+    via ``read_snapshot_as_of`` — the metadata complement to
+    ``snapshot_diff``'s row-level report): one entry per changed column,
+    ``{"column", "status": added|removed|retyped, "old_type",
+    "new_type"}``, ordered removed → retyped → added, by name.
+
+    Pure driver-side metadata (no jobs, no scan) — safe to call on
+    frames of any size; feed the result to an expectations gate to
+    block unreviewed schema evolution before a MERGE with
+    ``schema_evolution=True`` silently widens the target."""
+    old_t = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    out: list[dict] = []
+    for c in sorted(set(old_t) - set(new_t)):
+        out.append(
+            {"column": c, "status": "removed", "old_type": old_t[c],
+             "new_type": None}
+        )
+    for c in sorted(set(old_t) & set(new_t)):
+        if old_t[c] != new_t[c]:
+            out.append(
+                {"column": c, "status": "retyped", "old_type": old_t[c],
+                 "new_type": new_t[c]}
+            )
+    for c in sorted(set(new_t) - set(old_t)):
+        out.append(
+            {"column": c, "status": "added", "old_type": None,
+             "new_type": new_t[c]}
+        )
+    return out

@@ -185,7 +185,58 @@ def _commit_pointer(
         os.close(lock_fd)  # releases the flock
 
 
-def _gc_stale_snapshots(path: str) -> None:
+def vacuum(
+    root: str,
+    layer: MedallionLayer | str,
+    table: str | None = None,
+    retain: int | None = None,
+    grace_seconds: float | None = None,
+) -> dict[str, int]:
+    """Explicit retention enforcement — the user-facing VACUUM.
+
+    GC normally runs incidentally at commit time; ``vacuum`` runs it on
+    demand across a whole layer (or one ``table``), including the
+    layer's ``_TXLOG`` manifest directory, and returns ``{table:
+    n_entries_removed}``. ``retain`` overrides ``GC_RETAIN_PREVIOUS``
+    for this call (applied uniformly to tables AND manifests, so a
+    retained historical manifest can never reference a vacuumed table
+    snapshot — the same shared-horizon invariant
+    ``read_manifest_tables_as_of`` documents); ``grace_seconds``
+    overrides ``GC_GRACE_SECONDS`` (keep the default unless no
+    concurrent writer can exist — in-progress reserved snapshot dirs
+    are invisible to pointers and survive only through the grace
+    window). Time-travel readers keep exactly the vacuumed horizon:
+    versions beyond it raise ``SnapshotNotFoundError``.
+    """
+    layer_name = layer.value if isinstance(layer, MedallionLayer) else layer
+    layer_dir = os.path.join(root, layer_name)
+    if not os.path.isdir(layer_dir):
+        return {}
+    if table is not None:
+        targets = [table]
+    else:
+        targets = sorted(
+            e
+            for e in os.listdir(layer_dir)
+            if os.path.isdir(os.path.join(layer_dir, e))
+        )
+    removed: dict[str, int] = {}
+    for name in targets:
+        path = os.path.join(layer_dir, name)
+        has_pointer = os.path.isfile(os.path.join(path, CURRENT_POINTER))
+        if not has_pointer:
+            continue  # in-place month-partitioned layout: nothing versioned
+        removed[name] = _gc_stale_snapshots(
+            path, retain=retain, grace_seconds=grace_seconds
+        )
+    return removed
+
+
+def _gc_stale_snapshots(
+    path: str,
+    retain: int | None = None,
+    grace_seconds: float | None = None,
+) -> int:
     """Best-effort cleanup of unreferenced snapshots and legacy in-place
     files. Runs strictly after the pointer commit, so a crash here leaves
     only unreferenced garbage (re-collected by a later write), never a
@@ -197,10 +248,13 @@ def _gc_stale_snapshots(path: str) -> None:
     snapshot immediately would yield FileNotFoundException mid-query),
     and any entry younger than ``GC_GRACE_SECONDS`` (a concurrent
     writer's reserved-but-uncommitted snapshot dir is invisible to the
-    pointer but must survive until its own commit)."""
+    pointer but must survive until its own commit). ``retain`` /
+    ``grace_seconds`` override the module defaults for one call
+    (:func:`vacuum`). Returns the number of entries removed."""
     import shutil
-    import time
 
+    keep_n = GC_RETAIN_PREVIOUS if retain is None else retain
+    grace = GC_GRACE_SECONDS if grace_seconds is None else grace_seconds
     live = os.path.basename(resolve_table_path(path))
     keep = {live, CURRENT_POINTER, COMMIT_LOCK}
     snaps = sorted(
@@ -208,8 +262,9 @@ def _gc_stale_snapshots(path: str) -> None:
          if e.startswith(_SNAPSHOT_PREFIX) and e != live),
         reverse=True,
     )
-    keep.update(snaps[: max(0, int(GC_RETAIN_PREVIOUS))])
-    cutoff = time.time() - GC_GRACE_SECONDS
+    keep.update(snaps[: max(0, int(keep_n))])
+    cutoff = time.time() - grace
+    n_removed = 0
     for entry in os.listdir(path):
         if entry in keep:
             continue
@@ -221,8 +276,10 @@ def _gc_stale_snapshots(path: str) -> None:
                 shutil.rmtree(target)
             else:
                 os.remove(target)
+            n_removed += 1
         except OSError:
             pass  # next writer retries; readers never see this dir anyway
+    return n_removed
 
 
 def _commit_snapshot_write(

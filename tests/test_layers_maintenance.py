@@ -207,3 +207,61 @@ def test_write_month_with_audit_single_pass_metrics(spark, tmp_path):
     assert abs(metrics["sum_measure"] - 22.0) < 1e-9
     back = spark.read.parquet(str(tmp_path / "wh/staging/audited"))
     assert back.count() == 3  # the write itself landed
+
+
+def test_vacuum_enforces_retention_across_layer(spark, tmp_path, monkeypatch):
+    """vacuum() collects unreferenced snapshots across every versioned
+    table of a layer (manifest _TXLOG included), honors the per-call
+    retain override uniformly, skips in-place tables, and leaves
+    time-travel readers exactly the vacuumed horizon."""
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_GRACE_SECONDS", 0.0)
+    root = str(tmp_path)
+    df = lambda tag: spark.createDataFrame([(1, tag)], "id int, v string")  # noqa: E731
+
+    # suppress commit-time GC so history accumulates, then vacuum explicitly
+    monkeypatch.setattr(layers, "GC_RETAIN_PREVIOUS", 10)
+    versions = []
+    for tag in ("v1", "v2", "v3", "v4"):
+        layers.commit_tables({"dim": df(tag)}, root, "curated")
+        versions.append(
+            layers.current_snapshot(layers.table_path(root, "curated", "dim"))
+        )
+    assert len(layers.snapshot_history(root, "curated", "dim")) == 4
+
+    removed = layers.vacuum(root, "curated", retain=1)
+    assert removed["dim"] == 2  # live + 1 kept, two collected
+    assert removed["_TXLOG"] == 2
+    hist = [h["version"] for h in layers.snapshot_history(root, "curated", "dim")]
+    assert hist == [versions[3], versions[2]]
+    # within the horizon: readable; beyond it: descriptive error
+    assert layers.read_snapshot_as_of(
+        spark, root, "curated", "dim", versions[2]
+    ).count() == 1
+    with _pytest.raises(layers.SnapshotNotFoundError):
+        layers.read_snapshot_as_of(spark, root, "curated", "dim", versions[0])
+    # retained manifests never reference vacuumed table snapshots
+    for h in layers.manifest_history(root, "curated"):
+        layers.read_manifest_tables_as_of(spark, root, "curated", h["version"])
+
+    # in-place (non-versioned) layouts are skipped, not damaged
+    import os
+    os.makedirs(os.path.join(root, "curated", "plain_table"))
+    assert "plain_table" not in layers.vacuum(root, "curated")
+
+
+def test_schema_drift_reports_added_removed_retyped(spark):
+    from novi_pdq_etl_project_prod_spark.operators.quality import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "id int, v string, w double")
+    new = spark.createDataFrame([(1, 3, True)], "id bigint, v int, z boolean")
+    assert schema_drift(old, new) == [
+        {"column": "w", "status": "removed", "old_type": "double", "new_type": None},
+        {"column": "id", "status": "retyped", "old_type": "int", "new_type": "bigint"},
+        {"column": "v", "status": "retyped", "old_type": "string", "new_type": "int"},
+        {"column": "z", "status": "added", "old_type": None, "new_type": "boolean"},
+    ]
+    assert schema_drift(old, old) == []
