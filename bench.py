@@ -159,6 +159,7 @@ HEADLINE = [
     # round-9 additions
     "d42_cohens_kappa",
     "m65_minhash_calibration",
+    "d43_seasonal_decompose",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

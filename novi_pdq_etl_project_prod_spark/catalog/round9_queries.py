@@ -139,3 +139,69 @@ ORACLES = {
     "d42_cohens_kappa": D42_SQL,
     "m65_minhash_calibration": M65_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# D43 — classical seasonal decomposition of monthly revenue per return
+# flag: centered 13-month MA trend, per-month-of-year seasonal means of
+# the detrended series, residual — all in exact milli-cent integers
+# (offset floor-division bridges Spark's truncating `div` and DuckDB's
+# flooring `//` on signed numerators).
+# ---------------------------------------------------------------------------
+
+
+def d43_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.timeseries import (
+        seasonal_decompose_monthly,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    monthly = li.groupBy(
+        "l_returnflag",
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
+    ).agg(F.sum(cents).alias("cents"))
+    return seasonal_decompose_monthly(
+        monthly, ["l_returnflag"], "yyyymm", "cents"
+    ).orderBy("l_returnflag", "yyyymm")
+
+
+D43_SQL = """
+WITH monthly AS (
+  SELECT l_returnflag,
+         CAST(year(l_shipdate) * 100 + month(l_shipdate) AS INT) AS yyyymm,
+         CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem GROUP BY 1, 2
+),
+trended AS (
+  SELECT l_returnflag, yyyymm, value_cents,
+         SUM(value_cents) OVER w AS s,
+         COUNT(*) OVER w AS n
+  FROM monthly
+  WINDOW w AS (PARTITION BY l_returnflag ORDER BY yyyymm
+               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+detr AS (
+  SELECT l_returnflag, yyyymm, value_cents,
+         CAST((s * 1000) // 13 AS BIGINT) AS trend_milli,
+         CAST(value_cents * 1000 - (s * 1000) // 13 AS BIGINT) AS detr_milli
+  FROM trended WHERE n = 13
+),
+seas AS (
+  SELECT l_returnflag, yyyymm % 100 AS moy,
+         CAST(((SUM(detr_milli) + 1000000000000000 * COUNT(*)) // COUNT(*))
+              - 1000000000000000 AS BIGINT) AS seasonal_milli
+  FROM detr GROUP BY 1, 2
+)
+SELECT d.l_returnflag, d.yyyymm, d.value_cents, d.trend_milli,
+       s.seasonal_milli,
+       d.detr_milli - s.seasonal_milli AS residual_milli
+FROM detr d
+JOIN seas s ON s.l_returnflag = d.l_returnflag AND s.moy = d.yyyymm % 100
+ORDER BY d.l_returnflag, d.yyyymm
+"""
+
+
+QUERIES["d43_seasonal_decompose"] = d43_seasonal_decompose
+ORACLES["d43_seasonal_decompose"] = D43_SQL

@@ -191,3 +191,91 @@ def grouped_ema(
             F.col("__z.__ema").alias("ema"),
         )
     )
+
+
+def seasonal_decompose_monthly(
+    df: DataFrame,
+    keys: Sequence[str],
+    yyyymm_col: str,
+    cents_col: str,
+    window: int = 13,
+    scale: int = 1000,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of a monthly series
+    (the moving-average X-11 ancestor): per key,
+
+        trend    = centered ``window``-month moving average
+        seasonal = per-month-of-year mean of (value − trend)
+        residual = value − trend − seasonal
+
+    in EXACT fixed-point integers (milli-cents at the default scale) so
+    a SQL oracle reproduces it bit-for-bit — the decomposition
+    complement to the trend (d34/d41), autocorrelation (d39) and
+    changepoint (d40) monitors. Rows without a complete centered window
+    (the first/last ``window//2`` months) are dropped, as the classical
+    method prescribes.
+
+    Floor-division convention: Spark's ``div`` truncates toward zero
+    and DuckDB's ``//`` floors, which diverge on NEGATIVE numerators
+    (detrended values are signed) — so every division adds a large
+    positive offset first (``(x + OFF·n) div n − OFF``), making
+    truncation == floor on both engines. Bounds: exact while monthly
+    cents stay ≤ ~10¹² (|detrended·scale| < the 10¹⁵ offset) — past
+    that BOTH engines fail loudly (ANSI overflow / BIGINT error), never
+    silently.
+
+    Shape: one hash-agg grain reduction upstream (caller), two windows
+    over month-grain rows (bounded ~hundreds per key — the d40 shape,
+    scale-correct because the GRAIN is months), one month-of-year
+    hash-agg. Output: keys + (yyyymm, value_cents, trend_milli,
+    seasonal_milli, residual_milli).
+    """
+    half = window // 2
+    off = 10**15
+    ks = list(keys)
+    w = Window.partitionBy(*ks).orderBy(yyyymm_col)
+    frame = w.rowsBetween(-half, half)
+    with_trend = (
+        df.select(
+            *ks,
+            F.col(yyyymm_col).alias("yyyymm"),
+            F.col(cents_col).cast("long").alias("value_cents"),
+        )
+        .withColumn("__s", F.sum("value_cents").over(frame))
+        .withColumn("__n", F.count(F.lit(1)).over(frame))
+        .where(F.col("__n") == window)
+        .withColumn(
+            "trend_milli",
+            F.expr(f"(__s * {scale}L) div {window}L"),
+        )
+        .withColumn(
+            "detr_milli",
+            F.col("value_cents") * F.lit(scale) - F.col("trend_milli"),
+        )
+    )
+    seasonal = (
+        with_trend.groupBy(*ks, (F.col("yyyymm") % 100).alias("__moy"))
+        .agg(
+            F.sum("detr_milli").alias("__sd"),
+            F.count(F.lit(1)).alias("__cnt"),
+        )
+        .withColumn(
+            "seasonal_milli",
+            F.expr(f"((__sd + {off}L * __cnt) div __cnt) - {off}L"),
+        )
+        .select(*ks, "__moy", "seasonal_milli")
+    )
+    return (
+        with_trend.withColumn("__moy", F.col("yyyymm") % 100)
+        .join(seasonal, [*ks, "__moy"])
+        .select(
+            *ks,
+            "yyyymm",
+            "value_cents",
+            "trend_milli",
+            "seasonal_milli",
+            (F.col("detr_milli") - F.col("seasonal_milli")).alias(
+                "residual_milli"
+            ),
+        )
+    )

@@ -159,3 +159,52 @@ def test_minhash_calibration_exact_duplicates(spark):
             assert (r.n_common, r.n_union) == (8, 9)
             expect = (10**6 * abs(r.m_agree * 9 - 64 * 8)) // (64 * 9)
             assert r.err_micro == expect
+
+
+def test_seasonal_decompose_matches_python_model(spark):
+    """Synthetic 3-year monthly series with a strong month-of-year
+    pattern and a ramp: the operator must equal a pure-Python model of
+    the same fixed-point arithmetic — including FLOOR semantics on the
+    NEGATIVE detrended values (the Spark-div/DuckDB-// bridge)."""
+    from novi_pdq_etl_project_prod_spark.operators.timeseries import (
+        seasonal_decompose_monthly,
+    )
+
+    months = [y * 100 + m for y in (2021, 2022, 2023) for m in range(1, 13)]
+    # ramp + seasonal spike in December, dip in February
+    vals = []
+    for i, ym in enumerate(months):
+        v = 1000 + 7 * i + (500 if ym % 100 == 12 else 0) - (300 if ym % 100 == 2 else 0)
+        vals.append((ym, v))
+    df = spark.createDataFrame(
+        [("k", ym, v) for ym, v in vals], "g string, yyyymm int, cents long"
+    )
+    got = {
+        r.yyyymm: (r.trend_milli, r.seasonal_milli, r.residual_milli)
+        for r in seasonal_decompose_monthly(df, ["g"], "yyyymm", "cents").collect()
+    }
+
+    # python model
+    series = dict(vals)
+    idx = {ym: i for i, ym in enumerate(months)}
+    detr = {}
+    trend = {}
+    for ym in months:
+        i = idx[ym]
+        if i < 6 or i > len(months) - 7:
+            continue
+        s = sum(series[months[j]] for j in range(i - 6, i + 7))
+        t = (s * 1000) // 13
+        trend[ym] = t
+        detr[ym] = series[ym] * 1000 - t
+    seas = {}
+    for moy in range(1, 13):
+        ds = [d for ym, d in detr.items() if ym % 100 == moy]
+        if ds:
+            seas[moy] = sum(ds) // len(ds)  # python // IS floor
+    want = {
+        ym: (trend[ym], seas[ym % 100], detr[ym] - seas[ym % 100])
+        for ym in detr
+    }
+    assert any(d < 0 for d in detr.values()), "fixture lost its negative branch"
+    assert got == want
