@@ -160,6 +160,7 @@ HEADLINE = [
     "d42_cohens_kappa",
     "m65_minhash_calibration",
     "d43_seasonal_decompose",
+    "m66_incremental_near_dups",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

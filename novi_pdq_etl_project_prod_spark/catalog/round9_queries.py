@@ -205,3 +205,44 @@ ORDER BY d.l_returnflag, d.yyyymm
 
 QUERIES["d43_seasonal_decompose"] = d43_seasonal_decompose
 ORACLES["d43_seasonal_decompose"] = D43_SQL
+
+
+# ---------------------------------------------------------------------------
+# M66 — incremental near-dup detection: the documents fixture split into
+# a standing corpus (even doc_ids) and an increment (odd doc_ids); every
+# reported pair touches the increment. The oracle is the FULL m8 pair
+# chain filtered to pairs with an odd endpoint — a genuinely different
+# computation path (the engine never forms old×old candidates at all)
+# arriving at the same pair set, which is the correctness claim of the
+# incremental pattern.
+# ---------------------------------------------------------------------------
+
+
+def m66_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        incremental_minhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    return incremental_minhash_pairs(
+        new, old, n=3, num_hashes=64, bands=16, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+M66_SQL = f"""
+WITH {_M8_EDGE_CTES}
+SELECT a.id_a, a.id_b,
+       CAST(a.m AS DOUBLE) / 64 AS est_jaccard,
+       CASE WHEN a.id_a % 2 = 1 AND a.id_b % 2 = 1 THEN 'new_new'
+            ELSE 'new_old' END AS pair_type
+FROM agree a
+WHERE CAST(a.m AS DOUBLE) / 64 >= 0.5
+  AND (a.id_a % 2 = 1 OR a.id_b % 2 = 1)
+ORDER BY a.id_a, a.id_b
+"""
+
+
+QUERIES["m66_incremental_near_dups"] = m66_incremental_near_dups
+ORACLES["m66_incremental_near_dups"] = M66_SQL

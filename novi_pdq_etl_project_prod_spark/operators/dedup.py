@@ -1112,3 +1112,111 @@ def minhash_calibration_report(
             f" div ({k}L * n_union)"
         ).alias("err_micro"),
     )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs for a corpus INCREMENT: every reported pair
+    involves at least one NEW document (new×new and new×old), never
+    old×old — the ingestion pattern that makes MinHash dedup viable at
+    100 TB: a daily increment is banded against the standing corpus's
+    signature table without re-pairing the corpus against itself
+    (old×old pairs were already reported when those docs ingested).
+
+    Scale shape: the increment pays signatures + banding in full; the
+    standing corpus contributes ONLY its banded signature rows — in
+    production that table is persisted once at ingest (signatures are
+    content-addressed and immutable) and this function's
+    ``existing_df`` side is the stored-signature scan, so per-increment
+    cost is |new|·bands explode + one band-key join, independent of any
+    old×old pair mass. Candidate verification (minima agreement) runs
+    per candidate pair exactly as in :func:`minhash_near_duplicates_md5`.
+
+    Output: (id_a < id_b, est_jaccard, pair_type ∈ {new_new, new_old})
+    on the md5-deterministic path — bit-for-bit oracle-able as the m8
+    pair set filtered to pairs touching the increment.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig_new = minhash_signatures_md5(new_df, id_col, text_col, n, num_hashes)
+    sig_old = minhash_signatures_md5(
+        existing_df, id_col, text_col, n, num_hashes
+    )
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.where(F.col("signature").isNotNull()).select(
+            "id",
+            "signature",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(j)),
+                            *[
+                                F.col("signature")[j * r + k].cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    bn = cache.track(_banded(sig_new), eager=True)
+    ball = bn.withColumn("is_new", F.lit(True)).unionByName(
+        _banded(sig_old).withColumn("is_new", F.lit(False))
+    )
+    a = bn.alias("a")
+    b = ball.alias("b")
+    # one-sided join: left side is ALWAYS the increment, so old×old
+    # cells never pair; canonicalize to id_a < id_b and dedup the
+    # new×new pairs seen from both sides
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.signature"))
+            .otherwise(F.col("b.signature"))
+            .alias("sig_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.signature"))
+            .otherwise(F.col("a.signature"))
+            .alias("sig_b"),
+            F.col("b.is_new").alias("other_is_new"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+            # a pair is new_new iff BOTH endpoints are increments: the
+            # left side always is, so check any observation of the
+            # right side being new (consistent across duplicates)
+            F.max(F.col("other_is_new")).alias("both_new"),
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+        F.when(F.col("both_new"), F.lit("new_new"))
+        .otherwise(F.lit("new_old"))
+        .alias("pair_type"),
+    ).where(F.col("est_jaccard") >= threshold)

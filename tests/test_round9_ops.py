@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 
 def _clustered_corpus(spark, dim=8, n_noise=6, seed=7):
@@ -208,3 +209,40 @@ def test_seasonal_decompose_matches_python_model(spark):
     }
     assert any(d < 0 for d in detr.values()), "fixture lost its negative branch"
     assert got == want
+
+
+def test_incremental_minhash_pairs_skips_old_old(spark):
+    """Planted near-dups in every membership combination: the increment
+    path must report the new×new and new×old pairs exactly as the full
+    run does, tag them correctly, and NEVER form the old×old pair even
+    though it is a true near-duplicate (it was the previous ingest's
+    report — re-reporting it is the quadratic cost the pattern avoids)."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_near_duplicates_md5,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (2, base), (4, base),               # old×old near-dup pair
+        (1, base + " lam"), (3, base + " lam"),  # new×new pair
+        (6, base + " mu"), (7, base + " mu"),    # old×new pair
+        (8, "completely different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    old = docs.where(F.col("doc_id") % 2 == 0)
+
+    inc = {
+        (r.id_a, r.id_b): r.pair_type
+        for r in incremental_minhash_pairs(new, old, threshold=0.5).collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates_md5(docs, threshold=0.5).collect()
+    }
+    want = {p for p in full if p[0] % 2 == 1 or p[1] % 2 == 1}
+    assert set(inc) == want
+    assert (2, 4) in full and (2, 4) not in inc
+    assert inc.get((1, 3)) == "new_new"
+    assert inc.get((6, 7)) == "new_old"
