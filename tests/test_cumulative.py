@@ -90,7 +90,10 @@ def test_single_value_group(spark):
     # constant order column → every cut equal → one bucket; must not crash
     df = spark.createDataFrame([("A", 5.0, 1)] * 10, "k string, v double, wt long")
     got = partitioned_cumulative(df, ["k"], "v", sums={"cum": "wt"})
-    assert [r.cum for r in got.collect()] == list(range(1, 11))
+    # rows are all identical, so the cum ranks 1..10 can land on them in
+    # any physical order — assert the SET of running sums, not collect()
+    # order (which varies with parallelism; flaked in the sharded run)
+    assert sorted(r.cum for r in got.collect()) == list(range(1, 11))
 
 
 def test_buckets_actually_partition_the_sort(spark):
