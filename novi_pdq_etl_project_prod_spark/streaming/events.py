@@ -1047,3 +1047,180 @@ def stream_merge_into(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_near_dups(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    signatures_table: str = "minhash_signatures",
+    pairs_table: str = "near_dup_pairs",
+) -> None:
+    """Streaming incremental near-dup detection — the production form of
+    ``operators.dedup.incremental_minhash_pairs``: each micro-batch of
+    documents is banded against the PERSISTED signature table of
+    everything ingested before it; the batch's signatures are appended
+    and its pairs (batch×batch ∪ batch×standing) recorded, both through
+    ONE atomic ``commit_tables`` manifest, marker-gated for exactly-once
+    under replay.
+
+    The correctness property this buys (pinned metamorphically): after
+    ingesting a corpus in ANY number of increments, the accumulated
+    pairs table equals the full-corpus ``minhash_near_duplicates_md5``
+    pair set with each pair reported EXACTLY ONCE — at the batch where
+    its later member arrived — while no batch ever paid the standing
+    corpus's old×old pair mass (the 100 TB viability condition).
+
+    Scale: per trigger, |batch|·bands explode + one band-key join
+    against the signature table scan; signatures are content-addressed
+    and immutable, so the standing table only ever appends.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        minhash_signatures_md5,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_tables,
+    )
+
+    marker = batch_marker_key(checkpoint_dir)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its signatures and pairs are in
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            current = read_manifest_tables(spark, root, layer)
+            existing_sigs = current.get(signatures_table)
+            sigs_new = minhash_signatures_md5(
+                batch_df, id_col, text_col, n, num_hashes
+            ).persist()
+            pairs = _incremental_pairs_from_signatures(
+                sigs_new,
+                existing_sigs if existing_sigs is not None
+                else sigs_new.limit(0),
+                num_hashes,
+                bands,
+                threshold,
+            )
+            merged_sigs = (
+                sigs_new
+                if existing_sigs is None
+                else existing_sigs.unionByName(sigs_new)
+            )
+            existing_pairs = current.get(pairs_table)
+            merged_pairs = (
+                pairs
+                if existing_pairs is None
+                else existing_pairs.unionByName(pairs)
+            )
+            meta: dict = {marker: _batch_id}
+            if retire_legacy:
+                meta[_LEGACY_MARKER_KEY] = None
+            commit_tables(
+                {signatures_table: merged_sigs, pairs_table: merged_pairs},
+                root,
+                layer,
+                meta=meta,
+            )
+            sigs_new.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _incremental_pairs_from_signatures(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Signature-table form of the incremental pair join: identical
+    banding/verification to ``incremental_minhash_pairs`` but the
+    standing side is the persisted (id, signature) table itself — no
+    re-hash of old documents ever happens on the streaming path."""
+    r = num_hashes // bands
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        return sigs.where(F.col("signature").isNotNull()).select(
+            "id",
+            "signature",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(j)),
+                            *[
+                                F.col("signature")[j * r + k].cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    bn = _banded(sig_new)
+    ball = bn.withColumn("is_new", F.lit(True)).unionByName(
+        _banded(sig_old).withColumn("is_new", F.lit(False))
+    )
+    a = bn.alias("a")
+    b = ball.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("a.signature"))
+            .otherwise(F.col("b.signature"))
+            .alias("sig_a"),
+            F.when(F.col("a.id") < F.col("b.id"), F.col("b.signature"))
+            .otherwise(F.col("a.signature"))
+            .alias("sig_b"),
+            F.col("b.is_new").alias("other_is_new"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first("sig_a").alias("sig_a"),
+            F.first("sig_b").alias("sig_b"),
+            F.max(F.col("other_is_new")).alias("both_new"),
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+        F.when(F.col("both_new"), F.lit("new_new"))
+        .otherwise(F.lit("new_old"))
+        .alias("pair_type"),
+    ).where(F.col("est_jaccard") >= threshold)

@@ -1053,3 +1053,89 @@ def test_stream_merge_into_matches_sequential_batch_merges(spark, tmp_path):
         )
     )
     assert after == want, "replayed merge re-applied a delta"
+
+
+def test_stream_incremental_near_dups_covers_full_corpus_exactly_once(
+    spark, tmp_path
+):
+    """The streaming incremental-dedup property: ingesting a corpus in N
+    micro-batches accumulates EXACTLY the full-corpus near-dup pair set
+    — every pair reported once, at the batch where its later member
+    arrived, with pair_type reflecting the membership at that moment —
+    and a checkpoint-loss replay changes nothing. No batch ever forms a
+    standing×standing candidate (the 100 TB viability condition)."""
+    import shutil
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        minhash_near_duplicates_md5,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_incremental_near_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batch1 = [(1, base), (2, base + " lam"), (3, "unrelated words here")]
+    # doc 4 pairs with 1 (cross-batch), doc 5 with 2 (cross-batch),
+    # docs 6/7 pair within batch 2
+    batch2 = [
+        (4, base),
+        (5, base + " lam"),
+        (6, "other corpus entirely second text"),
+        (7, "other corpus entirely second text"),
+    ]
+    updates_dir = str(tmp_path / "docs")
+    spark.createDataFrame(batch1, "doc_id int, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(updates_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, "doc_id int, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id int, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_incremental_near_dups(
+            stream, root, "curated", checkpoint_dir=chk, threshold=0.5
+        )
+
+    _run()
+    tables = read_manifest_tables(spark, root, "curated")
+    got = {
+        (r.id_a, r.id_b): r.pair_type for r in tables["near_dup_pairs"].collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates_md5(
+            spark.createDataFrame(batch1 + batch2, "doc_id int, text string"),
+            threshold=0.5,
+        ).collect()
+    }
+    assert set(got) == full, "incremental union != full-corpus pair set"
+    assert len(got) == len(full), "a pair was reported more than once"
+    # cross-batch pairs carry new_old; the intra-batch-1 pair (1,2)
+    # arrived together -> new_new at batch 0; (6,7) new_new at batch 1
+    assert got.get((1, 4)) == "new_old" and got.get((2, 5)) == "new_old"
+    assert got.get((6, 7)) == "new_new"
+    # the signature table holds every ingested doc exactly once
+    sigs = tables["minhash_signatures"].collect()
+    assert sorted(r.id for r in sigs) == [1, 2, 3, 4, 5, 6, 7]
+
+    # replay: full re-run after checkpoint loss is marker-gated to a no-op
+    shutil.rmtree(chk)
+    _run()
+    after = read_manifest_tables(spark, root, "curated")
+    assert {
+        (r.id_a, r.id_b) for r in after["near_dup_pairs"].collect()
+    } == full
+    assert after["minhash_signatures"].count() == 7
