@@ -30,7 +30,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #: duration profile). Missing files default to 8 + n/a; exactness only
 #: affects balance, not correctness.
 COSTS = {
-    "test_streaming_multimodal.py": 170,
+    "test_streaming_multimodal.py": 210,
     "test_partitioning_invariance.py": 155,
     "test_oracle_parity.py": 140,
     "test_round6b_ops.py": 75,
@@ -42,7 +42,7 @@ COSTS = {
     "test_reference_pipeline.py": 35,
     "test_cache_lifecycle.py": 30,
     "test_quality_gates.py": 30,
-    "test_round9_ops.py": 30,
+    "test_round9_ops.py": 45,
     "test_modeling_advanced.py": 25,
     "test_llm_ops.py": 25,
     "test_round8_ops.py": 25,
