@@ -265,3 +265,137 @@ def test_schema_drift_reports_added_removed_retyped(spark):
         {"column": "z", "status": "added", "old_type": None, "new_type": "boolean"},
     ]
     assert schema_drift(old, old) == []
+
+
+def _segment_state(table_dir, seg):
+    """(file set, mtimes) of one committed segment dir — the immutability
+    witness: an append-shaped commit must leave prior segments untouched."""
+    files = sorted(_parquet_files(os.path.join(table_dir, seg)))
+    return [(f, os.path.getmtime(f)) for f in files]
+
+
+def test_append_commit_writes_batch_only_and_reads_union(spark, tmp_path):
+    """commit_tables(append_tables=...) is the O(batch) commit primitive
+    (VERDICT r09 #1): each append stages ONLY the new rows as a manifest
+    segment; prior segments are referenced by name — same files, same
+    mtimes — and manifest readers scan the union. A whole-snapshot table
+    upgrades in place on its first append."""
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    mk = lambda lo, hi: spark.range(lo, hi).withColumn(  # noqa: E731
+        "v", F.col("id") * 10
+    )
+
+    # first commit: whole-table snapshot (the original format)
+    layers.commit_tables({"sigs": mk(0, 3)}, root, "curated")
+    entry0 = layers.read_manifest(root, "curated")["sigs"]
+    assert isinstance(entry0, str)
+    tdir = layers.table_path(root, "curated", "sigs")
+    seg0_before = _segment_state(tdir, entry0)
+
+    # two appends: the manifest entry becomes [seg0, seg1, seg2]
+    layers.commit_tables(
+        {"sigs": mk(3, 5)}, root, "curated", append_tables=("sigs",)
+    )
+    layers.commit_tables(
+        {"sigs": mk(5, 9)}, root, "curated", append_tables=("sigs",)
+    )
+    entry = layers.read_manifest(root, "curated")["sigs"]
+    assert isinstance(entry, list) and entry[0] == entry0 and len(entry) == 3
+
+    # physical append shape: segment 0 untouched; each segment holds
+    # exactly its batch's rows (no standing-corpus rewrite)
+    assert _segment_state(tdir, entry0) == seg0_before
+    per_seg = [
+        sorted(
+            r.id for r in spark.read.parquet(os.path.join(tdir, s)).collect()
+        )
+        for s in entry
+    ]
+    assert per_seg == [[0, 1, 2], [3, 4], [5, 6, 7, 8]]
+
+    # manifest readers see the union, set-consistently
+    got = layers.read_manifest_tables(spark, root, "curated")["sigs"]
+    assert sorted(r.id for r in got.collect()) == list(range(9))
+    # per-table pointer names the NEWEST segment (latest increment)
+    assert layers.current_snapshot(tdir) == entry[-1]
+
+    # time travel: an intermediate manifest reads the prefix union
+    hist = layers.manifest_history(root, "curated")
+    mid = [h for h in hist if h["tables"]["sigs"] == entry[:2]]
+    assert len(mid) == 1
+    as_of = layers.read_manifest_tables_as_of(
+        spark, root, "curated", mid[0]["version"]
+    )["sigs"]
+    assert sorted(r.id for r in as_of.collect()) == list(range(5))
+
+
+def test_vacuum_pins_live_segments_until_rewrite(spark, tmp_path, monkeypatch):
+    """GC never collects a segment referenced by a retained manifest, no
+    matter how old or how aggressive the retention — old segments ARE
+    the live table. After a whole-snapshot rewrite resets the list, a
+    retain=0 vacuum collects them."""
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_GRACE_SECONDS", 0.0)
+    monkeypatch.setattr(layers, "GC_RETAIN_PREVIOUS", 0)
+    root = str(tmp_path)
+    mk = lambda lo, hi: spark.range(lo, hi)  # noqa: E731
+
+    layers.commit_tables(
+        {"sigs": mk(0, 2)}, root, "curated", append_tables=("sigs",)
+    )
+    for i in range(1, 5):
+        layers.commit_tables(
+            {"sigs": mk(2 * i, 2 * i + 2)},
+            root,
+            "curated",
+            append_tables=("sigs",),
+        )
+    entry = layers.read_manifest(root, "curated")["sigs"]
+    assert len(entry) == 5
+
+    removed = layers.vacuum(root, "curated", retain=0, grace_seconds=0.0)
+    # every segment survives the most aggressive vacuum possible...
+    assert removed.get("sigs", 0) == 0
+    got = layers.read_manifest_tables(spark, root, "curated")["sigs"]
+    assert sorted(r.id for r in got.collect()) == list(range(10))
+
+    # ...until a compacting whole-snapshot commit resets the list
+    full = layers.read_manifest_tables(spark, root, "curated")["sigs"]
+    layers.commit_tables({"sigs": full.coalesce(1)}, root, "curated")
+    assert isinstance(layers.read_manifest(root, "curated")["sigs"], str)
+    layers.vacuum(root, "curated", retain=0, grace_seconds=0.0)
+    tdir = layers.table_path(root, "curated", "sigs")
+    remaining = [
+        e for e in os.listdir(tdir) if e.startswith(layers._SNAPSHOT_PREFIX)
+    ]
+    assert remaining == [layers.current_snapshot(tdir)]
+    got2 = layers.read_manifest_tables(spark, root, "curated")["sigs"]
+    assert sorted(r.id for r in got2.collect()) == list(range(10))
+
+
+def test_append_commit_cas_conflict_leaves_no_segment(spark, tmp_path):
+    """A CAS-rejected append stages nothing: the reserved segment dir is
+    removed and the manifest entry is unchanged."""
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    layers.commit_tables(
+        {"sigs": spark.range(0, 3)}, root, "curated", append_tables=("sigs",)
+    )
+    entry_before = layers.read_manifest(root, "curated")["sigs"]
+    with _pytest.raises(layers.SnapshotConflictError):
+        layers.commit_tables(
+            {"sigs": spark.range(3, 5)},
+            root,
+            "curated",
+            expected_base="_snap_v99999999",  # stale token
+            append_tables=("sigs",),
+        )
+    assert layers.read_manifest(root, "curated")["sigs"] == entry_before
+    got = layers.read_manifest_tables(spark, root, "curated")["sigs"]
+    assert sorted(r.id for r in got.collect()) == [0, 1, 2]

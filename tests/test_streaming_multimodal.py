@@ -7,6 +7,7 @@ match — the metamorphic oracle for the streaming engine.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -1130,6 +1131,29 @@ def test_stream_incremental_near_dups_covers_full_corpus_exactly_once(
     # the signature table holds every ingested doc exactly once
     sigs = tables["minhash_signatures"].collect()
     assert sorted(r.id for r in sigs) == [1, 2, 3, 4, 5, 6, 7]
+
+    # the commit is append-SHAPED (round 10): each batch added one
+    # manifest segment holding ONLY its own rows — the standing corpus
+    # was referenced, never re-written (O(batch) commit volume)
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest,
+        table_path,
+    )
+
+    entry = read_manifest(root, "curated")["minhash_signatures"]
+    assert isinstance(entry, list) and len(entry) == 2
+    seg_ids = [
+        sorted(
+            r.id
+            for r in spark.read.parquet(
+                os.path.join(
+                    table_path(root, "curated", "minhash_signatures"), seg
+                )
+            ).collect()
+        )
+        for seg in entry
+    ]
+    assert seg_ids == [[1, 2, 3], [4, 5, 6, 7]]
 
     # replay: full re-run after checkpoint loss is marker-gated to a no-op
     shutil.rmtree(chk)
