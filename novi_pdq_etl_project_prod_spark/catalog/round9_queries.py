@@ -65,11 +65,12 @@ marg AS (
   FROM (SELECT rater_a AS lbl, SUM(c) AS r FROM cells GROUP BY 1) a
   FULL OUTER JOIN
        (SELECT rater_b AS lbl, SUM(c) AS cc FROM cells GROUP BY 1) b
-    ON a.lbl = b.lbl
+    ON a.lbl IS NOT DISTINCT FROM b.lbl
 ),
 tot AS (
   SELECT (SELECT SUM(c) FROM cells) AS n,
-         (SELECT COALESCE(SUM(c), 0) FROM cells WHERE rater_a = rater_b) AS diag,
+         (SELECT COALESCE(SUM(c), 0) FROM cells
+          WHERE rater_a IS NOT DISTINCT FROM rater_b) AS diag,
          (SELECT SUM(r * cc) FROM marg) AS rc
 )
 SELECT CAST(n AS BIGINT) AS n_rows,
@@ -184,8 +185,11 @@ trended AS (
 ),
 detr AS (
   SELECT l_returnflag, yyyymm, value_cents,
-         CAST((s * 1000) // 13 AS BIGINT) AS trend_milli,
-         CAST(value_cents * 1000 - (s * 1000) // 13 AS BIGINT) AS detr_milli
+         CAST(((s * 1000 + 1000000000000000 * 13) // 13)
+              - 1000000000000000 AS BIGINT) AS trend_milli,
+         CAST(value_cents * 1000
+              - (((s * 1000 + 1000000000000000 * 13) // 13)
+                 - 1000000000000000) AS BIGINT) AS detr_milli
   FROM trended WHERE n = 13
 ),
 seas AS (

@@ -1300,7 +1300,11 @@ def cohens_kappa(
     ra = cells.groupBy("__a").agg(F.sum("c").cast("decimal(19,0)").alias("r"))
     rb = cells.groupBy("__b").agg(F.sum("c").cast("decimal(19,0)").alias("cc"))
     rc = (
-        ra.join(rb, ra["__a"] == rb["__b"], "full_outer")
+        # eqNullSafe (ADVICE r09): groupBy treats NULL as a real label,
+        # so the marginal join must too — plain equality dropped the
+        # r_NULL·c_NULL term from Σ rᵢ·cᵢ, understating pe on
+        # NULL-bearing corpora
+        ra.join(rb, ra["__a"].eqNullSafe(rb["__b"]), "full_outer")
         .select(
             (
                 F.coalesce(F.col("r"), F.lit(0).cast("decimal(19,0)"))
@@ -1312,7 +1316,9 @@ def cohens_kappa(
     tot = cells.agg(
         F.sum("c").cast("decimal(19,0)").alias("n"),
         F.coalesce(
-            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("c"))),
+            # null-safe diagonal for the same reason: a (NULL, NULL)
+            # cell is an agreement under the NULL-is-a-label convention
+            F.sum(F.when(F.col("__a").eqNullSafe(F.col("__b")), F.col("c"))),
             F.lit(0),
         )
         .cast("decimal(19,0)")

@@ -245,8 +245,14 @@ def seasonal_decompose_monthly(
         .withColumn("__n", F.count(F.lit(1)).over(frame))
         .where(F.col("__n") == window)
         .withColumn(
+            # offset floor-div here too (ADVICE r09): the WINDOW SUM is
+            # signed whenever the series is (refund/chargeback months),
+            # and a bare `div` would truncate where DuckDB `//` floors
             "trend_milli",
-            F.expr(f"(__s * {scale}L) div {window}L"),
+            F.expr(
+                f"((__s * {scale}L + {off}L * {window}L) div {window}L)"
+                f" - {off}L"
+            ),
         )
         .withColumn(
             "detr_milli",

@@ -51,30 +51,83 @@ def batch_marker_key(checkpoint_dir: str) -> str:
 _LEGACY_MARKER_KEY = "last_batch_id"
 
 
-def _last_applied_batch(
-    root: str, layer: str, marker: str
-) -> tuple[int | None, bool]:
-    """The exactly-once gate's last-applied batch id, with a one-time
-    MIGRATION from the pre-round-8 un-namespaced ``last_batch_id`` key
-    (ADVICE r08): a sink upgraded in place has real applied history
-    under the legacy key, and ignoring it would re-apply the first
-    replayed batch once. On a namespaced-marker miss the legacy value
-    is honored; whenever the legacy key is present at all the caller
-    retires it (overlays None in its next commit — the meta merge drops
-    None values) so it doesn't shadow future sequences or get carried
-    forward forever. Returns ``(last_applied, retire_legacy)``."""
+def _last_applied_batch(root: str, layer: str, marker: str) -> int | None:
+    """The exactly-once gate's last-applied batch id — a pure read of
+    this sink's NAMESPACED marker. Legacy-key handling moved out of the
+    per-batch gate (ADVICE r09): inferring history from the
+    un-namespaced pre-round-8 key made a genuinely NEW sink (fresh
+    checkpoint) on a layer that happened to carry the legacy key skip
+    its batches 0..legacy as "replays" — and since nothing committed,
+    the legacy key was never retired, dropping the data on EVERY rerun.
+    Migration now happens once at sink startup
+    (:func:`_maybe_migrate_legacy` / :func:`migrate_legacy_batch_marker`),
+    as its own commit, never inside the gate."""
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         read_manifest_meta,
     )
 
+    last = read_manifest_meta(root, layer).get(marker)
+    return last if isinstance(last, int) else None
+
+
+def _checkpoint_has_progress(checkpoint_dir: str) -> bool:
+    """True when the Structured Streaming checkpoint has committed at
+    least one offset — the evidence that a query identity ALREADY RAN
+    with this checkpoint (vs. a brand-new sink whose dir is empty)."""
+    import os
+
+    try:
+        return any(
+            not e.startswith(".")
+            for e in os.listdir(os.path.join(checkpoint_dir, "offsets"))
+        )
+    except OSError:
+        return False
+
+
+def migrate_legacy_batch_marker(
+    root: str, layer: str, checkpoint_dir: str
+) -> int | None:
+    """EXPLICIT one-time migration of a pre-round-8 sink's applied
+    history: copy the un-namespaced ``last_batch_id`` meta value to this
+    checkpoint's namespaced marker and retire the legacy key, in one
+    atomic meta-only commit. Run it when upgrading a pre-round-8 sink
+    that restarts with a FRESH checkpoint (same source directory, batch
+    ids re-derive from 0) — the one case that is mechanically
+    indistinguishable from a brand-new sink, so the operator must state
+    the intent. Upgrades that keep their checkpoint dir need nothing:
+    :func:`_maybe_migrate_legacy` detects the prior progress and
+    migrates automatically at sink startup. No-op (returns None) when
+    there is no legacy key or the namespaced marker already exists;
+    otherwise returns the migrated batch id."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+    )
+
     meta = read_manifest_meta(root, layer)
-    last = meta.get(marker)
     legacy = meta.get(_LEGACY_MARKER_KEY)
-    if isinstance(last, int):
-        return last, legacy is not None
-    if isinstance(legacy, int):
-        return legacy, True
-    return None, legacy is not None
+    marker = batch_marker_key(checkpoint_dir)
+    if not isinstance(legacy, int) or isinstance(meta.get(marker), int):
+        return None
+    commit_tables(
+        {}, root, layer, meta={marker: legacy, _LEGACY_MARKER_KEY: None}
+    )
+    return legacy
+
+
+def _maybe_migrate_legacy(root: str, layer: str, checkpoint_dir: str) -> None:
+    """Evidence-gated AUTO-migration, called by every sink at startup:
+    only a checkpoint with prior committed offsets proves this sink is
+    the pre-round-8 sink upgraded in place, so only then is the legacy
+    ``last_batch_id`` adopted (and retired) as this sink's namespaced
+    marker. A fresh-checkpoint sink leaves the legacy key untouched —
+    it may belong to a not-yet-upgraded sibling sink; adopting it would
+    silently drop the new sink's first batches (ADVICE r09). Fresh-
+    checkpoint UPGRADES must call :func:`migrate_legacy_batch_marker`
+    explicitly."""
+    if _checkpoint_has_progress(checkpoint_dir):
+        migrate_legacy_batch_marker(root, layer, checkpoint_dir)
 
 
 def read_event_stream(
@@ -618,11 +671,12 @@ def stream_to_star_schema(
     )
 
     marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, "curated", checkpoint_dir)
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last, retire_legacy = _last_applied_batch(root, "curated", marker)
+        last = _last_applied_batch(root, "curated", marker)
         if last is not None and _batch_id <= last:
             return  # replayed batch: its delta is already in the fact
         spark = batch_df.sparkSession
@@ -645,8 +699,6 @@ def stream_to_star_schema(
             .agg(*[F.sum(F.col(m)).alias(m) for m in measure_cols])
         )
         meta: dict = {marker: _batch_id}
-        if retire_legacy:
-            meta[_LEGACY_MARKER_KEY] = None  # retire the pre-r08 key
         commit_tables(
             {fact_table: merged_fact, dim_table: merged_dim},
             root,
@@ -833,11 +885,12 @@ def stream_bin_counts(
     )
 
     marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
 
     def _merge_batch(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        last = _last_applied_batch(root, layer, marker)
         if last is not None and _batch_id <= last:
             return  # replayed batch: its counts are already in
         spark = batch_df.sparkSession
@@ -851,8 +904,6 @@ def stream_bin_counts(
             .agg(F.sum("n").alias("n"))
         )
         meta: dict = {marker: _batch_id}
-        if retire_legacy:
-            meta[_LEGACY_MARKER_KEY] = None  # retire the pre-r08 key
         commit_tables({table: merged}, root, layer, meta=meta)
 
     q = (
@@ -906,13 +957,14 @@ def stream_write_with_expectations(
     )
 
     marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
     qt = quarantine_table or f"{table}_quarantine"
     counts_key = f"expectations:{table}"
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        last = _last_applied_batch(root, layer, marker)
         if last is not None and _batch_id <= last:
             return  # replayed batch: its rows and counts already landed
         spark = batch_df.sparkSession
@@ -945,8 +997,6 @@ def stream_write_with_expectations(
                 ),
             }
             meta: dict = {marker: _batch_id, counts_key: total}
-            if retire_legacy:
-                meta[_LEGACY_MARKER_KEY] = None
             commit_tables(tables, root, layer, meta=meta)
         finally:
             tagged.unpersist()
@@ -1005,11 +1055,12 @@ def stream_merge_into(
     )
 
     marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
 
     def _publish(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        last = _last_applied_batch(root, layer, marker)
         if last is not None and _batch_id <= last:
             return  # replayed batch: its merge is already in the state
         spark = batch_df.sparkSession
@@ -1017,14 +1068,25 @@ def stream_merge_into(
         if source_dedup_order:
             from pyspark.sql import Window
 
+            # NULL-key rows are exempt from the collapse (ADVICE r09,
+            # mirroring merge_frames' dup-guard): under the ANSI
+            # never-match rule each NULL-key source row INSERTS, so
+            # collapsing them to one window survivor would silently
+            # drop legitimate inserts
+            non_null = None
+            for k in on:
+                nn = F.col(k).isNotNull()
+                non_null = nn if non_null is None else (non_null & nn)
             w = Window.partitionBy(*on).orderBy(
                 *[F.col(c).desc() for c in source_dedup_order]
             )
-            source = (
-                source.withColumn("_rn", F.row_number().over(w))
+            keyed = (
+                source.where(non_null)
+                .withColumn("_rn", F.row_number().over(w))
                 .where(F.col("_rn") == 1)
                 .drop("_rn")
             )
+            source = keyed.unionByName(source.where(~non_null))
         target = read_manifest_tables(spark, root, layer).get(table)
         merged = merge_frames(
             target,
@@ -1035,8 +1097,6 @@ def stream_merge_into(
             when_not_matched_insert=when_not_matched_insert,
         )
         meta: dict = {marker: _batch_id}
-        if retire_legacy:
-            meta[_LEGACY_MARKER_KEY] = None
         commit_tables({table: merged}, root, layer, meta=meta)
 
     q = (
@@ -1098,11 +1158,12 @@ def stream_incremental_near_dups(
     )
 
     marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        last, retire_legacy = _last_applied_batch(root, layer, marker)
+        last = _last_applied_batch(root, layer, marker)
         if last is not None and _batch_id <= last:
             return  # replayed batch: its signatures and pairs are in
         spark = batch_df.sparkSession
@@ -1122,8 +1183,6 @@ def stream_incremental_near_dups(
                 threshold,
             )
             meta: dict = {marker: _batch_id}
-            if retire_legacy:
-                meta[_LEGACY_MARKER_KEY] = None
             # APPEND-shaped commit (round 10, VERDICT r09 #1): only the
             # batch's signatures and pairs are written; the standing
             # corpus is referenced by the manifest as prior segments,

@@ -134,6 +134,30 @@ def test_cohens_kappa_extremes(spark):
     assert cohens_kappa(indep, "ra", "rb").collect()[0].kappa == 0.0
 
 
+def test_cohens_kappa_null_is_a_label(spark):
+    """NULL ('abstained') is a real label everywhere, consistently
+    (ADVICE r09): the confusion matrix includes NULL cells via groupBy,
+    so the diagonal must count (NULL, NULL) as agreement and the
+    marginal product must include the r_NULL·c_NULL term in Σ rᵢ·cᵢ —
+    a null-unsafe join/when silently understates both po and pe.
+
+    Fixture: (NULL,NULL)×2, (NULL,'a')×1, ('a',NULL)×1, ('a','a')×2.
+    n=6, diag=4 (2 null-null + 2 a-a), marginals r_NULL=3 r_a=3,
+    c_NULL=3 c_a=3 → rc=18. po=4/6; pe=18/36=0.5;
+    kappa=(6·4−18)/(36−18)=6/18=1/3."""
+    from novi_pdq_etl_project_prod_spark.operators.stats import cohens_kappa
+
+    rows = [
+        (None, None), (None, None), (None, "a"),
+        ("a", None), ("a", "a"), ("a", "a"),
+    ]
+    df = spark.createDataFrame(rows, "ra string, rb string")
+    got = cohens_kappa(df, "ra", "rb").collect()[0]
+    assert got.n_rows == 6 and got.n_agree == 4
+    assert got.po == 4 / 6 and got.pe == 0.5
+    assert abs(got.kappa - 1 / 3) < 1e-15
+
+
 def test_minhash_calibration_exact_duplicates(spark):
     """Planted exact duplicates: the signature estimate and the true
     Jaccard must both be 1.0 with zero calibration error; a near-dup
@@ -172,42 +196,65 @@ def test_seasonal_decompose_matches_python_model(spark):
     )
 
     months = [y * 100 + m for y in (2021, 2022, 2023) for m in range(1, 13)]
-    # ramp + seasonal spike in December, dip in February
-    vals = []
-    for i, ym in enumerate(months):
-        v = 1000 + 7 * i + (500 if ym % 100 == 12 else 0) - (300 if ym % 100 == 2 else 0)
-        vals.append((ym, v))
-    df = spark.createDataFrame(
-        [("k", ym, v) for ym, v in vals], "g string, yyyymm int, cents long"
-    )
+
+    def series_val(key, i, ym):
+        if key == "k":
+            # ramp + seasonal spike in December, dip in February
+            return (
+                1000 + 7 * i
+                + (500 if ym % 100 == 12 else 0)
+                - (300 if ym % 100 == 2 else 0)
+            )
+        # "neg": a refunds ledger — NEGATIVE overall level, so the
+        # centered WINDOW SUM itself is negative and the trend division
+        # exercises its signed branch (ADVICE r09: the trend div lacked
+        # the floor offset and the all-positive fixture hid it)
+        return (
+            -1000 - 11 * i
+            + (400 if ym % 100 == 7 else 0)
+            - (250 if ym % 100 == 3 else 0)
+        )
+
+    rows = [
+        (key, ym, series_val(key, i, ym))
+        for key in ("k", "neg")
+        for i, ym in enumerate(months)
+    ]
+    df = spark.createDataFrame(rows, "g string, yyyymm int, cents long")
     got = {
-        r.yyyymm: (r.trend_milli, r.seasonal_milli, r.residual_milli)
+        (r.g, r.yyyymm): (r.trend_milli, r.seasonal_milli, r.residual_milli)
         for r in seasonal_decompose_monthly(df, ["g"], "yyyymm", "cents").collect()
     }
 
-    # python model
-    series = dict(vals)
-    idx = {ym: i for i, ym in enumerate(months)}
-    detr = {}
-    trend = {}
-    for ym in months:
-        i = idx[ym]
-        if i < 6 or i > len(months) - 7:
-            continue
-        s = sum(series[months[j]] for j in range(i - 6, i + 7))
-        t = (s * 1000) // 13
-        trend[ym] = t
-        detr[ym] = series[ym] * 1000 - t
-    seas = {}
-    for moy in range(1, 13):
-        ds = [d for ym, d in detr.items() if ym % 100 == moy]
-        if ds:
-            seas[moy] = sum(ds) // len(ds)  # python // IS floor
-    want = {
-        ym: (trend[ym], seas[ym % 100], detr[ym] - seas[ym % 100])
-        for ym in detr
-    }
-    assert any(d < 0 for d in detr.values()), "fixture lost its negative branch"
+    # python model (// IS floor — the semantics both engines must match)
+    want = {}
+    neg_trend_sum_seen = False
+    for key in ("k", "neg"):
+        series = {ym: series_val(key, i, ym) for i, ym in enumerate(months)}
+        detr = {}
+        trend = {}
+        for i, ym in enumerate(months):
+            if i < 6 or i > len(months) - 7:
+                continue
+            s = sum(series[months[j]] for j in range(i - 6, i + 7))
+            neg_trend_sum_seen = neg_trend_sum_seen or s < 0
+            t = (s * 1000) // 13
+            trend[ym] = t
+            detr[ym] = series[ym] * 1000 - t
+        seas = {}
+        for moy in range(1, 13):
+            ds = [d for ym, d in detr.items() if ym % 100 == moy]
+            if ds:
+                seas[moy] = sum(ds) // len(ds)
+        for ym in detr:
+            want[(key, ym)] = (
+                trend[ym], seas[ym % 100], detr[ym] - seas[ym % 100]
+            )
+        if key == "k":
+            assert any(d < 0 for d in detr.values()), (
+                "fixture lost its negative detrended branch"
+            )
+    assert neg_trend_sum_seen, "fixture lost its negative window-sum branch"
     assert got == want
 
 

@@ -833,12 +833,13 @@ def test_two_streams_sharing_a_layer_gate_independently(spark, tmp_path):
 
 
 def test_stream_to_star_schema_migrates_legacy_marker(spark, tmp_path):
-    """ADVICE r08: a layer written by a pre-round-8 sink carries its
+    """ADVICE r08/r09: a layer written by a pre-round-8 sink carries its
     applied history under the un-namespaced 'last_batch_id' meta key.
-    On the first post-upgrade replay the namespaced marker is missing,
-    so the gate must fall back to the legacy key (the replayed batch is
-    skipped, not double-applied), and the next applied commit retires
-    the legacy key so it can't shadow future batch-id sequences."""
+    A fresh-checkpoint upgrade is mechanically indistinguishable from a
+    brand-new sink, so the operator states the intent with an explicit
+    migrate_legacy_batch_marker() call; after it, replays of legacy-era
+    batches are skipped (not double-applied) and the legacy key is
+    retired so it can't shadow future batch-id sequences."""
     import time as _time
 
     from novi_pdq_etl_project_prod_spark.sources.layers import (
@@ -848,6 +849,7 @@ def test_stream_to_star_schema_migrates_legacy_marker(spark, tmp_path):
     )
     from novi_pdq_etl_project_prod_spark.streaming.events import (
         batch_marker_key,
+        migrate_legacy_batch_marker,
         stream_to_star_schema,
     )
 
@@ -879,8 +881,11 @@ def test_stream_to_star_schema_migrates_legacy_marker(spark, tmp_path):
         [(1, "alice", 20, 50.0)], "uid int, name string, ver int, amount double"
     ).coalesce(1).write.mode("append").parquet(updates_dir)
 
-    # post-upgrade restart with a fresh checkpoint: batch 0 replays (must
-    # be skipped via the legacy key), batch 1 is genuinely new
+    # post-upgrade restart with a fresh checkpoint: the operator runs the
+    # explicit migration (fresh checkpoint carries no evidence), then
+    # batch 0 replays (skipped via the migrated marker), batch 1 is new
+    assert migrate_legacy_batch_marker(root, "curated", chk) == 0
+    assert migrate_legacy_batch_marker(root, "curated", chk) is None  # idempotent
     stream = (
         spark.readStream.schema("uid int, name string, ver int, amount double")
         .option("maxFilesPerTrigger", 1)
@@ -902,6 +907,107 @@ def test_stream_to_star_schema_migrates_legacy_marker(spark, tmp_path):
     meta = read_manifest_meta(root, "curated")
     assert meta.get(batch_marker_key(chk)) == 1
     assert "last_batch_id" not in meta, "legacy key not retired"
+
+
+def test_new_sink_on_legacy_layer_processes_all_batches(spark, tmp_path):
+    """ADVICE r09: a GENUINELY NEW sink (fresh checkpoint) on a layer
+    that happens to carry the pre-round-8 legacy marker must not adopt
+    it — doing so skipped its batches 0..legacy as 'replays', committed
+    nothing, never retired the key, and therefore dropped the data on
+    EVERY rerun. The new sink processes everything; the legacy key (it
+    may belong to a not-yet-upgraded sibling sink) is left untouched."""
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        batch_marker_key,
+        stream_to_star_schema,
+    )
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+    updates_dir = str(tmp_path / "orders")
+
+    # some OTHER (not-yet-upgraded) sink left legacy history on the layer
+    commit_tables(
+        {"unrelated": spark.createDataFrame([(1,)], "x int")},
+        root,
+        "curated",
+        meta={"last_batch_id": 5},
+    )
+
+    spark.createDataFrame(
+        [(1, "alice", 10, 100.0)], "uid int, name string, ver int, amount double"
+    ).coalesce(1).write.mode("append").parquet(updates_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(
+        [(2, "bob", 20, 50.0)], "uid int, name string, ver int, amount double"
+    ).coalesce(1).write.mode("append").parquet(updates_dir)
+
+    stream = (
+        spark.readStream.schema("uid int, name string, ver int, amount double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    stream_to_star_schema(
+        stream, root, "fact_user_totals", "dim_user",
+        dim_pk=("uid",), dim_cols=("name",), order_col="ver",
+        measure_cols=("amount",), checkpoint_dir=chk,
+    )
+
+    fact = {
+        r.uid: r.amount
+        for r in read_manifest_tables(spark, root, "curated")[
+            "fact_user_totals"
+        ].collect()
+    }
+    assert fact == {1: 100.0, 2: 50.0}, "new sink's batches were dropped"
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get(batch_marker_key(chk)) == 1
+    assert meta.get("last_batch_id") == 5, "sibling's legacy key clobbered"
+
+
+def test_auto_migration_requires_checkpoint_progress(spark, tmp_path):
+    """The automatic legacy-marker adoption is gated on the one piece of
+    local evidence that distinguishes an upgraded-in-place sink from a
+    new one: the checkpoint dir has committed offsets."""
+    import os as _os
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        _maybe_migrate_legacy,
+        batch_marker_key,
+    )
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+    commit_tables(
+        {"t": spark.createDataFrame([(1,)], "x int")},
+        root,
+        "curated",
+        meta={"last_batch_id": 3},
+    )
+
+    # fresh checkpoint: no adoption, legacy untouched
+    _maybe_migrate_legacy(root, "curated", chk)
+    meta = read_manifest_meta(root, "curated")
+    assert batch_marker_key(chk) not in meta and meta["last_batch_id"] == 3
+
+    # checkpoint with committed offsets: upgraded in place → adopt+retire
+    _os.makedirs(_os.path.join(chk, "offsets"))
+    with open(_os.path.join(chk, "offsets", "0"), "w") as fh:
+        fh.write("{}")
+    _maybe_migrate_legacy(root, "curated", chk)
+    meta = read_manifest_meta(root, "curated")
+    assert meta.get(batch_marker_key(chk)) == 3
+    assert "last_batch_id" not in meta
 
 
 def test_stream_expectations_matches_batch_and_survives_replay(spark, tmp_path):
@@ -1054,6 +1160,41 @@ def test_stream_merge_into_matches_sequential_batch_merges(spark, tmp_path):
         )
     )
     assert after == want, "replayed merge re-applied a delta"
+
+
+def test_stream_merge_into_dedup_exempts_null_keys(spark, tmp_path):
+    """ADVICE r09: with source_dedup_order enabled, NULL-key source rows
+    must NOT collapse to one window survivor — under the ANSI
+    never-match rule each NULL-key row is a legitimate INSERT (the same
+    exemption merge_frames' dup-guard applies)."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_merge_into,
+    )
+
+    rows = [(1, 10, 1), (1, 11, 2), (None, 7, 1), (None, 8, 2)]
+    updates_dir = str(tmp_path / "deltas")
+    spark.createDataFrame(rows, "id int, v int, ver int").coalesce(1).write.parquet(
+        updates_dir
+    )
+    root = str(tmp_path / "wh")
+    stream = spark.readStream.schema("id int, v int, ver int").parquet(updates_dir)
+    stream_merge_into(
+        stream, root, "curated", "state", on=("id",),
+        checkpoint_dir=str(tmp_path / "chk"),
+        when_matched_update={"v": "s.v"},
+        when_not_matched_insert=True,
+        source_dedup_order=("ver",),
+    )
+    got = sorted(
+        ((r.id, r.v, r.ver) for r in
+         read_manifest_tables(spark, root, "curated")["state"].collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    # keyed rows collapse to the ver-latest; BOTH null-key rows insert
+    assert got == [(1, 11, 2), (None, 7, 1), (None, 8, 2)]
 
 
 def test_stream_incremental_near_dups_covers_full_corpus_exactly_once(
