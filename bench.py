@@ -175,21 +175,8 @@ REGRESSION_THRESHOLD = 1.20
 #: "reshape cost" rather than silent drift (VERDICT r06 item 8 allows
 #: "code-explained entries"). Cleared every round once the new baseline
 #: absorbs the reshape.
-EXPLAINED_RESHAPES = {
-    "m63_supplier_pagerank": (
-        "r09 edge-build reshape (VERDICT r08 item 2): basket-local pair "
-        "generation (one groupBy(order) sorted-basket shuffle + array-"
-        "local explode) replaces distinct + orderkey self-join — two "
-        "fewer corpus shuffles, bit-identical edges, oracle unchanged"
-    ),
-    "m24_embedding_lsh_pairs": (
-        "r09 overflow hardening (ADVICE r08): the exact rational-cosine "
-        "cell verifier now computes per-cell coordinate/dot/norm maxima "
-        "to detect the int64-wrap regime (loud error or arbitrary-"
-        "precision fallback instead of silently wrong pairs) — ~1.2x on "
-        "a 1.4s query, the price of never diverging silently from the "
-        "BIGINT-erroring oracle"
-    ),
+EXPLAINED_RESHAPES: dict[str, str] = {
+    # (r09's m63/m24 reshape notes absorbed into the r09 baseline)
 }
 
 #: Timing-methodology version, recorded in the metric object. Bumped to 2
@@ -387,16 +374,21 @@ def main() -> None:
                 # says (drift < 1 can otherwise flag absolute speedups)
                 and timings[n] > prior[n]
             }
-            # retry-confirm: single-shot timings flap ~1.3-1.5x on ~1s
-            # queries (measured: every r05 flag A/B'd clean at steady
-            # state). Re-run each suspect once and judge on the better
-            # time; the REPORTED timings stay first-run for cross-round
-            # comparability.
+            # median-retry confirm (VERDICT r09 item 8): single-shot
+            # timings flap ±10-50% on ~1s queries (r05 flags, r08
+            # m10/m19, r09 d20 all A/B'd as session variance). Re-run
+            # each suspect 3x DEDICATED and judge on the MEDIAN of the
+            # retries — the one-retry min() still let a pair of unlucky
+            # samples sustain a flag across rounds. The REPORTED
+            # timings stay first-run for cross-round comparability.
             confirmed = {}
             for n in sorted(suspects):
-                retry = round(_run(QUERIES[n], spark, sf_dir), 3)
-                _clear_session_state(spark)
-                best = min(timings[n], retry)
+                retries = []
+                for _ in range(3):
+                    retries.append(round(_run(QUERIES[n], spark, sf_dir), 3))
+                    _clear_session_state(spark)
+                med = sorted(retries)[1]
+                best = min(timings[n], med)
                 r = best / prior[n]
                 if (
                     r > drift * REGRESSION_THRESHOLD
@@ -406,7 +398,8 @@ def main() -> None:
                     confirmed[n] = {
                         "prior": prior[n],
                         "now": timings[n],
-                        "retry": retry,
+                        "retries": retries,
+                        "median": med,
                         "ratio": round(r, 2),
                         "vs_drift": round(r / drift, 2),
                     }

@@ -120,6 +120,33 @@ class ExpectationError(RuntimeError):
     any row violates any rule — nothing is committed."""
 
 
+def schema_gate(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    allow: tuple[str, ...] = (),
+) -> list[dict]:
+    """The DECLARATIVE schema expectation (VERDICT r09 item 7): diff the
+    incoming frame's schema against the committed table's
+    (:func:`~novi_pdq_etl_project_prod_spark.operators.quality.schema_drift`)
+    and return the drift entries whose status is NOT in ``allow`` — the
+    violations a gated write must refuse. ``allow`` names any of
+    ``"added"``, ``"removed"``, ``"retyped"`` (default: block all drift).
+    ``existing=None`` (first write — nothing to drift from) passes.
+    Pure driver-side metadata, no jobs."""
+    from novi_pdq_etl_project_prod_spark.operators.quality import (
+        schema_drift,
+    )
+
+    if existing is None:
+        return []
+    bad_status = {"added", "removed", "retyped"} - set(allow)
+    return [
+        d
+        for d in schema_drift(existing, incoming)
+        if d["status"] in bad_status
+    ]
+
+
 def write_with_expectations(
     spark: SparkSession,
     root: str,
@@ -129,6 +156,7 @@ def write_with_expectations(
     rules: Mapping[str, str],
     on_violation: str = "quarantine",
     quarantine_table: str | None = None,
+    schema_allow: tuple[str, ...] | None = None,
 ) -> dict:
     """Validated publish: split ``df`` on ``rules`` and commit.
 
@@ -144,15 +172,46 @@ def write_with_expectations(
     - ``"fail"``: any violation aborts with :class:`ExpectationError`
       before anything is staged.
 
+    ``schema_allow`` (None = no schema gate, today's behavior) arms the
+    METADATA expectation (VERDICT r09 item 7): the incoming frame's
+    schema is diffed against the committed ``table``'s and any drift
+    whose status is not in the tuple (``"added"``/``"removed"``/
+    ``"retyped"``; ``()`` blocks all drift) aborts with
+    :class:`ExpectationError` BEFORE anything is staged — the reviewed-
+    evolution gate to run ahead of a ``merge_frames(schema_evolution=
+    True)`` that would otherwise widen the target silently. Permitted
+    drift rides the commit meta (``schema_drift:{table}``) as the audit
+    trail.
+
     Returns the per-rule violation counts dict (plus ``_total_rows_failing``
     and ``n_rows``). The tagged frame is persisted through the split so
     the corpus is scanned once for validate+report+write together.
     """
     from novi_pdq_etl_project_prod_spark import cache
-    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_tables,
+    )
 
     if on_violation not in ("quarantine", "drop", "fail"):
         raise ValueError(f"on_violation={on_violation!r}")
+    extra_meta: dict = {}
+    if schema_allow is not None:
+        from novi_pdq_etl_project_prod_spark.operators.quality import (
+            schema_drift,
+        )
+
+        existing = read_manifest_tables(spark, root, layer).get(table)
+        blocked = schema_gate(existing, df, allow=tuple(schema_allow))
+        if blocked:
+            raise ExpectationError(
+                f"{table}: unreviewed schema drift {blocked}; allowed "
+                f"statuses {sorted(schema_allow)} — nothing committed"
+            )
+        if existing is not None:
+            permitted = schema_drift(existing, df)
+            if permitted:
+                extra_meta[f"schema_drift:{table}"] = permitted
     # own scope: the tagged persist is released on exit without touching
     # intermediates a calling pipeline may still be filling
     with cache.scope():
@@ -174,6 +233,9 @@ def write_with_expectations(
             qt = quarantine_table or f"{table}_quarantine"
             tables[qt] = tagged.where(F.size(F.col(FAILED_RULES_COL)) > 0)
         commit_tables(
-            tables, root, layer, meta={f"expectations:{table}": counts}
+            tables,
+            root,
+            layer,
+            meta={f"expectations:{table}": counts, **extra_meta},
         )
         return counts

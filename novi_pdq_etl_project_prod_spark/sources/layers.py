@@ -939,17 +939,22 @@ def read_manifest_tables(
     snapshot dirs are immutable, so these scans stay valid for the GC
     retention horizon even while new commits land. Append-shaped tables
     (segment-list manifest entries) read as the union of their segment
-    dirs — one multi-path parquet scan, no data movement."""
+    dirs — one multi-path parquet scan, no data movement; multi-segment
+    reads merge schemas (footer-only cost) so a gate-permitted column
+    add in a later segment surfaces as NULLs in earlier ones instead of
+    silently adopting one segment's footer."""
     versions = read_manifest(root, layer)
-    return {
-        tbl: spark.read.parquet(
-            *[
-                os.path.join(table_path(root, layer, tbl), seg)
-                for seg in _segments(snap)
-            ]
-        )
-        for tbl, snap in versions.items()
-    }
+    out = {}
+    for tbl, snap in versions.items():
+        dirs = [
+            os.path.join(table_path(root, layer, tbl), seg)
+            for seg in _segments(snap)
+        ]
+        reader = spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        out[tbl] = reader.parquet(*dirs)
+    return out
 
 
 def _roll_forward_table_pointers(root: str, layer: MedallionLayer | str) -> None:
@@ -1104,7 +1109,10 @@ def read_manifest_tables_as_of(
                             f"by manifest {version!r} has been GC'd"
                         )
                     dirs.append(d)
-                frames[tbl] = spark.read.parquet(*dirs)
+                reader = spark.read
+                if len(dirs) > 1:
+                    reader = reader.option("mergeSchema", "true")
+                frames[tbl] = reader.parquet(*dirs)
             return frames
     raise SnapshotNotFoundError(
         f"{layer} manifest version {version!r} is not retained"

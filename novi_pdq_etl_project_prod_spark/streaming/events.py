@@ -924,6 +924,7 @@ def stream_write_with_expectations(
     rules: dict,
     checkpoint_dir: str,
     quarantine_table: str | None = None,
+    schema_allow: tuple[str, ...] | None = None,
 ) -> None:
     """Streaming twin of ``operators.expectations.write_with_expectations``
     (VERDICT r08 item 5): per micro-batch, split rows on the declared
@@ -968,6 +969,34 @@ def stream_write_with_expectations(
         if last is not None and _batch_id <= last:
             return  # replayed batch: its rows and counts already landed
         spark = batch_df.sparkSession
+        extra_meta: dict = {}
+        if schema_allow is not None:
+            # METADATA expectation (VERDICT r09 item 7), the streaming
+            # twin of write_with_expectations' schema gate: unreviewed
+            # drift vs the committed table aborts the batch BEFORE
+            # anything is staged (propagates as StreamingQueryException)
+            from novi_pdq_etl_project_prod_spark.operators.expectations import (  # noqa: E501
+                ExpectationError,
+                schema_gate,
+            )
+            from novi_pdq_etl_project_prod_spark.operators.quality import (
+                schema_drift,
+            )
+
+            existing = read_manifest_tables(spark, root, layer).get(table)
+            blocked = schema_gate(
+                existing, batch_df, allow=tuple(schema_allow)
+            )
+            if blocked:
+                raise ExpectationError(
+                    f"{table}: unreviewed schema drift {blocked}; allowed "
+                    f"statuses {sorted(schema_allow)} — batch {_batch_id} "
+                    "not committed"
+                )
+            if existing is not None:
+                permitted = schema_drift(existing, batch_df)
+                if permitted:
+                    extra_meta[f"schema_drift:{table}"] = permitted
         tagged = apply_expectations(batch_df, rules).persist()
         try:
             fresh = {
@@ -985,19 +1014,20 @@ def stream_write_with_expectations(
                 F.size(F.col(FAILED_RULES_COL)) == 0
             ).drop(FAILED_RULES_COL)
             bad = tagged.where(F.size(F.col(FAILED_RULES_COL)) > 0)
-            current = read_manifest_tables(spark, root, layer)
-            tables = {
-                table: (
-                    current[table].unionByName(good)
-                    if table in current
-                    else good
-                ),
-                qt: (
-                    current[qt].unionByName(bad) if qt in current else bad
-                ),
-            }
-            meta: dict = {marker: _batch_id, counts_key: total}
-            commit_tables(tables, root, layer, meta=meta)
+            meta: dict = {marker: _batch_id, counts_key: total, **extra_meta}
+            # append-SHAPED commit (round 10): this sink is pure append
+            # — only the batch's rows are written as new manifest
+            # segments; the standing good/quarantine tables are
+            # referenced, never re-staged (previously each batch
+            # committed `current ∪ batch`, O(corpus) write volume — the
+            # same scale-killer fixed in stream_incremental_near_dups)
+            commit_tables(
+                {table: good, qt: bad},
+                root,
+                layer,
+                meta=meta,
+                append_tables=(table, qt),
+            )
         finally:
             tagged.unpersist()
 

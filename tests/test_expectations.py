@@ -124,3 +124,63 @@ def test_scope_isolation_preserves_caller_cache(spark, tmp_path):
     )
     assert mine.storageLevel.useMemory, "caller's persist was released"
     assert cache.release() == 1
+
+
+def test_schema_gate_blocks_unreviewed_drift(spark, tmp_path):
+    """VERDICT r09 item 7: schema drift as a declarative expectation.
+    With schema_allow armed, an incoming frame whose schema drifts from
+    the committed table in a non-allowed way aborts BEFORE staging; an
+    allowed drift commits and rides the manifest meta as the audit
+    trail. The first write (no committed table) always passes."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+
+    root = str(tmp_path)
+    # first write: nothing to drift from
+    X.write_with_expectations(
+        spark, root, "curated", "facts", _df(spark), RULES, schema_allow=()
+    )
+
+    # retyped column (v int -> string): blocked, nothing committed
+    retyped = _df(spark).withColumn("v", F.col("v").cast("string"))
+    with pytest.raises(X.ExpectationError, match="retyped"):
+        X.write_with_expectations(
+            spark, root, "curated", "facts", retyped, RULES, schema_allow=()
+        )
+    # added column: blocked by default...
+    widened = _df(spark).withColumn("extra", F.lit(True))
+    with pytest.raises(X.ExpectationError, match="added"):
+        X.write_with_expectations(
+            spark, root, "curated", "facts", widened, RULES, schema_allow=()
+        )
+    before = read_manifest_tables(spark, root, "curated")["facts"]
+    assert "extra" not in before.columns
+
+    # ...and committed when the evolution is reviewed (allow added),
+    # with the drift recorded in the commit meta
+    X.write_with_expectations(
+        spark, root, "curated", "facts", widened, RULES,
+        schema_allow=("added",),
+    )
+    after = read_manifest_tables(spark, root, "curated")["facts"]
+    assert "extra" in after.columns
+    drift = read_manifest_meta(root, "curated").get("schema_drift:facts")
+    assert drift == [
+        {"column": "extra", "status": "added", "old_type": None,
+         "new_type": "boolean"}
+    ]
+
+
+def test_schema_gate_none_means_ungated(spark, tmp_path):
+    """schema_allow=None (the default) keeps today's behavior: no
+    metadata gate, any schema commits."""
+    root = str(tmp_path)
+    X.write_with_expectations(
+        spark, root, "curated", "facts", _df(spark), RULES
+    )
+    widened = _df(spark).withColumn("extra", F.lit(1))
+    X.write_with_expectations(
+        spark, root, "curated", "facts", widened, RULES
+    )

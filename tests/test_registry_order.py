@@ -98,3 +98,32 @@ def test_every_query_has_oracle_or_documented_exception():
     assert no_oracle <= documented, (
         f"undocumented no-oracle queries: {sorted(no_oracle - documented)}"
     )
+
+
+def test_plan_audit_covers_every_catalog_query():
+    """VERDICT r09 item 4: PLANS.md silently dropped to 216/222 because
+    queries landed after the last regen and nothing failed. Pin:
+    (PLANS.md table rows) ∪ (plan_report.SKIP, the documented iterative
+    exceptions) == the catalog, exactly — red the next time a query is
+    added without regenerating the audit (or a stale row survives a
+    rename)."""
+    import re
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import plan_report  # noqa: E402
+
+    rows = set(
+        re.findall(
+            r"^\| ([a-z][A-Za-z0-9]*_[A-Za-z0-9_]+) \|",
+            (REPO / "PLANS.md").read_text(),
+            re.M,
+        )
+    )
+    skip = set(plan_report.SKIP)
+    assert rows.isdisjoint(skip), f"skipped queries have rows: {rows & skip}"
+    accounted = rows | skip
+    missing = set(QUERIES) - accounted
+    stale = accounted - set(QUERIES)
+    assert not missing, f"queries without a plan-audit row: {sorted(missing)}"
+    assert not stale, f"plan-audit rows for unknown queries: {sorted(stale)}"

@@ -1087,6 +1087,100 @@ def test_stream_expectations_matches_batch_and_survives_replay(spark, tmp_path):
     assert read_manifest_meta(root, "curated")["expectations:vals"] == scounts
 
 
+def test_stream_expectations_schema_gate_matches_batch(spark, tmp_path):
+    """VERDICT r09 item 7 (streaming twin): the schema-drift expectation
+    behaves identically stream vs batch — a stream whose schema drifts
+    from the committed table in a non-allowed way fails the query and
+    commits nothing; with the drift reviewed (allow added) both engines
+    commit and record the same drift meta."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from novi_pdq_etl_project_prod_spark.operators.expectations import (
+        ExpectationError,
+        write_with_expectations,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_write_with_expectations,
+    )
+
+    rules = {"pos": "v >= 0"}
+    rows_v1 = [(1, 5), (2, 7)]
+    rows_v2 = [(3, 9, "x")]  # added column c
+
+    for mode in ("batch", "stream"):
+        root = str(tmp_path / f"wh_{mode}")
+        # seed the committed table (schema v1) in both engines
+        write_with_expectations(
+            spark, root, "curated", "vals",
+            spark.createDataFrame(rows_v1, "id int, v int"),
+            rules, schema_allow=(),
+        )
+        widened = spark.createDataFrame(rows_v2, "id int, v int, c string")
+        if mode == "batch":
+            import pytest as _pytest
+
+            with _pytest.raises(ExpectationError, match="added"):
+                write_with_expectations(
+                    spark, root, "curated", "vals", widened, rules,
+                    schema_allow=(),
+                )
+        else:
+            src = str(tmp_path / "src_blocked")
+            widened.coalesce(1).write.parquet(src)
+            stream = spark.readStream.schema(
+                "id int, v int, c string"
+            ).parquet(src)
+            import pytest as _pytest
+
+            with _pytest.raises(StreamingQueryException, match="added"):
+                stream_write_with_expectations(
+                    stream, root, "curated", "vals", rules,
+                    checkpoint_dir=str(tmp_path / f"chk_blocked_{mode}"),
+                    schema_allow=(),
+                )
+        # blocked in both: table unchanged
+        vals = read_manifest_tables(spark, root, "curated")["vals"]
+        assert vals.count() == 2 and "c" not in vals.columns
+
+        # reviewed evolution: allow added → commits + drift meta
+        if mode == "batch":
+            write_with_expectations(
+                spark, root, "curated", "vals", widened, rules,
+                schema_allow=("added",),
+            )
+        else:
+            src_ok = str(tmp_path / "src_ok")
+            widened.coalesce(1).write.parquet(src_ok)
+            stream = spark.readStream.schema(
+                "id int, v int, c string"
+            ).parquet(src_ok)
+            stream_write_with_expectations(
+                stream, root, "curated", "vals", rules,
+                checkpoint_dir=str(tmp_path / f"chk_ok_{mode}"),
+                schema_allow=("added",),
+            )
+        vals = read_manifest_tables(spark, root, "curated")["vals"]
+        assert "c" in vals.columns
+        if mode == "batch":
+            # the batch twin is a validated PUBLISH: the table is the
+            # new frame
+            assert vals.count() == 1
+        else:
+            # the streaming sink APPENDS; pre-drift rows surface the
+            # new column as NULL through the merged-schema segment read
+            assert vals.count() == 3
+            assert vals.where("id = 1").collect()[0].c is None
+        drift = read_manifest_meta(root, "curated").get("schema_drift:vals")
+        assert drift == [
+            {"column": "c", "status": "added", "old_type": None,
+             "new_type": "string"}
+        ]
+
+
 def test_stream_merge_into_matches_sequential_batch_merges(spark, tmp_path):
     """VERDICT r08 item 5b — MERGE as the micro-batch sink, metamorphic:
     streaming N micro-batches through stream_merge_into equals folding
