@@ -161,6 +161,9 @@ HEADLINE = [
     "m65_minhash_calibration",
     "d43_seasonal_decompose",
     "m66_incremental_near_dups",
+    # round-10 additions
+    "d44_fleiss_kappa",
+    "m67_dedup_canonicalize",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

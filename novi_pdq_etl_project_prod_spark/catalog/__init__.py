@@ -26,6 +26,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round7_queries,
     round8_queries,
     round9_queries,
+    round10_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -49,6 +50,7 @@ for _mod in (
     round7_queries,
     round8_queries,
     round9_queries,
+    round10_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -1,0 +1,147 @@
+"""Round-10 catalog additions.
+
+D44 — Fleiss' kappa: chance-corrected agreement among a FIXED number of
+raters per subject — the multi-rater generalization of d42's Cohen's
+kappa (three-plus annotation pipelines / quality raters per document).
+Exact integer confusion statistics in DECIMAL(38,0)/HUGEINT; the three
+final divisions are the only floats, identical IEEE in both engines.
+
+M67 — near-dup cluster canonicalization: the LAST step of the dedup
+pipeline (m8 pairs → m13 components → WHICH rows leave the corpus):
+per cluster keep the longest-text member (ties → smallest id) and emit
+the drop list with each dropped doc's survivor — the audit artifact a
+reviewer signs off on before a destructive 100 TB dedup. Oracled by
+extending m13's recursive-CTE closure with a window argmax over the
+same deterministic md5 edge set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.catalog.llm_queries import (
+    _M8_EDGE_CTES,
+    minhash_near_duplicates_md5,
+)
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# D44 — Fleiss' kappa over lineitem: subjects = orders with exactly 4
+# line items, "raters" = the four line items, category = l_returnflag.
+# kappa = ((S2 − Nn)·Nn − (n−1)·ΣC_j²) / ((n−1)·((Nn)² − ΣC_j²)), every
+# term an exact integer (the Nn-cancelled form keeps products ≤ ~N²n³,
+# inside DECIMAL(38,0)/HUGEINT until N ≈ 10¹⁵ subjects — past that both
+# engines fail loudly).
+# ---------------------------------------------------------------------------
+
+_D44_N_RATERS = 4
+
+
+def d44_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import fleiss_kappa
+
+    li = _t(spark, sf_dir, "lineitem")
+    return fleiss_kappa(li, "l_orderkey", "l_returnflag", _D44_N_RATERS)
+
+
+D44_SQL = """
+WITH rated AS (
+  SELECT l_orderkey AS subj, l_returnflag AS cat FROM lineitem
+),
+cells AS (
+  SELECT subj, cat, CAST(count(*) AS HUGEINT) AS cnt
+  FROM rated GROUP BY 1, 2
+),
+oksubj AS (
+  SELECT subj FROM cells GROUP BY subj HAVING SUM(cnt) = 4
+),
+qual AS (
+  SELECT c.subj, c.cat, c.cnt FROM cells c JOIN oksubj s ON s.subj = c.subj
+),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS HUGEINT) FROM oksubj) AS nsubj,
+         (SELECT SUM(cnt * cnt) FROM qual) AS s2,
+         (SELECT SUM(cj * cj) FROM
+            (SELECT SUM(cnt) AS cj FROM qual GROUP BY cat) t) AS sc2
+)
+SELECT CAST(nsubj AS BIGINT) AS n_subjects,
+       4 AS n_raters,
+       CAST(s2 - nsubj * 4 AS DOUBLE)
+         / CAST(nsubj * 4 * 3 AS DOUBLE) AS po,
+       CAST(sc2 AS DOUBLE)
+         / CAST(nsubj * 4 * nsubj * 4 AS DOUBLE) AS pe,
+       CAST((s2 - nsubj * 4) * nsubj * 4 - 3 * sc2 AS DOUBLE)
+         / CAST(3 * (nsubj * 4 * nsubj * 4 - sc2) AS DOUBLE) AS kappa
+FROM tot
+"""
+
+
+# ---------------------------------------------------------------------------
+# M67 — cluster canonicalization over m13's components.
+# ---------------------------------------------------------------------------
+
+
+def m67_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        canonicalize_clusters,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates_md5(docs, threshold=0.5)
+    clusters = near_dup_clusters(pairs)
+    scores = docs.select(
+        F.col("doc_id").alias("id"),
+        F.length("text").cast("long").alias("score"),
+    )
+    return canonicalize_clusters(clusters, scores).orderBy("doc_id")
+
+
+M67_SQL = f"""
+WITH RECURSIVE
+{_M8_EDGE_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+reach(id, lbl) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.dst AS id, r.lbl FROM reach r JOIN edges e ON e.src = r.id
+),
+clusters AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT c.id, c.cluster_id, CAST(length(d.text) AS BIGINT) AS score
+  FROM clusters c JOIN documents d ON d.doc_id = c.id
+),
+keep AS (
+  SELECT cluster_id, id AS keep_id FROM (
+    SELECT cluster_id, id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY score DESC, id ASC) AS rn
+    FROM scored) WHERE rn = 1
+)
+SELECT s.id AS doc_id, s.cluster_id, k.keep_id, s.score
+FROM scored s JOIN keep k ON k.cluster_id = s.cluster_id
+WHERE s.id <> k.keep_id
+ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "d44_fleiss_kappa": d44_fleiss_kappa,
+    "m67_dedup_canonicalize": m67_dedup_canonicalize,
+}
+
+ORACLES = {
+    "d44_fleiss_kappa": D44_SQL,
+    "m67_dedup_canonicalize": M67_SQL,
+}

@@ -1220,3 +1220,57 @@ def incremental_minhash_pairs(
         .otherwise(F.lit("new_old"))
         .alias("pair_type"),
     ).where(F.col("est_jaccard") >= threshold)
+
+
+def canonicalize_clusters(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Turn near-dup CLUSTERS into a deduplication DROP LIST: per
+    cluster keep the highest-``score`` member (quality score, text
+    length, recency — the caller's policy), ties broken by smallest id
+    (deterministic), and emit every other member with the survivor it
+    deduplicates to. This is the last step of the near-dup pipeline —
+    m8 pairs → m13 components → which rows actually leave the corpus —
+    and the audit artifact reviewers sign off on before a destructive
+    dedup at 100 TB.
+
+    Input: ``clusters`` (id, cluster_id) from :func:`near_dup_clusters`;
+    ``scores`` (id, score) — any per-doc frame. Output:
+    (doc_id, cluster_id, keep_id, score) for each DROPPED member,
+    i.e. ``count = Σ (|cluster| − 1)``.
+
+    Shape: one id-keyed join (score attach), one cluster-grain
+    ``max_by`` hash-agg (map-side combined — the canonical pick never
+    materializes per-member rows on the driver), one cluster-keyed join
+    back. All three stages partition on their keys; no window over the
+    corpus, no driver loop.
+    """
+    scored = clusters.join(
+        scores.select(
+            F.col(id_col).alias("__id"), F.col(score_col).alias("__score")
+        ),
+        clusters[id_col] == F.col("__id"),
+    ).select(
+        F.col(id_col), F.col(cluster_col), F.col("__score").alias("score")
+    )
+    keep = scored.groupBy(cluster_col).agg(
+        # max_by over (score, -id): highest score wins, smallest id
+        # breaks ties — struct comparison is lexicographic
+        F.expr(
+            f"max_by({id_col}, struct(score, -{id_col}))"
+        ).alias("keep_id")
+    )
+    return (
+        scored.join(keep, cluster_col)
+        .where(F.col(id_col) != F.col("keep_id"))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(cluster_col),
+            "keep_id",
+            "score",
+        )
+    )

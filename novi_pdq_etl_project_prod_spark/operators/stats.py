@@ -1336,3 +1336,89 @@ def cohens_kappa(
             / (n2 - rcv).cast("double")
         ).alias("kappa"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    subject_col: Column | str,
+    category_col: Column | str,
+    n_raters: int,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per subject [Fleiss 1971], the multi-rater generalization
+    of :func:`cohens_kappa` (two annotation pipelines → d42; three-plus
+    quality raters / model graders per document → this). Subjects whose
+    rating count differs from ``n_raters`` are excluded (the classical
+    statistic is undefined for them).
+
+    With n_ij the count of category j for subject i, N qualifying
+    subjects, n raters, S2 = Σᵢⱼ n_ij², C_j = Σᵢ n_ij:
+
+        po = (S2 − N·n) / (N·n·(n−1))
+        pe = Σⱼ C_j² / (N·n)²
+        kappa = (po − pe) / (1 − pe)
+              = ((S2 − Nn)·Nn − (n−1)·ΣC_j²)
+                / ((n−1)·((Nn)² − ΣC_j²))     -- Nn cancelled
+
+    Every term is an exact integer widened to DECIMAL(38,0) (HUGEINT on
+    the DuckDB side); products stay ≤ ~N²n³ so 38 digits hold past
+    N = 10¹⁵ subjects, and past that BOTH engines fail loudly (ANSI
+    overflow), never silently. The three divisions at the end are the
+    only floats — single double/double divides, identical IEEE.
+
+    Shape: one map-side-combined hash-agg to (subject, category) cells,
+    one subject-grain reduction for the n==n_raters filter (join reuses
+    the subject partitioning), then cell-sized aggregates. Output: one
+    row (n_subjects, n_raters, po, pe, kappa).
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+
+    s = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    c = (
+        F.col(category_col)
+        if isinstance(category_col, str)
+        else category_col
+    )
+    cells = df.select(s.alias("__s"), c.alias("__c")).groupBy(
+        "__s", "__c"
+    ).agg(F.count(F.lit(1)).cast("decimal(19,0)").alias("cnt"))
+    subjects = cells.groupBy("__s").agg(
+        F.sum("cnt").cast("decimal(19,0)").alias("__n")
+    ).where(F.col("__n") == n_raters)
+    qual = cache.track(
+        cells.join(subjects.select("__s"), "__s"), eager=True
+    )
+    tot = qual.agg(
+        F.count_distinct("__s").cast("decimal(19,0)").alias("nsubj"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("s2"),
+    )
+    sc2 = (
+        qual.groupBy("__c")
+        .agg(F.sum("cnt").cast("decimal(19,0)").alias("cj"))
+        .agg(
+            F.sum((F.col("cj") * F.col("cj")).cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .alias("sc2")
+        )
+    )
+    n = F.lit(n_raters).cast("decimal(19,0)")
+    nn = (F.col("nsubj") * n).cast("decimal(19,0)")
+    po_num = (F.col("s2") - nn).cast("decimal(38,0)")
+    po_den = (nn * F.lit(n_raters - 1)).cast("decimal(38,0)")
+    pe_den = (nn * nn).cast("decimal(38,0)")
+    return tot.crossJoin(sc2).select(
+        F.col("nsubj").cast("long").alias("n_subjects"),
+        F.lit(n_raters).cast("int").alias("n_raters"),
+        (po_num.cast("double") / po_den.cast("double")).alias("po"),
+        (F.col("sc2").cast("double") / pe_den.cast("double")).alias("pe"),
+        (
+            ((po_num * nn).cast("decimal(38,0)")
+             - (F.lit(n_raters - 1) * F.col("sc2")).cast("decimal(38,0)"))
+            .cast("double")
+            / ((F.lit(n_raters - 1)
+                * (pe_den - F.col("sc2"))).cast("decimal(38,0)"))
+            .cast("double")
+        ).alias("kappa"),
+    )

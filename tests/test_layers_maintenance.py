@@ -399,3 +399,43 @@ def test_append_commit_cas_conflict_leaves_no_segment(spark, tmp_path):
     assert layers.read_manifest(root, "curated")["sigs"] == entry_before
     got = layers.read_manifest_tables(spark, root, "curated")["sigs"]
     assert sorted(r.id for r in got.collect()) == [0, 1, 2]
+
+
+def test_vacuum_grace_protects_inflight_manifest_readers(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r09 item 6: an aggressive vacuum racing a reader that
+    resolved the PREVIOUS manifest version (a foreachBatch sink holding
+    frames across a commit, a long analytical scan). Contract: within
+    the grace window the reader's files survive and the scan completes;
+    past the horizon the time-travel path fails with the descriptive
+    SnapshotNotFoundError — never a torn read of mixed versions."""
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_RETAIN_PREVIOUS", 0)
+    root = str(tmp_path)
+
+    layers.commit_tables({"t": spark.range(0, 5)}, root, "curated")
+    v1 = layers.current_manifest_version(root, "curated")
+    # reader resolves the v1 manifest NOW; the parquet scan is lazy
+    held = layers.read_manifest_tables(spark, root, "curated")["t"]
+    held_as_of = layers.read_manifest_tables_as_of(spark, root, "curated", v1)
+
+    layers.commit_tables({"t": spark.range(0, 9)}, root, "curated")
+
+    # grace respected (files are seconds old): vacuum collects nothing
+    # the reader needs — both the live-resolved and as-of frames scan
+    layers.vacuum(root, "curated", retain=0, grace_seconds=60.0)
+    assert held.count() == 5
+    assert held_as_of["t"].count() == 5
+
+    # operator explicitly asserts no concurrent readers: horizon drops
+    # to live-only; the retained-manifest walk now fails DESCRIPTIVELY
+    layers.vacuum(root, "curated", retain=0, grace_seconds=0.0)
+    with _pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
+        layers.read_manifest_tables_as_of(spark, root, "curated", v1)
+    # the live read is untouched
+    live = layers.read_manifest_tables(spark, root, "curated")["t"]
+    assert live.count() == 9

@@ -153,6 +153,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "m64_bpe_train",         # 1-row argmax-merge broadcast per round
         "d42_cohens_kappa",      # 1-row totals × 1-row marginal-product
                                  # broadcasts (label-alphabet-bounded)
+        "d44_fleiss_kappa",      # 1-row totals × 1-row ΣC² broadcast
+                                 # (category-alphabet-bounded)
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

@@ -1,0 +1,100 @@
+"""Round-10 operators: Fleiss' kappa and near-dup cluster
+canonicalization (drop-list emission)."""
+
+from __future__ import annotations
+
+
+def test_fleiss_kappa_hand_computed(spark):
+    """4 qualifying subjects × 3 raters (one under-rated subject is
+    excluded): S2=26, Nn=12, C=(6,5,1) → po=7/12, pe=31/72,
+    kappa=11/41 — checked against the Nn-cancelled integer form
+    (168−124)/164."""
+    from novi_pdq_etl_project_prod_spark.operators.stats import fleiss_kappa
+
+    rows = (
+        [("s1", c) for c in "aaa"]
+        + [("s2", c) for c in "aab"]
+        + [("s3", c) for c in "bbb"]
+        + [("s4", c) for c in "abc"]
+        + [("s5", c) for c in "ab"]  # 2 ratings: excluded
+    )
+    df = spark.createDataFrame(rows, "subj string, cat string")
+    got = fleiss_kappa(df, "subj", "cat", 3).collect()[0]
+    assert got.n_subjects == 4 and got.n_raters == 3
+    assert got.po == 14 / 24
+    assert got.pe == 62 / 144
+    assert got.kappa == 44 / 164
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    from novi_pdq_etl_project_prod_spark.operators.stats import fleiss_kappa
+
+    rows = [(s, c) for s, c in (("x", "u"), ("y", "v"), ("z", "u"))
+            for _ in range(3)]
+    df = spark.createDataFrame(rows, "subj string, cat string")
+    assert fleiss_kappa(df, "subj", "cat", 3).collect()[0].kappa == 1.0
+
+
+def test_canonicalize_clusters_drop_list(spark):
+    """Per cluster the highest-score member survives (ties → smallest
+    id); everyone else lands on the drop list pointing at the survivor.
+    Drop count == Σ (|cluster| − 1); singletons emit nothing."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        canonicalize_clusters,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (99, 99)],
+        "id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        # cluster 1: doc 2 longest; cluster 10: tie -> keep 10; singleton 99
+        [(1, 5), (2, 9), (3, 7), (10, 4), (11, 4), (99, 1)],
+        "id long, score long",
+    )
+    got = sorted(
+        map(tuple, canonicalize_clusters(clusters, scores).collect())
+    )
+    assert got == [
+        (1, 1, 2, 5),
+        (3, 1, 2, 7),
+        (11, 10, 10, 4),
+    ]
+
+
+def test_m67_drop_count_matches_cluster_sizes(spark):
+    """Catalog-level metamorphic check at sf0.001: the drop list has
+    exactly Σ (|cluster| − 1) rows, every keep_id is a cluster member
+    that never appears as a dropped doc, and each kept doc has the
+    cluster-max text length."""
+    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+    from novi_pdq_etl_project_prod_spark.catalog.llm_queries import (
+        minhash_near_duplicates_md5,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        near_dup_clusters,
+    )
+    from novi_pdq_etl_project_prod_spark.session import read_table
+
+    sf = "/root/testdata/sf0.001"
+    drops = QUERIES["m67_dedup_canonicalize"](None or spark, sf).collect()
+    docs = read_table(spark, sf, "documents")
+    pairs = minhash_near_duplicates_md5(docs, threshold=0.5)
+    members = near_dup_clusters(pairs).collect()
+    from collections import Counter
+
+    sizes = Counter(r.cluster_id for r in members)
+    assert len(drops) == sum(v - 1 for v in sizes.values())
+    dropped = {r.doc_id for r in drops}
+    keeps = {r.keep_id for r in drops}
+    assert keeps.isdisjoint(dropped)
+    lengths = {
+        r.doc_id: len(r.text)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    by_cluster: dict = {}
+    for r in members:
+        by_cluster.setdefault(r.cluster_id, []).append(r.id)
+    for r in drops:
+        cluster_max = max(lengths[i] for i in by_cluster[r.cluster_id])
+        assert lengths[r.keep_id] == cluster_max

@@ -895,7 +895,155 @@ def main_r9(k_graph: int = 30, k_docs: int = 100) -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def main_r10(k: int = 100) -> None:
+    """Round-10 probes (VERDICT r09 items 3 + 5).
+
+    (a) Incremental near-dup with a FIXED increment against a standing
+        corpus at 1×/10×/k×: the batch operator's wall (must track the
+        standing-side signature scan — linear — never old×old pair
+        mass) and the STREAMING SINK's per-batch committed bytes (must
+        be ~flat: the append-segment commit writes only the batch).
+        The increment is the original 5k docs re-keyed with UNCHANGED
+        text, so its true cross pairs hit only replica 0's originals —
+        a constant pair set while the standing corpus grows 100×.
+    (b) m65 calibration at k× docs (artifact-free suffixed replication):
+        the truth join is pair-scoped, so its wall must track the
+        REPORTED-PAIR count (which grows ~k× — each replica preserves
+        the original internal near-dup structure), not corpus².
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        incremental_minhash_pairs,
+        minhash_calibration_report,
+        minhash_signatures_md5,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+        table_path,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_incremental_near_dups,
+    )
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fs in os.walk(d)
+            for f in fs
+        )
+
+    spark = get_spark(app_name="scale_probe_r10")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs_src = spark.read.parquet(f"{SRC}/documents.parquet")
+    # fixed increment: original text, fresh id range (far above any
+    # replica's shifted ids)
+    increment = docs_src.withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000_000)
+    )
+    inc_dir = tempfile.mkdtemp(prefix="r10inc_")
+    increment.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+
+    scales: list[tuple[str, int]] = [("x1", 1), ("x10", 10), (f"x{k}", k)]
+    corpora: dict[str, str] = {}
+    try:
+        for label, kk in scales:
+            if kk == 1:
+                corpora[label] = SRC
+                continue
+            d = tempfile.mkdtemp(prefix=f"r10docs{label}_")
+            t0 = time.perf_counter()
+            replicate_docs_distinct(spark, d, kk, copy_rest=False)
+            print(f"replicated docs {label} in {time.perf_counter()-t0:.1f}s")
+            corpora[label] = d
+
+        # warmup: codegen/class-loading for the minhash pipeline, so the
+        # x1 row isn't inflated by JIT cold start
+        incremental_minhash_pairs(
+            increment.limit(200), increment.limit(200)
+        ).write.format("noop").mode("overwrite").save()
+        cache.clear_session_state(spark)
+
+        # ---- (a1) batch operator: fixed increment, growing standing ----
+        for label, _kk in scales:
+            standing = spark.read.parquet(
+                f"{corpora[label]}/documents.parquet"
+            )
+            n_standing = standing.count()
+            t0 = time.perf_counter()
+            pairs = incremental_minhash_pairs(increment, standing)
+            n_pairs = pairs.count()
+            wall = time.perf_counter() - t0
+            cache.clear_session_state(spark)
+            print(
+                f"m66 batch {label}: standing={n_standing} "
+                f"pairs={n_pairs} wall={wall:.1f}s"
+            )
+
+        # ---- (a2) streaming sink: per-batch committed bytes ----
+        for label, _kk in scales:
+            root = tempfile.mkdtemp(prefix=f"r10wh{label}_")
+            chk = tempfile.mkdtemp(prefix=f"r10chk{label}_")
+            try:
+                standing = spark.read.parquet(
+                    f"{corpora[label]}/documents.parquet"
+                )
+                sigs0 = minhash_signatures_md5(standing, "doc_id", "text")
+                commit_tables(
+                    {"minhash_signatures": sigs0}, root, "curated"
+                )
+                standing_bytes = _dir_bytes(root)
+                stream = spark.readStream.schema(
+                    "doc_id bigint, text string"
+                ).parquet(inc_dir)
+                t0 = time.perf_counter()
+                stream_incremental_near_dups(
+                    stream, root, "curated", checkpoint_dir=chk,
+                    threshold=0.5,
+                )
+                wall = time.perf_counter() - t0
+                man = read_manifest(root, "curated")
+                new_bytes = 0
+                for tbl in ("minhash_signatures", "near_dup_pairs"):
+                    entry = man.get(tbl)
+                    segs = [entry] if isinstance(entry, str) else entry or []
+                    if tbl == "minhash_signatures":
+                        segs = segs[1:]  # skip the pre-seeded segment
+                    for seg in segs:
+                        new_bytes += _dir_bytes(
+                            os.path.join(table_path(root, "curated", tbl), seg)
+                        )
+                cache.clear_session_state(spark)
+                print(
+                    f"m66 sink {label}: standing_bytes={standing_bytes>>20}MiB"
+                    f" batch_commit_bytes={new_bytes>>10}KiB wall={wall:.1f}s"
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+                shutil.rmtree(chk, ignore_errors=True)
+
+        # ---- (b) m65 calibration at 1× and k× ----
+        for label in ("x1", f"x{k}"):
+            docs = spark.read.parquet(f"{corpora[label]}/documents.parquet")
+            t0 = time.perf_counter()
+            rep = minhash_calibration_report(docs, threshold=0.5)
+            n_pairs = rep.count()
+            wall = time.perf_counter() - t0
+            cache.clear_session_state(spark)
+            print(f"m65 {label}: reported_pairs={n_pairs} wall={wall:.1f}s")
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        for label, d in corpora.items():
+            if d != SRC:
+                shutil.rmtree(d, ignore_errors=True)
+
+
 def main() -> None:
+    if "--r10" in sys.argv:
+        idx = sys.argv.index("--r10")
+        main_r10(int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100)
+        return
     if "--r9" in sys.argv:
         idx = sys.argv.index("--r9")
         k = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 30
