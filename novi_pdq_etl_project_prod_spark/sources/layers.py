@@ -1125,3 +1125,60 @@ def recover_manifest(root: str, layer: MedallionLayer | str) -> None:
     automatically by ``commit_tables``; long-lived readers of per-table
     pointers may also call it at startup."""
     _roll_forward_table_pointers(root, layer)
+
+
+def segment_count(root: str, layer: MedallionLayer | str, table: str) -> int:
+    """Number of manifest segments backing ``table`` (1 for a
+    whole-snapshot table, 0 if absent) — the maintenance signal for
+    :func:`compact_segments`."""
+    return len(_segments(read_manifest(root, layer).get(table)))
+
+
+def compact_segments(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    min_segments: int = 2,
+) -> bool:
+    """OPTIMIZE for append-shaped tables: rewrite the segment union as
+    ONE whole snapshot and reset the manifest entry to it — the LSM-ish
+    maintenance step that keeps a daily-increment table from
+    accumulating an unbounded segment list (each segment is a separate
+    directory listing + parquet footer set at scan time, and pre-merge
+    commit history pins them all against GC).
+
+    Deliberately a STANDALONE maintenance call, not an in-sink policy: a
+    streaming sink must never surprise-rewrite a 100 TB standing table
+    mid-trigger; schedule this like VACUUM, off the ingest path. Safe
+    against a concurrently-appending sink via an EXPLICIT manifest CAS:
+    the rewrite is pinned to the manifest version whose segments it
+    read, so a segment appended in between fails the flip and the
+    compactor re-reads (now including the new segment) and retries —
+    a compacted snapshot can never silently drop an append. (The plain
+    internal CAS retry would NOT protect this: it re-merges the doc but
+    keeps the staged whole snapshot, losing rows read before the
+    append.) Readers keep set-consistent views throughout; old segments
+    age out of GC once the manifests referencing them do.
+
+    No-op (returns False) when the table has fewer than ``min_segments``
+    segments; True after a compacting commit.
+    """
+    attempts = 5
+    for _ in range(attempts):
+        base = current_manifest_version(root, layer)
+        if segment_count(root, layer, table) < max(2, int(min_segments)):
+            return False
+        merged = read_manifest_tables(spark, root, layer)[table]
+        try:
+            # one whole-snapshot commit (NOT in append_tables) resets
+            # the list; CAS pins the exact version the union was read at
+            commit_tables({table: merged}, root, layer, expected_base=base)
+            return True
+        except SnapshotConflictError:
+            continue  # a sink appended mid-rewrite: re-read and retry
+    raise SnapshotConflictError(
+        f"compact_segments({layer!r}/{table!r}): lost the manifest CAS "
+        f"{attempts} times to concurrent committers; run it when the "
+        "ingest cadence leaves a gap"
+    )

@@ -439,3 +439,60 @@ def test_vacuum_grace_protects_inflight_manifest_readers(
     # the live read is untouched
     live = layers.read_manifest_tables(spark, root, "curated")["t"]
     assert live.count() == 9
+
+
+def test_compact_segments_resets_list_and_survives_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """OPTIMIZE for append-shaped tables: the segment union is rewritten
+    as one whole snapshot (list resets, rows preserved, later appends
+    re-grow it) — and a sink appending BETWEEN the compactor's union
+    read and its commit is never lost: the explicit manifest CAS fails
+    the stale rewrite and the retry re-reads the new segment."""
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    for i in range(4):
+        layers.commit_tables(
+            {"sigs": spark.range(10 * i, 10 * i + 10)},
+            root, "curated", append_tables=("sigs",),
+        )
+    assert layers.segment_count(root, "curated", "sigs") == 4
+    # below threshold: no-op
+    assert not layers.compact_segments(
+        spark, root, "curated", "sigs", min_segments=5
+    )
+
+    # race injection: the first union read triggers a concurrent append
+    # AFTER the compactor captured its CAS base
+    real_read = layers.read_manifest_tables
+    state = {"fired": False}
+
+    def racy_read(sp, r, la):
+        out = real_read(sp, r, la)
+        if not state["fired"]:
+            state["fired"] = True
+            layers.commit_tables(
+                {"sigs": sp.range(100, 105)},
+                r, la, append_tables=("sigs",),
+            )
+        return out
+
+    monkeypatch.setattr(layers, "read_manifest_tables", racy_read)
+    assert layers.compact_segments(spark, root, "curated", "sigs")
+    monkeypatch.setattr(layers, "read_manifest_tables", real_read)
+
+    entry = layers.read_manifest(root, "curated")["sigs"]
+    assert isinstance(entry, str), "compaction did not reset the list"
+    got = layers.read_manifest_tables(spark, root, "curated")["sigs"]
+    assert sorted(r.id for r in got.collect()) == sorted(
+        list(range(40)) + list(range(100, 105))
+    ), "the mid-rewrite append was lost"
+
+    # appends after compaction re-grow from the whole snapshot
+    layers.commit_tables(
+        {"sigs": spark.range(200, 202)}, root, "curated",
+        append_tables=("sigs",),
+    )
+    entry2 = layers.read_manifest(root, "curated")["sigs"]
+    assert isinstance(entry2, list) and entry2[0] == entry
