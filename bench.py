@@ -164,6 +164,7 @@ HEADLINE = [
     # round-10 additions
     "d44_fleiss_kappa",
     "m67_dedup_canonicalize",
+    "m68_split_leakage",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

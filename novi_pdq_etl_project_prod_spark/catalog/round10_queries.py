@@ -145,3 +145,58 @@ ORACLES = {
     "d44_fleiss_kappa": D44_SQL,
     "m67_dedup_canonicalize": M67_SQL,
 }
+
+
+# ---------------------------------------------------------------------------
+# M68 — cross-split n-gram leakage matrix: how many distinct word
+# 3-grams each pair of k-fold splits (m27's content-addressed folds)
+# shares — the split-level leakage audit run before a train/val/test
+# assignment ships. Gram-grain fold sets + array-local pair explode;
+# the oracle expresses the same matrix as a gram self-join (fine at
+# oracle scale; the Spark plan never forms it).
+# ---------------------------------------------------------------------------
+
+
+def m68_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        split_leakage_matrix,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.multimodal import (
+        kfold_assign,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    folded = kfold_assign(docs.select("doc_id", "text"), "doc_id", k=5)
+    return split_leakage_matrix(folded, "fold", "text", n=3).orderBy(
+        "fold_a", "fold_b"
+    )
+
+
+M68_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+gf AS (
+  SELECT DISTINCT sh,
+         CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 5 AS INT) AS fold
+  FROM sh
+)
+SELECT a.fold AS fold_a, b.fold AS fold_b, CAST(count(*) AS BIGINT) AS shared_grams
+FROM gf a JOIN gf b ON a.sh = b.sh AND a.fold < b.fold
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES["m68_split_leakage"] = m68_split_leakage
+ORACLES["m68_split_leakage"] = M68_SQL

@@ -1274,3 +1274,54 @@ def canonicalize_clusters(
             "score",
         )
     )
+
+
+def split_leakage_matrix(
+    docs: DataFrame,
+    fold_col: str = "fold",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-split leakage audit: for every ordered split pair
+    (fold_a < fold_b), how many DISTINCT word ``n``-grams appear in
+    both splits — the train/val/test leakage matrix reviewed before a
+    split assignment ships (the split-level complement of
+    :func:`contamination_pairs`, which names the offending doc pairs
+    for one train/eval split).
+
+    Scale shape: one Arrow shingle pass, one gram-grain hash-agg to the
+    per-gram FOLD SET (``collect_set`` — bounded by k folds, never by
+    docs), then an array-LOCAL ordered-pair explode (≤ k(k−1)/2 rows per
+    gram; the m63 basket-local trick) and a k²-row count. No gram
+    self-join, no doc×doc anything — corpus cost is exactly the shingle
+    explode plus one shuffle at the gram grain.
+    """
+    sh_udf = _shingle_array_udf(n)
+    # fold rides the explode directly — no id join-back, the gram stream
+    # goes straight into the gram-grain agg
+    folded = docs.select(
+        F.col(fold_col), F.explode(sh_udf(F.col(text_col))).alias("sh")
+    )
+    fold_sets = folded.groupBy("sh").agg(
+        F.array_sort(F.collect_set(fold_col)).alias("fs")
+    )
+    pairs = fold_sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "fs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("fs"), i + 2, F.size("fs")),
+                        lambda y: F.struct(
+                            x.alias("fold_a"), y.alias("fold_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.fold_a").alias("fold_a"),
+                      F.col("p.fold_b").alias("fold_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    )

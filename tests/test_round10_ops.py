@@ -98,3 +98,26 @@ def test_m67_drop_count_matches_cluster_sizes(spark):
     for r in drops:
         cluster_max = max(lengths[i] for i in by_cluster[r.cluster_id])
         assert lengths[r.keep_id] == cluster_max
+
+
+def test_split_leakage_matrix_hand_computed(spark):
+    """Tiny corpus with planted cross-fold gram sharing: folds 0/1 share
+    exactly the grams of the common sentence; fold 2 shares nothing;
+    within-fold duplication never double-counts a gram."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        split_leakage_matrix,
+    )
+
+    common = "alpha beta gamma delta"  # 3-grams: (a b g), (b g d) -> 2
+    rows = [
+        (0, common + " one"),          # adds (g d one)
+        (0, common),                   # duplicate grams within fold 0
+        (1, common + " two"),          # shares the 2 common grams with f0
+        (2, "totally different words here now"),
+    ]
+    df = spark.createDataFrame(rows, "fold int, text string")
+    got = {
+        (r.fold_a, r.fold_b): r.shared_grams
+        for r in split_leakage_matrix(df, "fold", "text", n=3).collect()
+    }
+    assert got == {(0, 1): 2}
