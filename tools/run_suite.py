@@ -54,6 +54,9 @@ COSTS = {
     "test_clustering_streaming_dedup.py": 15,
     "test_expectations.py": 12,
     "test_merge_properties.py": 55,
+    "test_segment_properties.py": 25,
+    "test_round10_ops.py": 40,
+    "test_layers_maintenance.py": 60,
 }
 DEFAULT_COST = 10
 
