@@ -1176,7 +1176,12 @@ def incremental_minhash_pairs(
     ball = bn.withColumn("is_new", F.lit(True)).unionByName(
         _banded(sig_old).withColumn("is_new", F.lit(False))
     )
-    a = bn.alias("a")
+    # broadcast the banded increment explicitly (round 10): the standing
+    # side must only ever be SCANNED, never shuffled+sorted — AQE can
+    # convert to broadcast when the persisted increment happens to sit
+    # under the threshold, but the shape shouldn't depend on that luck
+    # (the streaming twin measured the SMJ fallback at 2.3× — SCALE.md)
+    a = F.broadcast(bn).alias("a")
     b = ball.alias("b")
     # one-sided join: left side is ALWAYS the increment, so old×old
     # cells never pair; canonicalize to id_a < id_b and dedup the
