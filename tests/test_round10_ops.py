@@ -121,3 +121,58 @@ def test_split_leakage_matrix_hand_computed(spark):
         for r in split_leakage_matrix(df, "fold", "text", n=3).collect()
     }
     assert got == {(0, 1): 2}
+
+
+import pytest as _pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_RATING = st.tuples(
+    st.integers(min_value=0, max_value=9),   # subject
+    st.sampled_from(["a", "b", "c"]),        # category
+)
+
+
+@given(rows=st.lists(_RATING, min_size=1, max_size=40))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fleiss_kappa_matches_python_model(spark, rows):
+    """Random rating tables vs a pure-Python model of the same exact
+    integer arithmetic — including subject exclusion (rating count !=
+    n_raters) and the empty-qualifying-set edge (operator must emit a
+    row with NULL ratios, never crash)."""
+    from collections import Counter
+
+    from novi_pdq_etl_project_prod_spark.operators.stats import fleiss_kappa
+
+    n_raters = 3
+    df = spark.createDataFrame(rows, "subj int, cat string")
+    got = fleiss_kappa(df, "subj", "cat", n_raters).collect()[0]
+
+    per_subj = Counter(s for s, _ in rows)
+    ok = {s for s, c in per_subj.items() if c == n_raters}
+    cells = Counter((s, c) for s, c in rows if s in ok)
+    N = len(ok)
+    assert got.n_subjects == N and got.n_raters == n_raters
+    if N == 0:
+        assert got.po is None and got.pe is None and got.kappa is None
+        return
+    nn = N * n_raters
+    s2 = sum(v * v for v in cells.values())
+    cj = Counter()
+    for (_s, c), v in cells.items():
+        cj[c] += v
+    sc2 = sum(v * v for v in cj.values())
+    assert got.po == (s2 - nn) / (nn * (n_raters - 1))
+    assert got.pe == sc2 / (nn * nn)
+    den = (n_raters - 1) * (nn * nn - sc2)
+    if den == 0:
+        # pe == 1 (every rating one category): kappa undefined -> ±inf/nan
+        import math
+
+        assert got.kappa is None or not math.isfinite(got.kappa)
+    else:
+        assert got.kappa == ((s2 - nn) * nn - (n_raters - 1) * sc2) / den
