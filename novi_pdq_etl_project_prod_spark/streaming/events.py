@@ -1320,11 +1320,18 @@ def _incremental_pairs_from_signatures(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
         )
     )
-    return pairs.select(
-        "id_a",
-        "id_b",
-        (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
-        F.when(F.col("both_new"), F.lit("new_new"))
-        .otherwise(F.lit("new_old"))
-        .alias("pair_type"),
-    ).where(F.col("est_jaccard") >= threshold)
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+            F.when(F.col("both_new"), F.lit("new_new"))
+            .otherwise(F.lit("new_old"))
+            .alias("pair_type"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        # exactly-once per pair even if a doc id ever appears twice in
+        # the signature table (the join-back would re-expand what the
+        # pre-rewrite first() aggregate collapsed); pair-sized shuffle
+        .dropDuplicates(["id_a", "id_b"])
+    )
