@@ -1176,12 +1176,14 @@ def incremental_minhash_pairs(
     ball = bn.withColumn("is_new", F.lit(True)).unionByName(
         _banded(sig_old).withColumn("is_new", F.lit(False))
     )
-    # broadcast the banded increment explicitly (round 10): the standing
-    # side must only ever be SCANNED, never shuffled+sorted — AQE can
-    # convert to broadcast when the persisted increment happens to sit
-    # under the threshold, but the shape shouldn't depend on that luck
-    # (the streaming twin measured the SMJ fallback at 2.3× — SCALE.md)
-    a = F.broadcast(bn).alias("a")
+    # no forced broadcast here (round-10 review): bn carries the FULL
+    # signature arrays, so a mandatory hint would cap increment size at
+    # Spark's 8 GB broadcast limit where the previous AQE-chosen join
+    # completed — the eager persist above gives AQE real statistics to
+    # pick broadcast when the increment is small, shuffle when not.
+    # (The streaming twin bands key-only and bounds its trigger size,
+    # so IT keeps the explicit hint.)
+    a = bn.alias("a")
     b = ball.alias("b")
     # one-sided join: left side is ALWAYS the increment, so old×old
     # cells never pair; canonicalize to id_a < id_b and dedup the
@@ -1248,11 +1250,11 @@ def canonicalize_clusters(
     (doc_id, cluster_id, keep_id, score) for each DROPPED member,
     i.e. ``count = Σ (|cluster| − 1)``.
 
-    Shape: one id-keyed join (score attach), one cluster-grain
-    ``max_by`` hash-agg (map-side combined — the canonical pick never
-    materializes per-member rows on the driver), one cluster-keyed join
-    back. All three stages partition on their keys; no window over the
-    corpus, no driver loop.
+    Shape: one id-keyed join (score attach), a cluster-grain max +
+    min-id-among-ties pick (two map-side-combined hash-aggs and a
+    cluster-keyed tie filter — type-safe for string ids, exact past
+    2^53), one cluster-keyed join back. Every stage partitions on its
+    key; no window over the corpus, no driver loop.
     """
     scored = clusters.join(
         scores.select(
@@ -1262,12 +1264,19 @@ def canonicalize_clusters(
     ).select(
         F.col(id_col), F.col(cluster_col), F.col("__score").alias("score")
     )
-    keep = scored.groupBy(cluster_col).agg(
-        # max_by over (score, -id): highest score wins, smallest id
-        # breaks ties — struct comparison is lexicographic
-        F.expr(
-            f"max_by({id_col}, struct(score, -{id_col}))"
-        ).alias("keep_id")
+    # two-stage deterministic pick (round-10 review): max score per
+    # cluster, then MIN id among the score-ties. The one-agg
+    # max_by(id, struct(score, -id)) alternative silently breaks for
+    # non-numeric ids (unary minus casts a string id to double → NULL →
+    # undefined tie order) and loses precision past 2^53 — this shape
+    # is type-safe for any orderable id. Both aggs map-side combine;
+    # the tie filter join reuses the cluster partitioning.
+    best = scored.groupBy(cluster_col).agg(F.max("score").alias("__best"))
+    keep = (
+        scored.join(best, cluster_col)
+        .where(F.col("score").eqNullSafe(F.col("__best")))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("keep_id"))
     )
     return (
         scored.join(keep, cluster_col)

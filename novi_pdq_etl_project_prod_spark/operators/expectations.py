@@ -188,10 +188,7 @@ def write_with_expectations(
     the corpus is scanned once for validate+report+write together.
     """
     from novi_pdq_etl_project_prod_spark import cache
-    from novi_pdq_etl_project_prod_spark.sources.layers import (
-        commit_tables,
-        read_manifest_tables,
-    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
 
     if on_violation not in ("quarantine", "drop", "fail"):
         raise ValueError(f"on_violation={on_violation!r}")
@@ -200,18 +197,24 @@ def write_with_expectations(
         from novi_pdq_etl_project_prod_spark.operators.quality import (
             schema_drift,
         )
+        from novi_pdq_etl_project_prod_spark.sources.layers import (
+            read_manifest_table,
+        )
 
-        existing = read_manifest_tables(spark, root, layer).get(table)
-        blocked = schema_gate(existing, df, allow=tuple(schema_allow))
+        # one single-table read (not the whole layer's reader set) and
+        # ONE diff, split into blocked vs permitted
+        existing = read_manifest_table(spark, root, layer, table)
+        drift = [] if existing is None else schema_drift(existing, df)
+        blocked = [
+            d for d in drift if d["status"] not in set(schema_allow)
+        ]
         if blocked:
             raise ExpectationError(
                 f"{table}: unreviewed schema drift {blocked}; allowed "
                 f"statuses {sorted(schema_allow)} — nothing committed"
             )
-        if existing is not None:
-            permitted = schema_drift(existing, df)
-            if permitted:
-                extra_meta[f"schema_drift:{table}"] = permitted
+        if drift:
+            extra_meta[f"schema_drift:{table}"] = drift
     # own scope: the tagged persist is released on exit without touching
     # intermediates a calling pipeline may still be filling
     with cache.scope():

@@ -1331,9 +1331,11 @@ def cohens_kappa(
         diag.cast("long").alias("n_agree"),
         ((n * diag).cast("decimal(38,0)").cast("double") / n2.cast("double")).alias("po"),
         (rcv.cast("double") / n2.cast("double")).alias("pe"),
-        (
-            ((n * diag).cast("decimal(38,0)") - rcv).cast("double")
-            / (n2 - rcv).cast("double")
+        # try_divide: a single-label corpus makes pe == 1 and zeroes the
+        # denominator — kappa undefined → NULL (DuckDB's /0 is NULL too)
+        F.try_divide(
+            ((n * diag).cast("decimal(38,0)") - rcv).cast("double"),
+            (n2 - rcv).cast("double"),
         ).alias("kappa"),
     )
 
@@ -1413,12 +1415,17 @@ def fleiss_kappa(
         F.lit(n_raters).cast("int").alias("n_raters"),
         (po_num.cast("double") / po_den.cast("double")).alias("po"),
         (F.col("sc2").cast("double") / pe_den.cast("double")).alias("pe"),
-        (
+        # try_divide: pe == 1 (every rating one category) zeroes the
+        # denominator — kappa is classically undefined there, so NULL,
+        # matching DuckDB's NULL-on-/0 rather than erroring under ANSI
+        # (found by the Hypothesis model test; same guard in
+        # cohens_kappa)
+        F.try_divide(
             ((po_num * nn).cast("decimal(38,0)")
              - (F.lit(n_raters - 1) * F.col("sc2")).cast("decimal(38,0)"))
-            .cast("double")
-            / ((F.lit(n_raters - 1)
-                * (pe_den - F.col("sc2"))).cast("decimal(38,0)"))
-            .cast("double")
+            .cast("double"),
+            ((F.lit(n_raters - 1)
+              * (pe_den - F.col("sc2"))).cast("decimal(38,0)"))
+            .cast("double"),
         ).alias("kappa"),
     )

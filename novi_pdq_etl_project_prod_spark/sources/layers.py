@@ -944,17 +944,44 @@ def read_manifest_tables(
     add in a later segment surfaces as NULLs in earlier ones instead of
     silently adopting one segment's footer."""
     versions = read_manifest(root, layer)
-    out = {}
-    for tbl, snap in versions.items():
-        dirs = [
-            os.path.join(table_path(root, layer, tbl), seg)
-            for seg in _segments(snap)
-        ]
-        reader = spark.read
-        if len(dirs) > 1:
-            reader = reader.option("mergeSchema", "true")
-        out[tbl] = reader.parquet(*dirs)
-    return out
+    return {
+        tbl: _read_manifest_entry(spark, root, layer, tbl, snap)
+        for tbl, snap in versions.items()
+    }
+
+
+def _read_manifest_entry(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    entry,
+) -> DataFrame:
+    dirs = [
+        os.path.join(table_path(root, layer, table), seg)
+        for seg in _segments(entry)
+    ]
+    reader = spark.read
+    if len(dirs) > 1:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*dirs)
+
+
+def read_manifest_table(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+) -> DataFrame | None:
+    """ONE table at its live-manifest version (None when absent) —
+    the cheap form of :func:`read_manifest_tables` for callers that
+    need a single table's frame/schema (e.g. the expectations schema
+    gate, which runs per micro-batch): constructs one reader instead
+    of footer-touching every table in the layer."""
+    entry = read_manifest(root, layer).get(table)
+    if entry is None:
+        return None
+    return _read_manifest_entry(spark, root, layer, table, entry)
 
 
 def _roll_forward_table_pointers(root: str, layer: MedallionLayer | str) -> None:

@@ -71,15 +71,22 @@ def _last_applied_batch(root: str, layer: str, marker: str) -> int | None:
 
 
 def _checkpoint_has_progress(checkpoint_dir: str) -> bool:
-    """True when the Structured Streaming checkpoint has committed at
-    least one offset — the evidence that a query identity ALREADY RAN
-    with this checkpoint (vs. a brand-new sink whose dir is empty)."""
+    """True when the Structured Streaming checkpoint has at least one
+    COMPLETED batch — the evidence that a query identity already ran
+    successfully with this checkpoint (vs. a brand-new sink whose dir
+    is empty). Reads the ``commits`` dir, NOT ``offsets``: Spark writes
+    offsets/N BEFORE foreachBatch runs, so a new sink whose very first
+    batch fails mid-apply already has an offsets entry — gating on it
+    would misidentify that sink as upgraded-in-place on restart and
+    auto-adopt a sibling's legacy marker (the exact data-loss this
+    evidence gate exists to prevent); commits/N lands only after the
+    batch fully succeeds."""
     import os
 
     try:
         return any(
             not e.startswith(".")
-            for e in os.listdir(os.path.join(checkpoint_dir, "offsets"))
+            for e in os.listdir(os.path.join(checkpoint_dir, "commits"))
         )
     except OSError:
         return False
@@ -940,11 +947,20 @@ def stream_write_with_expectations(
     id the committed manifest already covers is a no-op, making table
     contents AND counts exactly-once.
 
+    ``schema_allow``: the schema gate ALWAYS runs on this sink (None ==
+    block all drift) because its commits are APPEND segments — a
+    drifted segment would wedge later merged-schema reads instead of
+    failing the offending batch; pass statuses ("added", ...) to permit
+    reviewed evolution, recorded in commit meta. (The batch twin's
+    None means ungated: a validated PUBLISH replaces the table, so any
+    schema is physically fine there.)
+
     Scale: the expectation tagging is one row-local projection compiled
-    into the micro-batch scan (zero shuffles); the append path unions
-    the batch onto the manifest's current version — entity-sized state
-    never rides the stream. The batch twin is certified by the dq11
-    oracle; this sink is certified stream==batch metamorphically.
+    into the micro-batch scan (zero shuffles); commits append only the
+    batch's rows as manifest segments (empty sides skipped) — neither
+    corpus-sized state nor corpus-sized writes ride the stream. The
+    batch twin is certified by the dq11 oracle; this sink is certified
+    stream==batch metamorphically.
     """
     from novi_pdq_etl_project_prod_spark.operators.expectations import (
         FAILED_RULES_COL,
@@ -954,7 +970,6 @@ def stream_write_with_expectations(
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
         read_manifest_meta,
-        read_manifest_tables,
     )
 
     marker = batch_marker_key(checkpoint_dir)
@@ -970,33 +985,41 @@ def stream_write_with_expectations(
             return  # replayed batch: its rows and counts already landed
         spark = batch_df.sparkSession
         extra_meta: dict = {}
-        if schema_allow is not None:
-            # METADATA expectation (VERDICT r09 item 7), the streaming
-            # twin of write_with_expectations' schema gate: unreviewed
-            # drift vs the committed table aborts the batch BEFORE
-            # anything is staged (propagates as StreamingQueryException)
-            from novi_pdq_etl_project_prod_spark.operators.expectations import (  # noqa: E501
-                ExpectationError,
-                schema_gate,
-            )
-            from novi_pdq_etl_project_prod_spark.operators.quality import (
-                schema_drift,
-            )
+        # METADATA expectation (VERDICT r09 item 7), the streaming twin
+        # of write_with_expectations' schema gate. The gate ALWAYS runs
+        # here (schema_allow=None behaves as "block all drift"), unlike
+        # the batch twin where None means ungated: a batch PUBLISH
+        # replaces the table so any schema is physically fine, but this
+        # sink APPENDS segments — before round 10 a drifted batch failed
+        # the unionByName loudly; committing it silently would instead
+        # wedge every later merged-schema read (a retyped column fails
+        # parquet schema merging long after the bad batch landed).
+        from novi_pdq_etl_project_prod_spark.operators.expectations import (
+            ExpectationError,
+        )
+        from novi_pdq_etl_project_prod_spark.operators.quality import (
+            schema_drift,
+        )
+        from novi_pdq_etl_project_prod_spark.sources.layers import (
+            read_manifest_table,
+        )
 
-            existing = read_manifest_tables(spark, root, layer).get(table)
-            blocked = schema_gate(
-                existing, batch_df, allow=tuple(schema_allow)
+        allow = set(schema_allow) if schema_allow is not None else set()
+        # one single-table read and ONE diff (not a whole-layer reader
+        # sweep per trigger), split into blocked vs permitted
+        existing = read_manifest_table(spark, root, layer, table)
+        drift = (
+            [] if existing is None else schema_drift(existing, batch_df)
+        )
+        blocked = [d for d in drift if d["status"] not in allow]
+        if blocked:
+            raise ExpectationError(
+                f"{table}: unreviewed schema drift {blocked}; allowed "
+                f"statuses {sorted(allow)} — batch {_batch_id} "
+                "not committed"
             )
-            if blocked:
-                raise ExpectationError(
-                    f"{table}: unreviewed schema drift {blocked}; allowed "
-                    f"statuses {sorted(schema_allow)} — batch {_batch_id} "
-                    "not committed"
-                )
-            if existing is not None:
-                permitted = schema_drift(existing, batch_df)
-                if permitted:
-                    extra_meta[f"schema_drift:{table}"] = permitted
+        if drift:
+            extra_meta[f"schema_drift:{table}"] = drift
         tagged = apply_expectations(batch_df, rules).persist()
         try:
             fresh = {
@@ -1020,13 +1043,23 @@ def stream_write_with_expectations(
             # segments; the standing good/quarantine tables are
             # referenced, never re-staged (previously each batch
             # committed `current ∪ batch`, O(corpus) write volume — the
-            # same scale-killer fixed in stream_incremental_near_dups)
+            # same scale-killer fixed in stream_incremental_near_dups).
+            # EMPTY sides are dropped from the commit (their counts are
+            # already known from the report) so a healthy stream doesn't
+            # grow the quarantine's segment list with zero-row segments
+            # — the table materializes on its first violating batch.
+            n_failing = int(fresh.get("_total_rows_failing", 0))
+            tables = {}
+            if int(fresh["n_rows"]) > n_failing:
+                tables[table] = good
+            if n_failing > 0:
+                tables[qt] = bad
             commit_tables(
-                {table: good, qt: bad},
+                tables,
                 root,
                 layer,
                 meta=meta,
-                append_tables=(table, qt),
+                append_tables=tuple(tables),
             )
         finally:
             tagged.unpersist()
@@ -1308,13 +1341,20 @@ def _incremental_pairs_from_signatures(
         .groupBy("id_a", "id_b")
         .agg(F.max(F.col("other_is_new")).alias("both_new"))
     )
+    # no forced broadcast on the join-backs (round-10 review): candidate
+    # count is bounded by band collisions against the WHOLE standing
+    # corpus, not by trigger size (a boilerplate-heavy batch can collide
+    # with a large corpus fraction), and with_a additionally carries
+    # arrays — AQE picks broadcast from runtime sizes in the common tiny
+    # case and falls back to a shuffle join instead of an 8 GB failure
+    # in the pathological one.
     sigs_all = sig_new.unionByName(sig_old)
     with_a = sigs_all.select(
         F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
-    ).join(F.broadcast(cand), "id_a")
+    ).join(cand, "id_a")
     pairs = sigs_all.select(
         F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
-    ).join(F.broadcast(with_a), "id_b")
+    ).join(with_a, "id_b")
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq

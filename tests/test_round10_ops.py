@@ -170,9 +170,48 @@ def test_fleiss_kappa_matches_python_model(spark, rows):
     assert got.pe == sc2 / (nn * nn)
     den = (n_raters - 1) * (nn * nn - sc2)
     if den == 0:
-        # pe == 1 (every rating one category): kappa undefined -> ±inf/nan
-        import math
-
-        assert got.kappa is None or not math.isfinite(got.kappa)
+        # pe == 1 (every rating one category): kappa undefined -> NULL
+        assert got.kappa is None
     else:
         assert got.kappa == ((s2 - nn) * nn - (n_raters - 1) * sc2) / den
+
+
+def test_canonicalize_clusters_string_ids_deterministic_ties(spark):
+    """Round-10 review: the tie-break must be type-safe — string doc ids
+    (content-addressed corpora) pick the lexicographically smallest id
+    among equal scores, never an arbitrary survivor."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        canonicalize_clusters,
+    )
+
+    clusters = spark.createDataFrame(
+        [("sha_b", "c1"), ("sha_a", "c1"), ("sha_c", "c1")],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("sha_a", 7), ("sha_b", 7), ("sha_c", 3)], "id string, score long"
+    )
+    got = sorted(
+        map(tuple, canonicalize_clusters(clusters, scores).collect())
+    )
+    assert got == [("sha_b", "c1", "sha_a", 7), ("sha_c", "c1", "sha_a", 3)]
+
+
+def test_kappas_single_category_corpus_yields_null(spark):
+    """pe == 1 (one category everywhere) makes both kappas classically
+    undefined: NULL, never an ANSI divide-by-zero crash (found by the
+    Hypothesis model test)."""
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        cohens_kappa,
+        fleiss_kappa,
+    )
+
+    mono = spark.createDataFrame([("x", "x")] * 4, "ra string, rb string")
+    row = cohens_kappa(mono, "ra", "rb").collect()[0]
+    assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None
+
+    ratings = spark.createDataFrame(
+        [(s, "a") for s in (1, 1, 1, 2, 2, 2)], "subj int, cat string"
+    )
+    row = fleiss_kappa(ratings, "subj", "cat", 3).collect()[0]
+    assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None

@@ -1000,9 +1000,19 @@ def test_auto_migration_requires_checkpoint_progress(spark, tmp_path):
     meta = read_manifest_meta(root, "curated")
     assert batch_marker_key(chk) not in meta and meta["last_batch_id"] == 3
 
-    # checkpoint with committed offsets: upgraded in place → adopt+retire
+    # offsets alone are NOT evidence: Spark writes offsets/N BEFORE the
+    # batch runs, so a new sink whose first batch failed mid-apply has
+    # one — adoption must wait for a COMPLETED batch (commits/N)
     _os.makedirs(_os.path.join(chk, "offsets"))
     with open(_os.path.join(chk, "offsets", "0"), "w") as fh:
+        fh.write("{}")
+    _maybe_migrate_legacy(root, "curated", chk)
+    meta = read_manifest_meta(root, "curated")
+    assert batch_marker_key(chk) not in meta and meta["last_batch_id"] == 3
+
+    # checkpoint with a COMMITTED batch: upgraded in place → adopt+retire
+    _os.makedirs(_os.path.join(chk, "commits"))
+    with open(_os.path.join(chk, "commits", "0"), "w") as fh:
         fh.write("{}")
     _maybe_migrate_legacy(root, "curated", chk)
     meta = read_manifest_meta(root, "curated")
