@@ -888,7 +888,7 @@ def stream_bin_counts(
     from novi_pdq_etl_project_prod_spark.operators.stats import bin_counts
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_tables,
+        read_manifest_table,
     )
 
     marker = batch_marker_key(checkpoint_dir)
@@ -902,7 +902,7 @@ def stream_bin_counts(
             return  # replayed batch: its counts are already in
         spark = batch_df.sparkSession
         fresh = bin_counts(batch_df, value_col, list(cut_vals), "n")
-        existing = read_manifest_tables(spark, root, layer).get(table)
+        existing = read_manifest_table(spark, root, layer, table)
         merged = (
             fresh
             if existing is None
@@ -1114,7 +1114,7 @@ def stream_merge_into(
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_tables,
+        read_manifest_table,
     )
 
     marker = batch_marker_key(checkpoint_dir)
@@ -1150,7 +1150,7 @@ def stream_merge_into(
                 .drop("_rn")
             )
             source = keyed.unionByName(source.where(~non_null))
-        target = read_manifest_tables(spark, root, layer).get(table)
+        target = read_manifest_table(spark, root, layer, table)
         merged = merge_frames(
             target,
             source,
@@ -1217,7 +1217,7 @@ def stream_incremental_near_dups(
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_tables,
+        read_manifest_table,
     )
 
     marker = batch_marker_key(checkpoint_dir)
@@ -1232,8 +1232,9 @@ def stream_incremental_near_dups(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            current = read_manifest_tables(spark, root, layer)
-            existing_sigs = current.get(signatures_table)
+            existing_sigs = read_manifest_table(
+                spark, root, layer, signatures_table
+            )
             sigs_new = minhash_signatures_md5(
                 batch_df, id_col, text_col, n, num_hashes
             ).persist()

@@ -184,3 +184,14 @@ def test_schema_gate_none_means_ungated(spark, tmp_path):
     X.write_with_expectations(
         spark, root, "curated", "facts", widened, RULES
     )
+
+
+def test_schema_gate_helper_contract(spark):
+    """The declarative helper itself: None existing passes everything;
+    otherwise exactly the non-allowed drift statuses are returned."""
+    old = spark.createDataFrame([(1, "a")], "id int, v string")
+    new = spark.createDataFrame([(1, 1.0, True)], "id int, v double, w boolean")
+    assert X.schema_gate(None, new) == []
+    blocked = X.schema_gate(old, new, allow=("added",))
+    assert [(d["column"], d["status"]) for d in blocked] == [("v", "retyped")]
+    assert X.schema_gate(old, new, allow=("added", "retyped")) == []
