@@ -165,6 +165,7 @@ HEADLINE = [
     "d44_fleiss_kappa",
     "m67_dedup_canonicalize",
     "m68_split_leakage",
+    "m69_incremental_exact_dups",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

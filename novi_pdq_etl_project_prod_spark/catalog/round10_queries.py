@@ -200,3 +200,74 @@ ORDER BY 1, 2
 
 QUERIES["m68_split_leakage"] = m68_split_leakage
 ORACLES["m68_split_leakage"] = M68_SQL
+
+
+# ---------------------------------------------------------------------------
+# M69 — incremental EXACT dedup: the cheap first filter of an ingest
+# pipeline (the exact twin of m66's near-dup increment): increment docs
+# whose md5(text) already exists in the standing corpus (exact_old) or
+# earlier in the increment (exact_new), with the canonical id each one
+# duplicates. Standing×standing is never compared.
+# ---------------------------------------------------------------------------
+
+
+def m69_incremental_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The increment is a deterministic RE-INGEST slice (the fixture
+    corpus has no planted exact dups): every doc_id % 89 == 0 page is
+    re-fetched unchanged (id + 10M → exact_old vs standing), and a
+    revised version ("<text> v2") arrives TWICE (ids + 20M and + 30M —
+    the + 30M copy is exact_new against its + 20M sibling; the + 20M
+    first occurrence is clean and unreported)."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        incremental_exact_dups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sl = docs.where(F.col("doc_id") % 89 == 0).select("doc_id", "text")
+    refetch = sl.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), F.col("text")
+    )
+    rev1 = sl.select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    rev2 = sl.select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    increment = refetch.unionByName(rev1).unionByName(rev2)
+    return incremental_exact_dups(increment, docs).orderBy("doc_id")
+
+
+M69_SQL = """
+WITH sl AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 89 = 0
+),
+inc AS (
+  SELECT doc_id + 10000000 AS id, text FROM sl
+  UNION ALL
+  SELECT doc_id + 20000000 AS id, text || ' v2' FROM sl
+  UNION ALL
+  SELECT doc_id + 30000000 AS id, text || ' v2' FROM sl
+),
+h_new AS (SELECT id, md5(text) AS h FROM inc),
+old_min AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS old_min FROM documents GROUP BY 1
+),
+new_min AS (
+  SELECT h, MIN(id) AS new_min FROM h_new GROUP BY 1
+)
+SELECT n.id AS doc_id,
+       COALESCE(o.old_min, m.new_min) AS dup_of,
+       CASE WHEN o.old_min IS NOT NULL THEN 'exact_old'
+            ELSE 'exact_new' END AS dup_type
+FROM h_new n
+LEFT JOIN old_min o ON o.h = n.h
+JOIN new_min m ON m.h = n.h
+WHERE o.old_min IS NOT NULL OR n.id > m.new_min
+ORDER BY doc_id
+"""
+
+
+QUERIES["m69_incremental_exact_dups"] = m69_incremental_exact_dups
+ORACLES["m69_incremental_exact_dups"] = M69_SQL

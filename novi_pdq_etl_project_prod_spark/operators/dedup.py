@@ -1339,3 +1339,59 @@ def split_leakage_matrix(
                       F.col("p.fold_b").alias("fold_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
     )
+
+
+def incremental_exact_dups(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate report for a corpus INCREMENT — the exact twin of
+    :func:`incremental_minhash_pairs` (m66), run first in an ingest
+    pipeline because it is the cheap filter: every increment doc whose
+    md5(text) already exists in the standing corpus (``exact_old``) or
+    earlier in the increment itself (``exact_new``), with the id it
+    duplicates. Standing-vs-standing is never compared (those dupes
+    were reported at their own ingest).
+
+    Output: (doc_id, dup_of, dup_type) for DUPLICATE increment docs
+    only; ``dup_of`` = the smallest standing id with the same hash, else
+    the smallest increment id (group canonical). Content hashes are
+    md5 — bit-reproducible in any engine, so the report is exactly
+    SQL-oracle-able.
+
+    NULL-text rows are never reported (md5(NULL) is NULL and the inner
+    hash join drops it — no content, no duplicate relation).
+
+    Scale shape: one hash-agg of the standing corpus to (hash, min id)
+    — in production that table is persisted once at ingest and this
+    side is a scan — plus one hash-keyed join against the increment's
+    hashes and one increment-grain min. No text ever shuffles: hashes
+    and ids only.
+    """
+    h_new = new_df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h")
+    )
+    old_min = (
+        existing_df.select(
+            F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.min("id").alias("old_min"))
+    )
+    new_min = h_new.groupBy("h").agg(F.min("id").alias("new_min"))
+    return (
+        h_new.join(old_min, "h", "left")
+        .join(new_min, "h")
+        .where(
+            F.col("old_min").isNotNull() | (F.col("id") > F.col("new_min"))
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce(F.col("old_min"), F.col("new_min")).alias("dup_of"),
+            F.when(F.col("old_min").isNotNull(), F.lit("exact_old"))
+            .otherwise(F.lit("exact_new"))
+            .alias("dup_type"),
+        )
+    )

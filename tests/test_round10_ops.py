@@ -215,3 +215,78 @@ def test_kappas_single_category_corpus_yields_null(spark):
     )
     row = fleiss_kappa(ratings, "subj", "cat", 3).collect()[0]
     assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None
+
+
+_DOC = st.tuples(
+    st.integers(min_value=0, max_value=3),   # fold
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+        min_size=0, max_size=6,
+    ).map(" ".join),                          # text from a tiny vocabulary
+)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=10))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_split_leakage_matrix_matches_python_model(spark, docs):
+    """Random tiny corpora vs a Python model: per-fold distinct 3-gram
+    sets, matrix = |intersection| for every fold_a < fold_b pair with a
+    nonempty intersection. Short texts (< n tokens) contribute
+    nothing."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        split_leakage_matrix,
+    )
+
+    df = spark.createDataFrame(docs, "fold int, text string")
+    got = {
+        (r.fold_a, r.fold_b): r.shared_grams
+        for r in split_leakage_matrix(df, "fold", "text", n=3).collect()
+    }
+
+    folds: dict[int, set] = {}
+    for fold, text in docs:
+        toks = [t for t in text.split() if t]
+        grams = {
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2)
+        }
+        folds.setdefault(fold, set()).update(grams)
+    want = {}
+    ks = sorted(folds)
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            inter = len(folds[a] & folds[b])
+            if inter:
+                want[(a, b)] = inter
+    assert got == want
+
+
+def test_incremental_exact_dups_membership_matrix(spark):
+    """Planted exact dups in every membership combination: old×new
+    (exact_old, canonical = min standing id), new×new (exact_new,
+    first occurrence unreported), old×old (never compared), unique new
+    (unreported), NULL text (never reported)."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        incremental_exact_dups,
+    )
+
+    standing = spark.createDataFrame(
+        [(1, "alpha"), (4, "alpha"), (2, "beta"), (3, "gamma")],
+        "doc_id long, text string",
+    )
+    increment = spark.createDataFrame(
+        [
+            (10, "alpha"),   # exact_old, dup_of = 1 (min standing)
+            (11, "delta"), (12, "delta"),  # new×new: 12 dups 11
+            (13, "unique words"),          # clean
+            (14, None), (15, None),        # NULL text: never reported
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        map(tuple, incremental_exact_dups(increment, standing).collect())
+    )
+    assert got == [(10, 1, "exact_old"), (12, 11, "exact_new")]
