@@ -1376,3 +1376,123 @@ def _incremental_pairs_from_signatures(
         # pre-rewrite first() aggregate collapsed); pair-sized shuffle
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def stream_incremental_exact_dups(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hashes_table: str = "content_hashes",
+    dups_table: str = "exact_dups",
+) -> None:
+    """Streaming incremental EXACT dedup — the production form of
+    ``operators.dedup.incremental_exact_dups`` and the cheap stage an
+    ingest pipeline runs BEFORE the near-dup sink: per micro-batch,
+    every doc whose md5(text) already exists in the standing content-
+    hash table is reported as ``exact_old`` (with the standing canonical
+    id), within-batch repeats as ``exact_new``; genuinely new hashes
+    append to the standing table. One atomic marker-gated commit per
+    batch (``commit_tables`` append segments), exactly-once under
+    replay.
+
+    Scale shape — per trigger, with H = standing hash table:
+    the batch's hashes (trigger-bounded, ids+hashes only) are BROADCAST
+    against ONE map-side scan of H (matched hashes + their standing
+    min ids come back candidate-sized); the new-hash set is a broadcast
+    anti-join against the candidate-sized matched set — H is never
+    shuffled, never rewritten, and the committed bytes are O(batch)
+    (one (hash, canonical id) segment + the batch's report rows).
+    """
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_table,
+    )
+
+    marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its hashes and report are in
+        spark = batch_df.sparkSession
+        h_new = (
+            batch_df.select(
+                F.col(id_col).alias("id"),
+                F.md5(F.col(text_col)).alias("h"),
+            )
+            .where(F.col("h").isNotNull())
+            .persist()
+        )
+        try:
+            standing = read_manifest_table(spark, root, layer, hashes_table)
+            new_min = h_new.groupBy("h").agg(F.min("id").alias("new_min"))
+            if standing is None:
+                # first batch: no standing table; derive an EMPTY matched
+                # frame from the batch itself so old_min's type always
+                # equals the caller's id type (int/long/string alike)
+                matched = new_min.select(
+                    "h", F.col("new_min").alias("old_min")
+                ).limit(0)
+            else:
+                # ONE map-side pass over the standing table: broadcast
+                # the trigger-bounded batch hashes, return matched
+                # hashes with their standing canonical ids
+                # (candidate-sized)
+                matched = (
+                    standing.join(
+                        F.broadcast(h_new.select("h").distinct()), "h"
+                    )
+                    .groupBy("h")
+                    .agg(F.min("canonical_id").alias("old_min"))
+                )
+            enriched = new_min.join(F.broadcast(matched), "h", "left")
+            report = (
+                h_new.join(F.broadcast(enriched), "h")
+                .where(
+                    F.col("old_min").isNotNull()
+                    | (F.col("id") > F.col("new_min"))
+                )
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.coalesce(F.col("old_min"), F.col("new_min")).alias(
+                        "dup_of"
+                    ),
+                    F.when(
+                        F.col("old_min").isNotNull(), F.lit("exact_old")
+                    )
+                    .otherwise(F.lit("exact_new"))
+                    .alias("dup_type"),
+                )
+            )
+            # standing table grows by the batch's genuinely-new hashes
+            # only (hash, canonical id) — hashes already standing keep
+            # their canonical row untouched
+            new_hashes = enriched.where(F.col("old_min").isNull()).select(
+                "h", F.col("new_min").alias("canonical_id")
+            )
+            meta: dict = {marker: _batch_id}
+            tables = {hashes_table: new_hashes, dups_table: report}
+            commit_tables(
+                tables,
+                root,
+                layer,
+                meta=meta,
+                append_tables=(hashes_table, dups_table),
+            )
+        finally:
+            h_new.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1301,6 +1301,79 @@ def test_stream_merge_into_dedup_exempts_null_keys(spark, tmp_path):
     assert got == [(1, 11, 2), (None, 7, 1), (None, 8, 2)]
 
 
+def test_stream_incremental_exact_dups_matches_full_corpus(spark, tmp_path):
+    """Streaming exact-dedup metamorphic property: ingesting a corpus in
+    id-monotone micro-batches accumulates exactly the full-corpus
+    exact-duplicate expansion — every non-canonical member reported
+    once, at its arrival batch, pointing at its group's min id, typed by
+    whether the canonical was already standing. The content-hash table
+    ends with ONE row per distinct hash (canonical = global min), each
+    batch committed as an append segment; checkpoint-loss replay is a
+    no-op."""
+    import shutil
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_incremental_exact_dups,
+    )
+
+    batch1 = [(1, "aa"), (2, "bb"), (3, "aa")]          # 3 dups 1 (new_new)
+    batch2 = [(4, "aa"), (5, "cc"), (6, "bb"), (7, "cc")]
+    # 4 dups 1 (old), 6 dups 2 (old), 7 dups 5 (new_new)
+    updates_dir = str(tmp_path / "docs")
+    spark.createDataFrame(batch1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(updates_dir)
+    _time.sleep(1.1)
+    spark.createDataFrame(batch2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(updates_dir)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_incremental_exact_dups(
+            stream, root, "curated", checkpoint_dir=chk
+        )
+
+    _run()
+    tables = read_manifest_tables(spark, root, "curated")
+    got = {
+        r.doc_id: (r.dup_of, r.dup_type)
+        for r in tables["exact_dups"].collect()
+    }
+    assert got == {
+        3: (1, "exact_new"),
+        4: (1, "exact_old"),
+        6: (2, "exact_old"),
+        7: (5, "exact_new"),
+    }
+    hashes = {
+        r.h: r.canonical_id for r in tables["content_hashes"].collect()
+    }
+    assert sorted(hashes.values()) == [1, 2, 5]  # one row per distinct hash
+    # both tables are segment lists: one append per batch
+    man = read_manifest(root, "curated")
+    assert isinstance(man["content_hashes"], list)
+    assert len(man["content_hashes"]) == 2
+
+    shutil.rmtree(chk)
+    _run()  # replay after checkpoint loss: marker-gated no-op
+    after = read_manifest_tables(spark, root, "curated")
+    assert after["exact_dups"].count() == 4
+    assert after["content_hashes"].count() == 3
+
+
 def test_stream_incremental_near_dups_covers_full_corpus_exactly_once(
     spark, tmp_path
 ):
