@@ -1211,6 +1211,14 @@ def stream_incremental_near_dups(
     batch re-staged the full ``existing ∪ new`` union, O(corpus) write
     volume per increment). Per-batch read cost is the signature-table
     scan (one side of the band join); per-batch WRITE cost is O(batch).
+
+    Identity contract: ``id_col`` is an immutable content identity —
+    the exactly-once marker prevents replays, so a given id is hashed
+    and appended once. Re-ingesting an id with DIFFERENT text violates
+    the contract; the pair set stays exactly-once (pair-sized dedup
+    after verification) but which copy's signature scores a pair is
+    then unspecified. Route revisions through new ids (the m69
+    exact-dedup stage reports re-fetches of unchanged content).
     """
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
         minhash_signatures_md5,
