@@ -1023,6 +1023,54 @@ def main_r10(k: int = 100) -> None:
                 shutil.rmtree(root, ignore_errors=True)
                 shutil.rmtree(chk, ignore_errors=True)
 
+        # ---- (a3) streaming EXACT-dedup sink: same protocol ----
+        from novi_pdq_etl_project_prod_spark.streaming.events import (
+            stream_incremental_exact_dups,
+        )
+
+        for label, _kk in scales:
+            root = tempfile.mkdtemp(prefix=f"r10xwh{label}_")
+            chk = tempfile.mkdtemp(prefix=f"r10xchk{label}_")
+            try:
+                standing = spark.read.parquet(
+                    f"{corpora[label]}/documents.parquet"
+                )
+                seed = standing.select(
+                    F.md5("text").alias("h"),
+                    F.col("doc_id").alias("canonical_id"),
+                ).groupBy("h").agg(
+                    F.min("canonical_id").alias("canonical_id")
+                )
+                commit_tables({"content_hashes": seed}, root, "curated")
+                standing_bytes = _dir_bytes(root)
+                stream = spark.readStream.schema(
+                    "doc_id bigint, text string"
+                ).parquet(inc_dir)
+                t0 = time.perf_counter()
+                stream_incremental_exact_dups(
+                    stream, root, "curated", checkpoint_dir=chk
+                )
+                wall = time.perf_counter() - t0
+                man = read_manifest(root, "curated")
+                new_bytes = 0
+                for tbl in ("content_hashes", "exact_dups"):
+                    entry = man.get(tbl)
+                    segs = [entry] if isinstance(entry, str) else entry or []
+                    if tbl == "content_hashes":
+                        segs = segs[1:]  # skip the pre-seeded segment
+                    for seg in segs:
+                        new_bytes += _dir_bytes(
+                            os.path.join(table_path(root, "curated", tbl), seg)
+                        )
+                cache.clear_session_state(spark)
+                print(
+                    f"m69 sink {label}: standing_bytes={standing_bytes>>20}MiB"
+                    f" batch_commit_bytes={new_bytes>>10}KiB wall={wall:.1f}s"
+                )
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+                shutil.rmtree(chk, ignore_errors=True)
+
         # ---- (b) m65 calibration at 1× and k× ----
         for label in ("x1", f"x{k}"):
             docs = spark.read.parquet(f"{corpora[label]}/documents.parquet")
