@@ -166,6 +166,7 @@ HEADLINE = [
     "m67_dedup_canonicalize",
     "m68_split_leakage",
     "m69_incremental_exact_dups",
+    "d45_confusion_report",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

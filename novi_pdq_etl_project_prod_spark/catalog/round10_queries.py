@@ -271,3 +271,62 @@ ORDER BY doc_id
 
 QUERIES["m69_incremental_exact_dups"] = m69_incremental_exact_dups
 ORACLES["m69_incremental_exact_dups"] = M69_SQL
+
+
+# ---------------------------------------------------------------------------
+# D45 — binary-classifier confusion report: a deterministic "returned?"
+# predictor over lineitem vs the actual return flag — TP/TN/FP/FN exact
+# integers plus precision/recall/F1/MCC (one IEEE sqrt, identical both
+# engines; try_divide == DuckDB's NULL-on-/0 on degenerate corpora).
+# ---------------------------------------------------------------------------
+
+_D45_PRED = "l_quantity > 25 AND l_discount >= 0.05"
+
+
+def d45_confusion_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        binary_confusion_report,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    rated = li.select(
+        (F.col("l_returnflag") == "R").alias("actual"),
+        F.expr(_D45_PRED).alias("predicted"),
+    )
+    return binary_confusion_report(rated, "actual", "predicted")
+
+
+D45_SQL = f"""
+WITH rated AS (
+  SELECT (l_returnflag = 'R') AS actual, ({_D45_PRED}) AS predicted
+  FROM lineitem
+),
+cells AS (
+  SELECT
+    CAST(SUM(CASE WHEN COALESCE(actual, FALSE) AND COALESCE(predicted, FALSE)
+             THEN 1 ELSE 0 END) AS HUGEINT) AS tp,
+    CAST(SUM(CASE WHEN NOT COALESCE(actual, FALSE)
+                   AND NOT COALESCE(predicted, FALSE)
+             THEN 1 ELSE 0 END) AS HUGEINT) AS tn,
+    CAST(SUM(CASE WHEN NOT COALESCE(actual, FALSE)
+                   AND COALESCE(predicted, FALSE)
+             THEN 1 ELSE 0 END) AS HUGEINT) AS fp,
+    CAST(SUM(CASE WHEN COALESCE(actual, FALSE)
+                   AND NOT COALESCE(predicted, FALSE)
+             THEN 1 ELSE 0 END) AS HUGEINT) AS fn
+  FROM rated
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(tn AS BIGINT) AS tn,
+       CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall,
+       CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+       CAST(tp * tn - fp * fn AS DOUBLE)
+         / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                AS DOUBLE)) AS mcc
+FROM cells
+"""
+
+
+QUERIES["d45_confusion_report"] = d45_confusion_report
+ORACLES["d45_confusion_report"] = D45_SQL

@@ -1429,3 +1429,80 @@ def fleiss_kappa(
             .cast("double"),
         ).alias("kappa"),
     )
+
+
+def binary_confusion_report(
+    df: DataFrame,
+    actual_col: Column | str,
+    predicted_col: Column | str,
+) -> DataFrame:
+    """Binary-classifier confusion report with exact integer counts:
+    TP/TN/FP/FN plus precision, recall, F1 and Matthews correlation
+    (MCC) — the single-row audit a labeling/filter model gets before
+    its predictions gate a corpus. NULL in either column counts as
+    FALSE (an unevaluable prediction is not a positive), keeping the
+    four cells a partition of n.
+
+        MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+
+    Every count and product is exact DECIMAL(38,0) (the product is
+    ≤ n⁴: loud overflow past n ≈ 10⁹·…, same class as d42/d44); the
+    ratios are single double divisions and ONE correctly-rounded IEEE
+    sqrt — identical in both engines. Degenerate corpora (a zero
+    marginal) yield NULL for the undefined ratios via try_divide,
+    matching DuckDB's NULL-on-/0.
+
+    Shape: ONE map-side-combined aggregate over the corpus to four
+    cells; everything after is a 1-row projection.
+    """
+    a = (
+        F.coalesce(
+            (F.col(actual_col) if isinstance(actual_col, str) else actual_col)
+            .cast("boolean"),
+            F.lit(False),
+        )
+    )
+    p = (
+        F.coalesce(
+            (
+                F.col(predicted_col)
+                if isinstance(predicted_col, str)
+                else predicted_col
+            ).cast("boolean"),
+            F.lit(False),
+        )
+    )
+
+    def _cell(cond):
+        return F.sum(cond.cast("long")).cast("decimal(19,0)")
+
+    cells = df.agg(
+        _cell(a & p).alias("tp"),
+        _cell(~a & ~p).alias("tn"),
+        _cell(~a & p).alias("fp"),
+        _cell(a & ~p).alias("fn"),
+    )
+    tp, tn, fp, fn = (F.col(c) for c in ("tp", "tn", "fp", "fn"))
+    d38 = lambda x: x.cast("decimal(38,0)")  # noqa: E731
+    mcc_num = d38(d38(tp * tn) - d38(fp * fn))
+    mcc_den = F.sqrt(
+        (d38(d38((tp + fp) * (tp + fn)) * d38((tn + fp) * (tn + fn))))
+        .cast("double")
+    )
+    return cells.select(
+        tp.cast("long").alias("tp"),
+        tn.cast("long").alias("tn"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.try_divide(tp.cast("double"), (tp + fp).cast("double")).alias(
+            "precision"
+        ),
+        F.try_divide(tp.cast("double"), (tp + fn).cast("double")).alias(
+            "recall"
+        ),
+        F.try_divide(
+            (F.lit(2) * tp).cast("double"),
+            (F.lit(2) * tp + fp + fn).cast("double"),
+        ).alias("f1"),
+        F.try_divide(mcc_num.cast("double"), mcc_den).alias("mcc"),
+    )

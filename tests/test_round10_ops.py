@@ -290,3 +290,33 @@ def test_incremental_exact_dups_membership_matrix(spark):
         map(tuple, incremental_exact_dups(increment, standing).collect())
     )
     assert got == [(10, 1, "exact_old"), (12, 11, "exact_new")]
+
+
+def test_binary_confusion_report_hand_computed(spark):
+    """tp=2 tn=3 fp=1 fn=2 (one NULL prediction counts as FALSE →
+    a fn); precision 2/3, recall 1/2, f1 4/7, MCC vs the closed form;
+    degenerate all-one-class corpus yields NULL ratios, no crash."""
+    import math
+
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        binary_confusion_report,
+    )
+
+    rows = [
+        (True, True), (True, True),            # tp ×2
+        (False, False), (False, False), (False, False),  # tn ×3
+        (False, True),                          # fp
+        (True, False), (True, None),            # fn ×2 (NULL pred = False)
+    ]
+    df = spark.createDataFrame(rows, "actual boolean, predicted boolean")
+    got = binary_confusion_report(df, "actual", "predicted").collect()[0]
+    assert (got.tp, got.tn, got.fp, got.fn) == (2, 3, 1, 2)
+    assert got.precision == 2 / 3 and got.recall == 0.5 and got.f1 == 4 / 7
+    assert got.mcc == (2 * 3 - 1 * 2) / math.sqrt(3 * 4 * 4 * 5)
+
+    mono = spark.createDataFrame(
+        [(True, True)] * 3, "actual boolean, predicted boolean"
+    )
+    row = binary_confusion_report(mono, "actual", "predicted").collect()[0]
+    assert row.precision == 1.0 and row.recall == 1.0 and row.f1 == 1.0
+    assert row.mcc is None  # zero marginals: undefined, never a crash
