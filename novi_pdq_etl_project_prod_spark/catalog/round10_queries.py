@@ -190,10 +190,26 @@ gf AS (
          CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
               % 5 AS INT) AS fold
   FROM sh
+),
+folds AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              % 5 AS INT) AS fold
+  FROM documents
+),
+allp AS (
+  SELECT a.fold AS fold_a, b.fold AS fold_b
+  FROM folds a JOIN folds b ON a.fold < b.fold
+),
+counts AS (
+  SELECT a.fold AS fold_a, b.fold AS fold_b,
+         CAST(count(*) AS BIGINT) AS shared_grams
+  FROM gf a JOIN gf b ON a.sh = b.sh AND a.fold < b.fold
+  GROUP BY 1, 2
 )
-SELECT a.fold AS fold_a, b.fold AS fold_b, CAST(count(*) AS BIGINT) AS shared_grams
-FROM gf a JOIN gf b ON a.sh = b.sh AND a.fold < b.fold
-GROUP BY 1, 2
+SELECT p.fold_a, p.fold_b,
+       COALESCE(c.shared_grams, CAST(0 AS BIGINT)) AS shared_grams
+FROM allp p LEFT JOIN counts c USING (fold_a, fold_b)
 ORDER BY 1, 2
 """
 

@@ -1250,6 +1250,15 @@ def canonicalize_clusters(
     (doc_id, cluster_id, keep_id, score) for each DROPPED member,
     i.e. ``count = Σ (|cluster| − 1)``.
 
+    Score coverage (ADVICE r10): cluster members MISSING from
+    ``scores`` are kept in the audit with a NULL score via a LEFT
+    join — an inner join would silently drop them from both the keep
+    pick and the drop list, shrinking the artifact that gates a
+    destructive dedup. NULL sorts below every real score (``max``
+    ignores NULLs), so an unscored member can never win survivorship
+    unless its ENTIRE cluster is unscored (then the eqNullSafe tie
+    logic keeps the smallest id — still deterministic).
+
     Shape: one id-keyed join (score attach), a cluster-grain max +
     min-id-among-ties pick (two map-side-combined hash-aggs and a
     cluster-keyed tie filter — type-safe for string ids, exact past
@@ -1261,6 +1270,7 @@ def canonicalize_clusters(
             F.col(id_col).alias("__id"), F.col(score_col).alias("__score")
         ),
         clusters[id_col] == F.col("__id"),
+        "left",
     ).select(
         F.col(id_col), F.col(cluster_col), F.col("__score").alias("score")
     )
@@ -1309,6 +1319,14 @@ def split_leakage_matrix(
     gram; the m63 basket-local trick) and a k²-row count. No gram
     self-join, no doc×doc anything — corpus cost is exactly the shingle
     explode plus one shuffle at the gram grain.
+
+    Output is DENSE (ADVICE r10): exactly k(k−1)/2 rows, one per
+    ordered fold pair present in ``docs``, with ``shared_grams = 0``
+    for clean pairs — so a zero-leakage pair is visibly zero, not
+    indistinguishable from an absent fold when matrices are diffed
+    across runs. The pair universe is one 1-row ``collect_set`` over
+    the fold column (array-local pair expansion, no self-join) left-
+    joined against the sparse counts — k² extra rows, free.
     """
     sh_udf = _shingle_array_udf(n)
     # fold rides the explode directly — no id join-back, the gram stream
@@ -1334,10 +1352,38 @@ def split_leakage_matrix(
             )
         ).alias("p")
     )
-    return (
-        pairs.groupBy(F.col("p.fold_a").alias("fold_a"),
-                      F.col("p.fold_b").alias("fold_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    counts = pairs.groupBy(
+        F.col("p.fold_a").alias("fold_a"), F.col("p.fold_b").alias("fold_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("shared_grams"))
+    # dense universe: every ordered fold pair from the INPUT frame
+    # (folds whose docs carry no qualifying gram still appear) — one
+    # 1-row collect_set agg + the same array-local pair expansion, then
+    # a broadcast-sized left join; clean pairs read shared_grams = 0
+    universe = (
+        docs.agg(F.array_sort(F.collect_set(fold_col)).alias("fs"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "fs",
+                        lambda x, i: F.transform(
+                            F.slice(F.col("fs"), i + 2, F.size("fs")),
+                            lambda y: F.struct(
+                                x.alias("fold_a"), y.alias("fold_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.fold_a", "p.fold_b")
+    )
+    return universe.join(counts, ["fold_a", "fold_b"], "left").select(
+        "fold_a",
+        "fold_b",
+        F.coalesce(F.col("shared_grams"), F.lit(0).cast("long")).alias(
+            "shared_grams"
+        ),
     )
 
 

@@ -1329,8 +1329,15 @@ def cohens_kappa(
     return tot.crossJoin(rc).select(
         n.cast("long").alias("n_rows"),
         diag.cast("long").alias("n_agree"),
-        ((n * diag).cast("decimal(38,0)").cast("double") / n2.cast("double")).alias("po"),
-        (rcv.cast("double") / n2.cast("double")).alias("pe"),
+        # try_divide on po/pe too (ADVICE r10): an EMPTY corpus zeroes
+        # n² — plain `/` is NULL only under non-ANSI defaults and would
+        # throw DIVIDE_BY_ZERO with spark.sql.ansi.enabled, breaking the
+        # NULL-on-degenerate contract the kappa guard already keeps
+        F.try_divide(
+            (n * diag).cast("decimal(38,0)").cast("double"),
+            n2.cast("double"),
+        ).alias("po"),
+        F.try_divide(rcv.cast("double"), n2.cast("double")).alias("pe"),
         # try_divide: a single-label corpus makes pe == 1 and zeroes the
         # denominator — kappa undefined → NULL (DuckDB's /0 is NULL too)
         F.try_divide(
@@ -1413,8 +1420,16 @@ def fleiss_kappa(
     return tot.crossJoin(sc2).select(
         F.col("nsubj").cast("long").alias("n_subjects"),
         F.lit(n_raters).cast("int").alias("n_raters"),
-        (po_num.cast("double") / po_den.cast("double")).alias("po"),
-        (F.col("sc2").cast("double") / pe_den.cast("double")).alias("pe"),
+        # try_divide on po/pe too (ADVICE r10): nsubj == 0 (no subject
+        # rated exactly n_raters times) zeroes both denominators —
+        # plain `/` would throw under spark.sql.ansi.enabled instead of
+        # keeping the documented NULL-on-degenerate contract
+        F.try_divide(po_num.cast("double"), po_den.cast("double")).alias(
+            "po"
+        ),
+        F.try_divide(
+            F.col("sc2").cast("double"), pe_den.cast("double")
+        ).alias("pe"),
         # try_divide: pe == 1 (every rating one category) zeroes the
         # denominator — kappa is classically undefined there, so NULL,
         # matching DuckDB's NULL-on-/0 rather than erroring under ANSI

@@ -95,6 +95,28 @@ def resolve_table_path(path: str) -> str:
     return path
 
 
+def _live_table_dirs(
+    root: str, layer: "MedallionLayer | str", table: str
+) -> list[str]:
+    """Live data directories for a table, SEGMENT-AWARE (ADVICE r10).
+
+    For append-shaped tables the per-table ``_CURRENT`` pointer names
+    only the NEWEST segment, so a reader that resolves through the
+    pointer alone silently returns one increment instead of the table.
+    This helper consults the live manifest first: a manifest entry
+    resolves to the union of its segment dirs (one dir for whole-
+    snapshot tables); only tables outside the manifest fall back to
+    ``resolve_table_path``. Direct readers (:func:`read_month`,
+    :func:`read_table_evolved`) route through it so they always see the
+    full table.
+    """
+    path = table_path(root, layer, table)
+    entry = read_manifest(root, layer).get(table)
+    if entry is not None:
+        return [os.path.join(path, seg) for seg in _segments(entry)]
+    return [resolve_table_path(path)]
+
+
 def current_snapshot(path: str) -> str | None:
     """Name of the live snapshot dir (None before the first commit) —
     the table's version token for compare-and-swap writes: read it
@@ -397,8 +419,16 @@ def read_month(
     The ``where`` on the partition column compiles to partition pruning —
     verify with ``.explain()``: the scan's ``PartitionFilters`` carries the
     predicate and only one directory is listed.
+
+    Segment-aware (ADVICE r10): append-shaped tables read as the union
+    of their manifest segments — the per-table pointer alone would
+    return only the newest increment.
     """
-    df = spark.read.parquet(resolve_table_path(table_path(root, layer, table)))
+    dirs = _live_table_dirs(root, layer, table)
+    reader = spark.read
+    if len(dirs) > 1:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*dirs)
     if yyyymm is not None:
         df = df.where(F.col("yyyymm") == F.lit(int(yyyymm)))
     return df
@@ -419,9 +449,10 @@ def read_table_evolved(
     (reference: one spark-submit per month, schema drifts across years)
     makes this the correct default for historical reads. Costs one
     footer read per file at planning time (no data pass); partition
-    pruning still applies on top."""
+    pruning still applies on top. Segment-aware (ADVICE r10): append-
+    shaped tables read as the union of their manifest segments."""
     df = spark.read.option("mergeSchema", "true").parquet(
-        resolve_table_path(table_path(root, layer, table))
+        *_live_table_dirs(root, layer, table)
     )
     if yyyymm is not None:
         df = df.where(F.col("yyyymm") == F.lit(int(yyyymm)))
@@ -1209,3 +1240,100 @@ def compact_segments(
         f"{attempts} times to concurrent committers; run it when the "
         "ingest cadence leaves a gap"
     )
+
+
+def segment_sizes(
+    root: str, layer: MedallionLayer | str, table: str
+) -> list[int]:
+    """On-disk parquet bytes per live manifest segment (one entry for a
+    whole-snapshot table, empty if absent) — the byte-grain maintenance
+    signal for :func:`maybe_compact`. Metadata-only: sums file sizes,
+    reads no data."""
+    tpath = table_path(root, layer, table)
+    sizes = []
+    for seg in _segments(read_manifest(root, layer).get(table)):
+        total = 0
+        for dirpath, dirs, names in os.walk(os.path.join(tpath, seg)):
+            dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, n))
+                for n in names
+                if n.endswith(".parquet")
+            )
+        sizes.append(total)
+    return sizes
+
+
+def maybe_compact(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    max_segments: int = 8,
+    small_segment_bytes: int | None = None,
+    max_small_segments: int | None = None,
+) -> dict:
+    """Segment-compaction scheduler (VERDICT r10 #1) — the policy loop
+    that closes the gap :func:`compact_segments` left open: the z-order
+    scheduler (``skipping.maybe_optimize``) watches clustering health,
+    but nothing watched ``segment_count``, so a daily-increment table
+    accumulated an unbounded segment list (per-scan directory listings +
+    parquet footer sets, GC pinning) until someone remembered the
+    manual call. Run this on the same maintenance tick.
+
+    Fires :func:`compact_segments` when EITHER threshold trips:
+
+    - ``max_segments``: the live segment list has grown to this length
+      (the read-amplification bound — each segment is one directory
+      listing + footer set per scan);
+    - ``small_segment_bytes`` + ``max_small_segments``: at least
+      ``max_small_segments`` live segments are each under
+      ``small_segment_bytes`` on disk (the dribble-ingest signal: a
+      quiet stream commits tiny increments that are individually cheap
+      but collectively dominate scan planning long before the count
+      cap). ``max_small_segments`` defaults to ``max_segments``.
+
+    No-churn contract (same as ``maybe_optimize``): immediately
+    re-calling after a fire is a no-op — compaction resets the list to
+    one whole snapshot, under every threshold. Concurrency and crash
+    safety are :func:`compact_segments`' own: the rewrite is CAS-pinned
+    to the manifest version whose segments it read (a concurrent append
+    retries, never vanishes), and a crash before the manifest flip
+    leaves only an unreferenced staged dir for GC. The audit itself is
+    metadata-only (manifest doc + file sizes; no data scan, no footer
+    reads) — O(segments) stat calls, safe at any cadence.
+
+    Returns the decision record either way:
+    ``{table, segment_count, [small_segments,] fired, reason,
+    segment_count_after}``.
+    """
+    n = segment_count(root, layer, table)
+    decision: dict = {
+        "table": table,
+        "segment_count": n,
+        "max_segments": int(max_segments),
+        "fired": False,
+        "reason": None,
+    }
+    reason = None
+    if n >= max(2, int(max_segments)):
+        reason = "segment_count"
+    elif small_segment_bytes is not None and n >= 2:
+        sizes = segment_sizes(root, layer, table)
+        n_small = sum(1 for s in sizes if s < int(small_segment_bytes))
+        decision["small_segments"] = n_small
+        cap = int(
+            max_small_segments
+            if max_small_segments is not None
+            else max_segments
+        )
+        if n_small >= max(2, cap):
+            reason = "small_segments"
+    if reason is None:
+        return decision
+    decision["fired"] = compact_segments(
+        spark, root, layer, table, min_segments=2
+    )
+    decision["reason"] = reason if decision["fired"] else None
+    decision["segment_count_after"] = segment_count(root, layer, table)
+    return decision

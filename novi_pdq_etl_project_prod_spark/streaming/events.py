@@ -1253,21 +1253,34 @@ def stream_incremental_near_dups(
                 num_hashes,
                 bands,
                 threshold,
-            )
+            ).persist()  # emptiness check + write: ONE band-join pass
             meta: dict = {marker: _batch_id}
             # APPEND-shaped commit (round 10, VERDICT r09 #1): only the
             # batch's signatures and pairs are written; the standing
             # corpus is referenced by the manifest as prior segments,
             # never re-copied. Per-increment committed bytes ∝ batch —
             # k increments over an N-doc corpus write O(N) signature
-            # rows total, not O(k·N).
+            # rows total, not O(k·N). EMPTY sides are dropped from the
+            # commit (ADVICE r10): a quiet trigger (no pairs, or a
+            # batch of unhashable docs) must not grow the segment list
+            # with zero-row segments — the marker meta still advances
+            # through the same atomic manifest flip.
+            tables = {
+                t: df
+                for t, df in (
+                    (signatures_table, sigs_new),
+                    (pairs_table, pairs),
+                )
+                if not df.isEmpty()
+            }
             commit_tables(
-                {signatures_table: sigs_new, pairs_table: pairs},
+                tables,
                 root,
                 layer,
                 meta=meta,
-                append_tables=(signatures_table, pairs_table),
+                append_tables=tuple(tables),
             )
+            pairs.unpersist()
             sigs_new.unpersist()
         finally:
             batch_df.unpersist()
@@ -1459,7 +1472,11 @@ def stream_incremental_exact_dups(
                     .groupBy("h")
                     .agg(F.min("canonical_id").alias("old_min"))
                 )
-            enriched = new_min.join(F.broadcast(matched), "h", "left")
+            # candidate-sized; persisted so the standing-table scan
+            # behind `matched` runs ONCE per trigger (the report and
+            # new-hash writes, plus the emptiness checks below, all
+            # reuse it instead of re-scanning H)
+            enriched = new_min.join(F.broadcast(matched), "h", "left").persist()
             report = (
                 h_new.join(F.broadcast(enriched), "h")
                 .where(
@@ -1485,14 +1502,28 @@ def stream_incremental_exact_dups(
                 "h", F.col("new_min").alias("canonical_id")
             )
             meta: dict = {marker: _batch_id}
-            tables = {hashes_table: new_hashes, dups_table: report}
+            # EMPTY sides are dropped from the commit (ADVICE r10): an
+            # all-duplicate batch appends no hashes, a clean batch no
+            # report rows — committing zero-row segments every quiet
+            # trigger grows the segment list (directory listings +
+            # footers per scan, GC pins) without bound. The marker meta
+            # still advances through the same atomic manifest flip.
+            tables = {
+                t: df
+                for t, df in (
+                    (hashes_table, new_hashes),
+                    (dups_table, report),
+                )
+                if not df.isEmpty()
+            }
             commit_tables(
                 tables,
                 root,
                 layer,
                 meta=meta,
-                append_tables=(hashes_table, dups_table),
+                append_tables=tuple(tables),
             )
+            enriched.unpersist()
         finally:
             h_new.unpersist()
 

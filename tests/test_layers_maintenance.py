@@ -496,3 +496,162 @@ def test_compact_segments_resets_list_and_survives_concurrent_append(
     )
     entry2 = layers.read_manifest(root, "curated")["sigs"]
     assert isinstance(entry2, list) and entry2[0] == entry
+
+
+def test_maybe_compact_count_policy_fires_once_no_churn(spark, tmp_path):
+    """VERDICT r10 #1: the segment twin of the z-order scheduler. Below
+    max_segments the audit no-ops (metadata only); at the threshold it
+    fires compact_segments, the list resets to one whole snapshot with
+    all rows, and an immediate re-call is a no-op (no churn)."""
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    for i in range(3):
+        layers.commit_tables(
+            {"t": spark.range(5 * i, 5 * i + 5)},
+            root, "curated", append_tables=("t",),
+        )
+    d = layers.maybe_compact(spark, root, "curated", "t", max_segments=4)
+    assert d == {
+        "table": "t", "segment_count": 3, "max_segments": 4,
+        "fired": False, "reason": None,
+    }
+    layers.commit_tables(
+        {"t": spark.range(15, 20)}, root, "curated", append_tables=("t",)
+    )
+    d2 = layers.maybe_compact(spark, root, "curated", "t", max_segments=4)
+    assert d2["fired"] and d2["reason"] == "segment_count"
+    assert d2["segment_count"] == 4 and d2["segment_count_after"] == 1
+    entry = layers.read_manifest(root, "curated")["t"]
+    assert isinstance(entry, str)
+    got = layers.read_manifest_tables(spark, root, "curated")["t"]
+    assert sorted(r.id for r in got.collect()) == list(range(20))
+    # no churn: the fresh single snapshot trips no threshold
+    d3 = layers.maybe_compact(spark, root, "curated", "t", max_segments=4)
+    assert not d3["fired"] and d3["segment_count"] == 1
+
+
+def test_maybe_compact_small_segment_policy(spark, tmp_path):
+    """The dribble-ingest signal: many tiny segments fire compaction
+    even while the count stays under max_segments; segments above the
+    small-bytes bar don't count toward the small threshold."""
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    # one substantial segment + three tiny ones (4 < max_segments=10)
+    layers.commit_tables(
+        {"t": spark.range(0, 20000).coalesce(1)},
+        root, "curated", append_tables=("t",),
+    )
+    for i in range(3):
+        layers.commit_tables(
+            {"t": spark.range(100 + i, 101 + i).coalesce(1)},
+            root, "curated", append_tables=("t",),
+        )
+    sizes = layers.segment_sizes(root, "curated", "t")
+    assert len(sizes) == 4 and all(s > 0 for s in sizes)
+    bar = sorted(sizes)[-1]  # only the big segment sits at/above it
+    d = layers.maybe_compact(
+        spark, root, "curated", "t",
+        max_segments=10, small_segment_bytes=bar, max_small_segments=3,
+    )
+    assert d["fired"] and d["reason"] == "small_segments"
+    assert d["small_segments"] == 3 and d["segment_count_after"] == 1
+    got = layers.read_manifest_tables(spark, root, "curated")["t"]
+    assert got.count() == 20003
+    # under the small threshold nothing fires
+    layers.commit_tables(
+        {"t": spark.range(200, 201)}, root, "curated", append_tables=("t",)
+    )
+    d2 = layers.maybe_compact(
+        spark, root, "curated", "t",
+        max_segments=10, small_segment_bytes=bar, max_small_segments=3,
+    )
+    assert not d2["fired"] and d2["small_segments"] == 1
+
+
+def test_maybe_compact_crash_leaves_table_intact(spark, tmp_path, monkeypatch):
+    """Crash injection on the compacting commit: the manifest entry
+    keeps its full segment list, every row stays readable, and a retry
+    completes the compaction — the same crash-at-any-step contract the
+    z-order scheduler carries."""
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    for i in range(4):
+        layers.commit_tables(
+            {"t": spark.range(3 * i, 3 * i + 3)},
+            root, "curated", append_tables=("t",),
+        )
+    real = layers._commit_snapshot_write
+    state = {"crashes": 1}
+
+    def crashing(write_fn, path, expected_base=...):
+        if state["crashes"] > 0 and path.endswith("_TXLOG"):
+            # stage the data, die before the manifest flip
+            state["crashes"] -= 1
+            raise RuntimeError("injected crash before manifest flip")
+        return real(write_fn, path, expected_base)
+
+    monkeypatch.setattr(layers, "_commit_snapshot_write", crashing)
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        layers.maybe_compact(spark, root, "curated", "t", max_segments=4)
+    entry = layers.read_manifest(root, "curated")["t"]
+    assert isinstance(entry, list) and len(entry) == 4, "entry torn by crash"
+    got = layers.read_manifest_tables(spark, root, "curated")["t"]
+    assert sorted(r.id for r in got.collect()) == list(range(12))
+    # retry completes
+    d = layers.maybe_compact(spark, root, "curated", "t", max_segments=4)
+    assert d["fired"] and d["segment_count_after"] == 1
+    got2 = layers.read_manifest_tables(spark, root, "curated")["t"]
+    assert sorted(r.id for r in got2.collect()) == list(range(12))
+
+
+def test_gc_under_segment_churn(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #5: vacuum under realistic append+compact cadence.
+    (a) live segments are never collected however aggressive the
+    vacuum; (b) compacted-away segments ARE collected once no retained
+    manifest references them; (c) time travel past the horizon raises
+    the descriptive error while the live read never tears."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_GRACE_SECONDS", 0.0)
+    monkeypatch.setattr(layers, "GC_RETAIN_PREVIOUS", 0)
+    root = str(tmp_path)
+    expect: list[int] = []
+    versions = []
+    for round_no in range(3):
+        for i in range(3):  # N appends
+            lo = 100 * round_no + 10 * i
+            layers.commit_tables(
+                {"t": spark.range(lo, lo + 5)},
+                root, "curated", append_tables=("t",),
+            )
+            expect.extend(range(lo, lo + 5))
+        versions.append(layers.current_manifest_version(root, "curated"))
+        # M compactions interleaved with the appends
+        assert layers.compact_segments(spark, root, "curated", "t")
+        # aggressive vacuum every round
+        layers.vacuum(root, "curated", retain=0, grace_seconds=0.0)
+        got = layers.read_manifest_tables(spark, root, "curated")["t"]
+        assert sorted(r.id for r in got.collect()) == sorted(expect), (
+            f"round {round_no}: live data lost under churn"
+        )
+    tdir = layers.table_path(root, "curated", "t")
+    live = layers.current_snapshot(tdir)
+    remaining = sorted(
+        e for e in _os.listdir(tdir)
+        if e.startswith(layers._SNAPSHOT_PREFIX)
+    )
+    # (b) everything compacted away is gone; only the live whole
+    # snapshot remains
+    assert remaining == [live]
+    # (c) pre-compaction manifests are past the horizon: descriptive
+    with _pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
+        layers.read_manifest_tables_as_of(spark, root, "curated", versions[0])

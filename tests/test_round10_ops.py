@@ -102,7 +102,9 @@ def test_m67_drop_count_matches_cluster_sizes(spark):
 
 def test_split_leakage_matrix_hand_computed(spark):
     """Tiny corpus with planted cross-fold gram sharing: folds 0/1 share
-    exactly the grams of the common sentence; fold 2 shares nothing;
+    exactly the grams of the common sentence; fold 2 shares nothing —
+    and appears as EXPLICIT zero rows (dense contract, ADVICE r10: a
+    zero-leakage pair must be distinguishable from an absent fold);
     within-fold duplication never double-counts a gram."""
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
         split_leakage_matrix,
@@ -120,7 +122,7 @@ def test_split_leakage_matrix_hand_computed(spark):
         (r.fold_a, r.fold_b): r.shared_grams
         for r in split_leakage_matrix(df, "fold", "text", n=3).collect()
     }
-    assert got == {(0, 1): 2}
+    assert got == {(0, 1): 2, (0, 2): 0, (1, 2): 0}
 
 
 import pytest as _pytest
@@ -234,9 +236,9 @@ _DOC = st.tuples(
 )
 def test_split_leakage_matrix_matches_python_model(spark, docs):
     """Random tiny corpora vs a Python model: per-fold distinct 3-gram
-    sets, matrix = |intersection| for every fold_a < fold_b pair with a
-    nonempty intersection. Short texts (< n tokens) contribute
-    nothing."""
+    sets, matrix = |intersection| for EVERY fold_a < fold_b pair
+    (dense contract, ADVICE r10 — zero-leakage pairs are explicit 0
+    rows). Short texts (< n tokens) contribute nothing."""
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
         split_leakage_matrix,
     )
@@ -258,9 +260,7 @@ def test_split_leakage_matrix_matches_python_model(spark, docs):
     ks = sorted(folds)
     for i, a in enumerate(ks):
         for b in ks[i + 1:]:
-            inter = len(folds[a] & folds[b])
-            if inter:
-                want[(a, b)] = inter
+            want[(a, b)] = len(folds[a] & folds[b])
     assert got == want
 
 
@@ -320,3 +320,67 @@ def test_binary_confusion_report_hand_computed(spark):
     row = binary_confusion_report(mono, "actual", "predicted").collect()[0]
     assert row.precision == 1.0 and row.recall == 1.0 and row.f1 == 1.0
     assert row.mcc is None  # zero marginals: undefined, never a crash
+
+
+def test_canonicalize_clusters_unscored_members_survive_audit(spark):
+    """ADVICE r10 (medium): members MISSING from the scores frame must
+    not silently vanish from the drop list — the audit artifact gates a
+    destructive dedup. Unscored members appear with NULL score and can
+    never out-rank a scored member; a fully-unscored cluster still
+    resolves deterministically (min id keeps)."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        canonicalize_clusters,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id int, cluster_id int",
+    )
+    # id=3 unscored; cluster 10 entirely unscored
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0)], "id int, score double"
+    )
+    got = {
+        r.doc_id: (r.cluster_id, r.keep_id, r.score)
+        for r in canonicalize_clusters(clusters, scores).collect()
+    }
+    # cluster 1: keep=2 (top score); drops 1 (scored) AND 3 (unscored,
+    # NULL score) — the inner-join regression lost id=3 entirely
+    # cluster 10: all NULL scores -> min id 10 keeps, 11 drops
+    assert got == {
+        1: (1, 2, 5.0),
+        3: (1, 2, None),
+        11: (10, 10, None),
+    }
+
+
+def test_kappas_and_confusion_null_on_degenerate_under_ansi(spark):
+    """ADVICE r10 (low): po/pe must stay NULL (not DIVIDE_BY_ZERO) on
+    degenerate corpora even with spark.sql.ansi.enabled — the docstring
+    contract is NULL-on-degenerate under BOTH ANSI settings."""
+    from novi_pdq_etl_project_prod_spark.operators.stats import (
+        cohens_kappa,
+        fleiss_kappa,
+    )
+
+    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        empty = spark.createDataFrame([], "a string, b string")
+        row = cohens_kappa(empty, "a", "b").collect()[0]
+        # SUM over zero rows is NULL in both engines: n_rows surfaces
+        # that honestly; the contract under test is the NULL ratios
+        assert row.n_rows in (None, 0)
+        assert row.po is None and row.pe is None and row.kappa is None
+
+        # every subject rated 3 times, but n_raters=4 -> zero
+        # qualifying subjects -> po/pe denominators are 0
+        ratings = spark.createDataFrame(
+            [(s, "x") for s in range(4) for _ in range(3)],
+            "subj int, cat string",
+        )
+        frow = fleiss_kappa(ratings, "subj", "cat", 4).collect()[0]
+        assert frow.n_subjects == 0
+        assert frow.po is None and frow.pe is None and frow.kappa is None
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
