@@ -167,6 +167,8 @@ HEADLINE = [
     "m68_split_leakage",
     "m69_incremental_exact_dups",
     "d45_confusion_report",
+    # round-11 additions
+    "m70_ingest_funnel",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

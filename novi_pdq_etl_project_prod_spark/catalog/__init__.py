@@ -27,6 +27,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round8_queries,
     round9_queries,
     round10_queries,
+    round11_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -51,6 +52,7 @@ for _mod in (
     round8_queries,
     round9_queries,
     round10_queries,
+    round11_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

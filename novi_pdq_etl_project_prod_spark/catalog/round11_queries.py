@@ -1,0 +1,226 @@
+"""Round-11 catalog additions.
+
+M70 — the COMPOSED incremental-ingest funnel (VERDICT r10 #2): one
+increment through expectations-quarantine → exact-dedup pre-filter →
+MinHash near-dup vs the standing corpus → acceptance, certified END TO
+END as a per-doc disposition report. The individually-oracled stages
+(dq11 expectations, m69 exact increment, m66 near-dup increment) say
+each piece is right; this query says the COMPOSITION is right — the
+same claim m42 makes for the batch curation funnel, now for the ingest
+pipeline that ``plans.ingest.run_incremental_ingest`` runs per trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.session import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# M70 — composed ingest funnel: standing corpus = even doc_ids,
+# increment = odd doc_ids (the m66 split), quality rule = trimmed text
+# length >= 100 chars. Output: (doc_id, disposition) for every
+# increment doc — quarantined | exact_dup | near_dup | accepted.
+# ---------------------------------------------------------------------------
+
+_M70_RULES = {"min_len": "length(trim(text)) >= 100"}
+
+
+def m70_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        ingest_disposition,
+        ingest_increment_vs_standing,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    standing = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    res = ingest_increment_vs_standing(inc, standing, _M70_RULES)
+    return ingest_disposition(res).orderBy("doc_id")
+
+
+# The oracle rebuilds the funnel in SQL over the same split: the
+# quarantine predicate verbatim, the m69 exact-dedup pattern, then the
+# m8 deterministic-minhash chain over standing ∪ exact-survivors
+# filtered to increment-touching pairs (the engine never forms old×old;
+# the oracle computes all pairs and filters — different path, same set),
+# and the greedy canonical-first drop rule (both-new → larger id;
+# new-old → the increment endpoint).
+M70_SQL = """
+WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+standing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+quar AS (
+  SELECT doc_id FROM inc
+  WHERE NOT coalesce(length(trim(text)) >= 100, FALSE)
+),
+valid AS (
+  SELECT i.* FROM inc i
+  WHERE i.doc_id NOT IN (SELECT doc_id FROM quar)
+),
+h_new AS (
+  SELECT doc_id AS id, md5(text) AS h FROM valid WHERE text IS NOT NULL
+),
+old_min AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS old_min
+  FROM standing WHERE text IS NOT NULL GROUP BY 1
+),
+new_min AS (SELECT h, MIN(id) AS new_min FROM h_new GROUP BY 1),
+exact_dup AS (
+  SELECT n.id AS doc_id
+  FROM h_new n
+  LEFT JOIN old_min o ON o.h = n.h
+  JOIN new_min m ON m.h = n.h
+  WHERE o.old_min IS NOT NULL OR n.id > m.new_min
+),
+surv AS (
+  SELECT v.* FROM valid v
+  WHERE v.doc_id NOT IN (SELECT doc_id FROM exact_dup)
+),
+corpus0 AS (
+  SELECT doc_id, text FROM standing
+  UNION ALL
+  SELECT doc_id, text FROM surv
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM corpus0
+),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+  FROM toks WHERE len(t) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh FROM idx
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM sh
+),
+coeff AS (
+  SELECT i,
+         CAST(('0x' || substr(md5('mh:a:' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2147483646 + 1 AS a,
+         CAST(('0x' || substr(md5('mh:b:' || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 2147483647 AS b
+  FROM range(64) r(i)
+),
+mins AS (
+  SELECT doc_id, i, MIN((a * h + b) % 2147483647) AS m
+  FROM hashed CROSS JOIN coeff GROUP BY 1, 2
+),
+sigs AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM mins GROUP BY 1),
+banded AS (
+  SELECT doc_id, b,
+         CAST(b AS VARCHAR) || ',' ||
+         array_to_string(list_slice(sig, b*4 + 1, b*4 + 4), ',') AS bk
+  FROM sigs, range(16) r(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+  FROM banded a JOIN banded b2 ON a.bk = b2.bk AND a.doc_id < b2.doc_id
+),
+agree AS (
+  SELECT id_a, id_b, SUM(CASE WHEN x = y THEN 1 ELSE 0 END) AS m
+  FROM (
+    SELECT c.id_a, c.id_b, unnest(sa.sig) AS x, unnest(sb.sig) AS y
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b
+  ) GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM agree
+  WHERE CAST(m AS DOUBLE) / 64 >= 0.5
+    AND (id_a % 2 = 1 OR id_b % 2 = 1)
+),
+near_drop AS (
+  SELECT DISTINCT CASE WHEN id_a % 2 = 1 AND id_b % 2 = 1 THEN id_b
+                       WHEN id_a % 2 = 1 THEN id_a
+                       ELSE id_b END AS doc_id
+  FROM pairs
+)
+SELECT doc_id, disposition FROM (
+  SELECT doc_id, 'quarantined' AS disposition FROM quar
+  UNION ALL
+  SELECT doc_id, 'exact_dup' FROM exact_dup
+  UNION ALL
+  SELECT doc_id, 'near_dup' FROM near_drop
+  UNION ALL
+  SELECT doc_id, 'accepted' FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+)
+ORDER BY doc_id
+"""
+
+
+QUERIES = {"m70_ingest_funnel": m70_ingest_funnel}
+ORACLES = {"m70_ingest_funnel": M70_SQL}
+
+
+# ---------------------------------------------------------------------------
+# M71 — long-substring dedup (Lee et al. 2022, VERDICT r10 #3): maximal
+# token spans covered by 10-token runs repeating >= 2 times corpus-wide
+# (cross-doc or within-doc), at k-gram-chain grain. The oracle rebuilds
+# the same chain: positional k-gram md5s, repeat filter, gaps-and-
+# islands interval merge — exact span set, both engines.
+# ---------------------------------------------------------------------------
+
+_M71_K = 10
+_M71_MIN_COUNT = 2
+
+
+def m71_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_spans(
+        docs, k=_M71_K, min_count=_M71_MIN_COUNT
+    ).orderBy("doc_id", "span_start")
+
+
+M71_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {_M71_K} - 1), ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_M71_K} + 1)) AS i
+        FROM toks WHERE len(t) >= {_M71_K})
+),
+rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {_M71_MIN_COUNT}),
+marks AS (SELECT doc_id, s, s + {_M71_K} AS e FROM g JOIN rep USING (gh)),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM marks),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM isl)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(e) AS INT) AS span_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+
+QUERIES["m71_repeated_spans"] = m71_repeated_spans
+ORACLES["m71_repeated_spans"] = M71_SQL

@@ -1441,3 +1441,282 @@ def incremental_exact_dups(
             .alias("dup_type"),
         )
     )
+
+
+def incremental_pairs_from_signatures(
+    sig_new: DataFrame,
+    sig_old: DataFrame,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+) -> DataFrame:
+    """Signature-table form of the incremental pair join: identical
+    banding/verification semantics to ``incremental_minhash_pairs`` but
+    the standing side is the persisted (id, signature) table itself —
+    no re-hash of old documents ever happens on the streaming path.
+
+    Plan shape (round-10 rewrite, measured at a 500k-doc standing
+    corpus): the band explode emits ONLY (id, band-key) — never the
+    signature array. Carrying the array through the Generate forces a
+    per-exploded-row deep copy out of the parquet columnar batch
+    (bands× per signature: 8M array materializations at 500k docs,
+    52.8s vs 2.2s for the key-only explode — the profiled bottleneck of
+    the first sink cut). Candidate pairs (band collisions, tiny) are
+    then joined BACK to the un-exploded signature scans to fetch the
+    two arrays for minima-agreement verification — two broadcast probes
+    that decode arrays once per matching row, not bands× per corpus
+    row. The increment side of the band join is broadcast (one
+    trigger's docs vs the whole corpus; bound trigger size with
+    maxFilesPerTrigger rather than dropping the hint). Bonus: the pair
+    aggregate no longer buffers arrays, so it hash-aggregates instead
+    of sort-aggregating."""
+    r = num_hashes // bands
+
+    def _banded_keys(sigs: DataFrame) -> DataFrame:
+        return sigs.where(F.col("signature").isNotNull()).select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            F.lit(str(j)),
+                            *[
+                                F.col("signature")[j * r + k].cast("string")
+                                for k in range(r)
+                            ],
+                        )
+                        for j in range(bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+
+    bn = _banded_keys(sig_new)
+    ball = bn.withColumn("is_new", F.lit(True)).unionByName(
+        _banded_keys(sig_old).withColumn("is_new", F.lit(False))
+    )
+    a = F.broadcast(bn).alias("a")
+    b = ball.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            F.col("b.is_new").alias("other_is_new"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max(F.col("other_is_new")).alias("both_new"))
+    )
+    # no forced broadcast on the join-backs (round-10 review): candidate
+    # count is bounded by band collisions against the WHOLE standing
+    # corpus, not by trigger size (a boilerplate-heavy batch can collide
+    # with a large corpus fraction), and with_a additionally carries
+    # arrays — AQE picks broadcast from runtime sizes in the common tiny
+    # case and falls back to a shuffle join instead of an 8 GB failure
+    # in the pathological one.
+    sigs_all = sig_new.unionByName(sig_old)
+    with_a = sigs_all.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
+    ).join(cand, "id_a")
+    pairs = sigs_all.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
+    ).join(with_a, "id_b")
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+        )
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+            F.when(F.col("both_new"), F.lit("new_new"))
+            .otherwise(F.lit("new_old"))
+            .alias("pair_type"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        # exactly-once per pair even if a doc id ever appears twice in
+        # the signature table (the join-back would re-expand what the
+        # pre-rewrite first() aggregate collapsed); pair-sized shuffle
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Long-substring dedup, detection stage (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): the
+    maximal token spans covered by ``k``-token runs that repeat at least
+    ``min_count`` times corpus-wide (across docs OR within one — the
+    paper removes both). VERDICT r10 #3 — the one LLM-dedup modality
+    m60 (corpus-frequent trigram scrub) and m29 (winnowing overlap
+    detection) bracket but neither delivers: find-and-EXCISE verbatim
+    repeats at ~50-token grain; :func:`excise_repeated_spans` is the
+    excision.
+
+    Correctness frame: a verbatim repeat of length ≥ k tokens is a run
+    of repeated k-grams, so flagging repeated k-grams and merging
+    overlapping/adjacent flagged windows yields exactly the maximal
+    repeated spans at k-token resolution (repeats shorter than k are
+    invisible — the paper's own grain cutoff). This is the sorted
+    k-gram-chain route; a true suffix array is deliberately out of
+    Spark shape (a corpus-global order-dependent structure — the
+    k-gram chain is the shuffle-friendly equivalent at fixed grain).
+
+    Plan shape: per-doc k-gram HASHES from O(n·k) array slices (md5 of
+    the joined slice — positions ride a posexplode; never element_at
+    per index, the O(n²) trap), ONE hash-agg at gram grain for the
+    repeat filter, a semi-join back (gram-keyed, candidate-sized right
+    side), then gaps-and-islands interval merging in a window
+    PARTITIONED BY DOC — state bounded by document length, never corpus
+    length. No doc×doc join anywhere; corpus cost = the gram explode +
+    one gram-grain shuffle (the m60/m68 budget).
+
+    Output: (doc_id, span_start, span_end, span_tokens) — 1-based token
+    indices, end exclusive, ordered within doc; ``span_tokens ≥ k``.
+    """
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).where(F.size("t") >= k)
+    n_g = F.size("t") - F.lit(k - 1)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gh")
+    rep = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("gh")
+    )
+    marks = grams.join(rep, "gh").select(
+        "doc_id", "s", (F.col("s") + k).alias("e")
+    )
+    # gaps-and-islands: a window ordered by start per doc; a mark opens
+    # a new island iff it starts past the running max end (s unique per
+    # doc -> deterministic ordering)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = marks.withColumn(
+        "brk",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "isl",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "isl")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )
+
+
+def excise_repeated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Long-substring dedup, excision stage: remove every token covered
+    by a :func:`repeated_spans` span and reassemble the document (the
+    m60 positional-cover/reassembly machinery at span grain). Docs with
+    no repeated span pass through byte-identical; docs whose entire
+    text is one repeated span come back empty (n_kept = 0, text "").
+
+    Output: (doc_id, n_tokens, n_removed, text) — cleaned text with
+    single-space joins (the tokenizer's inverse up to whitespace
+    normalization, same contract as m60's scrub).
+    """
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    spans = repeated_spans(df, id_col, text_col, k, min_count)
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end") - 1)
+        ).alias("pos"),
+    )
+    toks = (
+        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
+        .select("doc_id", F.posexplode("t").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        toks.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s["tok"],
+                    ),
+                    " ",
+                ).alias("text"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        )
+    )
+
+
+#: Trigger-size guard for the exact-dedup broadcast fast path
+#: (VERDICT r10 #6): the exact-dedup sink/funnel broadcasts the batch's
+#: (id, hash) frame against one map-side standing scan — correct while
+#: triggers are bounded (maxFilesPerTrigger), but an availableNow
+#: catch-up over a huge backlog can deliver one mega-batch. Past this
+#: many DISTINCT batch hashes (~2M rows ≈ 100s of MB with md5 strings)
+#: the forced hint is dropped and the joins fall back to AQE's choice —
+#: a shuffle join that degrades gracefully instead of an executor-OOM
+#: broadcast. The decision costs one row-local count over the
+#: (persisted) batch.
+BROADCAST_HINT_MAX_ROWS = 2_000_000
+
+
+def broadcast_if_bounded(df: DataFrame, n_rows: int):
+    """``F.broadcast(df)`` when ``n_rows`` is under
+    :data:`BROADCAST_HINT_MAX_ROWS`, else ``df`` unhinted (AQE decides).
+    """
+    return F.broadcast(df) if n_rows <= BROADCAST_HINT_MAX_ROWS else df

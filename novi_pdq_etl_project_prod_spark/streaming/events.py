@@ -1295,108 +1295,11 @@ def stream_incremental_near_dups(
     q.awaitTermination()
 
 
-def _incremental_pairs_from_signatures(
-    sig_new: DataFrame,
-    sig_old: DataFrame,
-    num_hashes: int,
-    bands: int,
-    threshold: float,
-) -> DataFrame:
-    """Signature-table form of the incremental pair join: identical
-    banding/verification semantics to ``incremental_minhash_pairs`` but
-    the standing side is the persisted (id, signature) table itself —
-    no re-hash of old documents ever happens on the streaming path.
-
-    Plan shape (round-10 rewrite, measured at a 500k-doc standing
-    corpus): the band explode emits ONLY (id, band-key) — never the
-    signature array. Carrying the array through the Generate forces a
-    per-exploded-row deep copy out of the parquet columnar batch
-    (bands× per signature: 8M array materializations at 500k docs,
-    52.8s vs 2.2s for the key-only explode — the profiled bottleneck of
-    the first sink cut). Candidate pairs (band collisions, tiny) are
-    then joined BACK to the un-exploded signature scans to fetch the
-    two arrays for minima-agreement verification — two broadcast probes
-    that decode arrays once per matching row, not bands× per corpus
-    row. The increment side of the band join is broadcast (one
-    trigger's docs vs the whole corpus; bound trigger size with
-    maxFilesPerTrigger rather than dropping the hint). Bonus: the pair
-    aggregate no longer buffers arrays, so it hash-aggregates instead
-    of sort-aggregating."""
-    r = num_hashes // bands
-
-    def _banded_keys(sigs: DataFrame) -> DataFrame:
-        return sigs.where(F.col("signature").isNotNull()).select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            F.lit(str(j)),
-                            *[
-                                F.col("signature")[j * r + k].cast("string")
-                                for k in range(r)
-                            ],
-                        )
-                        for j in range(bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-
-    bn = _banded_keys(sig_new)
-    ball = bn.withColumn("is_new", F.lit(True)).unionByName(
-        _banded_keys(sig_old).withColumn("is_new", F.lit(False))
-    )
-    a = F.broadcast(bn).alias("a")
-    b = ball.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            F.col("b.is_new").alias("other_is_new"),
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.max(F.col("other_is_new")).alias("both_new"))
-    )
-    # no forced broadcast on the join-backs (round-10 review): candidate
-    # count is bounded by band collisions against the WHOLE standing
-    # corpus, not by trigger size (a boilerplate-heavy batch can collide
-    # with a large corpus fraction), and with_a additionally carries
-    # arrays — AQE picks broadcast from runtime sizes in the common tiny
-    # case and falls back to a shuffle join instead of an 8 GB failure
-    # in the pathological one.
-    sigs_all = sig_new.unionByName(sig_old)
-    with_a = sigs_all.select(
-        F.col("id").alias("id_a"), F.col("signature").alias("sig_a")
-    ).join(cand, "id_a")
-    pairs = sigs_all.select(
-        F.col("id").alias("id_b"), F.col("signature").alias("sig_b")
-    ).join(with_a, "id_b")
-    agree = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
-        )
-    )
-    return (
-        pairs.select(
-            "id_a",
-            "id_b",
-            (agree.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
-            F.when(F.col("both_new"), F.lit("new_new"))
-            .otherwise(F.lit("new_old"))
-            .alias("pair_type"),
-        )
-        .where(F.col("est_jaccard") >= threshold)
-        # exactly-once per pair even if a doc id ever appears twice in
-        # the signature table (the join-back would re-expand what the
-        # pre-rewrite first() aggregate collapsed); pair-sized shuffle
-        .dropDuplicates(["id_a", "id_b"])
-    )
+# moved to operators.dedup (round 11): the signature-table pair join
+# is shared by the streaming sink and the composed batch ingest plan
+from novi_pdq_etl_project_prod_spark.operators.dedup import (  # noqa: E402
+    incremental_pairs_from_signatures as _incremental_pairs_from_signatures,
+)
 
 
 def stream_incremental_exact_dups(
@@ -1427,6 +1330,9 @@ def stream_incremental_exact_dups(
     shuffled, never rewritten, and the committed bytes are O(batch)
     (one (hash, canonical id) segment + the batch's report rows).
     """
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        broadcast_if_bounded,
+    )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
         read_manifest_table,
@@ -1453,6 +1359,12 @@ def stream_incremental_exact_dups(
         try:
             standing = read_manifest_table(spark, root, layer, hashes_table)
             new_min = h_new.groupBy("h").agg(F.min("id").alias("new_min"))
+            # mega-batch guard (VERDICT r10 #6): an availableNow
+            # catch-up can deliver one huge trigger; past the cap the
+            # forced broadcasts are dropped and AQE falls back to a
+            # shuffle join — graceful degradation, not an OOM hint
+            n_hashes = new_min.count()
+            bc = lambda d: broadcast_if_bounded(d, n_hashes)  # noqa: E731
             if standing is None:
                 # first batch: no standing table; derive an EMPTY matched
                 # frame from the batch itself so old_min's type always
@@ -1466,9 +1378,7 @@ def stream_incremental_exact_dups(
                 # hashes with their standing canonical ids
                 # (candidate-sized)
                 matched = (
-                    standing.join(
-                        F.broadcast(h_new.select("h").distinct()), "h"
-                    )
+                    standing.join(bc(h_new.select("h").distinct()), "h")
                     .groupBy("h")
                     .agg(F.min("canonical_id").alias("old_min"))
                 )
@@ -1476,9 +1386,9 @@ def stream_incremental_exact_dups(
             # behind `matched` runs ONCE per trigger (the report and
             # new-hash writes, plus the emptiness checks below, all
             # reuse it instead of re-scanning H)
-            enriched = new_min.join(F.broadcast(matched), "h", "left").persist()
+            enriched = new_min.join(bc(matched), "h", "left").persist()
             report = (
-                h_new.join(F.broadcast(enriched), "h")
+                h_new.join(bc(enriched), "h")
                 .where(
                     F.col("old_min").isNotNull()
                     | (F.col("id") > F.col("new_min"))

@@ -1,0 +1,96 @@
+"""Round-11 operators: long-substring dedup (repeated_spans /
+excise_repeated_spans, Lee et al. 2022 at k-gram-chain grain) and the
+composed ingest funnel's disposition surface."""
+
+from __future__ import annotations
+
+BLOCK = " ".join(f"shared{i}" for i in range(100))  # 100-token repeat
+
+
+def _spans(spark, rows, k=50, min_count=2):
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(df, k=k, min_count=min_count).collect()
+    )
+
+
+def test_repeated_spans_planted_100_token_block(spark):
+    """A 100-token verbatim block planted in 3 docs at different
+    offsets: each doc reports exactly ONE maximal span covering the
+    block at its own offset; the all-unique doc reports nothing."""
+    pre_a = " ".join(f"a{i}" for i in range(20))
+    suf_a = " ".join(f"az{i}" for i in range(10))
+    pre_c = " ".join(f"c{i}" for i in range(7))
+    rows = [
+        (1, pre_a + " " + BLOCK + " " + suf_a),
+        (2, BLOCK + " " + " ".join(f"b{i}" for i in range(5))),
+        (3, pre_c + " " + BLOCK),
+        (4, " ".join(f"u{i}" for i in range(150))),  # unique: no spans
+    ]
+    assert _spans(spark, rows) == [
+        (1, 21, 121, 100),
+        (2, 1, 101, 100),
+        (3, 8, 108, 100),
+    ]
+
+
+def test_repeated_spans_within_doc_repeat(spark):
+    """The paper removes WITHIN-doc repeats too: one doc carrying the
+    same 50-token block twice reports both occurrences (nothing else in
+    the corpus repeats)."""
+    blk = " ".join(f"d{i}" for i in range(50))
+    mid = " ".join(f"m{i}" for i in range(5))
+    rows = [
+        (1, blk + " " + mid + " " + blk),
+        (2, " ".join(f"o{i}" for i in range(80))),
+    ]
+    assert _spans(spark, rows) == [
+        (1, 1, 51, 50),
+        (1, 56, 106, 50),
+    ]
+
+
+def test_repeated_spans_adjacent_blocks_merge(spark):
+    """Two repeated blocks ADJACENT in one doc merge into one maximal
+    span (gaps-and-islands adjacency: s == running max end merges)."""
+    blk1 = " ".join(f"p{i}" for i in range(50))
+    blk2 = " ".join(f"q{i}" for i in range(50))
+    rows = [
+        (1, blk1 + " " + blk2),                 # adjacent occurrences
+        (2, blk1 + " " + " ".join(f"x{i}" for i in range(10))),
+        (3, " ".join(f"y{i}" for i in range(10)) + " " + blk2),
+    ]
+    got = _spans(spark, rows)
+    assert (1, 1, 101, 100) in got  # merged, not [1,51)+[51,101)
+    assert (2, 1, 51, 50) in got and (3, 11, 61, 50) in got
+
+
+def test_excise_repeated_spans_reassembly(spark):
+    """Excision removes exactly the covered tokens: the planted block
+    vanishes, unique docs pass through byte-identical (single-space
+    contract), and a doc that IS one repeated block comes back empty."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    pre = " ".join(f"a{i}" for i in range(20))
+    suf = " ".join(f"az{i}" for i in range(10))
+    unique = " ".join(f"u{i}" for i in range(60))
+    rows = [
+        (1, pre + " " + BLOCK + " " + suf),
+        (2, BLOCK),
+        (3, unique),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text)
+        for r in excise_repeated_spans(df, k=50, min_count=2).collect()
+    }
+    assert got[1] == (130, 100, pre + " " + suf)
+    assert got[2] == (100, 100, "")
+    assert got[3] == (60, 0, unique)

@@ -1087,7 +1087,219 @@ def main_r10(k: int = 100) -> None:
                 shutil.rmtree(d, ignore_errors=True)
 
 
+def main_r11(k: int = 100, n_segments: int = 1000) -> None:
+    """Round-11 probes (VERDICT r10 #1b + #2).
+
+    (a) COMPOSED ingest pipeline (plans.ingest.run_incremental_ingest):
+        one fixed increment (half exact re-fetches, half near-dup
+        variants — both standing scans exercised) against a standing
+        corpus at 1x/10x/kx. The composed per-trigger wall must track
+        the two standing-side scans (hash map-side pass + signature
+        band join — linear), NOT the sum of the three standalone sinks;
+        committed bytes must stay ~flat (append segments, O(batch)).
+
+    (b) SEGMENT READ AMPLIFICATION: a table accumulating 10/100/N tiny
+        append segments on top of a substantial base — scan wall and
+        manifest cost per segment count, then maybe_compact fires and
+        the scan is re-measured. The long-horizon cost the r10 probes
+        (one batch) never measured.
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        minhash_signatures_md5,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        run_incremental_ingest,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        maybe_compact,
+        read_manifest,
+        read_manifest_tables,
+        segment_count,
+        table_path,
+        vacuum,
+    )
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fs in os.walk(d)
+            for f in fs
+        )
+
+    spark = get_spark(app_name="scale_probe_r11")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {"ingest": [], "segments": []}
+
+    docs_src = spark.read.parquet(f"{SRC}/documents.parquet")
+    # fixed increment: half exact re-fetches (unchanged text), half
+    # near-dup variants (one appended token -> new hash, high Jaccard)
+    increment = docs_src.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" vA")))
+        .alias("text"),
+    )
+    inc_dir = tempfile.mkdtemp(prefix="r11inc_")
+    increment.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+    rules = {"min_len": "length(trim(text)) >= 10"}
+
+    scales = [("x1", 1), ("x10", 10), (f"x{k}", k)]
+    corpora: dict[str, str] = {}
+    try:
+        for label, kk in scales:
+            if kk == 1:
+                corpora[label] = SRC
+                continue
+            d = tempfile.mkdtemp(prefix=f"r11docs{label}_")
+            replicate_docs_distinct(spark, d, kk, copy_rest=False)
+            corpora[label] = d
+
+        # ---- (a) composed ingest: fixed increment, growing standing ----
+        for label, _kk in scales:
+            root = tempfile.mkdtemp(prefix=f"r11wh{label}_")
+            chk = tempfile.mkdtemp(prefix=f"r11chk{label}_")
+            try:
+                standing = spark.read.parquet(
+                    f"{corpora[label]}/documents.parquet"
+                )
+                n_standing = standing.count()
+                seed_h = (
+                    standing.select(
+                        F.md5("text").alias("h"),
+                        F.col("doc_id").alias("canonical_id"),
+                    )
+                    .groupBy("h")
+                    .agg(F.min("canonical_id").alias("canonical_id"))
+                )
+                seed_s = minhash_signatures_md5(standing, "doc_id", "text")
+                commit_tables(
+                    {
+                        # schema-gate parity: the stream carries
+                        # (doc_id, text), so the seeded corpus must too
+                        "corpus": standing.select("doc_id", "text"),
+                        "content_hashes": seed_h,
+                        "minhash_signatures": seed_s,
+                    },
+                    root,
+                    "curated",
+                )
+                seeded_segs = read_manifest(root, "curated")
+                stream = spark.readStream.schema(
+                    "doc_id bigint, text string"
+                ).parquet(inc_dir)
+                t0 = time.perf_counter()
+                run_incremental_ingest(
+                    stream, root, "curated", chk, rules, threshold=0.5
+                )
+                wall = time.perf_counter() - t0
+                man = read_manifest(root, "curated")
+                new_bytes = 0
+                for tbl, entry in man.items():
+                    segs = [entry] if isinstance(entry, str) else list(entry)
+                    pre = seeded_segs.get(tbl)
+                    pre_set = (
+                        {pre} if isinstance(pre, str) else set(pre or [])
+                    )
+                    for seg in segs:
+                        if seg in pre_set:
+                            continue
+                        new_bytes += _dir_bytes(
+                            os.path.join(table_path(root, "curated", tbl), seg)
+                        )
+                row = {
+                    "label": label,
+                    "standing_docs": n_standing,
+                    "wall_s": round(wall, 1),
+                    "commit_bytes": new_bytes,
+                }
+                results["ingest"].append(row)
+                cache.clear_session_state(spark)
+                print(f"r11 ingest {row}")
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+                shutil.rmtree(chk, ignore_errors=True)
+
+        # ---- (b) segment read amplification ----
+        root = tempfile.mkdtemp(prefix="r11seg_")
+        try:
+            base = spark.range(0, 2_000_000).withColumn(
+                "v", (F.col("id") * 31) % 997
+            )
+            commit_tables({"t": base.repartition(8)}, root, "curated")
+            checkpoints = sorted({10, 100, int(n_segments)})
+            done = 1  # the base snapshot counts as segment 0 post-upgrade
+            for target in checkpoints:
+                t_append0 = time.perf_counter()
+                while done < target:
+                    commit_tables(
+                        {"t": spark.range(done, done + 1).withColumn(
+                            "v", F.lit(7)
+                        )},
+                        root,
+                        "curated",
+                        append_tables=("t",),
+                    )
+                    done += 1
+                append_wall = time.perf_counter() - t_append0
+                nseg = segment_count(root, "curated", "t")
+                t0 = time.perf_counter()
+                n = read_manifest_tables(spark, root, "curated")["t"].count()
+                scan_wall = time.perf_counter() - t0
+                row = {
+                    "segments": nseg,
+                    "rows": n,
+                    "scan_wall_s": round(scan_wall, 2),
+                    "append_wall_s": round(append_wall, 1),
+                }
+                results["segments"].append(row)
+                print(f"r11 segments {row}")
+            # compaction closes the amplification; vacuum collects the
+            # old segment dirs once unreferenced
+            t0 = time.perf_counter()
+            d = maybe_compact(
+                spark, root, "curated", "t", max_segments=8
+            )
+            compact_wall = time.perf_counter() - t0
+            assert d["fired"] and d["segment_count_after"] == 1
+            t0 = time.perf_counter()
+            n = read_manifest_tables(spark, root, "curated")["t"].count()
+            scan_after = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            removed = vacuum(root, "curated", retain=0, grace_seconds=0.0)
+            vacuum_wall = time.perf_counter() - t0
+            row = {
+                "segments": 1,
+                "rows": n,
+                "scan_wall_s": round(scan_after, 2),
+                "compact_wall_s": round(compact_wall, 1),
+                "vacuum_wall_s": round(vacuum_wall, 1),
+                "vacuumed_dirs": sum(removed.values()),
+            }
+            results["segments"].append(row)
+            print(f"r11 segments post-compact {row}")
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        for _label, d in corpora.items():
+            if d != SRC:
+                shutil.rmtree(d, ignore_errors=True)
+    out = os.environ.get(
+        "SPARK_GRAFT_R11_OUT",
+        os.path.join(os.path.dirname(__file__), "scale_probe_r11.json"),
+    )
+    with open(out, "w", encoding="utf-8") as fh:
+        json.dump(results, fh, indent=1)
+    print(f"wrote {out}")
+
+
 def main() -> None:
+    if "--r11" in sys.argv:
+        idx = sys.argv.index("--r11")
+        main_r11(int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100)
+        return
     if "--r10" in sys.argv:
         idx = sys.argv.index("--r10")
         main_r10(int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100)
