@@ -224,3 +224,73 @@ ORDER BY doc_id, span_start
 
 QUERIES["m71_repeated_spans"] = m71_repeated_spans
 ORACLES["m71_repeated_spans"] = M71_SQL
+
+
+# ---------------------------------------------------------------------------
+# M72 — long-substring EXCISION, certified byte-for-byte (the m60 idiom
+# at span grain): per doc, token/removal accounting plus the md5 of the
+# reassembled cleaned text. m71 certifies WHICH spans are repeated;
+# this certifies the destructive step actually applied to the corpus.
+# ---------------------------------------------------------------------------
+
+
+def m72_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = excise_repeated_spans(docs, k=_M71_K, min_count=_M71_MIN_COUNT)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+M72_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {_M71_K} - 1), ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_M71_K} + 1)) AS i
+        FROM toks WHERE len(t) >= {_M71_K})
+),
+rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {_M71_MIN_COUNT}),
+marks AS (SELECT doc_id, s, s + {_M71_K} AS e FROM g JOIN rep USING (gh)),
+cov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(s, e - 1)) AS pos
+  FROM marks
+),
+tk AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM toks
+),
+kept AS (
+  SELECT k.doc_id,
+         count(*) AS n_kept,
+         string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned
+  FROM tk k
+  LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+  WHERE c.pos IS NULL
+  GROUP BY k.doc_id
+),
+n AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY doc_id)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(n.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(k.cleaned, '')) AS clean_md5
+FROM n
+LEFT JOIN kept k ON k.doc_id = n.doc_id
+ORDER BY n.doc_id
+"""
+
+
+QUERIES["m72_span_excision"] = m72_span_excision
+ORACLES["m72_span_excision"] = M72_SQL

@@ -1087,7 +1087,11 @@ def main_r10(k: int = 100) -> None:
                 shutil.rmtree(d, ignore_errors=True)
 
 
-def main_r11(k: int = 100, n_segments: int = 1000) -> None:
+def main_r11(
+    k: int = 100,
+    n_segments: int = 1000,
+    parts: tuple = ("ingest", "segments"),
+) -> None:
     """Round-11 probes (VERDICT r10 #1b + #2).
 
     (a) COMPOSED ingest pipeline (plans.ingest.run_incremental_ingest):
@@ -1145,7 +1149,9 @@ def main_r11(k: int = 100, n_segments: int = 1000) -> None:
     increment.coalesce(1).write.mode("overwrite").parquet(inc_dir)
     rules = {"min_len": "length(trim(text)) >= 10"}
 
-    scales = [("x1", 1), ("x10", 10), (f"x{k}", k)]
+    scales = (
+        [("x1", 1), ("x10", 10), (f"x{k}", k)] if "ingest" in parts else []
+    )
     corpora: dict[str, str] = {}
     try:
         for label, kk in scales:
@@ -1222,6 +1228,8 @@ def main_r11(k: int = 100, n_segments: int = 1000) -> None:
                 shutil.rmtree(chk, ignore_errors=True)
 
         # ---- (b) segment read amplification ----
+        if "segments" not in parts:
+            raise SystemExit(_finish(results))
         root = tempfile.mkdtemp(prefix="r11seg_")
         try:
             base = spark.range(0, 2_000_000).withColumn(
@@ -1235,7 +1243,7 @@ def main_r11(k: int = 100, n_segments: int = 1000) -> None:
                 while done < target:
                     commit_tables(
                         {"t": spark.range(done, done + 1).withColumn(
-                            "v", F.lit(7)
+                            "v", F.lit(7).cast("long")
                         )},
                         root,
                         "curated",
@@ -1286,16 +1294,44 @@ def main_r11(k: int = 100, n_segments: int = 1000) -> None:
         for _label, d in corpora.items():
             if d != SRC:
                 shutil.rmtree(d, ignore_errors=True)
+    _finish(results)
+
+
+def _finish(results: dict) -> int:
     out = os.environ.get(
         "SPARK_GRAFT_R11_OUT",
         os.path.join(os.path.dirname(__file__), "scale_probe_r11.json"),
     )
+    merged = results
+    if os.path.exists(out):
+        try:
+            with open(out, encoding="utf-8") as fh:
+                prior = json.load(fh)
+            merged = {
+                key: (prior.get(key) or []) + vals if vals else prior.get(key, [])
+                for key, vals in results.items()
+            }
+        except Exception:
+            pass
     with open(out, "w", encoding="utf-8") as fh:
-        json.dump(results, fh, indent=1)
+        json.dump(merged, fh, indent=1)
     print(f"wrote {out}")
+    return 0
 
 
 def main() -> None:
+    if "--r11-segments" in sys.argv:
+        idx = sys.argv.index("--r11-segments")
+        n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 1000
+        main_r11(n_segments=n, parts=("segments",))
+        return
+    if "--r11-ingest" in sys.argv:
+        idx = sys.argv.index("--r11-ingest")
+        main_r11(
+            int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100,
+            parts=("ingest",),
+        )
+        return
     if "--r11" in sys.argv:
         idx = sys.argv.index("--r11")
         main_r11(int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100)
