@@ -358,6 +358,7 @@ def run_incremental_ingest(
     from novi_pdq_etl_project_prod_spark.operators.quality import schema_drift
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
+        read_manifest_meta,
         read_manifest_table,
     )
     from novi_pdq_etl_project_prod_spark.streaming.events import (
@@ -369,6 +370,11 @@ def run_incremental_ingest(
     marker = batch_marker_key(checkpoint_dir)
     _maybe_migrate_legacy(root, layer, checkpoint_dir)
     allow = set(schema_allow) if schema_allow is not None else set()
+    # cumulative funnel accounting, the stream_write_with_expectations
+    # convention: totals ride the same atomic commit as the data, keyed
+    # by the corpus table, so an operator reads ingest health from ONE
+    # manifest meta entry instead of re-counting report tables
+    counts_key = f"ingest_counts:{tables['corpus']}"
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -414,6 +420,23 @@ def run_incremental_ingest(
                     bands,
                     threshold,
                 )
+                fresh = {
+                    "n_rows": batch_df.count(),
+                    "quarantined": result["quarantine"].count(),
+                    "exact_dups": result["exact_dups"].count(),
+                    "near_dups": result["near_drops"].count(),
+                }
+                fresh["accepted"] = (
+                    fresh["n_rows"]
+                    - fresh["quarantined"]
+                    - fresh["exact_dups"]
+                    - fresh["near_dups"]
+                )
+                prior = read_manifest_meta(root, layer).get(counts_key) or {}
+                total = {
+                    k: int(prior.get(k, 0)) + int(v)
+                    for k, v in fresh.items()
+                }
                 candidates = {
                     tables["corpus"]: result["accepted"],
                     tables["quarantine"]: result["quarantine"],
@@ -429,7 +452,7 @@ def run_incremental_ingest(
                     committed,
                     root,
                     layer,
-                    meta={marker: _batch_id, **extra_meta},
+                    meta={marker: _batch_id, counts_key: total, **extra_meta},
                     append_tables=tuple(committed),
                 )
         finally:

@@ -1,0 +1,99 @@
+"""The layer maintenance tick — one call that runs every table-layout
+policy the engine has, the way the reference's schema bakes its layout
+upkeep into the table contract (the b-tree on the month key,
+``sql/schema.sql:17,25``): layout maintenance is part of owning a
+table, not an operator someone remembers to run.
+
+Composes, per layer:
+
+1. :func:`~novi_pdq_etl_project_prod_spark.sources.layers.maybe_compact`
+   for EVERY table in the live manifest — the segment-count /
+   small-segment-bytes policy (VERDICT r10 #1) that bounds append-table
+   read amplification (measured: 1,000 accumulated segments cost 6.4×
+   the 10-segment scan; one compaction restores base — SCALE.md r11);
+2. :func:`~novi_pdq_etl_project_prod_spark.sources.skipping.maybe_optimize`
+   for the POINTER-LAYOUT tables the caller names in ``zorder_cols`` —
+   the clustering-health policy from r06/r07. Deliberately NOT applied
+   to manifest-committed tables: ``maybe_optimize`` commits through the
+   per-table ``_CURRENT`` pointer, and a pointer-only rewrite of a
+   manifest table diverges the two commit layers (manifest readers keep
+   the old layout, the z-ordered snapshot is invisible to them and
+   orphaned at the next roll-forward). Z-ordering a manifest table
+   needs a manifest-level rewrite — commit it via ``commit_tables``
+   with pre-sorted data instead; the tick SKIPS such requests loudly in
+   its report rather than silently splitting the table's identity.
+3. optional :func:`~novi_pdq_etl_project_prod_spark.sources.layers.vacuum`
+   when ``vacuum_retain`` is given — GC runs AFTER compaction so the
+   just-unreferenced segment dirs age out on the same tick cadence.
+
+Everything is a metadata-cost audit unless a threshold trips; the tick
+is safe at any cadence and against concurrent sinks (each policy's
+rewrite is CAS-protected; a lost CAS is reported, never retried into a
+running ingest). Scheduling the tick is the caller's concern (cron, an
+Airflow task, a foreachBatch hook on a quiet stream) — the engine
+deliberately never surprise-rewrites a table mid-trigger.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import SparkSession
+
+from novi_pdq_etl_project_prod_spark.sources.layers import (
+    MedallionLayer,
+    maybe_compact,
+    read_manifest,
+    vacuum,
+)
+from novi_pdq_etl_project_prod_spark.sources.skipping import maybe_optimize
+
+
+def run_maintenance_tick(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    zorder_cols: Mapping[str, list[str]] | None = None,
+    max_segments: int = 8,
+    small_segment_bytes: int | None = None,
+    max_small_segments: int | None = None,
+    vacuum_retain: int | None = None,
+    vacuum_grace_seconds: float | None = None,
+) -> dict:
+    """One maintenance pass over ``layer``; returns the full decision
+    report ``{"compact": {table: decision}, "optimize": {table:
+    decision-or-skip}, "vacuum": removed-or-None}`` — every policy's
+    no-op is recorded, so an operator can diff ticks."""
+    report: dict = {"compact": {}, "optimize": {}, "vacuum": None}
+    manifest_tables = set(read_manifest(root, layer))
+    for tbl in sorted(manifest_tables):
+        report["compact"][tbl] = maybe_compact(
+            spark,
+            root,
+            layer,
+            tbl,
+            max_segments=max_segments,
+            small_segment_bytes=small_segment_bytes,
+            max_small_segments=max_small_segments,
+        )
+    for tbl, cols in sorted((zorder_cols or {}).items()):
+        if tbl in manifest_tables:
+            report["optimize"][tbl] = {
+                "table": tbl,
+                "fired": False,
+                "skipped": "manifest-committed table: a pointer-level "
+                "z-order rewrite would diverge the manifest and pointer "
+                "commit layers; rewrite via commit_tables instead",
+            }
+            continue
+        report["optimize"][tbl] = maybe_optimize(
+            spark, root, layer, tbl, cols
+        )
+    if vacuum_retain is not None:
+        kwargs = {}
+        if vacuum_grace_seconds is not None:
+            kwargs["grace_seconds"] = vacuum_grace_seconds
+        report["vacuum"] = vacuum(
+            root, layer, retain=vacuum_retain, **kwargs
+        )
+    return report

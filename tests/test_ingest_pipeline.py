@@ -169,6 +169,21 @@ def test_run_incremental_ingest_matches_batch_and_replay(spark, tmp_path):
     # ONE manifest per trigger: 3 increments -> exactly 3 commits
     assert len(manifest_history(root, "curated")) == 3
 
+    # cumulative funnel accounting rides the commit meta (the
+    # expectations-sink convention): totals across all 3 increments
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_meta,
+    )
+
+    counts = read_manifest_meta(root, "curated")["ingest_counts:corpus"]
+    assert counts == {
+        "n_rows": 12,
+        "quarantined": 2,
+        "exact_dups": 3,
+        "near_dups": 2,
+        "accepted": 5,
+    }
+
     # checkpoint-loss replay: marker-gated no-op, byte-identical tables
     shutil.rmtree(chk)
     _run()

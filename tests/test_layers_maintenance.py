@@ -655,3 +655,81 @@ def test_gc_under_segment_churn(spark, tmp_path, monkeypatch):
     # (c) pre-compaction manifests are past the horizon: descriptive
     with _pytest.raises(layers.SnapshotNotFoundError, match="not retained"):
         layers.read_manifest_tables_as_of(spark, root, "curated", versions[0])
+
+
+def test_run_maintenance_tick_composes_policies(spark, tmp_path, monkeypatch):
+    """The layer maintenance tick: compacts every over-threshold
+    manifest table, z-orders the pointer-layout table it's told about,
+    SKIPS a z-order request for a manifest table (pointer-level rewrite
+    would diverge the two commit layers), vacuums last, and no-ops on
+    an immediate second tick."""
+    from pyspark.sql import functions as F
+
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    monkeypatch.setattr(layers, "GC_GRACE_SECONDS", 0.0)
+    monkeypatch.setattr(layers, "GC_RETAIN_PREVIOUS", 0)
+    root = str(tmp_path)
+    # manifest table "a": 4 segments (over threshold); "b": 2 (under)
+    for i in range(4):
+        layers.commit_tables(
+            {"a": spark.range(5 * i, 5 * i + 5)},
+            root, "curated", append_tables=("a",),
+        )
+    for i in range(2):
+        layers.commit_tables(
+            {"b": spark.range(3 * i, 3 * i + 3)},
+            root, "curated", append_tables=("b",),
+        )
+    # pointer-layout z-order candidate: hash-shuffled 2-col files
+    zt = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    zt.orderBy(F.xxhash64("payload")).repartition(64).write.mode(
+        "overwrite"
+    ).parquet(layers.table_path(root, "curated", "zt"))
+
+    report = run_maintenance_tick(
+        spark, root, "curated",
+        zorder_cols={"zt": ["x", "y"], "a": ["id", "id"]},
+        max_segments=3,
+        vacuum_retain=0,
+        vacuum_grace_seconds=0.0,
+    )
+    assert report["compact"]["a"]["fired"] is True
+    assert report["compact"]["a"]["segment_count_after"] == 1
+    assert report["compact"]["b"]["fired"] is False
+    assert report["optimize"]["zt"]["fired"] is True
+    assert "manifest-committed" in report["optimize"]["a"]["skipped"]
+    assert report["vacuum"] is not None
+
+    # data intact everywhere
+    tables = layers.read_manifest_tables(spark, root, "curated")
+    assert sorted(r.id for r in tables["a"].collect()) == list(range(20))
+    assert sorted(r.id for r in tables["b"].collect()) == list(range(6))
+    live_zt = spark.read.parquet(
+        layers.resolve_table_path(layers.table_path(root, "curated", "zt"))
+    )
+    assert live_zt.count() == 4096
+    # manifest/pointer consistency preserved for "a" despite the
+    # requested (and refused) pointer-level z-order
+    entry = layers.read_manifest(root, "curated")["a"]
+    assert isinstance(entry, str)
+    assert layers.current_snapshot(
+        layers.table_path(root, "curated", "a")
+    ) == entry
+
+    # second tick: everything no-ops (no churn)
+    r2 = run_maintenance_tick(
+        spark, root, "curated",
+        zorder_cols={"zt": ["x", "y"]},
+        max_segments=3,
+    )
+    assert not r2["compact"]["a"]["fired"]
+    assert not r2["compact"]["b"]["fired"]
+    assert not r2["optimize"]["zt"]["fired"]

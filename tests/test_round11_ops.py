@@ -94,3 +94,65 @@ def test_excise_repeated_spans_reassembly(spark):
     assert got[1] == (130, 100, pre + " " + suf)
     assert got[2] == (100, 100, "")
     assert got[3] == (60, 0, unique)
+
+
+import pytest as _pytest  # noqa: E402
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small vocab so repeats actually occur in random corpora
+_DOC = st.lists(
+    st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=18
+).map(" ".join)
+
+
+@given(docs=st.lists(_DOC, min_size=1, max_size=6))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_repeated_spans_matches_python_model(spark, docs):
+    """Random tiny corpora vs a pure-Python model of the k-gram-chain
+    semantics: flag every k-gram occurring >= min_count times
+    corpus-wide, merge overlapping/adjacent flagged windows per doc —
+    exact span sets must match (k=3 so short random docs qualify)."""
+    from collections import Counter
+
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        repeated_spans,
+    )
+
+    k, min_count = 3, 2
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(df, k=k, min_count=min_count).collect()
+    )
+
+    grams: Counter = Counter()
+    per_doc: dict[int, list[tuple[str, int]]] = {}
+    for i, t in rows:
+        toks = t.split()
+        occ = [
+            (" ".join(toks[j:j + k]), j + 1)
+            for j in range(len(toks) - k + 1)
+        ]
+        per_doc[i] = occ
+        grams.update(g for g, _ in occ)
+    want = []
+    for i, occ in per_doc.items():
+        marks = sorted(s for g, s in occ if grams[g] >= min_count)
+        cur = None
+        for s in marks:
+            e = s + k
+            if cur and s <= cur[1]:
+                cur[1] = max(cur[1], e)
+            else:
+                if cur:
+                    want.append((i, cur[0], cur[1]))
+                cur = [s, e]
+        if cur:
+            want.append((i, cur[0], cur[1]))
+    assert got == sorted(want)
