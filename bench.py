@@ -171,6 +171,7 @@ HEADLINE = [
     "m70_ingest_funnel",
     "m71_repeated_spans",
     "m72_span_excision",
+    "m73_incremental_spans",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

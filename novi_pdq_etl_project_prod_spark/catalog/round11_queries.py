@@ -294,3 +294,71 @@ ORDER BY n.doc_id
 
 QUERIES["m72_span_excision"] = m72_span_excision
 ORACLES["m72_span_excision"] = M72_SQL
+
+
+# ---------------------------------------------------------------------------
+# M73 — INCREMENTAL long-substring dedup: the ingest-path twin of m71,
+# completing the incremental family (m69 exact, m66 near-dup, m73 span
+# grain). Standing corpus = even doc_ids touched only through its gram
+# SET; increment = odd doc_ids. The oracle is the FULL-corpus m71 chain
+# restricted to increment docs — a genuinely different computation path
+# (the engine never re-tokenizes or shuffles the standing corpus)
+# arriving at the same span set, which is the incremental pattern's
+# correctness claim.
+# ---------------------------------------------------------------------------
+
+
+def m73_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        gram_set,
+        incremental_repeated_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    standing = docs.where(F.col("doc_id") % 2 == 0)
+    return incremental_repeated_spans(
+        new, gram_set(standing, k=_M71_K), k=_M71_K
+    ).orderBy("doc_id", "span_start")
+
+
+M73_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+g AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {_M71_K} - 1), ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_M71_K} + 1)) AS i
+        FROM toks WHERE len(t) >= {_M71_K})
+),
+rep AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= {_M71_MIN_COUNT}),
+marks AS (
+  SELECT doc_id, s, s + {_M71_K} AS e
+  FROM g JOIN rep USING (gh)
+  WHERE doc_id % 2 = 1
+),
+isl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM marks),
+grp AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM isl)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(e) AS INT) AS span_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+FROM grp GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+
+QUERIES["m73_incremental_spans"] = m73_incremental_spans
+ORACLES["m73_incremental_spans"] = M73_SQL

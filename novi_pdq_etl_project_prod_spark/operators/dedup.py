@@ -1720,3 +1720,123 @@ def broadcast_if_bounded(df: DataFrame, n_rows: int):
     :data:`BROADCAST_HINT_MAX_ROWS`, else ``df`` unhinted (AQE decides).
     """
     return F.broadcast(df) if n_rows <= BROADCAST_HINT_MAX_ROWS else df
+
+
+def gram_set(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """The standing k-gram SET a corpus contributes — one (gh,) row per
+    DISTINCT k-token-run md5 — the persisted state of the incremental
+    long-substring path (:func:`incremental_repeated_spans`). Content-
+    addressed and append-only: new corpora only ever ADD grams.
+
+    Storage realism (documented trade): one row per distinct k-gram is
+    O(total distinct token windows) — the price every k-gram-chain /
+    suffix-array dedup pays to see cross-corpus repeats; at 100 TB it
+    is a large but flat, hash-shardable table (md5 keys distribute
+    uniformly), and only EXISTENCE is stored, never positions.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    base = df.select(tokens(text_col).alias("t")).where(F.size("t") >= k)
+    n_g = F.size("t") - F.lit(k - 1)
+    return base.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+            )
+        ).alias("gh")
+    ).distinct()
+
+
+def incremental_repeated_spans(
+    new_df: DataFrame,
+    standing_grams: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Long-substring dedup for a corpus INCREMENT — the ingest-path
+    twin of :func:`repeated_spans`, completing the incremental family
+    (m69 exact, m66 near-dup, this at span grain): maximal token spans
+    of NEW docs whose k-grams repeat anywhere in standing ∪ increment.
+
+    Metamorphic contract (the m66/m69 claim, pinned by test and the
+    m73 oracle): the reported span set equals
+    ``repeated_spans(standing ∪ increment)`` restricted to increment
+    docs — while the standing corpus is touched only through its gram
+    SET (``standing_grams`` from :func:`gram_set`), never re-tokenized,
+    never shuffled. ``min_count`` is fixed at 2 on this path: one
+    standing occurrence plus the increment's makes any shared gram a
+    repeat, so gram EXISTENCE is sufficient state (counts would need
+    merge-on-write; existence appends).
+
+    Scale shape: the increment pays its own gram explode; its DISTINCT
+    gram hashes (trigger-bounded) probe the standing set via ONE
+    map-side scan (broadcast-guarded like the exact-dedup stage —
+    :func:`broadcast_if_bounded`); within-increment repeats come from
+    one increment-gram-grain hash-agg. Island merging is doc-local.
+    Standing-side cost is exactly one column scan of (gh), whatever
+    the corpus size.
+    """
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.operators.text import tokens
+
+    base = new_df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).where(F.size("t") >= k)
+    n_g = F.size("t") - F.lit(k - 1)
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_g),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
+            )
+        ).alias("pos0", "gh"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gh")
+    inc_counts = cache.track(
+        grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_inc = inc_counts.count()  # fills the cache; also the hint guard
+    bc = F.broadcast if n_inc <= BROADCAST_HINT_MAX_ROWS else (lambda d: d)
+    if standing_grams is None:
+        matched = inc_counts.select("gh").limit(0)
+    else:
+        # ONE map-side pass over the standing gram set: broadcast the
+        # increment's distinct hashes, matched set comes back
+        # candidate-sized; the standing table is never shuffled
+        matched = standing_grams.join(
+            bc(inc_counts.select("gh")), "gh"
+        ).select("gh")
+    flagged = inc_counts.where(F.col("c") >= 2).select("gh").unionByName(
+        matched
+    ).distinct()
+    marks = grams.join(bc(flagged), "gh").select(
+        "doc_id", "s", (F.col("s") + k).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = marks.withColumn(
+        "brk",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        merged.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_tokens"),
+        )
+    )

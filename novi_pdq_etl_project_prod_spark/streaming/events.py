@@ -1445,3 +1445,105 @@ def stream_incremental_exact_dups(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_incremental_repeated_spans(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+    grams_table: str = "standing_grams",
+    spans_table: str = "repeated_spans",
+) -> None:
+    """Streaming long-substring dedup — the production form of
+    ``operators.dedup.incremental_repeated_spans`` and the third
+    incremental-dedup sink (exact → near-dup → span grain): per
+    micro-batch, maximal token spans of the batch's docs whose k-grams
+    repeat against everything ingested so far (or within the batch) are
+    reported, and the batch's genuinely-new gram hashes append to the
+    standing gram SET. One atomic marker-gated commit per batch
+    (append segments), exactly-once under replay.
+
+    Arrival-time contract (stated, not hidden): a doc's spans are
+    judged against the corpus AS OF its arrival — a repeat created by
+    a LATER doc is reported on that later doc only (same asymmetry as
+    the pair sinks, where a pair lands at its later member's batch).
+    That is the ingest-filter semantics: trim redundant text when it
+    arrives.
+
+    Scale shape per trigger: the batch pays its own gram explode; its
+    distinct hashes probe the standing set via ONE map-side scan
+    (broadcast-guarded); committed bytes are O(batch's new grams +
+    spans). The standing gram set is never shuffled or rewritten.
+    """
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        gram_set,
+        incremental_repeated_spans,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_table,
+    )
+
+    marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its spans and grams are in
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            standing = read_manifest_table(spark, root, layer, grams_table)
+            spans = incremental_repeated_spans(
+                batch_df, standing, id_col, text_col, k
+            ).persist()
+            inc_gh = gram_set(batch_df, id_col, text_col, k).persist()
+            if standing is None:
+                new_grams = inc_gh
+            else:
+                from novi_pdq_etl_project_prod_spark.operators.dedup import (
+                    broadcast_if_bounded,
+                )
+
+                n_inc = inc_gh.count()
+                matched = standing.join(
+                    broadcast_if_bounded(inc_gh, n_inc), "gh"
+                ).select("gh")
+                new_grams = inc_gh.join(
+                    broadcast_if_bounded(matched, n_inc), "gh", "left_anti"
+                )
+            tables = {
+                t: df
+                for t, df in (
+                    (grams_table, new_grams),
+                    (spans_table, spans),
+                )
+                if not df.isEmpty()
+            }
+            commit_tables(
+                tables,
+                root,
+                layer,
+                meta={marker: _batch_id},
+                append_tables=tuple(tables),
+            )
+            spans.unpersist()
+            inc_gh.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -156,3 +156,126 @@ def test_repeated_spans_matches_python_model(spark, docs):
         if cur:
             want.append((i, cur[0], cur[1]))
     assert got == sorted(want)
+
+
+def test_incremental_spans_metamorphic_vs_full(spark):
+    """The m73 contract on a planted fixture: incremental spans (new
+    docs vs the standing gram set) == full-corpus repeated_spans
+    restricted to the new docs — including a span repeated ONLY
+    within the increment, and one only vs standing."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        gram_set,
+        incremental_repeated_spans,
+        repeated_spans,
+    )
+
+    blk = " ".join(f"s{i}" for i in range(60))
+    inc_blk = " ".join(f"n{i}" for i in range(55))
+    standing_rows = [
+        (2, " ".join(f"o{i}" for i in range(20)) + " " + blk),
+        (4, " ".join(f"p{i}" for i in range(70))),
+    ]
+    new_rows = [
+        (1, blk + " " + " ".join(f"q{i}" for i in range(10))),  # vs standing
+        (3, inc_blk),                                            # vs doc 5
+        (5, " ".join(f"r{i}" for i in range(8)) + " " + inc_blk),
+        (7, " ".join(f"u{i}" for i in range(80))),               # clean
+    ]
+    standing = spark.createDataFrame(standing_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    got = sorted(
+        map(tuple, incremental_repeated_spans(
+            new, gram_set(standing, k=50), k=50
+        ).collect())
+    )
+    full = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in repeated_spans(
+            standing.unionByName(new), k=50, min_count=2
+        ).collect()
+        if r.doc_id % 2 == 1
+    )
+    assert got == full
+    assert (1, 1, 61, 60) in got       # repeated vs standing
+    assert (3, 1, 56, 55) in got       # repeated within the increment
+    assert (5, 9, 64, 55) in got
+    assert not any(d == 7 for d, *_ in got)
+
+
+def test_stream_incremental_spans_arrival_time_contract(spark, tmp_path):
+    """The streaming span sink over 2 increments: each batch's spans
+    equal the batch-vs-(everything-seen-so-far) metamorphic oracle; the
+    standing gram set accumulates new hashes only; checkpoint-loss
+    replay is a no-op."""
+    import shutil
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        repeated_spans,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_incremental_repeated_spans,
+    )
+
+    blk = " ".join(f"w{i}" for i in range(50))
+    batch1 = [(1, blk + " " + " ".join(f"a{i}" for i in range(10))),
+              (2, " ".join(f"b{i}" for i in range(60)))]
+    # doc 3 repeats doc 1's block (arrival-time: reported on doc 3);
+    # doc 4 is clean
+    batch2 = [(3, " ".join(f"c{i}" for i in range(5)) + " " + blk),
+              (4, " ".join(f"d{i}" for i in range(55)))]
+    updates_dir = str(tmp_path / "docs")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        _time.sleep(1.1)
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_incremental_repeated_spans(
+            stream, root, "curated", chk, k=50
+        )
+
+    _run()
+    tables = read_manifest_tables(spark, root, "curated")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in tables["repeated_spans"].collect()
+    )
+    # batch 1 alone has no repeats; batch 2's doc 3 repeats vs standing
+    assert got == [(3, 6, 56)]
+    # the gram set covers all four docs' distinct grams exactly once
+    all_g = (
+        spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    )
+    from novi_pdq_etl_project_prod_spark.operators.dedup import gram_set
+
+    want_g = {r.gh for r in gram_set(all_g, k=50).collect()}
+    got_g = [r.gh for r in tables["standing_grams"].collect()]
+    assert sorted(got_g) == sorted(want_g), "gram set wrong or duplicated"
+    # arrival-time contract documented: doc 1's span is NOT reported
+    # (the repeat arrived later)
+    full = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in repeated_spans(all_g, k=50).collect()
+    }
+    assert (1, 1, 51) in full and (1, 1, 51) not in set(got)
+
+    shutil.rmtree(chk)
+    _run()  # replay: marker-gated no-op
+    after = read_manifest_tables(spark, root, "curated")
+    assert after["repeated_spans"].count() == 1
+    assert after["standing_grams"].count() == len(want_g)
+    man = read_manifest(root, "curated")
+    assert isinstance(man["standing_grams"], list)
