@@ -281,7 +281,11 @@ kept AS (
   WHERE c.pos IS NULL
   GROUP BY k.doc_id
 ),
-n AS (SELECT doc_id, count(*) AS n_tokens FROM tk GROUP BY doc_id)
+n AS (
+  -- every input doc gets a row (round-11 review): token-less docs
+  -- surface as (0, 0, md5('')) in BOTH engines
+  SELECT doc_id, coalesce(len(t), 0) AS n_tokens FROM toks
+)
 SELECT n.doc_id,
        CAST(n.n_tokens AS BIGINT) AS n_tokens,
        CAST(n.n_tokens - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,

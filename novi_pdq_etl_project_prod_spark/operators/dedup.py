@@ -1496,7 +1496,18 @@ def incremental_pairs_from_signatures(
     ball = bn.withColumn("is_new", F.lit(True)).unionByName(
         _banded_keys(sig_old).withColumn("is_new", F.lit(False))
     )
-    a = F.broadcast(bn).alias("a")
+    # mega-batch guard (round-11 review): the increment side of the
+    # band join is broadcast by design (one trigger's banded keys vs
+    # the whole corpus; callers bound trigger size) — but an
+    # availableNow catch-up can deliver one mega-batch, and bands ×
+    # |batch| key rows would then be a forced OOM-bound broadcast.
+    # Past the cap the hint drops and AQE picks the join (same
+    # graceful degradation as the exact-dedup stage). sig_new is
+    # persisted by every caller, so the count is cheap.
+    n_banded = sig_new.count() * max(bands, 1)
+    a = (
+        F.broadcast(bn) if n_banded <= BROADCAST_HINT_MAX_ROWS else bn
+    ).alias("a")
     b = ball.alias("b")
     cand = (
         a.join(
@@ -1657,7 +1668,10 @@ def excise_repeated_spans(
 
     Output: (doc_id, n_tokens, n_removed, text) — cleaned text with
     single-space joins (the tokenizer's inverse up to whitespace
-    normalization, same contract as m60's scrub).
+    normalization, same contract as m60's scrub). EVERY input doc gets
+    a row (round-11 review): empty/whitespace/NULL text surfaces as
+    (0, 0, "") rather than silently vanishing — a pipeline replacing
+    its corpus with the excised output must not delete rows.
     """
     from novi_pdq_etl_project_prod_spark.operators.text import tokens
 
@@ -1668,15 +1682,23 @@ def excise_repeated_spans(
             F.sequence(F.col("span_start"), F.col("span_end") - 1)
         ).alias("pos"),
     )
-    toks = (
-        df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("t"))
-        .select("doc_id", F.posexplode("t").alias("pos0", "tok"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    base = df.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
     )
+    toks = base.select(
+        "doc_id", F.posexplode("t").alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    # per-doc token count comes row-locally from the array itself (no
+    # explode+count pass), which also keeps token-LESS docs in the
+    # output: size() of an empty/NULL token array coalesces to 0
     return (
-        toks.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        base.select(
+            "doc_id",
+            F.coalesce(F.size("t"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
         .join(
             kept.groupBy("doc_id").agg(
                 F.count(F.lit(1)).alias("n_kept"),
@@ -1753,6 +1775,25 @@ def gram_set(
     ).distinct()
 
 
+def incremental_repeated_spans_state(
+    new_df: DataFrame,
+    standing_grams: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> dict[str, DataFrame]:
+    """:func:`incremental_repeated_spans` plus the state delta a sink
+    must persist: ``{"spans": ..., "new_grams": ...}`` where
+    ``new_grams`` is the increment's distinct gram hashes NOT already
+    standing — derived from the SAME gram explode and the SAME standing
+    probe as the span detection (round-11 review: the sink previously
+    rebuilt both independently, doubling the standing-side scan the
+    docstring promises happens once)."""
+    return _incremental_repeated_spans_impl(
+        new_df, standing_grams, id_col, text_col, k
+    )
+
+
 def incremental_repeated_spans(
     new_df: DataFrame,
     standing_grams: DataFrame | None,
@@ -1783,6 +1824,18 @@ def incremental_repeated_spans(
     Standing-side cost is exactly one column scan of (gh), whatever
     the corpus size.
     """
+    return _incremental_repeated_spans_impl(
+        new_df, standing_grams, id_col, text_col, k
+    )["spans"]
+
+
+def _incremental_repeated_spans_impl(
+    new_df: DataFrame,
+    standing_grams: DataFrame | None,
+    id_col: str,
+    text_col: str,
+    k: int,
+) -> dict[str, DataFrame]:
     from pyspark.sql import Window
 
     from novi_pdq_etl_project_prod_spark.operators.text import tokens
@@ -1828,7 +1881,7 @@ def incremental_repeated_spans(
     ).withColumn(
         "isl", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
-    return (
+    spans = (
         merged.groupBy("doc_id", "isl")
         .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
         .select(
@@ -1840,3 +1893,5 @@ def incremental_repeated_spans(
             .alias("span_tokens"),
         )
     )
+    new_grams = inc_counts.select("gh").join(bc(matched), "gh", "left_anti")
+    return {"spans": spans, "new_grams": new_grams}

@@ -61,8 +61,7 @@ from novi_pdq_etl_project_prod_spark.operators.dedup import (
     minhash_signatures_md5,
 )
 from novi_pdq_etl_project_prod_spark.operators.expectations import (
-    FAILED_RULES_COL,
-    apply_expectations,
+    split_expectations,
 )
 
 
@@ -103,11 +102,7 @@ def ingest_increment(
     joins against the persisted batch; the two standing scans happen
     once each.
     """
-    tagged = apply_expectations(new_docs, rules)
-    good = tagged.where(F.size(F.col(FAILED_RULES_COL)) == 0).drop(
-        FAILED_RULES_COL
-    )
-    quarantine = tagged.where(F.size(F.col(FAILED_RULES_COL)) > 0)
+    good, quarantine = split_expectations(new_docs, rules)
 
     # --- exact stage (the stream_incremental_exact_dups shape) --------
     h_new = good.select(

@@ -42,6 +42,7 @@ from pyspark.sql import SparkSession
 
 from novi_pdq_etl_project_prod_spark.sources.layers import (
     MedallionLayer,
+    SnapshotConflictError,
     maybe_compact,
     read_manifest,
     vacuum,
@@ -67,15 +68,26 @@ def run_maintenance_tick(
     report: dict = {"compact": {}, "optimize": {}, "vacuum": None}
     manifest_tables = set(read_manifest(root, layer))
     for tbl in sorted(manifest_tables):
-        report["compact"][tbl] = maybe_compact(
-            spark,
-            root,
-            layer,
-            tbl,
-            max_segments=max_segments,
-            small_segment_bytes=small_segment_bytes,
-            max_small_segments=max_small_segments,
-        )
+        try:
+            report["compact"][tbl] = maybe_compact(
+                spark,
+                root,
+                layer,
+                tbl,
+                max_segments=max_segments,
+                small_segment_bytes=small_segment_bytes,
+                max_small_segments=max_small_segments,
+            )
+        except SnapshotConflictError as exc:
+            # a busy ingest out-raced the compactor's CAS retries:
+            # record the conflict and keep auditing the other tables —
+            # one contended table must not abort the tick or lose the
+            # report (round-11 review); next tick retries naturally
+            report["compact"][tbl] = {
+                "table": tbl,
+                "fired": False,
+                "conflict": str(exc),
+            }
     for tbl, cols in sorted((zorder_cols or {}).items()):
         if tbl in manifest_tables:
             report["optimize"][tbl] = {

@@ -103,17 +103,27 @@ def _live_table_dirs(
     For append-shaped tables the per-table ``_CURRENT`` pointer names
     only the NEWEST segment, so a reader that resolves through the
     pointer alone silently returns one increment instead of the table.
-    This helper consults the live manifest first: a manifest entry
-    resolves to the union of its segment dirs (one dir for whole-
-    snapshot tables); only tables outside the manifest fall back to
-    ``resolve_table_path``. Direct readers (:func:`read_month`,
-    :func:`read_table_evolved`) route through it so they always see the
-    full table.
+    This helper consults the live manifest for SEGMENT LISTS only: a
+    multi-segment entry resolves to the union of its segment dirs;
+    everything else (whole-snapshot manifest entries, single-segment
+    lists, non-manifest tables) resolves through the pointer. The
+    pointer path is deliberately kept for non-list entries (round-11
+    review): a table that was manifest-committed once but later
+    updated through the per-table pointer (``overwrite_snapshot`` /
+    a dim-upsert sink) has a FRESHER pointer than manifest entry —
+    roll-forward only ever moves pointers forward — and manifest-first
+    reads would pin such tables to the stale manifest version forever.
+    Multi-segment tables have no correct pointer read at all (the
+    pointer names the newest increment), so the manifest union wins
+    there. Direct readers (:func:`read_month`,
+    :func:`read_table_evolved`) route through it so they always see
+    the full table.
     """
     path = table_path(root, layer, table)
     entry = read_manifest(root, layer).get(table)
-    if entry is not None:
-        return [os.path.join(path, seg) for seg in _segments(entry)]
+    segs = _segments(entry) if entry is not None else []
+    if len(segs) > 1:
+        return [os.path.join(path, seg) for seg in segs]
     return [resolve_table_path(path)]
 
 

@@ -1239,6 +1239,8 @@ def stream_incremental_near_dups(
             return  # replayed batch: its signatures and pairs are in
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        sigs_new = None
+        pairs = None
         try:
             existing_sigs = read_manifest_table(
                 spark, root, layer, signatures_table
@@ -1280,9 +1282,12 @@ def stream_incremental_near_dups(
                 meta=meta,
                 append_tables=tuple(tables),
             )
-            pairs.unpersist()
-            sigs_new.unpersist()
         finally:
+            # unpersist on failure too (round-11 review)
+            if pairs is not None:
+                pairs.unpersist()
+            if sigs_new is not None:
+                sigs_new.unpersist()
             batch_df.unpersist()
 
     q = (
@@ -1356,6 +1361,7 @@ def stream_incremental_exact_dups(
             .where(F.col("h").isNotNull())
             .persist()
         )
+        enriched = None
         try:
             standing = read_manifest_table(spark, root, layer, hashes_table)
             new_min = h_new.groupBy("h").agg(F.min("id").alias("new_min"))
@@ -1433,8 +1439,11 @@ def stream_incremental_exact_dups(
                 meta=meta,
                 append_tables=tuple(tables),
             )
-            enriched.unpersist()
         finally:
+            # unpersist on failure too (round-11 review): a batch that
+            # dies mid-commit must not strand its candidate frames
+            if enriched is not None:
+                enriched.unpersist()
             h_new.unpersist()
 
     q = (
@@ -1479,9 +1488,9 @@ def stream_incremental_repeated_spans(
     (broadcast-guarded); committed bytes are O(batch's new grams +
     spans). The standing gram set is never shuffled or rewritten.
     """
+    from novi_pdq_etl_project_prod_spark import cache
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
-        gram_set,
-        incremental_repeated_spans,
+        incremental_repeated_spans_state,
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
@@ -1500,42 +1509,37 @@ def stream_incremental_repeated_spans(
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
-            standing = read_manifest_table(spark, root, layer, grams_table)
-            spans = incremental_repeated_spans(
-                batch_df, standing, id_col, text_col, k
-            ).persist()
-            inc_gh = gram_set(batch_df, id_col, text_col, k).persist()
-            if standing is None:
-                new_grams = inc_gh
-            else:
-                from novi_pdq_etl_project_prod_spark.operators.dedup import (
-                    broadcast_if_bounded,
+            # cache.scope: the span core tracks its gram-count frame —
+            # drained at trigger end, success or failure, instead of
+            # accumulating one persisted frame per micro-batch for the
+            # session lifetime (round-11 review)
+            with cache.scope():
+                standing = read_manifest_table(
+                    spark, root, layer, grams_table
                 )
-
-                n_inc = inc_gh.count()
-                matched = standing.join(
-                    broadcast_if_bounded(inc_gh, n_inc), "gh"
-                ).select("gh")
-                new_grams = inc_gh.join(
-                    broadcast_if_bounded(matched, n_inc), "gh", "left_anti"
+                # spans AND the new-gram delta from ONE gram explode
+                # and ONE standing-set probe (round-11 review: the sink
+                # previously rebuilt both independently, doubling the
+                # standing-side scan cost per trigger)
+                state = incremental_repeated_spans_state(
+                    batch_df, standing, id_col, text_col, k
                 )
-            tables = {
-                t: df
-                for t, df in (
-                    (grams_table, new_grams),
-                    (spans_table, spans),
+                spans = cache.track(state["spans"])
+                tables = {
+                    t: df
+                    for t, df in (
+                        (grams_table, state["new_grams"]),
+                        (spans_table, spans),
+                    )
+                    if not df.isEmpty()
+                }
+                commit_tables(
+                    tables,
+                    root,
+                    layer,
+                    meta={marker: _batch_id},
+                    append_tables=tuple(tables),
                 )
-                if not df.isEmpty()
-            }
-            commit_tables(
-                tables,
-                root,
-                layer,
-                meta={marker: _batch_id},
-                append_tables=tuple(tables),
-            )
-            spans.unpersist()
-            inc_gh.unpersist()
         finally:
             batch_df.unpersist()
 

@@ -85,6 +85,9 @@ def test_excise_repeated_spans_reassembly(spark):
         (1, pre + " " + BLOCK + " " + suf),
         (2, BLOCK),
         (3, unique),
+        (4, ""),        # token-less docs must NOT vanish (r11 review)
+        (5, None),
+        (6, "   "),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -94,6 +97,9 @@ def test_excise_repeated_spans_reassembly(spark):
     assert got[1] == (130, 100, pre + " " + suf)
     assert got[2] == (100, 100, "")
     assert got[3] == (60, 0, unique)
+    # every input doc gets a row; empty/NULL/whitespace -> (0, 0, "")
+    assert got[4] == (0, 0, "") and got[5] == (0, 0, "")
+    assert got[6] == (0, 0, "") and len(got) == 6
 
 
 import pytest as _pytest  # noqa: E402
