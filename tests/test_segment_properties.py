@@ -18,6 +18,11 @@ OP = st.one_of(
     st.tuples(st.just("append"), ROWS),
     st.tuples(st.just("whole"), ROWS),
     st.tuples(st.just("compact"), st.just(None)),
+    # the r11 POLICY on top of the primitive: maybe_compact with a
+    # random threshold — fires iff segment_count >= max(2, threshold),
+    # no-ops otherwise, never loses rows (VERDICT r10 #1 earns the same
+    # property battery as the protocol it schedules)
+    st.tuples(st.just("tick"), st.integers(min_value=2, max_value=5)),
 )
 OPS = st.lists(OP, min_size=1, max_size=6)
 
@@ -56,10 +61,21 @@ def test_segment_protocol_matches_model(spark, tmp_path_factory, ops):
                 )
                 segments = [list(rows)]
                 is_list = False
-            else:  # compact
+            elif op == "compact":
                 did = layers.compact_segments(spark, root, "curated", "t")
                 assert did == (len(segments) >= 2)
                 if did:
+                    segments = [sorted(x for s in segments for x in s)]
+                    is_list = False
+            else:  # tick: the maybe_compact policy
+                d = layers.maybe_compact(
+                    spark, root, "curated", "t", max_segments=rows
+                )
+                should_fire = len(segments) >= max(2, rows)
+                assert d["fired"] == should_fire, d
+                if should_fire:
+                    assert d["reason"] == "segment_count"
+                    assert d["segment_count_after"] == 1
                     segments = [sorted(x for s in segments for x in s)]
                     is_list = False
             if not segments:
