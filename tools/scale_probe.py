@@ -1319,7 +1319,112 @@ def _finish(results: dict) -> int:
     return 0
 
 
+def main_r11_spans(k: int = 100) -> None:
+    """Round-11 span-sink probe: the third incremental-dedup sink
+    measured on the same axes as its exact/near-dup siblings — ONE
+    fixed increment against a standing GRAM SET at 1x/10x/kx: per-batch
+    wall must track the single standing column scan (linear in gram
+    count), committed bytes must be O(batch's new grams + spans)."""
+    from novi_pdq_etl_project_prod_spark import cache
+    from novi_pdq_etl_project_prod_spark.operators.dedup import gram_set
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+        table_path,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_incremental_repeated_spans,
+    )
+
+    def _dir_bytes(d):
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _dn, fs in os.walk(d)
+            for f in fs
+        )
+
+    spark = get_spark(app_name="scale_probe_r11_spans")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {"spans_sink": []}
+
+    docs_src = spark.read.parquet(f"{SRC}/documents.parquet")
+    # fixed increment: half re-fetches (their spans repeat vs replica-0
+    # grams), half token-suffixed (no grams shared with anything)
+    increment = docs_src.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.col("text")).otherwise(
+            F.expr(r"regexp_replace(text, '(\\S+)', '$1zq')")
+        ).alias("text"),
+    )
+    inc_dir = tempfile.mkdtemp(prefix="r11spinc_")
+    increment.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+
+    scales = [("x1", 1), ("x10", 10), (f"x{k}", k)]
+    corpora: dict[str, str] = {}
+    try:
+        for label, kk in scales:
+            if kk == 1:
+                corpora[label] = SRC
+                continue
+            d = tempfile.mkdtemp(prefix=f"r11spdocs{label}_")
+            replicate_docs_distinct(spark, d, kk, copy_rest=False)
+            corpora[label] = d
+        for label, _kk in scales:
+            root = tempfile.mkdtemp(prefix=f"r11spwh{label}_")
+            chk = tempfile.mkdtemp(prefix=f"r11spchk{label}_")
+            try:
+                standing = spark.read.parquet(
+                    f"{corpora[label]}/documents.parquet"
+                )
+                seed = gram_set(standing, k=10)
+                commit_tables({"standing_grams": seed}, root, "curated")
+                n_grams = _dir_bytes(root)
+                stream = spark.readStream.schema(
+                    "doc_id bigint, text string"
+                ).parquet(inc_dir)
+                t0 = time.perf_counter()
+                stream_incremental_repeated_spans(
+                    stream, root, "curated", chk, k=10
+                )
+                wall = time.perf_counter() - t0
+                man = read_manifest(root, "curated")
+                new_bytes = 0
+                for tbl in ("standing_grams", "repeated_spans"):
+                    entry = man.get(tbl)
+                    segs = [entry] if isinstance(entry, str) else entry or []
+                    if tbl == "standing_grams":
+                        segs = segs[1:]  # skip the seed segment
+                    for seg in segs:
+                        new_bytes += _dir_bytes(
+                            os.path.join(table_path(root, "curated", tbl), seg)
+                        )
+                row = {
+                    "label": label,
+                    "standing_gram_bytes": n_grams,
+                    "wall_s": round(wall, 1),
+                    "commit_bytes": new_bytes,
+                }
+                results["spans_sink"].append(row)
+                cache.clear_session_state(spark)
+                print(f"r11 spans sink {row}")
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+                shutil.rmtree(chk, ignore_errors=True)
+    finally:
+        shutil.rmtree(inc_dir, ignore_errors=True)
+        for _label, d in corpora.items():
+            if d != SRC:
+                shutil.rmtree(d, ignore_errors=True)
+    _finish(results)
+
+
 def main() -> None:
+    if "--r11-spans" in sys.argv:
+        idx = sys.argv.index("--r11-spans")
+        main_r11_spans(
+            int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100
+        )
+        return
     if "--r11-segments" in sys.argv:
         idx = sys.argv.index("--r11-segments")
         n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 1000
