@@ -1307,10 +1307,15 @@ def _finish(results: dict) -> int:
         try:
             with open(out, encoding="utf-8") as fh:
                 prior = json.load(fh)
-            merged = {
-                key: (prior.get(key) or []) + vals if vals else prior.get(key, [])
-                for key, vals in results.items()
-            }
+            # start from EVERYTHING already recorded (keys this run
+            # didn't touch must survive the merge), then extend the
+            # sections this run produced
+            merged = dict(prior)
+            for key, vals in results.items():
+                if vals:
+                    merged[key] = (prior.get(key) or []) + vals
+                else:
+                    merged.setdefault(key, [])
         except Exception:
             pass
     with open(out, "w", encoding="utf-8") as fh:
