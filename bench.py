@@ -172,6 +172,8 @@ HEADLINE = [
     "m71_repeated_spans",
     "m72_span_excision",
     "m73_incremental_spans",
+    "m74_bm25_rank",
+    "m75_dsir_weights",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

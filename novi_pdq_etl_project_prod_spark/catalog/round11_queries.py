@@ -366,3 +366,149 @@ ORDER BY doc_id, span_start
 
 QUERIES["m73_incremental_spans"] = m73_incremental_spans
 ORACLES["m73_incremental_spans"] = M73_SQL
+
+
+# ---------------------------------------------------------------------------
+# M74 — BM25 scored retrieval (Robertson & Zaragoza 2009): every doc
+# scored against a fixed probe query; the lexical side of the retrieval
+# stack (dense ANN = m7/m10/m17, fusion = m59). Exact cross-engine:
+# rational k1/b constants reduce each per-term score to integer-argument
+# lns and one division; per-doc sums ride the fixed-point idiom.
+# ---------------------------------------------------------------------------
+
+_M74_TERMS = ("join", "vector", "stream", "window", "quality")
+
+
+def m74_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, _M74_TERMS)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_hit_terms", "score"
+    ).orderBy("doc_id")
+
+
+_M74_IN = ", ".join(f"'{t}'" for t in _M74_TERMS)
+
+# A..D from k1 = 6/5, b = 3/4 (bm25_scores defaults):
+#   A = (6+5)*4 = 44, B = 5*4 = 20, C = 6*(4-3) = 6, D = 6*3 = 18
+M74_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+  WHERE term IN ({_M74_IN})
+  GROUP BY 1, 2
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+terms AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ((ln(2*n_docs + 2) - ln(2*df + 1))
+            * (CAST(44*tf*dl_sum AS DOUBLE)
+               / CAST(20*tf*dl_sum + 6*dl_sum + 18*dl.dl*n_docs AS DOUBLE)))
+           * 1e6) AS BIGINT) AS tq
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_hit_terms,
+       CAST(sum(tq) AS DOUBLE) / 1e6 AS score
+FROM terms GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["m74_bm25_rank"] = m74_bm25_rank
+ORACLES["m74_bm25_rank"] = M74_SQL
+
+
+# ---------------------------------------------------------------------------
+# M75 — DSIR importance weights (Xie et al. 2023): raw-corpus docs
+# (lang != 'en') scored by hashed-unigram log-likelihood ratio against
+# the target corpus (lang = 'en') — the automated data-selection signal
+# for pretraining mixtures. md5-bucketed features (the certified
+# md5→int60 idiom), Laplace-smoothed, fixed-point per-doc sums.
+# ---------------------------------------------------------------------------
+
+_M75_B = 256
+
+
+def m75_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import dsir_logweights
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    raw = docs.where(F.col("lang") != "en")
+    out = dsir_logweights(target, raw, n_buckets=_M75_B)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_feats", "logweight"
+    ).orderBy("doc_id")
+
+
+M75_SQL = f"""
+WITH tok_t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE lang = 'en'
+),
+tok_r AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE lang <> 'en'
+),
+bt AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_M75_B} AS b,
+         count(*) AS ct
+  FROM tok_t GROUP BY 1
+),
+br AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_M75_B} AS b,
+         count(*) AS cr
+  FROM tok_r GROUP BY 1
+),
+bucket AS (
+  SELECT coalesce(bt.b, br.b) AS b,
+         coalesce(ct, 0) AS ct,
+         coalesce(cr, 0) AS cr
+  FROM bt FULL OUTER JOIN br ON bt.b = br.b
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bucket),
+pb AS (
+  SELECT b,
+         ln(ct + 1) - ln(cr + 1) + ln(tr + {_M75_B}) - ln(tt + {_M75_B})
+           AS logratio
+  FROM bucket CROSS JOIN tot
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_M75_B} AS b,
+         count(*) AS n
+  FROM tok_r GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, n,
+         CAST(floor((n * logratio) * 1e6) AS BIGINT) AS wq
+  FROM feats JOIN pb USING (b)
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_feats,
+       CAST(sum(wq) AS DOUBLE) / 1e6 AS logweight
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["m75_dsir_weights"] = m75_dsir_weights
+ORACLES["m75_dsir_weights"] = M75_SQL

@@ -1174,3 +1174,175 @@ def bpe_train_merges(
         F.concat("x", "y").alias("merged"),
         "pair_count",
     ).orderBy("round")
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+) -> DataFrame:
+    """BM25 relevance scoring of every document against a fixed query —
+    the lexical-retrieval primitive (Robertson & Zaragoza 2009) that
+    pairs with the dense-ANN side (m7/m10/m17) under rank fusion (m59).
+    The reference repo exposes only exact-match filters over text; this
+    is the standard scored-retrieval upgrade a training-data pipeline
+    needs for query-driven corpus audits ("which docs does this probe
+    query surface?").
+
+    score(d) = Σ_{t ∈ q} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with the Lucene-style non-negative idf(t) = ln(1 + (N−df+½)/(df+½))
+    = ln((2N+2)/(2df+1)).
+
+    Determinism (the m62 contract): k1 and b are RATIONALS (defaults
+    6/5 and 3/4), so each per-term score reduces to
+
+        (ln(2N+2) − ln(2df+1)) · A·tf·S / (B·tf·S + C·S + D·dl·N)
+
+    with A..D exact integers and S = Σdl — integer-argument lns and one
+    division, an identical IEEE tree in both engines; the per-doc sum
+    rides the fixed-point idiom (floor(term·1e6) summed as BIGINT).
+
+    Scale shape: tokenize → explode restricted to the q-term set (the
+    filter lands inside the same projection, so non-query tokens never
+    reach the shuffle) → one (id, term) hash-agg → broadcast join of the
+    |q|-row df map → per-doc agg. Corpus stats (N, Σdl) are one 1-row
+    broadcast. No pair joins; text never shuffles. Docs with zero query
+    hits are excluded (score 0 by definition).
+    """
+    qlit = [str(t) for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__t")
+    )
+    dl = toks.select("id", F.size("__t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+    )  # 1-row scalar
+    hits = (
+        toks.select("id", F.explode("__t").alias("term"))
+        .where(F.col("term").isin(qlit))
+    )
+    tf = hits.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # rational constants: k1+1 = (k1n+k1d)/k1d; k1(1-b) = k1n(bd-bn)/(k1d·bd);
+    # k1·b = k1n·bn/(k1d·bd). Multiply numerator and denominator by k1d·bd·S:
+    #   A = (k1n+k1d)·bd, B = k1d·bd, C = k1n·(bd−bn), D = k1n·bn
+    A = (k1_num + k1_den) * b_den
+    B = k1_den * b_den
+    C = k1_num * (b_den - b_num)
+    D = k1_num * b_num
+    idf = F.log(2 * F.col("n_docs") + 2) - F.log(2 * F.col("df") + 1)
+    term_score = idf * (
+        (A * F.col("tf") * F.col("dl_sum")).cast("double")
+        / (
+            B * F.col("tf") * F.col("dl_sum")
+            + C * F.col("dl_sum")
+            + D * F.col("dl") * F.col("n_docs")
+        ).cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "id",
+            F.floor(term_score * F.lit(1e6)).cast("long").alias("__tq"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
+        (F.sum("__tq").cast("double") / F.lit(1e6)).alias("score"),
+    )
+
+
+def dsir_logweights(
+    target: DataFrame,
+    raw: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every RAW-corpus
+    document by how much it looks like the TARGET corpus under hashed
+    unigram features — the standard automated data-selection signal for
+    pretraining mixtures (select raw docs with the highest weights,
+    optionally with Gumbel noise; the deterministic top-k variant here
+    is the m44/m20 house convention for sampling queries).
+
+    Per raw doc d: logw(d) = Σ_{token occurrences} ln(p̂[b]) − ln(q̂[b]),
+    where b = md5-hash bucket of the token (the certified md5→int60
+    idiom, so a SQL oracle reproduces bucketing exactly), p̂/q̂ are
+    Laplace-smoothed bucket distributions of the target / raw corpora:
+    p̂[b] = (ct_b+1)/(Tt+B). Each bucket's log-ratio reduces to
+    ln(ct_b+1) − ln(cr_b+1) + ln(Tr+B) − ln(Tt+B) — integer-argument
+    lns, one IEEE tree both engines; per-doc sums ride the fixed-point
+    idiom (floor(n_db·logratio·1e6) summed as BIGINT).
+
+    Scale shape: two token-explode hash-aggs build the B-row bucket
+    tables (B is a constant — 256 here, 10⁴–10⁵ at 100 TB — always
+    broadcastable); raw docs reduce to (id, bucket, n) occurrence counts
+    (vocabulary-bounded per doc) and take one broadcast join. No pair
+    joins, no corpus-wide shuffle of text. Raw docs with zero tokens are
+    excluded (no features ⇒ no weight).
+    """
+    from novi_pdq_etl_project_prod_spark.operators.dedup import md5_long60
+
+    def buckets(frame: DataFrame) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("__tok"),
+        ).select("id", (md5_long60(F.col("__tok")) % n_buckets).alias("b"))
+
+    tgt_b = buckets(target).groupBy("b").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    # the raw corpus is tokenized ONCE: per-doc feature counts first,
+    # the corpus-level bucket counts as a rollup of that frame. The
+    # (id, bucket) frame is persisted because both the bucket table and
+    # the score join consume it — without the pin each branch re-runs
+    # the corpus explode (the ngram_jaccard_pairs lesson)
+    from novi_pdq_etl_project_prod_spark import cache
+
+    doc_feats = cache.track(
+        buckets(raw).groupBy("id", "b").agg(F.count(F.lit(1)).alias("n")),
+        eager=True,
+    )
+    raw_b = doc_feats.groupBy("b").agg(F.sum("n").alias("cr"))
+    # dense bucket table: outer-join the two count maps (a bucket seen
+    # only on one side still contributes its smoothed log-ratio)
+    bucket_tbl = tgt_b.join(raw_b, "b", "full_outer").select(
+        "b",
+        F.coalesce("ct", F.lit(0)).alias("ct"),
+        F.coalesce("cr", F.lit(0)).alias("cr"),
+    )
+    # corpus totals via a whole-frame window over the B-row bucket table
+    # (NOT a separate aggregate + crossJoin, which would recompute the
+    # corpus-sized token aggregations a second time; B is a constant, so
+    # the single-partition window exchange is B rows)
+    w_all = Window.partitionBy()
+    per_bucket = bucket_tbl.select(
+        "b",
+        (
+            F.log(F.col("ct") + 1)
+            - F.log(F.col("cr") + 1)
+            + F.log(F.sum("cr").over(w_all) + n_buckets)
+            - F.log(F.sum("ct").over(w_all) + n_buckets)
+        ).alias("logratio"),
+    )
+    scored = doc_feats.join(F.broadcast(per_bucket), "b").select(
+        "id",
+        "n",
+        F.floor(F.col("n") * F.col("logratio") * F.lit(1e6))
+        .cast("long")
+        .alias("__wq"),
+    )
+    return scored.groupBy("id").agg(
+        F.sum("n").cast("long").alias("n_feats"),
+        (F.sum("__wq").cast("double") / F.lit(1e6)).alias("logweight"),
+    )

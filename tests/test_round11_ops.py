@@ -285,3 +285,162 @@ def test_stream_incremental_spans_arrival_time_contract(spark, tmp_path):
     assert after["standing_grams"].count() == len(want_g)
     man = read_manifest(root, "curated")
     assert isinstance(man["standing_grams"], list)
+
+
+# ---------------------------------------------------------------------------
+# m74 BM25 / m75 DSIR (round-11 continuation)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_py(docs, terms, k1=(6, 5), b=(3, 4)):
+    """Pure-Python model of bm25_scores: same rational-constant
+    reduction, same fixed-point quantization, same IEEE tree."""
+    import math
+
+    toks = {i: t.split() for i, t in docs}
+    dl = {i: len(t) for i, t in toks.items()}
+    n = len(docs)
+    s = sum(dl.values())
+    a_ = (k1[0] + k1[1]) * b[1]
+    b_ = k1[1] * b[1]
+    c_ = k1[0] * (b[1] - b[0])
+    d_ = k1[0] * b[0]
+    tf = {}
+    for i, t in toks.items():
+        for w in t:
+            if w in terms:
+                tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    out = {}
+    for (i, w), f in tf.items():
+        idf = math.log(2 * n + 2) - math.log(2 * df[w] + 1)
+        term = idf * ((a_ * f * s) / (b_ * f * s + c_ * s + d_ * dl[i] * n))
+        q = math.floor(term * 1e6)
+        cnt, tot = out.get(i, (0, 0))
+        out[i] = (cnt + 1, tot + q)
+    return {i: (cnt, tot / 1e6) for i, (cnt, tot) in out.items()}
+
+
+def test_bm25_matches_python_model(spark):
+    from novi_pdq_etl_project_prod_spark.operators.text import bm25_scores
+
+    docs = [
+        (1, "join hash join join scan filter extra pad pad pad"),
+        (2, "join vector"),
+        (3, "scan filter merge sort sort sort"),  # zero hits
+        (4, "vector vector vector join hash hash"),
+        (5, "stream"),
+    ]
+    terms = ("join", "vector", "stream")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: (r.n_hit_terms, r.score)
+        for r in bm25_scores(df, terms).collect()
+    }
+    assert got == _bm25_py(docs, set(terms))
+    assert 3 not in got  # zero-hit docs excluded by contract
+
+
+def test_bm25_ranking_semantics(spark):
+    """Rarer terms score higher (idf), repetition saturates (k1), and
+    longer docs are penalized (b) — the three BM25 axioms on a
+    controlled fixture."""
+    from novi_pdq_etl_project_prod_spark.operators.text import bm25_scores
+
+    # 'rare' appears in 1 of 6 docs; 'common' in 5 of 6.
+    docs = [
+        (1, "rare pad0 pad1 pad2"),
+        (2, "common pad0 pad1 pad2"),
+        (3, "common x0 x1 x2"),
+        (4, "common y0 y1 y2"),
+        (5, "common z0 z1 z2"),
+        (6, "common w0 w1 w2"),
+        # same tf, same terms, doc 8 twice as long as doc 7
+        (7, "common common p0 p1"),
+        (8, "common common q0 q1 q2 q3 q4 q5"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: r.score
+        for r in bm25_scores(df, ("rare", "common")).collect()
+    }
+    assert got[1] > got[2]          # idf: rare term beats common term
+    assert got[7] > got[2]          # tf: two hits beat one (same length)
+    assert got[7] > got[8]          # length norm: shorter doc wins at equal tf
+    assert got[7] < 2 * got[2] + 1e-9  # saturation: 2nd hit adds < 1st
+
+
+def _dsir_py(target, raw, n_buckets=256):
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    ct, cr = {}, {}
+    for _, t in target:
+        for w in t.split():
+            b = bucket(w)
+            ct[b] = ct.get(b, 0) + 1
+    feats = {}
+    for i, t in raw:
+        for w in t.split():
+            b = bucket(w)
+            cr[b] = cr.get(b, 0) + 1
+            feats.setdefault(i, {})
+            feats[i][b] = feats[i].get(b, 0) + 1
+    tt, tr = sum(ct.values()), sum(cr.values())
+    out = {}
+    for i, bs in feats.items():
+        nf, tot = 0, 0
+        for b, n in bs.items():
+            lr = (
+                math.log(ct.get(b, 0) + 1)
+                - math.log(cr.get(b, 0) + 1)
+                + math.log(tr + n_buckets)
+                - math.log(tt + n_buckets)
+            )
+            nf += n
+            tot += math.floor((n * lr) * 1e6)
+        out[i] = (nf, tot / 1e6)
+    return out
+
+
+def test_dsir_matches_python_model(spark):
+    from novi_pdq_etl_project_prod_spark.operators.text import dsir_logweights
+
+    target = [(100 + i, "alpha beta gamma delta alpha beta") for i in range(4)]
+    raw = [
+        (1, "alpha beta gamma"),        # target-like
+        (2, "omega psi chi phi"),       # foreign
+        (3, "alpha omega alpha beta"),  # mixed
+        (4, ""),                        # token-less: excluded
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {
+        r.id: (r.n_feats, r.logweight)
+        for r in dsir_logweights(tdf, rdf).collect()
+    }
+    assert got == _dsir_py(target, raw)
+    assert 4 not in got
+
+
+def test_dsir_selection_direction(spark):
+    """The importance weight must rank target-distribution-like raw
+    docs above foreign ones — the property that makes DSIR selection
+    work at all."""
+    from novi_pdq_etl_project_prod_spark.operators.text import dsir_logweights
+
+    target = [(100 + i, "alpha beta gamma delta") for i in range(10)]
+    raw = [
+        (1, "alpha beta gamma delta"),
+        (2, "omega psi chi phi"),
+        (3, "alpha beta chi phi"),
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {r.id: r.logweight for r in dsir_logweights(tdf, rdf).collect()}
+    assert got[1] > got[3] > got[2]
