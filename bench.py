@@ -174,6 +174,7 @@ HEADLINE = [
     "m73_incremental_spans",
     "m74_bm25_rank",
     "m75_dsir_weights",
+    "m76_ingest_spans",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

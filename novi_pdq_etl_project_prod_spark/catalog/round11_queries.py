@@ -52,8 +52,10 @@ def m70_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle computes all pairs and filters — different path, same set),
 # and the greedy canonical-first drop rule (both-new → larger id;
 # new-old → the increment endpoint).
-M70_SQL = """
-WITH inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+# The funnel CTE chain is shared by M70 (disposition report) and M76
+# (the span stage over the funnel's accepted set) — one definition so
+# the two oracles can never drift.
+_M70_FUNNEL_CTES = """inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
 standing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
 quar AS (
   SELECT doc_id FROM inc
@@ -146,7 +148,10 @@ near_drop AS (
                        WHEN id_a % 2 = 1 THEN id_a
                        ELSE id_b END AS doc_id
   FROM pairs
-)
+)"""
+
+M70_SQL = f"""
+WITH {_M70_FUNNEL_CTES}
 SELECT doc_id, disposition FROM (
   SELECT doc_id, 'quarantined' AS disposition FROM quar
   UNION ALL
@@ -512,3 +517,88 @@ ORDER BY doc_id
 
 QUERIES["m75_dsir_weights"] = m75_dsir_weights
 ORACLES["m75_dsir_weights"] = M75_SQL
+
+
+# ---------------------------------------------------------------------------
+# M76 — the composed funnel's SPAN STAGE: long-substring detection over
+# the docs the m70 funnel ACCEPTS, judged against the standing corpus'
+# gram set plus within-increment repeats — the fourth stage of the
+# composed ingest (expectations → exact → near-dup → spans), certified
+# END TO END: the oracle re-derives the accepted set via the full m70
+# funnel chain (_M70_FUNNEL_CTES, shared so the two can never drift)
+# and then runs the m71 span chain over standing ∪ accepted restricted
+# to accepted docs — the arrival-time semantics of the streaming sink.
+# ---------------------------------------------------------------------------
+
+# k=4: the funnel REMOVES the docs most likely to share long runs (its
+# exact/near stages drop them), so accepted-set spans are rarer than
+# m71/m73 corpus spans — k chosen so the certification is non-empty at
+# the driver's sf0.01 (k=10 certifies an empty set, which any two
+# engines "agree" on).
+_M76_K = 4
+
+
+def m76_ingest_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        ingest_increment_vs_standing,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    inc = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    standing = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+    res = ingest_increment_vs_standing(
+        inc, standing, _M70_RULES, span_k=_M76_K
+    )
+    return res["repeated_spans"].orderBy("doc_id", "span_start")
+
+
+M76_SQL = f"""
+WITH {_M70_FUNNEL_CTES},
+acc AS (
+  SELECT doc_id, text FROM surv
+  WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+),
+spancorp AS (
+  SELECT doc_id, text FROM standing
+  UNION ALL
+  SELECT doc_id, text FROM acc
+),
+stoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM spancorp
+),
+sg AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {_M76_K} - 1), ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_M76_K} + 1)) AS i
+        FROM stoks WHERE len(t) >= {_M76_K})
+),
+srep AS (SELECT gh FROM sg GROUP BY gh HAVING count(*) >= 2),
+smarks AS (
+  SELECT doc_id, s, s + {_M76_K} AS e
+  FROM sg JOIN srep USING (gh)
+  WHERE doc_id IN (SELECT doc_id FROM acc)
+),
+sisl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > coalesce(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM smarks),
+sgrp AS (
+  SELECT doc_id, s, e,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM sisl)
+SELECT doc_id,
+       CAST(MIN(s) AS INT) AS span_start,
+       CAST(MAX(e) AS INT) AS span_end,
+       CAST(MAX(e) - MIN(s) AS BIGINT) AS span_tokens
+FROM sgrp GROUP BY doc_id, isl
+ORDER BY doc_id, span_start
+"""
+
+
+QUERIES["m76_ingest_spans"] = m76_ingest_spans
+ORACLES["m76_ingest_spans"] = M76_SQL

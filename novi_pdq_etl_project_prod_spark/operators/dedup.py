@@ -1749,6 +1749,7 @@ def gram_set(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
+    distinct: bool = True,
 ) -> DataFrame:
     """The standing k-gram SET a corpus contributes — one (gh,) row per
     DISTINCT k-token-run md5 — the persisted state of the incremental
@@ -1760,19 +1761,26 @@ def gram_set(
     suffix-array dedup pays to see cross-corpus repeats; at 100 TB it
     is a large but flat, hash-shardable table (md5 keys distribute
     uniformly), and only EXISTENCE is stored, never positions.
+
+    ``distinct=False`` skips the dedup shuffle — correct whenever the
+    consumer only probes EXISTENCE and dedups downstream (the
+    incremental span path's ``flagged`` set does), which turns a
+    transient gram frame into a pure map-side explode. MATERIALIZED
+    state must keep ``distinct=True`` (the persisted table is a set).
     """
     from novi_pdq_etl_project_prod_spark.operators.text import tokens
 
     base = df.select(tokens(text_col).alias("t")).where(F.size("t") >= k)
     n_g = F.size("t") - F.lit(k - 1)
-    return base.select(
+    grams = base.select(
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), n_g),
                 lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, k))),
             )
         ).alias("gh")
-    ).distinct()
+    )
+    return grams.distinct() if distinct else grams
 
 
 def incremental_repeated_spans_state(
@@ -1863,10 +1871,15 @@ def _incremental_repeated_spans_impl(
     else:
         # ONE map-side pass over the standing gram set: broadcast the
         # increment's distinct hashes, matched set comes back
-        # candidate-sized; the standing table is never shuffled
-        matched = standing_grams.join(
-            bc(inc_counts.select("gh")), "gh"
-        ).select("gh")
+        # candidate-sized; the standing table is never shuffled. The
+        # distinct matters when standing_grams carries multiplicity
+        # (gram_set(distinct=False) callers): a corpus-frequent gram
+        # must not inflate the frame that gets broadcast below.
+        matched = (
+            standing_grams.join(bc(inc_counts.select("gh")), "gh")
+            .select("gh")
+            .distinct()
+        )
     flagged = inc_counts.where(F.col("c") >= 2).select("gh").unionByName(
         matched
     ).distinct()

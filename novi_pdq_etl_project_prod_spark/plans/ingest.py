@@ -76,6 +76,8 @@ def ingest_increment(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    standing_grams: DataFrame | None = None,
+    span_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """One increment through the full funnel, frame-in/frame-out — the
     shared core of the batch twin (:func:`ingest_increment_vs_standing`,
@@ -210,7 +212,7 @@ def ingest_increment(
         "id",
         "left_anti",
     )
-    return {
+    result = {
         "accepted": accepted,
         "quarantine": quarantine,
         "exact_dups": exact_dups,
@@ -219,6 +221,26 @@ def ingest_increment(
         "new_hashes": new_hashes,
         "new_sigs": new_sigs,
     }
+
+    # --- span stage (the stream_incremental_repeated_spans shape),
+    # opt-in via span_k: long-substring detection runs over ACCEPTED
+    # docs only (quarantined/dropped docs never contribute grams — the
+    # same accepted-corpus-mirror contract as the signature table).
+    # Spans are an AUDIT artifact here (detection at ingest); excision
+    # (m72) stays a curation-time batch op, because rewriting text
+    # inside the funnel would invalidate the content-hash identities
+    # the exact stage just recorded.
+    if span_k is not None:
+        from novi_pdq_etl_project_prod_spark.operators.dedup import (
+            incremental_repeated_spans_state,
+        )
+
+        span_state = incremental_repeated_spans_state(
+            accepted, standing_grams, id_col, text_col, span_k
+        )
+        result["repeated_spans"] = span_state["spans"]
+        result["new_grams"] = span_state["new_grams"]
+    return result
 
 
 def ingest_increment_vs_standing(
@@ -231,6 +253,7 @@ def ingest_increment_vs_standing(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    span_k: int | None = None,
 ) -> dict[str, DataFrame]:
     """Batch twin over a standing DOCUMENT frame: derives the standing
     hash table (md5 → min id, exactly what k prior ingests would have
@@ -255,6 +278,21 @@ def ingest_increment_vs_standing(
         ),
         eager=True,
     )
+    standing_grams = None
+    if span_k is not None:
+        from novi_pdq_etl_project_prod_spark.operators.dedup import gram_set
+
+        # distinct=False: this transient frame is only an existence
+        # probe (the span path dedups in its `flagged` set), so the
+        # standing-side gram shuffle is skipped — pure map-side explode.
+        # The PERSISTED gram table (streaming sink) stays a true set.
+        standing_grams = gram_set(
+            standing_docs,
+            id_col=id_col,
+            text_col=text_col,
+            k=span_k,
+            distinct=False,
+        )
     return ingest_increment(
         new_docs,
         standing_hashes,
@@ -266,6 +304,8 @@ def ingest_increment_vs_standing(
         num_hashes,
         bands,
         threshold,
+        standing_grams=standing_grams,
+        span_k=span_k,
     )
 
 
@@ -307,6 +347,9 @@ INGEST_TABLES = {
     "near_dup_pairs": "near_dup_pairs",
     "content_hashes": "content_hashes",
     "minhash_signatures": "minhash_signatures",
+    # span-stage families (used only when span_k is set)
+    "repeated_spans": "repeated_spans",
+    "standing_grams": "standing_grams",
 }
 
 
@@ -324,9 +367,13 @@ def run_incremental_ingest(
     bands: int = 16,
     threshold: float = 0.5,
     tables: Mapping[str, str] = INGEST_TABLES,
+    span_k: int | None = None,
 ) -> None:
     """The composed streaming ingest: one foreachBatch, one funnel, ONE
-    atomic manifest commit per trigger across all six table families —
+    atomic manifest commit per trigger across all six table families
+    (eight with ``span_k`` set, which adds the long-substring stage:
+    span audit rows for accepted docs + the standing gram set, judged
+    at arrival time exactly like the standalone span sink) —
     a reader through ``read_manifest_tables`` can never see a corpus
     append whose dedup reports haven't landed (or vice versa), the
     multi-table analogue of the reference's per-run transaction block.
@@ -414,6 +461,14 @@ def run_incremental_ingest(
                     num_hashes,
                     bands,
                     threshold,
+                    standing_grams=(
+                        read_manifest_table(
+                            spark, root, layer, tables["standing_grams"]
+                        )
+                        if span_k is not None
+                        else None
+                    ),
+                    span_k=span_k,
                 )
                 fresh = {
                     "n_rows": batch_df.count(),
@@ -427,6 +482,15 @@ def run_incremental_ingest(
                     - fresh["exact_dups"]
                     - fresh["near_dups"]
                 )
+                if span_k is not None:
+                    # accepted docs carrying >= 1 repeated span (audit
+                    # signal — span docs are still accepted rows)
+                    fresh["span_docs"] = (
+                        result["repeated_spans"]
+                        .select("doc_id")
+                        .distinct()
+                        .count()
+                    )
                 prior = read_manifest_meta(root, layer).get(counts_key) or {}
                 total = {
                     k: int(prior.get(k, 0)) + int(v)
@@ -440,6 +504,13 @@ def run_incremental_ingest(
                     tables["content_hashes"]: result["new_hashes"],
                     tables["minhash_signatures"]: result["new_sigs"],
                 }
+                if span_k is not None:
+                    candidates[tables["repeated_spans"]] = result[
+                        "repeated_spans"
+                    ]
+                    candidates[tables["standing_grams"]] = result[
+                        "new_grams"
+                    ]
                 committed = {
                     t: df for t, df in candidates.items() if not df.isEmpty()
                 }

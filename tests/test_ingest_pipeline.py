@@ -281,3 +281,153 @@ def test_mega_batch_guard_drops_hint_same_results(spark, monkeypatch):
         sigs = (res["new_sigs"] if sigs is None
                 else sigs.unionByName(res["new_sigs"])).localCheckpoint()
     assert got == EXPECTED_DISPOSITION
+
+
+# ---------------------------------------------------------------------------
+# span stage (round-11 continuation): expectations → exact → near-dup →
+# long-substring spans, all through the same one-manifest commit
+# ---------------------------------------------------------------------------
+
+RUN1 = "one two three four five six"
+RUN2 = "red orange yellow green blue indigo"
+
+#: three increments planting the span-stage cases among docs the funnel
+#: ACCEPTS (shared runs are 6 tokens of otherwise-disjoint vocabulary,
+#: so MinHash jaccard stays well under the 0.5 near-dup threshold):
+#:   batch 1: doc 1 carries RUN1 — no spans at ITS arrival (nothing
+#:            standing yet: the arrival-time contract);
+#:   batch 2: doc 2 re-uses RUN1 (cross-increment span vs standing
+#:            grams), doc 3 is clean;
+#:   batch 3: docs 4 and 5 share RUN2 (within-increment repeat: BOTH
+#:            report spans), doc 6 is a quarantined short row (never
+#:            reaches the span stage).
+SPAN_BATCHES = [
+    [(1, "aaa bbb " + RUN1 + " ccc ddd eee fff ggg")],
+    [(2, "xxx yyy " + RUN1 + " zzz qqq rrr sss ttt"),
+     (3, "ppp uuu vvv www hhh iii jjj kkk lll mmm")],
+    [(4, "nnn ooo " + RUN2 + " pp2 qq2 rr2 ss2 tt2"),
+     (5, RUN2 + " different tail entirely here word2 word3 word4 word5"),
+     (6, "tiny")],
+]
+
+#: hand-derived maximal spans (1-based token positions, k=4): RUN1 sits
+#: at tokens 3-8 of doc 2 (4-gram starts 3,4,5 → merged [3,9)); RUN2 at
+#: 3-8 of doc 4 and 1-6 of doc 5.
+EXPECTED_SPANS = {(2, 3, 9, 6), (4, 3, 9, 6), (5, 1, 7, 6)}
+SPAN_K = 4
+
+
+def test_ingest_span_stage_stream_matches_batch(spark, tmp_path):
+    """With span_k set the composed sink adds the long-substring stage:
+    span audit rows for accepted docs (judged at arrival — standing
+    grams plus within-increment repeats) and the standing gram set,
+    committed through the SAME one-manifest-per-trigger transaction;
+    the sequential batch twin produces the identical span set, and the
+    standing gram table is exactly the accepted corpus' distinct
+    k-grams."""
+    import hashlib
+
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        ingest_increment,
+        run_incremental_ingest,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        manifest_history,
+        read_manifest_meta,
+        read_manifest_tables,
+    )
+
+    updates_dir = str(tmp_path / "docs")
+    for rows in SPAN_BATCHES:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        time.sleep(1.1)
+
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        run_incremental_ingest(
+            stream, root, "curated", chk, RULES, span_k=SPAN_K
+        )
+
+    _run()
+    tables = read_manifest_tables(spark, root, "curated")
+
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in tables["repeated_spans"].collect()
+    }
+    assert got_spans == EXPECTED_SPANS
+
+    # every doc with planted content was ACCEPTED except the
+    # quarantined short row — spans are audit rows, not drops
+    accepted = sorted(r.doc_id for r in tables["corpus"].collect())
+    assert accepted == [1, 2, 3, 4, 5]
+
+    # standing gram set == the accepted corpus' distinct k-gram md5s
+    def grams(text):
+        t = text.split()
+        return {
+            hashlib.md5(
+                " ".join(t[i : i + SPAN_K]).encode()
+            ).hexdigest()
+            for i in range(len(t) - SPAN_K + 1)
+        }
+
+    want_grams = set()
+    for rows in SPAN_BATCHES:
+        for doc_id, text in rows:
+            if doc_id != 6:
+                want_grams |= grams(text)
+    got_grams = {r.gh for r in tables["standing_grams"].collect()}
+    assert got_grams == want_grams
+
+    # still ONE manifest per trigger, and the funnel accounting now
+    # carries the span_docs counter (docs 2, 4, 5)
+    assert len(manifest_history(root, "curated")) == 3
+    counts = read_manifest_meta(root, "curated")["ingest_counts:corpus"]
+    assert counts["span_docs"] == 3
+    assert counts["accepted"] == 5
+    assert counts["quarantined"] == 1
+
+    # batch twin: sequential ingest_increment with accumulated gram
+    # state produces the identical span set (stream == batch)
+    hashes = sigs = standing_grams = None
+    twin_spans = set()
+    for rows in SPAN_BATCHES:
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        res = ingest_increment(
+            df, hashes, sigs, RULES,
+            standing_grams=standing_grams, span_k=SPAN_K,
+        )
+        twin_spans |= {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in res["repeated_spans"].collect()
+        }
+        hashes = (res["new_hashes"] if hashes is None
+                  else hashes.unionByName(res["new_hashes"])).localCheckpoint()
+        sigs = (res["new_sigs"] if sigs is None
+                else sigs.unionByName(res["new_sigs"])).localCheckpoint()
+        ng = res["new_grams"]
+        standing_grams = (
+            ng if standing_grams is None
+            else standing_grams.unionByName(ng)
+        ).localCheckpoint()
+    assert twin_spans == got_spans
+
+    # checkpoint-loss replay: marker-gated no-op (span tables included)
+    shutil.rmtree(chk)
+    _run()
+    after = read_manifest_tables(spark, root, "curated")
+    assert len(manifest_history(root, "curated")) == 3
+    assert {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in after["repeated_spans"].collect()
+    } == EXPECTED_SPANS

@@ -444,3 +444,61 @@ def test_dsir_selection_direction(spark):
     rdf = spark.createDataFrame(raw, "doc_id long, text string")
     got = {r.id: r.logweight for r in dsir_logweights(tdf, rdf).collect()}
     assert got[1] > got[3] > got[2]
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["join", "vector", "stream", "hash", "scan", "pad", "row", "col"]
+_DOCTEXT = st.lists(
+    st.sampled_from(_WORDS), min_size=0, max_size=12
+).map(" ".join)
+_CORPUS = st.lists(_DOCTEXT, min_size=1, max_size=12).map(
+    lambda ts: [(i + 1, t) for i, t in enumerate(ts)]
+)
+
+
+@given(docs=_CORPUS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bm25_matches_python_model_random_corpora(spark, docs):
+    """Random small corpora (shared Zipf-less vocab, empty docs
+    included) vs the pure-Python BM25 model — pins the exact-integer
+    reduction and the fixed-point sum bit-for-bit, including df/tf
+    collisions and zero-hit documents."""
+    from novi_pdq_etl_project_prod_spark.operators.text import bm25_scores
+
+    terms = ("join", "vector", "stream")
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.id: (r.n_hit_terms, r.score)
+        for r in bm25_scores(df, terms).collect()
+    }
+    assert got == _bm25_py(docs, set(terms))
+
+
+@given(
+    target=_CORPUS.map(lambda d: [(100 + i, t) for i, t in d]),
+    raw=_CORPUS,
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_dsir_matches_python_model_random_corpora(spark, target, raw):
+    """Random target/raw corpora vs the pure-Python DSIR model —
+    bucket collisions, target-only buckets, raw-only buckets, and
+    empty docs all land on the exact same fixed-point weights."""
+    from novi_pdq_etl_project_prod_spark.operators.text import dsir_logweights
+
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    rdf = spark.createDataFrame(raw, "doc_id long, text string")
+    got = {
+        r.id: (r.n_feats, r.logweight)
+        for r in dsir_logweights(tdf, rdf).collect()
+    }
+    assert got == _dsir_py(target, raw)

@@ -1147,10 +1147,41 @@ def main_r11(
     )
     inc_dir = tempfile.mkdtemp(prefix="r11inc_")
     increment.coalesce(1).write.mode("overwrite").parquet(inc_dir)
+    # spans-mode increment: thirds — exact re-fetch, near-dup variant,
+    # and a span-PLANTED accepted doc (12 tokens lifted verbatim from
+    # its standing twin + 60 doc-unique filler tokens: MinHash Jaccard
+    # ~0.15 so the funnel accepts it, while the 12-token run repeats
+    # against the standing gram set and must surface as a span). The
+    # plain-ingest increment would leave the span stage an empty
+    # accepted set — measuring nothing.
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(60)),
+            lambda i: F.concat(
+                F.lit("u"), F.col("doc_id").cast("string"), F.lit("_"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    lifted = F.concat_ws(
+        " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 12)
+    )
+    increment_spans = docs_src.select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" vA")))
+        .otherwise(F.concat(filler, F.lit(" "), lifted))
+        .alias("text"),
+    )
+    inc_spans_dir = tempfile.mkdtemp(prefix="r11incsp_")
+    increment_spans.coalesce(1).write.mode("overwrite").parquet(inc_spans_dir)
     rules = {"min_len": "length(trim(text)) >= 10"}
 
     scales = (
-        [("x1", 1), ("x10", 10), (f"x{k}", k)] if "ingest" in parts else []
+        [("x1", 1), ("x10", 10), (f"x{k}", k)]
+        if ("ingest" in parts or "ingest_spans" in parts)
+        else []
     )
     corpora: dict[str, str] = {}
     try:
@@ -1162,8 +1193,19 @@ def main_r11(
             replicate_docs_distinct(spark, d, kk, copy_rest=False)
             corpora[label] = d
 
-        # ---- (a) composed ingest: fixed increment, growing standing ----
-        for label, _kk in scales:
+        # ---- (a) composed ingest: fixed increment, growing standing.
+        # "ingest" = the three-stage funnel; "ingest_spans" = the same
+        # protocol with span_k set (the 4-stage funnel: the standing
+        # gram table is seeded too, and the per-trigger wall now
+        # includes the gram existence probe).
+        modes = [
+            (mk, sk)
+            for mk, sk in (("ingest", None), ("ingest_spans", 10))
+            if mk in parts
+        ]
+        results.setdefault("ingest_spans", [])
+        for mode_key, span_k in modes:
+          for label, _kk in scales:
             root = tempfile.mkdtemp(prefix=f"r11wh{label}_")
             chk = tempfile.mkdtemp(prefix=f"r11chk{label}_")
             try:
@@ -1180,24 +1222,28 @@ def main_r11(
                     .agg(F.min("canonical_id").alias("canonical_id"))
                 )
                 seed_s = minhash_signatures_md5(standing, "doc_id", "text")
-                commit_tables(
-                    {
-                        # schema-gate parity: the stream carries
-                        # (doc_id, text), so the seeded corpus must too
-                        "corpus": standing.select("doc_id", "text"),
-                        "content_hashes": seed_h,
-                        "minhash_signatures": seed_s,
-                    },
-                    root,
-                    "curated",
-                )
+                seed = {
+                    # schema-gate parity: the stream carries
+                    # (doc_id, text), so the seeded corpus must too
+                    "corpus": standing.select("doc_id", "text"),
+                    "content_hashes": seed_h,
+                    "minhash_signatures": seed_s,
+                }
+                if span_k is not None:
+                    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+                        gram_set,
+                    )
+
+                    seed["standing_grams"] = gram_set(standing, k=span_k)
+                commit_tables(seed, root, "curated")
                 seeded_segs = read_manifest(root, "curated")
                 stream = spark.readStream.schema(
                     "doc_id bigint, text string"
-                ).parquet(inc_dir)
+                ).parquet(inc_dir if span_k is None else inc_spans_dir)
                 t0 = time.perf_counter()
                 run_incremental_ingest(
-                    stream, root, "curated", chk, rules, threshold=0.5
+                    stream, root, "curated", chk, rules, threshold=0.5,
+                    span_k=span_k,
                 )
                 wall = time.perf_counter() - t0
                 man = read_manifest(root, "curated")
@@ -1220,9 +1266,17 @@ def main_r11(
                     "wall_s": round(wall, 1),
                     "commit_bytes": new_bytes,
                 }
-                results["ingest"].append(row)
+                if span_k is not None:
+                    # prove the stage did work: planted spans must land
+                    spans_tbl = read_manifest_tables(
+                        spark, root, "curated"
+                    ).get("repeated_spans")
+                    row["span_rows"] = (
+                        0 if spans_tbl is None else spans_tbl.count()
+                    )
+                results[mode_key].append(row)
                 cache.clear_session_state(spark)
-                print(f"r11 ingest {row}")
+                print(f"r11 {mode_key} {row}")
             finally:
                 shutil.rmtree(root, ignore_errors=True)
                 shutil.rmtree(chk, ignore_errors=True)
@@ -1291,6 +1345,7 @@ def main_r11(
             shutil.rmtree(root, ignore_errors=True)
     finally:
         shutil.rmtree(inc_dir, ignore_errors=True)
+        shutil.rmtree(inc_spans_dir, ignore_errors=True)
         for _label, d in corpora.items():
             if d != SRC:
                 shutil.rmtree(d, ignore_errors=True)
@@ -1434,6 +1489,13 @@ def main() -> None:
         idx = sys.argv.index("--r11-segments")
         n = int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 1000
         main_r11(n_segments=n, parts=("segments",))
+        return
+    if "--r11-ingest-spans" in sys.argv:
+        idx = sys.argv.index("--r11-ingest-spans")
+        main_r11(
+            int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100,
+            parts=("ingest_spans",),
+        )
         return
     if "--r11-ingest" in sys.argv:
         idx = sys.argv.index("--r11-ingest")
