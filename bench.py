@@ -175,6 +175,7 @@ HEADLINE = [
     "m74_bm25_rank",
     "m75_dsir_weights",
     "m76_ingest_spans",
+    "m77_incremental_dsir",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

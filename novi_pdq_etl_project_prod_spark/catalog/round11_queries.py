@@ -602,3 +602,105 @@ ORDER BY doc_id, span_start
 
 QUERIES["m76_ingest_spans"] = m76_ingest_spans
 ORACLES["m76_ingest_spans"] = M76_SQL
+
+
+# ---------------------------------------------------------------------------
+# M77 — INCREMENTAL DSIR: the ingest-path twin of m75, extending the
+# incremental family (m69 exact, m66 near-dup, m73 spans) to
+# DISTRIBUTION-valued state. Increment = odd non-en docs, scored
+# against the target distribution (en docs) and the raw distribution
+# AS OF arrival (even non-en docs only — the arrival-time contract);
+# bucket universe densified to all B buckets so increment-only buckets
+# score the Laplace floor instead of silently dropping.
+# ---------------------------------------------------------------------------
+
+
+def m77_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+        incremental_dsir_logweights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en")
+    raw = docs.where(F.col("lang") != "en")
+    standing = raw.where(F.col("doc_id") % 2 == 0)
+    inc = raw.where(F.col("doc_id") % 2 == 1)
+    res = incremental_dsir_logweights(
+        inc,
+        dsir_bucket_counts(target, n_buckets=_M75_B),
+        dsir_bucket_counts(standing, n_buckets=_M75_B),
+        n_buckets=_M75_B,
+    )
+    return res["weights"].select(
+        F.col("id").alias("doc_id"), "n_feats", "logweight"
+    ).orderBy("doc_id")
+
+
+M77_SQL = f"""
+WITH tok_t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE lang = 'en'
+),
+tok_s AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE lang <> 'en' AND doc_id % 2 = 0
+),
+tok_i AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents WHERE lang <> 'en' AND doc_id % 2 = 1
+),
+bt0 AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_M75_B} AS b,
+         count(*) AS ct
+  FROM tok_t GROUP BY 1
+),
+bt AS (
+  SELECT r.b, coalesce(ct, 0) AS ct
+  FROM range({_M75_B}) r(b) LEFT JOIN bt0 ON bt0.b = r.b
+),
+br AS (
+  SELECT CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_M75_B} AS b,
+         count(*) AS cr
+  FROM tok_s GROUP BY 1
+),
+bucket AS (
+  SELECT coalesce(bt.b, br.b) AS b,
+         coalesce(ct, 0) AS ct,
+         coalesce(cr, 0) AS cr
+  FROM bt FULL OUTER JOIN br ON bt.b = br.b
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM bucket),
+pb AS (
+  SELECT b,
+         ln(ct + 1) - ln(cr + 1) + ln(tr + {_M75_B}) - ln(tt + {_M75_B})
+           AS logratio
+  FROM bucket CROSS JOIN tot
+),
+feats AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % {_M75_B} AS b,
+         count(*) AS n
+  FROM tok_i GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id, n,
+         CAST(floor((n * logratio) * 1e6) AS BIGINT) AS wq
+  FROM feats JOIN pb USING (b)
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_feats,
+       CAST(sum(wq) AS DOUBLE) / 1e6 AS logweight
+FROM scored GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+QUERIES["m77_incremental_dsir"] = m77_incremental_dsir
+ORACLES["m77_incremental_dsir"] = M77_SQL

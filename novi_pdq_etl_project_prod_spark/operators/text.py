@@ -1291,42 +1291,57 @@ def dsir_logweights(
     joins, no corpus-wide shuffle of text. Raw docs with zero tokens are
     excluded (no features ⇒ no weight).
     """
-    from novi_pdq_etl_project_prod_spark.operators.dedup import md5_long60
+    from novi_pdq_etl_project_prod_spark import cache
 
-    def buckets(frame: DataFrame) -> DataFrame:
-        return frame.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(text_col)).alias("__tok"),
-        ).select("id", (md5_long60(F.col("__tok")) % n_buckets).alias("b"))
-
-    tgt_b = buckets(target).groupBy("b").agg(
-        F.count(F.lit(1)).alias("ct")
-    )
+    tgt_b = _dsir_buckets(target, id_col, text_col, n_buckets).groupBy(
+        "b"
+    ).agg(F.count(F.lit(1)).alias("ct"))
     # the raw corpus is tokenized ONCE: per-doc feature counts first,
     # the corpus-level bucket counts as a rollup of that frame. The
     # (id, bucket) frame is persisted because both the bucket table and
     # the score join consume it — without the pin each branch re-runs
     # the corpus explode (the ngram_jaccard_pairs lesson)
-    from novi_pdq_etl_project_prod_spark import cache
-
     doc_feats = cache.track(
-        buckets(raw).groupBy("id", "b").agg(F.count(F.lit(1)).alias("n")),
+        _dsir_buckets(raw, id_col, text_col, n_buckets)
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("n")),
         eager=True,
     )
     raw_b = doc_feats.groupBy("b").agg(F.sum("n").alias("cr"))
-    # dense bucket table: outer-join the two count maps (a bucket seen
-    # only on one side still contributes its smoothed log-ratio)
+    return _dsir_score(doc_feats, _dsir_per_bucket(tgt_b, raw_b, n_buckets))
+
+
+def _dsir_buckets(
+    frame: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """(id, bucket) row per token occurrence — md5-int60 hashing so a
+    SQL oracle reproduces bucketing exactly."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import md5_long60
+
+    return frame.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).select("id", (md5_long60(F.col("__tok")) % n_buckets).alias("b"))
+
+
+def _dsir_per_bucket(
+    tgt_b: DataFrame, raw_b: DataFrame, n_buckets: int
+) -> DataFrame:
+    """The B-row (b, logratio) table from target (b, ct) and raw
+    (b, cr) count maps — the shared IEEE tree of the batch and
+    incremental paths. Dense: the outer join keeps one-sided buckets
+    (smoothing still applies). Corpus totals come from a whole-frame
+    window over the B-row table (NOT a separate aggregate + crossJoin,
+    which would recompute the corpus-sized upstream aggregations a
+    second time; B is a constant, so the single-partition window
+    exchange is B rows)."""
     bucket_tbl = tgt_b.join(raw_b, "b", "full_outer").select(
         "b",
         F.coalesce("ct", F.lit(0)).alias("ct"),
         F.coalesce("cr", F.lit(0)).alias("cr"),
     )
-    # corpus totals via a whole-frame window over the B-row bucket table
-    # (NOT a separate aggregate + crossJoin, which would recompute the
-    # corpus-sized token aggregations a second time; B is a constant, so
-    # the single-partition window exchange is B rows)
     w_all = Window.partitionBy()
-    per_bucket = bucket_tbl.select(
+    return bucket_tbl.select(
         "b",
         (
             F.log(F.col("ct") + 1)
@@ -1335,6 +1350,11 @@ def dsir_logweights(
             - F.log(F.sum("ct").over(w_all) + n_buckets)
         ).alias("logratio"),
     )
+
+
+def _dsir_score(doc_feats: DataFrame, per_bucket: DataFrame) -> DataFrame:
+    """Per-doc fixed-point weight sum over a (id, b, n) feature frame
+    joined to the broadcast B-row logratio table."""
     scored = doc_feats.join(F.broadcast(per_bucket), "b").select(
         "id",
         "n",
@@ -1346,3 +1366,90 @@ def dsir_logweights(
         F.sum("n").cast("long").alias("n_feats"),
         (F.sum("__wq").cast("double") / F.lit(1e6)).alias("logweight"),
     )
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """A corpus' (b, n) hashed-unigram occurrence counts — the
+    ADDITIVE state of the incremental DSIR path: counts are plain
+    rows, so accumulating state appends per-batch DELTA rows (the
+    segment layer's O(batch) commit) and any reader reconstructs the
+    true counts with one B-bounded ``groupBy(b).sum(n)`` — no
+    merge-on-write, and segment compaction (a row union) preserves the
+    sum. The existence-set state (``gram_set``) can't represent
+    counts; this is the pattern for distribution-valued state."""
+    return (
+        _dsir_buckets(df, id_col, text_col, n_buckets)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def incremental_dsir_logweights(
+    new_docs: DataFrame,
+    target_counts: DataFrame,
+    standing_raw_counts: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> dict[str, DataFrame]:
+    """DSIR importance weights for a raw-corpus INCREMENT — the
+    ingest-path twin of :func:`dsir_logweights`, extending the
+    incremental family (m69 exact, m66 near-dup, m73 spans) to
+    DISTRIBUTION-valued state: each increment is scored against the
+    target distribution and the raw distribution AS OF its arrival
+    (the pair/span sinks' arrival-time contract, stated not hidden —
+    a later increment shifts q̂ for later docs only), then its own
+    bucket deltas extend the standing raw counts.
+
+    ``target_counts`` / ``standing_raw_counts`` are (b, n) frames from
+    :func:`dsir_bucket_counts` — possibly many DELTA rows per bucket
+    (append segments); both are summed to true counts here, so readers
+    never need merged state. ``standing_raw_counts=None`` means a
+    first increment scored against an empty raw distribution (every
+    q̂[b] at the Laplace floor).
+
+    Returns ``{"weights": (id, n_feats, logweight),
+    "new_counts": (b, n) — the increment's deltas to append}``.
+
+    Scale shape: the increment pays one tokenize into a persisted
+    (id, bucket, n) frame; the standing tables reduce to B-row sums
+    (one bounded agg each, whatever the corpus size); scoring is one
+    broadcast join. Nothing standing is ever re-tokenized.
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+
+    doc_feats = cache.track(
+        _dsir_buckets(new_docs, id_col, text_col, n_buckets)
+        .groupBy("id", "b")
+        .agg(F.count(F.lit(1)).alias("n")),
+        eager=True,
+    )
+    spark = new_docs.sparkSession
+    # densify the target side over the FULL bucket universe (B rows):
+    # unlike the batch path — where the scored corpus IS the corpus the
+    # cr counts came from, so every feature bucket has a row — an
+    # increment can carry buckets neither standing table has seen, and
+    # the inner score join would silently drop those features. With the
+    # universe dense, an unseen bucket scores the Laplace floor
+    # ln(1) − ln(1) + ln(Tr+B) − ln(Tt+B), the correct smoothed ratio.
+    universe = spark.range(n_buckets).select(F.col("id").alias("b"))
+    tgt_sum = target_counts.groupBy("b").agg(F.sum("n").alias("__ct"))
+    tgt_b = universe.join(tgt_sum, "b", "left").select(
+        "b", F.coalesce("__ct", F.lit(0)).alias("ct")
+    )
+    if standing_raw_counts is None:
+        raw_b = tgt_b.select("b", F.lit(0).cast("long").alias("cr")).limit(0)
+    else:
+        raw_b = standing_raw_counts.groupBy("b").agg(
+            F.sum("n").alias("cr")
+        )
+    weights = _dsir_score(
+        doc_feats, _dsir_per_bucket(tgt_b, raw_b, n_buckets)
+    )
+    new_counts = doc_feats.groupBy("b").agg(F.sum("n").alias("n"))
+    return {"weights": weights, "new_counts": new_counts}

@@ -1551,3 +1551,119 @@ def stream_incremental_repeated_spans(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_dsir_weights(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    target_counts_table: str = "dsir_target_buckets",
+    raw_counts_table: str = "dsir_raw_buckets",
+    weights_table: str = "dsir_weights",
+) -> None:
+    """Streaming DSIR scoring — the production form of
+    ``operators.text.incremental_dsir_logweights`` and the fourth
+    incremental-state sink, introducing DISTRIBUTION-valued state to
+    the family (exact = hash set, near-dup = signature table, spans =
+    gram set, this = bucket COUNTS): per micro-batch, every arriving
+    raw doc gets its importance weight against the target distribution
+    and the raw distribution AS OF arrival, then the batch's own
+    bucket-count DELTAS append to the standing raw counts. One atomic
+    marker-gated commit per batch; exactly-once under replay.
+
+    Additive-state contract: ``raw_counts_table`` holds (b, n) DELTA
+    rows — an append commit is O(batch) like every sink here, readers
+    reconstruct true counts with one B-bounded ``groupBy(b).sum(n)``
+    (done inside the scoring op), and segment compaction (a row union)
+    preserves the sum, so the maintenance loop needs no special case.
+
+    Arrival-time contract (stated, not hidden): q̂ moves as the corpus
+    grows — a doc scored in batch 1 is NOT re-scored when batch 2
+    shifts the raw distribution; the weights table records the
+    selection signal each doc was admitted under, which is the
+    online-selection semantics (re-scoring the full corpus is the
+    batch op m75).
+
+    The caller seeds ``target_counts_table`` once
+    (``commit_tables({target_counts_table:
+    dsir_bucket_counts(target)})``); the sink raises if it is absent —
+    scoring against an implicit empty target would silently invert the
+    signal.
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        incremental_dsir_logweights,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_table,
+    )
+
+    marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its weights and deltas are in
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            with cache.scope():
+                target = read_manifest_table(
+                    spark, root, layer, target_counts_table
+                )
+                if target is None:
+                    raise ValueError(
+                        f"{target_counts_table} not found in {layer}: "
+                        "seed the target distribution before streaming "
+                        "(commit_tables({'"
+                        f"{target_counts_table}': dsir_bucket_counts(...)"
+                        "}))"
+                    )
+                standing = read_manifest_table(
+                    spark, root, layer, raw_counts_table
+                )
+                res = incremental_dsir_logweights(
+                    batch_df,
+                    target,
+                    standing,
+                    id_col,
+                    text_col,
+                    n_buckets,
+                )
+                weights = res["weights"].select(
+                    F.col("id").alias(id_col), "n_feats", "logweight"
+                )
+                tables = {
+                    t: df
+                    for t, df in (
+                        (weights_table, weights),
+                        (raw_counts_table, res["new_counts"]),
+                    )
+                    if not df.isEmpty()
+                }
+                commit_tables(
+                    tables,
+                    root,
+                    layer,
+                    meta={marker: _batch_id},
+                    append_tables=tuple(tables),
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -502,3 +502,160 @@ def test_dsir_matches_python_model_random_corpora(spark, target, raw):
         for r in dsir_logweights(tdf, rdf).collect()
     }
     assert got == _dsir_py(target, raw)
+
+
+def _inc_dsir_py(inc, tgt_counts, standing_counts, n_buckets=256):
+    """Pure-Python model of incremental_dsir_logweights: score against
+    TARGET counts and the STANDING raw counts (not the increment's
+    own), dense bucket universe, same fixed-point tree."""
+    import hashlib
+    import math
+
+    def bucket(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % n_buckets
+
+    tt = sum(tgt_counts.values())
+    tr = sum(standing_counts.values())
+    out = {}
+    for i, t in inc:
+        feats = {}
+        for w in t.split():
+            b = bucket(w)
+            feats[b] = feats.get(b, 0) + 1
+        if not feats:
+            continue
+        nf, tot = 0, 0
+        for b, n in feats.items():
+            lr = (
+                math.log(tgt_counts.get(b, 0) + 1)
+                - math.log(standing_counts.get(b, 0) + 1)
+                + math.log(tr + n_buckets)
+                - math.log(tt + n_buckets)
+            )
+            nf += n
+            tot += math.floor((n * lr) * 1e6)
+        out[i] = (nf, tot / 1e6)
+    return out
+
+
+def _counts_py(docs, n_buckets=256):
+    import hashlib
+
+    c = {}
+    for _i, t in docs:
+        for w in t.split():
+            b = int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % n_buckets
+            c[b] = c.get(b, 0) + 1
+    return c
+
+
+def test_incremental_dsir_matches_python_model(spark):
+    """The incremental op scores against arrival-time state: target
+    counts + STANDING raw counts only — including increment-only
+    buckets (dense universe: they take the Laplace-floor log-ratio
+    instead of silently dropping)."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+        incremental_dsir_logweights,
+    )
+
+    target = [(100 + i, "alpha beta gamma delta") for i in range(5)]
+    standing = [(200, "omega psi alpha"), (201, "chi phi phi")]
+    inc = [
+        (1, "alpha beta omega"),
+        (2, "zzz_totally_unseen_token qqq_another"),  # increment-only buckets
+        (3, ""),                                       # token-less: excluded
+    ]
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    sdf = spark.createDataFrame(standing, "doc_id long, text string")
+    idf = spark.createDataFrame(inc, "doc_id long, text string")
+    res = incremental_dsir_logweights(
+        idf, dsir_bucket_counts(tdf), dsir_bucket_counts(sdf)
+    )
+    got = {
+        r.id: (r.n_feats, r.logweight) for r in res["weights"].collect()
+    }
+    assert got == _inc_dsir_py(inc, _counts_py(target), _counts_py(standing))
+    assert 3 not in got and 2 in got  # unseen buckets scored, not dropped
+    # the delta frame is exactly the increment's own counts
+    got_counts = {(r.b, r.n) for r in res["new_counts"].collect()}
+    assert got_counts == set(_counts_py(inc).items())
+
+
+def test_stream_dsir_weights_arrival_time_and_replay(spark, tmp_path):
+    """The DSIR sink over 2 increments: the SAME text arriving in batch
+    1 and batch 2 gets DIFFERENT weights (batch 1's deltas shifted q̂ —
+    the arrival-time contract for distribution state); the raw-count
+    table sums to the true corpus counts across delta segments;
+    checkpoint-loss replay is a no-op; an unseeded target raises."""
+    import shutil
+    import time as _time
+
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_dsir_weights,
+    )
+
+    target = [(100 + i, "alpha beta gamma delta") for i in range(5)]
+    batch1 = [(1, "alpha beta omega"), (2, "omega psi chi")]
+    batch2 = [(3, "alpha beta omega"), (4, "phi rho tau")]  # 3 == 1's text
+    updates_dir = str(tmp_path / "docs")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        _time.sleep(1.1)
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_dsir_weights(stream, root, "curated", chk)
+
+    # unseeded target must raise loudly, not score against nothing
+    with _pytest.raises(Exception, match="dsir_target_buckets"):
+        _run()
+    shutil.rmtree(chk, ignore_errors=True)
+
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    commit_tables(
+        {"dsir_target_buckets": dsir_bucket_counts(tdf)}, root, "curated"
+    )
+    _run()
+    tables = read_manifest_tables(spark, root, "curated")
+    got = {
+        r.doc_id: (r.n_feats, r.logweight)
+        for r in tables["dsir_weights"].collect()
+    }
+    tgt_c = _counts_py(target)
+    want1 = _inc_dsir_py(batch1, tgt_c, {})
+    want2 = _inc_dsir_py(batch2, tgt_c, _counts_py(batch1))
+    assert got == {**want1, **want2}
+    # the same text scored differently at different arrival times
+    assert got[1] != got[3] and got[1][0] == got[3][0]
+    # delta segments sum to the true corpus counts
+    from pyspark.sql import functions as F
+
+    raw_rows = tables["dsir_raw_buckets"].groupBy("b").agg(
+        F.sum("n").alias("n")
+    )
+    assert {(r.b, r.n) for r in raw_rows.collect()} == set(
+        _counts_py(batch1 + batch2).items()
+    )
+
+    shutil.rmtree(chk)
+    _run()  # replay: marker-gated no-op
+    after = read_manifest_tables(spark, root, "curated")
+    assert after["dsir_weights"].count() == 4
