@@ -414,11 +414,15 @@ tf AS (
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 terms AS (
+  -- products formed in DOUBLE (same order as the engine): BIGINT
+  -- products wrap past 2^63 at the 100 TB regime
   SELECT tf.doc_id,
          CAST(floor(
            ((ln(2*n_docs + 2) - ln(2*df + 1))
-            * (CAST(44*tf*dl_sum AS DOUBLE)
-               / CAST(20*tf*dl_sum + 6*dl_sum + 18*dl.dl*n_docs AS DOUBLE)))
+            * ((44e0 * CAST(tf AS DOUBLE) * CAST(dl_sum AS DOUBLE))
+               / (20e0 * CAST(tf AS DOUBLE) * CAST(dl_sum AS DOUBLE)
+                  + 6e0 * CAST(dl_sum AS DOUBLE)
+                  + 18e0 * CAST(dl.dl AS DOUBLE) * CAST(n_docs AS DOUBLE))))
            * 1e6) AS BIGINT) AS tq
   FROM tf
   JOIN dfreq USING (term)

@@ -1214,11 +1214,20 @@ def bm25_scores(
     broadcast. No pair joins; text never shuffles. Docs with zero query
     hits are excluded (score 0 by definition).
     """
+    from novi_pdq_etl_project_prod_spark import cache
+
     qlit = [str(t) for t in query_terms]
     toks = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__t")
     )
-    dl = toks.select("id", F.size("__t").alias("dl"))
+    # (id, dl) is persisted: three consumers (the per-term join, the
+    # 1-row stats aggregate, and nothing else) would otherwise each
+    # re-tokenize the corpus. Two corpus passes remain by design — the
+    # tf explode needs the token ARRAYS, whose persist would cost
+    # corpus-sized memory for one reuse; dl is two longs per doc.
+    dl = cache.track(
+        toks.select("id", F.size("__t").alias("dl")), eager=True
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("dl_sum"),
@@ -1237,13 +1246,22 @@ def bm25_scores(
     C = k1_num * (b_den - b_num)
     D = k1_num * b_num
     idf = F.log(2 * F.col("n_docs") + 2) - F.log(2 * F.col("df") + 1)
+    # the numerator/denominator products are formed in DOUBLE, not
+    # BIGINT: at the 100 TB regime B·tf·Σdl exceeds 2⁶³ (Σdl ~2e13 ×
+    # a spammy doc's tf wraps silently under non-ANSI Spark while the
+    # oracle errors) — double products of the same integer inputs in
+    # the same order stay an identical IEEE tree in both engines
+    tf_d = F.col("tf").cast("double")
+    s_d = F.col("dl_sum").cast("double")
+    dl_d = F.col("dl").cast("double")
+    n_d = F.col("n_docs").cast("double")
     term_score = idf * (
-        (A * F.col("tf") * F.col("dl_sum")).cast("double")
+        (F.lit(float(A)) * tf_d * s_d)
         / (
-            B * F.col("tf") * F.col("dl_sum")
-            + C * F.col("dl_sum")
-            + D * F.col("dl") * F.col("n_docs")
-        ).cast("double")
+            F.lit(float(B)) * tf_d * s_d
+            + F.lit(float(C)) * s_d
+            + F.lit(float(D)) * dl_d * n_d
+        )
     )
     scored = (
         tf.join(F.broadcast(dfreq), "term")
@@ -1439,6 +1457,20 @@ def incremental_dsir_logweights(
     # ln(1) − ln(1) + ln(Tr+B) − ln(Tt+B), the correct smoothed ratio.
     universe = spark.range(n_buckets).select(F.col("id").alias("b"))
     tgt_sum = target_counts.groupBy("b").agg(F.sum("n").alias("__ct"))
+
+    def _check_buckets(counts: DataFrame, label: str) -> None:
+        # a count table seeded with a DIFFERENT n_buckets would have
+        # its >= n_buckets rows silently dropped by the universe join,
+        # skewing every weight with no error — B-bounded aggregate, so
+        # the guard costs one tiny job (round-11 review)
+        m = counts.agg(F.max("b").alias("m")).first().m
+        if m is not None and m >= n_buckets:
+            raise ValueError(
+                f"{label} bucket ids reach {m} but n_buckets={n_buckets}:"
+                " the count table was built with a different n_buckets"
+            )
+
+    _check_buckets(tgt_sum, "target_counts")
     tgt_b = universe.join(tgt_sum, "b", "left").select(
         "b", F.coalesce("__ct", F.lit(0)).alias("ct")
     )
@@ -1448,6 +1480,7 @@ def incremental_dsir_logweights(
         raw_b = standing_raw_counts.groupBy("b").agg(
             F.sum("n").alias("cr")
         )
+        _check_buckets(raw_b, "standing_raw_counts")
     weights = _dsir_score(
         doc_feats, _dsir_per_bucket(tgt_b, raw_b, n_buckets)
     )

@@ -238,8 +238,13 @@ def ingest_increment(
         span_state = incremental_repeated_spans_state(
             accepted, standing_grams, id_col, text_col, span_k
         )
-        result["repeated_spans"] = span_state["spans"]
-        result["new_grams"] = span_state["new_grams"]
+        # pinned: the sink consumes each span frame several times
+        # (span_docs count, isEmpty probe, commit write) — uncached,
+        # every pass re-scans the standing gram table and re-tokenizes
+        # the accepted docs (round-11 review; the standalone span sink
+        # learned the same lesson)
+        result["repeated_spans"] = cache.track(span_state["spans"])
+        result["new_grams"] = cache.track(span_state["new_grams"])
     return result
 
 
@@ -492,9 +497,12 @@ def run_incremental_ingest(
                         .count()
                     )
                 prior = read_manifest_meta(root, layer).get(counts_key) or {}
+                # union of key sets: a restart with a different stage
+                # mix (e.g. span_k turned off) must carry forward the
+                # counters it no longer produces, not erase them
                 total = {
-                    k: int(prior.get(k, 0)) + int(v)
-                    for k, v in fresh.items()
+                    k: int(prior.get(k, 0)) + int(fresh.get(k, 0))
+                    for k in set(prior) | set(fresh)
                 }
                 candidates = {
                     tables["corpus"]: result["accepted"],

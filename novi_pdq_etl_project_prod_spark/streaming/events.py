@@ -1525,10 +1525,13 @@ def stream_incremental_repeated_spans(
                     batch_df, standing, id_col, text_col, k
                 )
                 spans = cache.track(state["spans"])
+                # new_grams also runs twice (isEmpty + write): uncached
+                # it re-probes the standing gram set per extra action
+                new_grams = cache.track(state["new_grams"])
                 tables = {
                     t: df
                     for t, df in (
-                        (grams_table, state["new_grams"]),
+                        (grams_table, new_grams),
                         (spans_table, spans),
                     )
                     if not df.isEmpty()
@@ -1638,14 +1641,20 @@ def stream_dsir_weights(
                     text_col,
                     n_buckets,
                 )
-                weights = res["weights"].select(
-                    F.col("id").alias(id_col), "n_feats", "logweight"
+                # both frames run twice (isEmpty probe + commit write);
+                # uncached, each extra action re-scans the growing
+                # target/raw delta-count tables (round-11 review)
+                weights = cache.track(
+                    res["weights"].select(
+                        F.col("id").alias(id_col), "n_feats", "logweight"
+                    )
                 )
+                new_counts = cache.track(res["new_counts"])
                 tables = {
                     t: df
                     for t, df in (
                         (weights_table, weights),
-                        (raw_counts_table, res["new_counts"]),
+                        (raw_counts_table, new_counts),
                     )
                     if not df.isEmpty()
                 }

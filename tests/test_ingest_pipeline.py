@@ -431,3 +431,20 @@ def test_ingest_span_stage_stream_matches_batch(spark, tmp_path):
         (r.doc_id, r.span_start, r.span_end, r.span_tokens)
         for r in after["repeated_spans"].collect()
     } == EXPECTED_SPANS
+
+    # restart with the span stage DISABLED: the cumulative accounting
+    # must carry span_docs forward, not erase it (round-11 review —
+    # the counts merge iterates the union of key sets)
+    spark.createDataFrame(
+        [(7, "a wholly new final document with plenty of length here")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("append").parquet(updates_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(updates_dir)
+    )
+    run_incremental_ingest(stream, root, "curated", chk, RULES)  # no span_k
+    counts2 = read_manifest_meta(root, "curated")["ingest_counts:corpus"]
+    assert counts2["span_docs"] == 3          # carried, not erased
+    assert counts2["accepted"] == 6           # doc 7 admitted

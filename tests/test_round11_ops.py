@@ -316,7 +316,15 @@ def _bm25_py(docs, terms, k1=(6, 5), b=(3, 4)):
     out = {}
     for (i, w), f in tf.items():
         idf = math.log(2 * n + 2) - math.log(2 * df[w] + 1)
-        term = idf * ((a_ * f * s) / (b_ * f * s + c_ * s + d_ * dl[i] * n))
+        # double products in the engine's order (overflow-safe tree)
+        term = idf * (
+            (float(a_) * float(f) * float(s))
+            / (
+                float(b_) * float(f) * float(s)
+                + float(c_) * float(s)
+                + float(d_) * float(dl[i]) * float(n)
+            )
+        )
         q = math.floor(term * 1e6)
         cnt, tot = out.get(i, (0, 0))
         out[i] = (cnt + 1, tot + q)
@@ -659,3 +667,27 @@ def test_stream_dsir_weights_arrival_time_and_replay(spark, tmp_path):
     _run()  # replay: marker-gated no-op
     after = read_manifest_tables(spark, root, "curated")
     assert after["dsir_weights"].count() == 4
+
+
+def test_incremental_dsir_rejects_mismatched_bucket_count(spark):
+    """A count table seeded with a different n_buckets must raise, not
+    silently drop its out-of-range buckets from the universe join
+    (round-11 review)."""
+    import pytest as _pytest
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+        incremental_dsir_logweights,
+    )
+
+    tdf = spark.createDataFrame(
+        [(1, "alpha beta gamma")], "doc_id long, text string"
+    )
+    idf = spark.createDataFrame(
+        [(2, "alpha omega")], "doc_id long, text string"
+    )
+    big = dsir_bucket_counts(tdf, n_buckets=512)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        incremental_dsir_logweights(idf, big, None, n_buckets=256)[
+            "weights"
+        ].collect()
