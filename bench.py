@@ -176,6 +176,7 @@ HEADLINE = [
     "m75_dsir_weights",
     "m76_ingest_spans",
     "m77_incremental_dsir",
+    "m78_hybrid_retrieval",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -398,8 +398,9 @@ _M74_IN = ", ".join(f"'{t}'" for t in _M74_TERMS)
 
 # A..D from k1 = 6/5, b = 3/4 (bm25_scores defaults):
 #   A = (6+5)*4 = 44, B = 5*4 = 20, C = 6*(4-3) = 6, D = 6*3 = 18
-M74_SQL = f"""
-WITH toks AS (
+# The BM25 CTE chain is shared by M74 (scores) and M78 (the hybrid
+# fusion's lexical channel) — one definition so the two can't drift.
+_M74_CTES = f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
   FROM documents
@@ -428,11 +429,17 @@ terms AS (
   JOIN dfreq USING (term)
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats
-)
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_hit_terms,
-       CAST(sum(tq) AS DOUBLE) / 1e6 AS score
-FROM terms GROUP BY doc_id
+),
+bm AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_hit_terms,
+         CAST(sum(tq) AS DOUBLE) / 1e6 AS score
+  FROM terms GROUP BY doc_id
+)"""
+
+M74_SQL = f"""
+WITH {_M74_CTES}
+SELECT doc_id, n_hit_terms, score FROM bm
 ORDER BY doc_id
 """
 
@@ -708,3 +715,103 @@ ORDER BY doc_id
 
 QUERIES["m77_incremental_dsir"] = m77_incremental_dsir
 ORACLES["m77_incremental_dsir"] = M77_SQL
+
+
+# ---------------------------------------------------------------------------
+# M78 — HYBRID retrieval: the BM25 lexical channel (m74) fused with the
+# dense cosine channel (m7's brute-force exact top-k) by reciprocal-
+# rank fusion (m59's operator) — the full two-channel search stack the
+# m74 docstring pointed at. One hybrid query = the fixed probe TERMS +
+# the probe VECTOR (vec_id 0); documents.doc_id ≡ embeddings.vec_id in
+# the fixture (the usual one-embedding-per-doc corpus layout). The
+# probe's own doc (id 0) is excluded from both channels (the m59
+# self-exclusion convention, applied symmetrically).
+# ---------------------------------------------------------------------------
+
+_M78_KIN, _M78_KOUT, _M78_C = 20, 10, 60
+
+
+def m78_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        brute_force_topk,
+        rrf_fuse,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.text import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+
+    # lexical channel: global top-KIN by BM25 — orderBy().limit() is
+    # the distributed TakeOrderedAndProject shape (o3 pattern); the
+    # rank window then runs over KIN rows only
+    lex_top = (
+        bm25_scores(docs, _M74_TERMS)
+        .where(F.col("id") != 0)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(_M78_KIN)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    lex = (
+        lex_top.select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("id").alias("neighbor_id"),
+            "score",
+        )
+        .withColumn("rank", F.row_number().over(w))
+    )
+    dense = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), k=_M78_KIN, metric="cosine"
+    )
+    return rrf_fuse([lex, dense], k=_M78_KOUT, c=_M78_C).orderBy(
+        "query_id", "rank"
+    )
+
+
+M78_SQL = f"""
+WITH {_M74_CTES},
+lex AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, doc_id AS neighbor_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM bm WHERE doc_id <> 0
+  QUALIFY r <= {_M78_KIN}
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+den AS (
+  SELECT query_id, vec_id AS neighbor_id,
+         row_number() OVER (
+           ORDER BY list_dot_product(qv, embedding::DOUBLE[])
+             / (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(embedding::DOUBLE[],
+                                        embedding::DOUBLE[]))) DESC,
+             vec_id ASC
+         ) AS r
+  FROM embeddings, q WHERE vec_id <> query_id
+  QUALIFY r <= {_M78_KIN}
+),
+fused AS (
+  SELECT coalesce(lex.query_id, den.query_id) AS query_id,
+         coalesce(lex.neighbor_id, den.neighbor_id) AS neighbor_id,
+         coalesce(1.0 / ({_M78_C} + CAST(lex.r AS DOUBLE)), 0.0)
+         + coalesce(1.0 / ({_M78_C} + CAST(den.r AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM lex FULL JOIN den USING (query_id, neighbor_id)
+)
+SELECT query_id, neighbor_id, rrf_score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, neighbor_id ASC)
+            AS INT) AS rank
+FROM fused
+QUALIFY rank <= {_M78_KOUT}
+ORDER BY query_id, rank
+"""
+
+
+QUERIES["m78_hybrid_retrieval"] = m78_hybrid_retrieval
+ORACLES["m78_hybrid_retrieval"] = M78_SQL
