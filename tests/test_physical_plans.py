@@ -155,6 +155,9 @@ def test_no_cartesian_products_in_catalog(spark):
                                  # broadcasts (label-alphabet-bounded)
         "d44_fleiss_kappa",      # 1-row totals × 1-row ΣC² broadcast
                                  # (category-alphabet-bounded)
+        "m74_bm25_rank",         # 1-row corpus-stats (N, Σdl) broadcast
+        "m78_hybrid_retrieval",  # m74's 1-row stats + the m7/m59
+                                 # brute-force dense channel by design
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

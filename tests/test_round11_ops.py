@@ -691,3 +691,105 @@ def test_incremental_dsir_rejects_mismatched_bucket_count(spark):
         incremental_dsir_logweights(idf, big, None, n_buckets=256)[
             "weights"
         ].collect()
+
+
+def test_dsir_sink_state_survives_maintenance_compaction(spark, tmp_path):
+    """Day-in-the-life integration: the DSIR sink runs 3 triggers, the
+    maintenance tick compacts the accumulated delta segments, then 3
+    MORE triggers run on the compacted state — every weight still
+    matches the arrival-time Python model (compaction is a row union,
+    so the additive count state is preserved bit-for-bit), and the
+    segment list actually shrank."""
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_tables,
+        segment_count,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_dsir_weights,
+    )
+
+    target = [(100 + i, "alpha beta gamma delta") for i in range(5)]
+    wave1 = [
+        [(1, "alpha beta omega")],
+        [(2, "omega psi chi")],
+        [(3, "alpha gamma rho")],
+    ]
+    wave2 = [
+        [(4, "alpha beta omega")],   # same text as doc 1, later arrival
+        [(5, "psi chi tau")],
+        [(6, "beta delta phi")],
+    ]
+    updates_dir = str(tmp_path / "docs")
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+    commit_tables(
+        {"dsir_target_buckets": dsir_bucket_counts(tdf)}, root, "curated"
+    )
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_dsir_weights(stream, root, "curated", chk)
+
+    for rows in wave1:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        _time.sleep(1.1)
+    _run()
+    assert segment_count(root, "curated", "dsir_raw_buckets") >= 3
+
+    # maintenance between triggers: compact everything aggressively
+    report = run_maintenance_tick(
+        spark, root, "curated", max_segments=2, vacuum_retain=0,
+        vacuum_grace_seconds=0.0,
+    )
+    assert report["compact"]["dsir_raw_buckets"]["fired"]
+    assert segment_count(root, "curated", "dsir_raw_buckets") == 1
+
+    for rows in wave2:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        _time.sleep(1.1)
+    _run()
+
+    tables = read_manifest_tables(spark, root, "curated")
+    got = {
+        r.doc_id: (r.n_feats, r.logweight)
+        for r in tables["dsir_weights"].collect()
+    }
+    tgt_c = _counts_py(target)
+    want = {}
+    seen: list = []
+    for rows in wave1 + wave2:
+        want.update(_inc_dsir_py(rows, tgt_c, _counts_py(seen)))
+        seen.extend(rows)
+    assert got == want
+    # the compacted + post-compaction deltas still sum to true counts
+    raw = {
+        (r.b, r.n)
+        for r in tables["dsir_raw_buckets"].groupBy("b").agg(
+            F.sum("n").alias("n")
+        ).collect()
+    }
+    assert raw == set(_counts_py(seen).items())
+    # arrival-time across the compaction boundary: doc 4 == doc 1's
+    # text but a shifted q̂
+    assert got[1] != got[4]
