@@ -177,6 +177,7 @@ HEADLINE = [
     "m76_ingest_spans",
     "m77_incremental_dsir",
     "m78_hybrid_retrieval",
+    "m79_bm25_from_index",
 ]
 
 WARMUP_SF = "/root/testdata/sf0.001"

@@ -815,3 +815,31 @@ ORDER BY query_id, rank
 
 QUERIES["m78_hybrid_retrieval"] = m78_hybrid_retrieval
 ORACLES["m78_hybrid_retrieval"] = M78_SQL
+
+
+# ---------------------------------------------------------------------------
+# M79 — BM25 over the persisted inverted index (build-once/search-many,
+# the lexical twin of m17's IVF pattern): the index path must produce
+# byte-identical scores to the from-scratch m74, so its ORACLE IS
+# m74's SQL — two engine paths, one certified answer.
+# ---------------------------------------------------------------------------
+
+
+def m79_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores_from_index,
+        build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = build_bm25_index(docs)
+    out = bm25_scores_from_index(
+        idx["postings"], idx["doclens"], _M74_TERMS
+    )
+    return out.select(
+        F.col("id").alias("doc_id"), "n_hit_terms", "score"
+    ).orderBy("doc_id")
+
+
+QUERIES["m79_bm25_from_index"] = m79_bm25_from_index
+ORACLES["m79_bm25_from_index"] = M74_SQL

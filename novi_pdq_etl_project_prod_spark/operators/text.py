@@ -1238,19 +1238,43 @@ def bm25_scores(
     )
     tf = hits.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # rational constants: k1+1 = (k1n+k1d)/k1d; k1(1-b) = k1n(bd-bn)/(k1d·bd);
-    # k1·b = k1n·bn/(k1d·bd). Multiply numerator and denominator by k1d·bd·S:
-    #   A = (k1n+k1d)·bd, B = k1d·bd, C = k1n·(bd−bn), D = k1n·bn
+    return _bm25_score_terms(
+        tf, dfreq, dl, stats, k1_num, k1_den, b_num, b_den
+    )
+
+
+def _bm25_score_terms(
+    tf: DataFrame,
+    dfreq: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    k1_num: int,
+    k1_den: int,
+    b_num: int,
+    b_den: int,
+) -> DataFrame:
+    """The shared BM25 scoring tree over (id, term, tf) hits, the
+    |q|-row (term, df) map, (id, dl) doc lengths, and 1-row corpus
+    stats — used by both the from-scratch path (:func:`bm25_scores`)
+    and the persisted-index path (:func:`bm25_scores_from_index`), so
+    the two can never diverge.
+
+    Rational constants: k1+1 = (k1n+k1d)/k1d; k1(1-b) = k1n(bd-bn)/
+    (k1d·bd); k1·b = k1n·bn/(k1d·bd). Multiplying numerator and
+    denominator by k1d·bd·S gives exact integer coefficients
+    A = (k1n+k1d)·bd, B = k1d·bd, C = k1n·(bd−bn), D = k1n·bn.
+
+    The products are formed in DOUBLE, not BIGINT: at the 100 TB
+    regime B·tf·Σdl exceeds 2⁶³ (Σdl ~2e13 × a spammy doc's tf wraps
+    silently under non-ANSI Spark while the oracle errors) — double
+    products of the same integer inputs in the same order stay an
+    identical IEEE tree in both engines.
+    """
     A = (k1_num + k1_den) * b_den
     B = k1_den * b_den
     C = k1_num * (b_den - b_num)
     D = k1_num * b_num
     idf = F.log(2 * F.col("n_docs") + 2) - F.log(2 * F.col("df") + 1)
-    # the numerator/denominator products are formed in DOUBLE, not
-    # BIGINT: at the 100 TB regime B·tf·Σdl exceeds 2⁶³ (Σdl ~2e13 ×
-    # a spammy doc's tf wraps silently under non-ANSI Spark while the
-    # oracle errors) — double products of the same integer inputs in
-    # the same order stay an identical IEEE tree in both engines
     tf_d = F.col("tf").cast("double")
     s_d = F.col("dl_sum").cast("double")
     dl_d = F.col("dl").cast("double")
@@ -1275,6 +1299,80 @@ def bm25_scores(
     return scored.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hit_terms"),
         (F.sum("__tq").cast("double") / F.lit(1e6)).alias("score"),
+    )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict[str, DataFrame]:
+    """The persisted lexical index — the build-once/search-many twin
+    of the IVF dense index (m17's pattern, on the BM25 side): ONE
+    corpus tokenize produces
+
+    - ``postings``: (term, id, tf) — the inverted index;
+    - ``doclens``: (id, dl) — derived as Σtf per doc, no second pass.
+
+    Everything else BM25 needs is DERIVED from these at search time in
+    index-sized (never corpus-sized) aggregations: df = per-term
+    posting count, corpus stats = one aggregate over doclens. Both
+    tables are ADDITIVE under the immutable-id contract — a corpus
+    increment appends its own postings/doclens rows (O(batch) append
+    segments) and searches see the union, the same state pattern as
+    the DSIR bucket counts; no merge-on-write, and segment compaction
+    (a row union) preserves them.
+
+    Scale shape: postings are term-hash-partitioned by the groupBy —
+    a search touches |q| terms' posting lists plus one doclens
+    aggregate, not the corpus.
+    """
+    postings = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .groupBy("term", "id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doclens = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    return {"postings": postings, "doclens": doclens}
+
+
+def bm25_scores_from_index(
+    postings: DataFrame,
+    doclens: DataFrame,
+    query_terms: Sequence[str],
+    k1_num: int = 6,
+    k1_den: int = 5,
+    b_num: int = 3,
+    b_den: int = 4,
+) -> DataFrame:
+    """BM25 over a persisted inverted index (:func:`build_bm25_index`)
+    — the search-many path: no tokenization, no corpus scan; the query
+    touches |q| posting lists and one doclens aggregate. Output is
+    IDENTICAL to :func:`bm25_scores` on the same corpus (same scoring
+    tree via :func:`_bm25_score_terms`; pinned by test and by m79's
+    oracle, which is literally m74's).
+
+    Index tables may carry APPENDED increment rows (delta segments):
+    tf/dl are summed per key first, so readers of accumulated state
+    need no merged index — the additive contract.
+    """
+    qlit = [str(t) for t in query_terms]
+    tf = (
+        postings.where(F.col("term").isin(qlit))
+        .groupBy("id", "term")
+        .agg(F.sum("tf").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    dl = doclens.groupBy("id").agg(F.sum("dl").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("dl_sum"),
+    )
+    return _bm25_score_terms(
+        tf, dfreq, dl, stats, k1_num, k1_den, b_num, b_den
     )
 
 

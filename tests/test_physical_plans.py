@@ -156,6 +156,8 @@ def test_no_cartesian_products_in_catalog(spark):
         "d44_fleiss_kappa",      # 1-row totals × 1-row ΣC² broadcast
                                  # (category-alphabet-bounded)
         "m74_bm25_rank",         # 1-row corpus-stats (N, Σdl) broadcast
+        "m79_bm25_from_index",   # same 1-row corpus-stats broadcast,
+                                 # derived from the doclens index table
         "m78_hybrid_retrieval",  # m74's 1-row stats + the m7/m59
                                  # brute-force dense channel by design
     }

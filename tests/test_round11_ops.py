@@ -793,3 +793,55 @@ def test_dsir_sink_state_survives_maintenance_compaction(spark, tmp_path):
     # arrival-time across the compaction boundary: doc 4 == doc 1's
     # text but a shifted q̂
     assert got[1] != got[4]
+
+
+def test_bm25_index_build_once_search_many(spark, tmp_path):
+    """The persisted inverted index (commit → read back → search)
+    scores byte-identically to the from-scratch path, and ADDITIVE
+    increments (each batch appends its own postings/doclens rows as
+    delta segments) reconstruct the full-corpus index exactly — the
+    IVF build-once/search-many pattern on the lexical side."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_tables,
+    )
+
+    batch1 = [
+        (1, "join hash join scan filter pad0 pad1"),
+        (2, "vector join stream"),
+    ]
+    batch2 = [
+        (3, "scan merge sort join join join"),
+        (4, "stream vector vector pad2 pad3 pad4 pad5"),
+    ]
+    terms = ("join", "vector", "stream")
+    full = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    want = {
+        r.id: (r.n_hit_terms, r.score)
+        for r in bm25_scores(full, terms).collect()
+    }
+
+    root = str(tmp_path / "wh")
+    for i, rows in enumerate((batch1, batch2)):
+        idx = build_bm25_index(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        )
+        commit_tables(
+            {"bm25_postings": idx["postings"], "bm25_doclens": idx["doclens"]},
+            root,
+            "curated",
+            append_tables=("bm25_postings", "bm25_doclens") if i else (),
+        )
+    tables = read_manifest_tables(spark, root, "curated")
+    got = {
+        r.id: (r.n_hit_terms, r.score)
+        for r in bm25_scores_from_index(
+            tables["bm25_postings"], tables["bm25_doclens"], terms
+        ).collect()
+    }
+    assert got == want
