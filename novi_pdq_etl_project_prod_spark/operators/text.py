@@ -1220,14 +1220,16 @@ def bm25_scores(
     toks = df.select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__t")
     )
-    # (id, dl) is persisted: three consumers (the per-term join, the
-    # 1-row stats aggregate, and nothing else) would otherwise each
-    # re-tokenize the corpus. Two corpus passes remain by design — the
-    # tf explode needs the token ARRAYS, whose persist would cost
-    # corpus-sized memory for one reuse; dl is two longs per doc.
-    dl = cache.track(
-        toks.select("id", F.size("__t").alias("dl")), eager=True
-    )
+    # (id, dl) is persisted: two consumers (the per-doc join and the
+    # 1-row stats aggregate) would otherwise each re-tokenize the
+    # corpus. LAZY persist, not eager: the stats side materializes as
+    # a broadcast job the main stages must wait on, so that job fills
+    # the cache first — no race — while an eager count() would charge
+    # a full corpus scan to callers that only build/explain the plan
+    # (round-11 continuation review). Two corpus passes remain by
+    # design — the tf explode needs the token ARRAYS, whose persist
+    # would cost corpus-sized memory; dl is two longs per doc.
+    dl = cache.track(toks.select("id", F.size("__t").alias("dl")))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("dl_sum"),
@@ -1323,19 +1325,29 @@ def build_bm25_index(
     the DSIR bucket counts; no merge-on-write, and segment compaction
     (a row union) preserves them.
 
+    doclens comes from the DOC frame, not from a postings rollup: a
+    zero-token doc (empty/whitespace/NULL text) has no postings row
+    but still counts in n_docs — deriving dl as Σtf would shift idf
+    for every term and desynchronize this path from
+    :func:`bm25_scores` and the m74 oracle (round-11 review). dl is
+    NULL for NULL text and 0 for empty — exactly the from-scratch
+    frame (count(*) includes them, sum skips NULL).
+
     Scale shape: postings are term-hash-partitioned by the groupBy —
     a search touches |q| terms' posting lists plus one doclens
-    aggregate, not the corpus.
+    aggregate, not the corpus. The build pays the same two corpus
+    passes as :func:`bm25_scores` (the token-array persist is the
+    corpus-memory trade documented there).
     """
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__t")
+    )
     postings = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
+        toks.select("id", F.explode("__t").alias("term"))
         .groupBy("term", "id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    doclens = postings.groupBy("id").agg(F.sum("tf").alias("dl"))
+    doclens = toks.select("id", F.size("__t").alias("dl"))
     return {"postings": postings, "doclens": doclens}
 
 
@@ -1554,7 +1566,13 @@ def incremental_dsir_logweights(
     # universe dense, an unseen bucket scores the Laplace floor
     # ln(1) − ln(1) + ln(Tr+B) − ln(Tt+B), the correct smoothed ratio.
     universe = spark.range(n_buckets).select(F.col("id").alias("b"))
-    tgt_sum = target_counts.groupBy("b").agg(F.sum("n").alias("__ct"))
+    # the B-bounded count sums are persisted: the bucket guard below
+    # executes them for its max(b) probe, and scoring consumes them
+    # again — uncached, each pass re-scans every delta segment of the
+    # standing tables (round-11 continuation review)
+    tgt_sum = cache.track(
+        target_counts.groupBy("b").agg(F.sum("n").alias("__ct"))
+    )
 
     def _check_buckets(counts: DataFrame, label: str) -> None:
         # a count table seeded with a DIFFERENT n_buckets would have
@@ -1575,8 +1593,8 @@ def incremental_dsir_logweights(
     if standing_raw_counts is None:
         raw_b = tgt_b.select("b", F.lit(0).cast("long").alias("cr")).limit(0)
     else:
-        raw_b = standing_raw_counts.groupBy("b").agg(
-            F.sum("n").alias("cr")
+        raw_b = cache.track(
+            standing_raw_counts.groupBy("b").agg(F.sum("n").alias("cr"))
         )
         _check_buckets(raw_b, "standing_raw_counts")
     weights = _dsir_score(

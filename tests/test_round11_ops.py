@@ -700,7 +700,6 @@ def test_dsir_sink_state_survives_maintenance_compaction(spark, tmp_path):
     matches the arrival-time Python model (compaction is a row union,
     so the additive count state is preserved bit-for-bit), and the
     segment list actually shrank."""
-    import shutil
     import time as _time
 
     from pyspark.sql import functions as F
@@ -818,6 +817,9 @@ def test_bm25_index_build_once_search_many(spark, tmp_path):
     batch2 = [
         (3, "scan merge sort join join join"),
         (4, "stream vector vector pad2 pad3 pad4 pad5"),
+        (5, ""),        # zero-token docs must still count in n_docs
+        (6, None),      # (round-11 continuation review: doclens from
+        (7, "   "),     #  the doc frame, not a postings rollup)
     ]
     terms = ("join", "vector", "stream")
     full = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
