@@ -1676,3 +1676,78 @@ def stream_dsir_weights(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_bm25_index(
+    stream: DataFrame,
+    root: str,
+    layer: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_table: str = "bm25_postings",
+    doclens_table: str = "bm25_doclens",
+) -> None:
+    """Streaming maintenance of the persisted BM25 inverted index
+    (``operators.text.build_bm25_index``): each micro-batch appends its
+    own (term, id, tf) postings and (id, dl) doclens rows as delta
+    segments — O(batch) commits, one atomic marker-gated manifest per
+    trigger, exactly-once under replay. Searches read the accumulated
+    tables through ``bm25_scores_from_index``, which sums per key, so
+    no merge-on-write and no special compaction handling (the additive
+    contract shared with the DSIR bucket counts).
+
+    Immutable-id contract (stated, not hidden): a doc id must enter the
+    index at most once — re-ingesting an id would double its tf/dl.
+    Upstream, that is exactly what the exact-dedup pre-filter
+    guarantees (``stream_incremental_exact_dups`` /
+    ``run_incremental_ingest``): this sink indexes an ALREADY-DEDUPED
+    stream, the reference's staging→curated layering applied to search.
+    """
+    from novi_pdq_etl_project_prod_spark import cache
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        build_bm25_index,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    marker = batch_marker_key(checkpoint_dir)
+    _maybe_migrate_legacy(root, layer, checkpoint_dir)
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = _last_applied_batch(root, layer, marker)
+        if last is not None and _batch_id <= last:
+            return  # replayed batch: its postings are in
+        batch_df = batch_df.persist()
+        try:
+            with cache.scope():
+                idx = build_bm25_index(batch_df, id_col, text_col)
+                postings = cache.track(idx["postings"])
+                doclens = cache.track(idx["doclens"])
+                tables = {
+                    t: df
+                    for t, df in (
+                        (postings_table, postings),
+                        (doclens_table, doclens),
+                    )
+                    if not df.isEmpty()
+                }
+                commit_tables(
+                    tables,
+                    root,
+                    layer,
+                    meta={marker: _batch_id},
+                    append_tables=tuple(tables),
+                )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(_ingest)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -847,3 +847,65 @@ def test_bm25_index_build_once_search_many(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_bm25_index_matches_from_scratch(spark, tmp_path):
+    """The streaming index sink over 2 increments: searching the
+    accumulated delta segments equals from-scratch BM25 on the union
+    corpus exactly (including a zero-token doc that must count in
+    n_docs); checkpoint-loss replay is a no-op (no double-counted
+    postings)."""
+    import shutil
+    import time as _time
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores,
+        bm25_scores_from_index,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_bm25_index,
+    )
+
+    batch1 = [(1, "join hash join scan filter pad0 pad1"), (2, "vector join")]
+    batch2 = [(3, "stream vector vector pad2 pad3"), (4, "")]
+    terms = ("join", "vector", "stream")
+    updates_dir = str(tmp_path / "docs")
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        _time.sleep(1.1)
+    root = str(tmp_path / "wh")
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        stream_bm25_index(stream, root, "curated", chk)
+
+    _run()
+    full = spark.createDataFrame(batch1 + batch2, "doc_id long, text string")
+    want = {
+        r.id: (r.n_hit_terms, r.score)
+        for r in bm25_scores(full, terms).collect()
+    }
+
+    def _search():
+        tables = read_manifest_tables(spark, root, "curated")
+        return {
+            r.id: (r.n_hit_terms, r.score)
+            for r in bm25_scores_from_index(
+                tables["bm25_postings"], tables["bm25_doclens"], terms
+            ).collect()
+        }
+
+    assert _search() == want
+    shutil.rmtree(chk)
+    _run()  # replay: marker-gated no-op, postings not double-counted
+    assert _search() == want
