@@ -487,7 +487,12 @@ def test_commit_tables_concurrent_writers_serialize(spark, tmp_path):
     for t in threads:
         t.start()
     for t in threads:
-        t.join(timeout=120)
+        # generous: under the 6-way sharded suite this box queues six
+        # JVMs' jobs — a 120s join expired once with writer B still
+        # mid-commit, and the assert then saw the INITIAL set (not a
+        # blend, just an unfinished writer) and misreported
+        t.join(timeout=600)
+    assert not any(t.is_alive() for t in threads), "writer still running"
     assert not errors, errors
     final = _read_set(spark, root)
     assert final in (
