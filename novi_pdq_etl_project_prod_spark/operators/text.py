@@ -1578,7 +1578,14 @@ def incremental_dsir_logweights(
         # a count table seeded with a DIFFERENT n_buckets would have
         # its >= n_buckets rows silently dropped by the universe join,
         # skewing every weight with no error — B-bounded aggregate, so
-        # the guard costs one tiny job (round-11 review)
+        # the guard costs one tiny job (round-11 review). Residual hole
+        # (ADVICE r11): this probe is ONE-SIDED — a table built with a
+        # SMALLER n_buckets (128 read at 256) passes max(b) < 256 yet
+        # buckets every token differently. Frame-level code cannot see
+        # provenance; the durable closure lives at the sink/commit
+        # layer, where stream_dsir_weights and retract_docs record
+        # dsir_n_buckets:<table> in the manifest meta and refuse a
+        # mismatched run.
         m = counts.agg(F.max("b").alias("m")).first().m
         if m is not None and m >= n_buckets:
             raise ValueError(

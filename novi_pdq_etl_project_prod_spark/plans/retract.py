@@ -1,0 +1,307 @@
+"""Retraction — propagate curation drops through the standing-state
+tables (VERDICT r11 #1).
+
+The engine's ingest surface accumulates APPEND-shaped standing state
+(content hashes, MinHash signatures, gram sets, BM25 postings/doclens,
+DSIR bucket counts — ``plans.ingest.INGEST_TABLES``,
+``operators.text.build_bm25_index``, ``dsir_bucket_counts``) under an
+immutable-id contract, while its curation surface produces corpora that
+SHRINK: near-dup canonicalization drop lists
+(``operators.dedup.canonicalize_clusters``) and span excision
+(``excise_repeated_spans``). Without retraction the two don't compose —
+a post-curation BM25 search still scores dropped docs and carries their
+df/idf mass. The reference's table contract includes exactly this
+delete path: the idempotent delete-month-then-append
+(``spark_jobs/transform_operator.py:16-31``,
+``dags/pdq_etl_dag.py:183-187``) retracts a slice before reloading it;
+this module is that contract for append-shaped state.
+
+Design — tombstones now, physical delete at compaction (the Delta-style
+deletion-vector split, expressed on the existing manifest/CAS
+machinery):
+
+- :func:`retract_docs` commits, through ONE atomic manifest
+  (``commit_tables``), (a) the drop ids as a new SEGMENT of the layer's
+  tombstone table and (b) for each registered DSIR bucket-count table a
+  NEGATIVE delta segment computed from the dropped docs' text. Cost is
+  O(drop): nothing standing is scanned, rewritten, or shuffled.
+- Readers of DOC-KEYED state anti-join the tombstone set
+  (:func:`retract_ids` / :func:`read_live_table`) — a broadcast
+  map-side filter, since tombstones are bounded by drops since the last
+  compaction. ADDITIVE count tables need no reader change: they are
+  already summed per key, and the negative segments cancel the dropped
+  docs' mass exactly.
+- :func:`compact_retractions` is the amortized physical delete: ONE
+  manifest commit rewrites every doc-keyed table anti-joined against
+  the tombstones (whole-snapshot commits reset their segment lists —
+  the same rewrite a segment compaction pays) and drops the tombstone
+  table. Reads before and after the compaction are identical; the
+  rewrite is CAS-protected against concurrent ingest.
+
+Exactly-once: every retraction carries a caller-supplied
+``retraction_id``; its marker rides the same atomic commit
+(``retraction:<id>`` in the manifest meta) and a replay is a no-op.
+Markers are KEPT after compaction — clearing them would re-open the
+double-subtract window for a late replay of an old retraction (the
+additive DSIR deltas are not idempotent); one tiny meta key per
+retraction is the price of that safety.
+
+Post-retraction semantics (the certified claim — catalog m80/m81/m82):
+every reader sees exactly the state a from-scratch build over the
+SURVIVING corpus would produce. For BM25 that is m79==m74 applied after
+a drop; for DSIR the delta sums equal the survivors' counts; for the
+ingest funnel a retracted doc's hash no longer exact-drops a re-arrival
+and its signature no longer near-suppresses. The one documented
+exception is SET-shaped gram state without doc attribution
+(``gram_set``'s (gh) rows record no contributor, so subtraction is
+undefined); persist :func:`operators.dedup.doc_gram_set` rows instead
+(``run_incremental_ingest(retractable_grams=True)``) to make gram state
+retractable too — :func:`compact_retractions` skips non-attributed gram
+tables loudly rather than guessing.
+
+Id contract (tightened, stated not hidden): a retracted ID stays dead
+until :func:`compact_retractions` physically removes its rows — rows
+re-ingested under that id earlier would be silently suppressed by the
+tombstone anti-join. Retraction removes an identity; re-arrivals of the
+same CONTENT under a new fetch identity flow through the ingest funnel
+normally (and are accepted, because the retracted doc's content hash
+and signature are gone from the standing state the funnel reads).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from novi_pdq_etl_project_prod_spark.sources.layers import (
+    MedallionLayer,
+    commit_tables,
+    current_manifest_version,
+    read_manifest,
+    read_manifest_meta,
+    read_manifest_table,
+)
+
+#: Default tombstone table name — one per layer, (id,) rows.
+TOMBSTONES_TABLE = "retracted_ids"
+
+#: Default id column per standard doc-keyed state table, for
+#: :func:`compact_retractions`: the ingest funnel families
+#: (``plans.ingest.INGEST_TABLES``), the BM25 index
+#: (``stream_bm25_index``), and the DSIR weights log
+#: (``stream_dsir_weights``). Bucket-COUNT tables are deliberately
+#: absent — their retraction is the negative deltas, not an anti-join.
+RETRACT_ID_COLS: dict[str, str] = {
+    "corpus": "doc_id",
+    "content_hashes": "canonical_id",
+    "minhash_signatures": "id",
+    "standing_grams": "doc_id",
+    "bm25_postings": "id",
+    "bm25_doclens": "id",
+    "dsir_weights": "doc_id",
+}
+
+
+def retraction_marker(retraction_id: str) -> str:
+    """The manifest-meta key recording that ``retraction_id`` was
+    applied — rides the same atomic commit as the retraction itself."""
+    return f"retraction:{retraction_id}"
+
+
+def retract_ids(
+    state: DataFrame, tombstones: DataFrame | None, id_col: str
+) -> DataFrame:
+    """Filter doc-keyed standing state against a tombstone set — the
+    reader-side half of the retraction contract. ``tombstones`` is a
+    1-column id frame (possibly with duplicate rows across retraction
+    segments — anti-join semantics don't care); None means no
+    retractions, state passes through. Broadcast map-side: the
+    tombstone set is bounded by drops since the last compaction."""
+    if tombstones is None:
+        return state
+    tomb = tombstones.selectExpr(
+        f"{tombstones.columns[0]} AS {id_col}"
+    )
+    return state.join(F.broadcast(tomb), id_col, "left_anti")
+
+
+def read_tombstones(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    tombstones_table: str = TOMBSTONES_TABLE,
+) -> DataFrame | None:
+    """The layer's live tombstone set (None when no retraction has ever
+    committed)."""
+    return read_manifest_table(spark, root, layer, tombstones_table)
+
+
+def read_live_table(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    table: str,
+    id_col: str | None = None,
+    tombstones_table: str = TOMBSTONES_TABLE,
+) -> DataFrame | None:
+    """``read_manifest_table`` with the retraction contract applied:
+    doc-keyed tables (``id_col`` given) are anti-joined against the
+    layer's tombstones. The default id columns live in
+    :data:`RETRACT_ID_COLS`."""
+    df = read_manifest_table(spark, root, layer, table)
+    if df is None or id_col is None:
+        return df
+    return retract_ids(
+        df, read_tombstones(spark, root, layer, tombstones_table), id_col
+    )
+
+
+def dsir_negative_deltas(
+    drop_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """The (b, -n) rows that cancel ``drop_docs``' mass in an additive
+    DSIR bucket-count table: readers already sum per bucket, so after
+    this delta the sums equal a from-scratch ``dsir_bucket_counts``
+    over the surviving corpus (zero-sum buckets read as count 0, which
+    the smoothing treats identically to absent). O(drop): one tokenize
+    of the dropped docs, nothing standing touched."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+    )
+
+    return dsir_bucket_counts(
+        drop_docs, id_col, text_col, n_buckets
+    ).select("b", (-F.col("n")).alias("n"))
+
+
+def retract_docs(
+    drop_docs: DataFrame,
+    root: str,
+    layer: MedallionLayer | str,
+    retraction_id: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dsir_counts: Mapping[str, int] | None = None,
+    tombstones_table: str = TOMBSTONES_TABLE,
+) -> dict:
+    """Retract ``drop_docs`` from the layer's standing state — ONE
+    atomic manifest commit appending (a) the drop ids to the tombstone
+    table and (b) a negative delta segment per registered DSIR
+    bucket-count table (``dsir_counts`` maps table name → its
+    n_buckets; the dropped docs' TEXT is required for these, which the
+    curation ops producing drop lists hold in hand — recomputing it
+    from the corpus would make retraction O(corpus)).
+
+    Exactly-once by ``retraction_id``: the marker rides the commit; a
+    replay returns ``{"applied": False}`` without touching state.
+    Committed bytes and compute are O(drop).
+    """
+    marker = retraction_marker(retraction_id)
+    meta = read_manifest_meta(root, layer)
+    if meta.get(marker) is not None:
+        return {
+            "applied": False,
+            "retraction_id": retraction_id,
+            "reason": "already applied",
+        }
+    ids = drop_docs.select(F.col(id_col).alias("id")).distinct()
+    n_drop = ids.count()
+    dfs: dict[str, DataFrame] = {tombstones_table: ids}
+    for tbl, n_buckets in sorted((dsir_counts or {}).items()):
+        recorded = meta.get(f"dsir_n_buckets:{tbl}")
+        if recorded is not None and int(recorded) != int(n_buckets):
+            raise ValueError(
+                f"{tbl} was committed with n_buckets={recorded}; a "
+                f"retraction delta at n_buckets={n_buckets} would skew "
+                "every weight (ADVICE r11 bucket-mismatch guard)"
+            )
+        if read_manifest(root, layer).get(tbl) is None:
+            raise ValueError(
+                f"DSIR count table {tbl!r} is not in the {layer!r} "
+                "manifest: a negative-only delta would seed the table "
+                "with negative counts"
+            )
+        dfs[tbl] = dsir_negative_deltas(
+            drop_docs, id_col, text_col, int(n_buckets)
+        )
+    commit_tables(
+        dfs,
+        root,
+        layer,
+        meta={
+            marker: {
+                "n_docs": n_drop,
+                "dsir_tables": sorted(dsir_counts or {}),
+            }
+        },
+        append_tables=tuple(dfs),
+    )
+    return {"applied": True, "retraction_id": retraction_id, "n_docs": n_drop}
+
+
+def compact_retractions(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    id_cols: Mapping[str, str] | None = None,
+    tombstones_table: str = TOMBSTONES_TABLE,
+) -> dict:
+    """The amortized physical delete: rewrite every doc-keyed table
+    anti-joined against the live tombstone set and DROP the tombstone
+    table, all in ONE atomic manifest commit (whole-snapshot entries —
+    segment lists reset, exactly like a segment compaction). Reads
+    through :func:`read_live_table` are IDENTICAL before and after;
+    the difference is that the dropped rows stop costing scan bytes
+    and the tombstone anti-join disappears.
+
+    ``id_cols`` (default :data:`RETRACT_ID_COLS`) must cover every
+    doc-keyed table in the layer — an uncovered table would resurface
+    its retracted rows once the tombstones are gone, so uncovered
+    manifest tables are listed in the report's ``"untouched"`` for the
+    operator to audit. Tables named in ``id_cols`` whose live schema
+    lacks the id column (e.g. a legacy set-shaped gram table) are
+    SKIPPED loudly in ``"skipped"`` rather than guessed at.
+
+    CAS-protected: the commit pins the manifest version read at the
+    start; a concurrent ingest commit raises ``SnapshotConflictError``
+    (retry on the next maintenance tick) instead of silently dropping
+    its appended segments.
+    """
+    id_cols = dict(RETRACT_ID_COLS if id_cols is None else id_cols)
+    base = current_manifest_version(root, layer)
+    tomb = read_manifest_table(spark, root, layer, tombstones_table)
+    if tomb is None:
+        return {"applied": False, "reason": "no tombstones"}
+    manifest = set(read_manifest(root, layer)) - {tombstones_table}
+    rewrite: dict[str, DataFrame] = {}
+    skipped: dict[str, str] = {}
+    for tbl in sorted(manifest & set(id_cols)):
+        df = read_manifest_table(spark, root, layer, tbl)
+        idc = id_cols[tbl]
+        if idc not in df.columns:
+            skipped[tbl] = (
+                f"id column {idc!r} absent (not doc-attributed; rows "
+                "retained — see doc_gram_set for retractable gram state)"
+            )
+            continue
+        rewrite[tbl] = retract_ids(df, tomb, idc)
+    n_tomb = tomb.count()
+    commit_tables(
+        rewrite,
+        root,
+        layer,
+        expected_base=base,
+        drop_tables=(tombstones_table,),
+    )
+    return {
+        "applied": True,
+        "tombstones": n_tomb,
+        "rewritten": sorted(rewrite),
+        "skipped": skipped,
+        "untouched": sorted(manifest - set(id_cols)),
+    }

@@ -1567,6 +1567,8 @@ def stream_dsir_weights(
     target_counts_table: str = "dsir_target_buckets",
     raw_counts_table: str = "dsir_raw_buckets",
     weights_table: str = "dsir_weights",
+    maintenance_every: int | None = None,
+    maintenance_kwargs: dict | None = None,
 ) -> None:
     """Streaming DSIR scoring — the production form of
     ``operators.text.incremental_dsir_logweights`` and the fourth
@@ -1596,6 +1598,19 @@ def stream_dsir_weights(
     dsir_bucket_counts(target)})``); the sink raises if it is absent —
     scoring against an implicit empty target would silently invert the
     signal.
+
+    n_buckets provenance (ADVICE r11): the scoring op's max(b) probe is
+    one-sided — a count table built with a SMALLER n_buckets (128 read
+    at 256) passes it and silently skews every weight. This sink closes
+    the hole at the durability layer: it records
+    ``dsir_n_buckets:<table>`` in the commit meta for both count tables
+    and refuses to run when a recorded value disagrees with its own.
+
+    ``maintenance_every``/``maintenance_kwargs``: the same every-Nth-
+    batch :func:`plans.maintenance.run_maintenance_tick` cadence as
+    ``run_incremental_ingest`` — bounds the delta-segment accumulation
+    this sink's O(batch) appends otherwise leave to an external
+    scheduler.
     """
     from novi_pdq_etl_project_prod_spark import cache
     from novi_pdq_etl_project_prod_spark.operators.text import (
@@ -1603,11 +1618,16 @@ def stream_dsir_weights(
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
+        read_manifest_meta,
         read_manifest_table,
     )
 
     marker = batch_marker_key(checkpoint_dir)
     _maybe_migrate_legacy(root, layer, checkpoint_dir)
+    bucket_keys = {
+        f"dsir_n_buckets:{t}": n_buckets
+        for t in (target_counts_table, raw_counts_table)
+    }
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1619,6 +1639,16 @@ def stream_dsir_weights(
         batch_df = batch_df.persist()
         try:
             with cache.scope():
+                recorded_meta = read_manifest_meta(root, layer)
+                for key, want in bucket_keys.items():
+                    got = recorded_meta.get(key)
+                    if got is not None and int(got) != int(want):
+                        raise ValueError(
+                            f"{key} recorded as {got} but this sink runs "
+                            f"n_buckets={want}: md5%{got} and md5%{want} "
+                            "bucket the same token differently — every "
+                            "weight would silently skew (ADVICE r11)"
+                        )
                 target = read_manifest_table(
                     spark, root, layer, target_counts_table
                 )
@@ -1662,9 +1692,13 @@ def stream_dsir_weights(
                     tables,
                     root,
                     layer,
-                    meta={marker: _batch_id},
+                    meta={marker: _batch_id, **bucket_keys},
                     append_tables=tuple(tables),
                 )
+            _maybe_maintenance(
+                spark, root, layer, _batch_id,
+                maintenance_every, maintenance_kwargs,
+            )
         finally:
             batch_df.unpersist()
 
@@ -1678,6 +1712,27 @@ def stream_dsir_weights(
     q.awaitTermination()
 
 
+def _maybe_maintenance(
+    spark,
+    root: str,
+    layer: str,
+    batch_id: int,
+    every: int | None,
+    kwargs: dict | None,
+) -> None:
+    """Every-Nth-batch maintenance cadence shared by the incremental-
+    state sinks (VERDICT r11 #7): runs
+    :func:`plans.maintenance.run_maintenance_tick` AFTER the batch's
+    commit. Idempotent and CAS-protected, so safe under replay (a
+    replayed batch skips its commit and never reaches this hook)."""
+    if every and batch_id % every == 0:
+        from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+            run_maintenance_tick,
+        )
+
+        run_maintenance_tick(spark, root, layer, **(kwargs or {}))
+
+
 def stream_bm25_index(
     stream: DataFrame,
     root: str,
@@ -1687,6 +1742,8 @@ def stream_bm25_index(
     text_col: str = "text",
     postings_table: str = "bm25_postings",
     doclens_table: str = "bm25_doclens",
+    maintenance_every: int | None = None,
+    maintenance_kwargs: dict | None = None,
 ) -> None:
     """Streaming maintenance of the persisted BM25 inverted index
     (``operators.text.build_bm25_index``): each micro-batch appends its
@@ -1703,6 +1760,17 @@ def stream_bm25_index(
     guarantees (``stream_incremental_exact_dups`` /
     ``run_incremental_ingest``): this sink indexes an ALREADY-DEDUPED
     stream, the reference's staging→curated layering applied to search.
+    Retraction composes downstream: readers filter the accumulated
+    tables against the layer's tombstones (``plans.retract``). The id
+    contract tightens accordingly: a RETRACTED id stays dead until
+    :func:`plans.retract.compact_retractions` physically removes its
+    rows — re-ingesting it earlier would be silently suppressed by the
+    tombstone anti-join. Re-arrivals of the same CONTENT under a new id
+    (a fresh fetch identity) are unaffected.
+
+    ``maintenance_every``/``maintenance_kwargs``: optional every-Nth-
+    batch :func:`plans.maintenance.run_maintenance_tick` cadence
+    (VERDICT r11 #7) — same contract as ``run_incremental_ingest``.
     """
     from novi_pdq_etl_project_prod_spark import cache
     from novi_pdq_etl_project_prod_spark.operators.text import (
@@ -1740,6 +1808,10 @@ def stream_bm25_index(
                     meta={marker: _batch_id},
                     append_tables=tuple(tables),
                 )
+            _maybe_maintenance(
+                batch_df.sparkSession, root, layer, _batch_id,
+                maintenance_every, maintenance_kwargs,
+            )
         finally:
             batch_df.unpersist()
 
