@@ -448,3 +448,57 @@ def test_ingest_span_stage_stream_matches_batch(spark, tmp_path):
     counts2 = read_manifest_meta(root, "curated")["ingest_counts:corpus"]
     assert counts2["span_docs"] == 3          # carried, not erased
     assert counts2["accepted"] == 6           # doc 7 admitted
+
+
+def test_maintenance_cadence_hook(spark, tmp_path):
+    """maintenance_every=N runs the tick inside the sink: with a tight
+    segment threshold the standing tables get compacted on cadence
+    (segment count bounded, contents identical); with default
+    thresholds the tick is pure audit — NO extra commits, no churn
+    (VERDICT r11 #7's no-churn-at-cadence claim)."""
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        run_incremental_ingest,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        manifest_history,
+        read_manifest_tables,
+        segment_count,
+    )
+
+    def _drive(root, chk, updates_dir, **kw):
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(updates_dir)
+        )
+        run_incremental_ingest(stream, root, "curated", chk, RULES, **kw)
+
+    updates_dir = str(tmp_path / "docs")
+    for rows in BATCHES:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(updates_dir)
+        time.sleep(1.1)
+
+    # no-churn lane: cadence fires every batch, thresholds never trip ->
+    # exactly the 3 ingest commits, nothing rewritten
+    root_a = str(tmp_path / "wh_a")
+    _drive(root_a, str(tmp_path / "chk_a"), updates_dir,
+           maintenance_every=1)
+    assert len(manifest_history(root_a, "curated")) == 3
+
+    # compaction lane: 1-segment threshold -> every standing table is
+    # kept compact by the cadence, contents equal to the no-churn lane
+    root_b = str(tmp_path / "wh_b")
+    _drive(root_b, str(tmp_path / "chk_b"), updates_dir,
+           maintenance_every=1,
+           maintenance_kwargs={"max_segments": 1})
+    assert segment_count(root_b, "curated", "content_hashes") == 1
+    ta = read_manifest_tables(spark, root_a, "curated")
+    tb = read_manifest_tables(spark, root_b, "curated")
+    assert sorted(map(tuple, ta["corpus"].collect())) == sorted(
+        map(tuple, tb["corpus"].collect())
+    )
+    assert sorted(map(tuple, ta["content_hashes"].collect())) == sorted(
+        map(tuple, tb["content_hashes"].collect())
+    )

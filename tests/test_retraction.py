@@ -1,0 +1,405 @@
+"""Retraction through the standing-state tables (plans/retract.py,
+VERDICT r11 #1): post-retraction reads equal a from-scratch build on the
+surviving corpus (the m79==m74 pattern applied after a drop), replays
+are no-ops, compaction makes the delete physical, and the ingest funnel
+re-admits retracted content under a new id."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+TERMS = ("join", "vector", "stream")
+
+DOCS = [
+    (1, "join the stream of records and join again for vector work"),
+    (2, "vector search over a stream needs a fast join plan"),
+    (3, "wholly unrelated prose about gardens and weather patterns"),
+    (4, "stream stream stream join vector join stream"),
+    (5, "short vector note"),
+    (6, "another document that says nothing about retrieval at all"),
+    (7, "join vector stream join vector stream join vector stream"),
+    (8, "final doc mentions join once amid other filler words here"),
+]
+DROP_IDS = {2, 4, 7}
+
+
+def _docs(spark, rows=DOCS):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _survivors(spark):
+    return _docs(spark, [r for r in DOCS if r[0] not in DROP_IDS])
+
+
+def _bm25_rows(df):
+    return sorted((r.id, r.n_hit_terms, r.score) for r in df.collect())
+
+
+def test_retract_bm25_index_equals_from_scratch(spark, tmp_path):
+    """Tombstone-filtered postings/doclens score IDENTICALLY to a
+    from-scratch BM25 over the surviving corpus; a replayed retraction
+    (same id) is a no-op; cost shape: the retraction commit appends one
+    tombstone segment, never rewriting the index tables."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        segment_count,
+    )
+
+    root = str(tmp_path / "wh")
+    # two increments -> two append segments per index table
+    for rows in (DOCS[:4], DOCS[4:]):
+        idx = build_bm25_index(_docs(spark, rows))
+        commit_tables(
+            {"bm25_postings": idx["postings"], "bm25_doclens": idx["doclens"]},
+            root,
+            "curated",
+            append_tables=("bm25_postings", "bm25_doclens"),
+        )
+    drop = _docs(spark, [r for r in DOCS if r[0] in DROP_IDS])
+    rep = retract_docs(drop, root, "curated", "cur-2026-08-a")
+    assert rep == {
+        "applied": True, "retraction_id": "cur-2026-08-a", "n_docs": 3,
+    }
+    # index tables untouched (still 2 segments each — O(drop) commit)
+    assert segment_count(root, "curated", "bm25_postings") == 2
+    assert segment_count(root, "curated", "bm25_doclens") == 2
+
+    post = read_live_table(spark, root, "curated", "bm25_postings", "id")
+    dl = read_live_table(spark, root, "curated", "bm25_doclens", "id")
+    got = _bm25_rows(bm25_scores_from_index(post, dl, TERMS))
+    want = _bm25_rows(bm25_scores(_survivors(spark), TERMS))
+    assert got == want and len(got) > 0
+
+    # replay: same retraction_id -> no-op, state byte-identical
+    rep2 = retract_docs(drop, root, "curated", "cur-2026-08-a")
+    assert rep2["applied"] is False
+    post2 = read_live_table(spark, root, "curated", "bm25_postings", "id")
+    assert sorted(map(tuple, post2.collect())) == sorted(
+        map(tuple, post.collect())
+    )
+
+
+def test_retract_dsir_counts_and_guards(spark, tmp_path):
+    """Negative bucket deltas cancel the dropped docs' mass exactly
+    (summed live counts == from-scratch counts over survivors, zero-sum
+    buckets aside), and the provenance guards refuse a mismatched
+    n_buckets or an unseeded table."""
+    import pytest
+
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path / "wh")
+    b = 64
+    for rows in (DOCS[:4], DOCS[4:]):
+        commit_tables(
+            {"dsir_raw_buckets": dsir_bucket_counts(_docs(spark, rows), n_buckets=b)},
+            root,
+            "curated",
+            meta={"dsir_n_buckets:dsir_raw_buckets": b},
+            append_tables=("dsir_raw_buckets",),
+        )
+    drop = _docs(spark, [r for r in DOCS if r[0] in DROP_IDS])
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        retract_docs(
+            drop, root, "curated", "bad-b",
+            dsir_counts={"dsir_raw_buckets": 128},
+        )
+    with pytest.raises(ValueError, match="not in"):
+        retract_docs(
+            drop, root, "curated", "bad-t",
+            dsir_counts={"dsir_other_buckets": b},
+        )
+
+    retract_docs(
+        drop, root, "curated", "cur-dsir",
+        dsir_counts={"dsir_raw_buckets": b},
+    )
+    live = (
+        read_live_table(spark, root, "curated", "dsir_raw_buckets")
+        .groupBy("b").agg(F.sum("n").alias("n"))
+        .where(F.col("n") != 0)
+    )
+    want = dsir_bucket_counts(_survivors(spark), n_buckets=b)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_compact_retractions_physical_delete(spark, tmp_path):
+    """One manifest commit rewrites every doc-keyed table anti-joined,
+    drops the tombstones, resets segment lists; reads are identical
+    before/after; non-attributed gram tables are skipped loudly and
+    uncovered tables reported."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        doc_gram_set,
+        gram_set,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        build_bm25_index,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        compact_retractions,
+        read_live_table,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+        read_manifest_meta,
+        read_manifest_table,
+        segment_count,
+    )
+
+    root = str(tmp_path / "wh")
+    docs = _docs(spark)
+    idx = build_bm25_index(docs)
+    commit_tables(
+        {
+            "corpus": docs,
+            "bm25_postings": idx["postings"],
+            "bm25_doclens": idx["doclens"],
+            # legacy SET-shaped gram table (no doc attribution)
+            "standing_grams": gram_set(docs, k=3),
+            # a table outside RETRACT_ID_COLS
+            "aux_scores": docs.select("doc_id", F.length("text").alias("s")),
+        },
+        root,
+        "curated",
+        append_tables=("bm25_postings",),
+    )
+    drop = _docs(spark, [r for r in DOCS if r[0] in DROP_IDS])
+    retract_docs(drop, root, "curated", "cur-x")
+
+    before = sorted(
+        map(tuple, read_live_table(
+            spark, root, "curated", "bm25_postings", "id").collect())
+    )
+    rep = compact_retractions(spark, root, "curated")
+    assert rep["applied"] is True
+    assert rep["rewritten"] == [
+        "bm25_doclens", "bm25_postings", "corpus",
+    ]
+    assert "standing_grams" in rep["skipped"]
+    assert rep["untouched"] == ["aux_scores"]
+    assert "retracted_ids" not in read_manifest(root, "curated")
+    # physical: direct manifest read (no tombstone filter) lacks drops
+    raw_corpus = read_manifest_table(spark, root, "curated", "corpus")
+    assert {r.doc_id for r in raw_corpus.collect()} == {1, 3, 5, 6, 8}
+    assert segment_count(root, "curated", "bm25_postings") == 1
+    after = sorted(
+        map(tuple, read_live_table(
+            spark, root, "curated", "bm25_postings", "id").collect())
+    )
+    assert after == before
+    # the retraction marker is KEPT (replay of cur-x stays a no-op)
+    assert read_manifest_meta(root, "curated")["retraction:cur-x"][
+        "n_docs"
+    ] == 3
+    # doc-attributed gram state IS retractable: same drop, fresh layer
+    root2 = str(tmp_path / "wh2")
+    commit_tables(
+        {"standing_grams": doc_gram_set(docs, k=3)}, root2, "curated"
+    )
+    retract_docs(drop, root2, "curated", "cur-y")
+    rep2 = compact_retractions(spark, root2, "curated")
+    assert rep2["rewritten"] == ["standing_grams"]
+    got_gh = {
+        r.gh
+        for r in read_manifest_table(
+            spark, root2, "curated", "standing_grams"
+        ).collect()
+    }
+    want_gh = {r.gh for r in gram_set(_survivors(spark), k=3).collect()}
+    assert got_gh == want_gh
+
+
+def test_stream_retractions_replay_no_double_subtract(spark, tmp_path):
+    """The streaming retraction sink applies each drop batch exactly
+    once: a checkpoint-loss replay changes nothing — the correctness
+    line for the non-idempotent negative deltas."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import read_live_table
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        manifest_history,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_retractions,
+    )
+
+    root = str(tmp_path / "wh")
+    b = 64
+    commit_tables(
+        {"dsir_raw_buckets": dsir_bucket_counts(_docs(spark), n_buckets=b)},
+        root,
+        "curated",
+        append_tables=("dsir_raw_buckets",),
+    )
+    drops_dir = str(tmp_path / "drops")
+    for ids in ((2,), (4, 7)):
+        _docs(spark, [r for r in DOCS if r[0] in ids]).coalesce(1).write.mode(
+            "append"
+        ).parquet(drops_dir)
+        time.sleep(1.1)
+    chk = str(tmp_path / "chk")
+
+    def _run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(drops_dir)
+        )
+        stream_retractions(
+            stream, root, "curated", chk,
+            dsir_counts={"dsir_raw_buckets": b},
+        )
+
+    _run()
+    n_commits = len(manifest_history(root, "curated"))
+    assert n_commits == 3  # seed + 2 drop batches
+    live = (
+        read_live_table(spark, root, "curated", "dsir_raw_buckets")
+        .groupBy("b").agg(F.sum("n").alias("n")).where(F.col("n") != 0)
+    )
+    want = dsir_bucket_counts(_survivors(spark), n_buckets=b)
+    got_rows = sorted(map(tuple, live.collect()))
+    assert got_rows == sorted(map(tuple, want.collect()))
+    tomb = read_live_table(spark, root, "curated", "retracted_ids")
+    assert sorted(r.id for r in tomb.collect()) == [2, 4, 7]
+
+    # checkpoint loss: replayed batches are marker-gated no-ops
+    shutil.rmtree(chk)
+    _run()
+    assert len(manifest_history(root, "curated")) == n_commits
+    live2 = (
+        read_live_table(spark, root, "curated", "dsir_raw_buckets")
+        .groupBy("b").agg(F.sum("n").alias("n")).where(F.col("n") != 0)
+    )
+    assert sorted(map(tuple, live2.collect())) == got_rows
+
+
+def test_ingest_funnel_readmits_retracted_content(spark, tmp_path):
+    """After retracting an accepted doc, a re-arrival of its CONTENT
+    under a NEW id flows through the funnel as accepted — the standing
+    hash no longer exact-drops it and the standing signature no longer
+    near-suppresses it (the from-scratch semantics the tombstone filter
+    buys before any physical rewrite)."""
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        run_incremental_ingest,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import retract_docs
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_tables,
+    )
+
+    rules = {"min_len": "length(trim(text)) >= 10"}
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    root = str(tmp_path / "wh")
+    docs_dir = str(tmp_path / "docs")
+    chk1 = str(tmp_path / "chk1")
+
+    _docs(spark, [(1, text)]).coalesce(1).write.mode("append").parquet(
+        docs_dir
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(docs_dir)
+    )
+    run_incremental_ingest(stream, root, "curated", chk1, rules)
+
+    retract_docs(_docs(spark, [(1, text)]), root, "curated", "drop-1")
+
+    # same content, new id, fresh stream identity
+    docs2 = str(tmp_path / "docs2")
+    _docs(spark, [(2, text)]).coalesce(1).write.mode("append").parquet(docs2)
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string").parquet(docs2)
+    )
+    run_incremental_ingest(
+        stream2, root, "curated", str(tmp_path / "chk2"), rules
+    )
+
+    tables = read_manifest_tables(spark, root, "curated")
+    corpus = {r.doc_id for r in tables["corpus"].collect()}
+    assert 2 in corpus  # re-admitted, not exact_old / near_dup
+    # no dup report ever materialized (empty frames are dropped from
+    # commits — the re-arrival matched nothing standing)
+    assert (
+        "exact_dups" not in tables
+        or tables["exact_dups"].where(F.col("doc_id") == 2).count() == 0
+    )
+
+
+def test_retractable_grams_through_ingest_and_compaction(spark, tmp_path):
+    """retractable_grams=True persists doc-attributed (doc_id, gh) gram
+    state; retraction + compaction leave exactly the surviving corpus'
+    gram set, and the incremental span path reads the attributed table
+    unchanged."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import gram_set
+    from novi_pdq_etl_project_prod_spark.plans.ingest import (
+        run_incremental_ingest,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        compact_retractions,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_table,
+    )
+
+    rules = {"min_len": "length(trim(text)) >= 10"}
+    rows = [
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "eleven twelve thirteen fourteen fifteen sixteen seventeen"),
+        (3, "twenty one twenty two twenty three twenty four twenty five"),
+    ]
+    root = str(tmp_path / "wh")
+    docs_dir = str(tmp_path / "docs")
+    _docs(spark, rows).coalesce(1).write.mode("append").parquet(docs_dir)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(docs_dir)
+    )
+    run_incremental_ingest(
+        stream, root, "curated", str(tmp_path / "chk"), rules,
+        span_k=4, retractable_grams=True,
+    )
+    grams = read_manifest_table(spark, root, "curated", "standing_grams")
+    assert set(grams.columns) == {"doc_id", "gh"}
+
+    retract_docs(_docs(spark, rows[1:2]), root, "curated", "g-drop")
+    rep = compact_retractions(spark, root, "curated")
+    assert "standing_grams" in rep["rewritten"]
+    got = {
+        r.gh
+        for r in read_manifest_table(
+            spark, root, "curated", "standing_grams"
+        ).collect()
+    }
+    want = {
+        r.gh
+        for r in gram_set(
+            _docs(spark, [rows[0], rows[2]]), k=4
+        ).collect()
+    }
+    assert got == want
