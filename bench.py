@@ -178,7 +178,29 @@ HEADLINE = [
     "m77_incremental_dsir",
     "m78_hybrid_retrieval",
     "m79_bm25_from_index",
+    # round-12 additions
+    "m80_retracted_bm25",
+    "m81_retracted_dsir",
+    "m82_retracted_funnel",
+    "m83_bm25_probe_batch",
+    "m84_hybrid_batch_exact",
+    "m85_hybrid_ann",
 ]
+
+#: Iterative heavies benched in DEDICATED fresh-JVM isolation (VERDICT
+#: r11 #5): three consecutive rounds of environment flags on untouched
+#: code (m64 especially) showed in-session timings of driver-loop
+#: iterative queries track JVM/session state more than code. Each lane
+#: query runs in its own subprocess — warmup at sf0.001, then 3 timed
+#: runs — and is JUDGED on the isolated MEDIAN. NOTE: isolated absolutes
+#: read 1.2-1.6x above in-session values (single-query JVMs never reach
+#: the 140-query session's JIT steady state), so the first round under
+#: methodology 3 re-baselines them via EXPLAINED_RESHAPES.
+ISOLATED_LANE = (
+    "m63_supplier_pagerank",
+    "m64_bpe_train",
+    "m66_incremental_near_dups",
+)
 
 WARMUP_SF = "/root/testdata/sf0.001"
 
@@ -193,7 +215,13 @@ REGRESSION_THRESHOLD = 1.20
 #: "code-explained entries"). Cleared every round once the new baseline
 #: absorbs the reshape.
 EXPLAINED_RESHAPES: dict[str, str] = {
-    # (r09's m63/m24 reshape notes absorbed into the r09 baseline)
+    # round 12: the three iterative heavies moved to the dedicated
+    # fresh-JVM isolation lane (methodology 3); isolated medians read
+    # 1.2-1.6x above the in-session baselines they are compared to —
+    # a flag on them this round measures the lane move, not code.
+    "m63_supplier_pagerank": "moved to isolated-JVM bench lane (r12)",
+    "m64_bpe_train": "moved to isolated-JVM bench lane (r12)",
+    "m66_incremental_near_dups": "moved to isolated-JVM bench lane (r12)",
 }
 
 #: Timing-methodology version, recorded in the metric object. Bumped to 2
@@ -204,7 +232,9 @@ EXPLAINED_RESHAPES: dict[str, str] = {
 #: relatively slower). When the regression baseline predates the current
 #: methodology the output says so, so a cross-methodology flag can be
 #: read for what it is.
-METHODOLOGY = 2
+#: Bumped to 3 in round 12: ISOLATED_LANE queries are timed as
+#: fresh-JVM isolated medians instead of in-session single shots.
+METHODOLOGY = 3
 
 #: Artifact convention (VERDICT r10 "what's wrong" #1): this script
 #: rewrites BENCH_LOCAL_r{N}.json on EVERY run, and the driver re-runs
@@ -341,12 +371,59 @@ def _run(fn, spark, sf_dir) -> float:
     return time.perf_counter() - t0
 
 
+def _isolated_main(name: str, sf_dir: str) -> None:
+    """Subprocess entry for one ISOLATED_LANE query: fresh JVM, warmup
+    at sf0.001, 3 timed runs, one JSON line on stdout."""
+    spark = get_spark(app_name=f"bench-isolated-{name}")
+    fn = QUERIES[name]
+    try:
+        _run(fn, spark, WARMUP_SF)
+    except Exception:
+        pass
+    _clear_session_state(spark)
+    runs = []
+    for _ in range(3):
+        runs.append(round(_run(fn, spark, sf_dir), 3))
+        _clear_session_state(spark)
+    print(json.dumps({"query": name, "runs": runs, "median": sorted(runs)[1]}))
+
+
+def _run_isolated(name: str, sf_dir: str) -> dict | None:
+    """Run one lane query in a dedicated subprocess; returns its JSON
+    record (None on failure — the main report then carries the error)."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--isolated-query", name],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        timeout=1800,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            doc = json.loads(line)
+            if doc.get("query") == name:
+                return doc
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def main() -> None:
+    if "--isolated-query" in sys.argv:
+        name = sys.argv[sys.argv.index("--isolated-query") + 1]
+        _isolated_main(
+            name, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        )
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    lane = [n for n in names if n in ISOLATED_LANE]
+    names = [n for n in names if n not in ISOLATED_LANE]
     # warmup: run each once at tiny scale (codegen + class loading)
     for n in names:
         try:
@@ -360,12 +437,24 @@ def main() -> None:
         timings[n] = round(_run(QUERIES[n], spark, sf_dir), 3)
         _clear_session_state(spark)
 
+    # isolated lane (methodology 3): fresh-JVM medians, serialized after
+    # the in-session pass so nothing measures while another JVM works
+    isolated: dict[str, dict] = {}
+    for n in lane:
+        rec = _run_isolated(n, sf_dir)
+        if rec is None:
+            isolated[n] = {"error": "isolated run failed"}
+            continue
+        isolated[n] = rec
+        timings[n] = rec["median"]
+
     out = {
         "metric": "headline_wall_clock",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "methodology": METHODOLOGY,
+        "isolated_lane": isolated,
         "artifact_convention": ARTIFACT_CONVENTION,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
@@ -415,11 +504,19 @@ def main() -> None:
             # timings stay first-run for cross-round comparability.
             confirmed = {}
             for n in sorted(suspects):
-                retries = []
-                for _ in range(3):
-                    retries.append(round(_run(QUERIES[n], spark, sf_dir), 3))
-                    _clear_session_state(spark)
-                med = sorted(retries)[1]
+                if n in ISOLATED_LANE:
+                    # lane queries were ALREADY 3x-isolated medians —
+                    # an in-session retry would reintroduce exactly the
+                    # noise the lane removes; judge on the lane runs
+                    retries = isolated.get(n, {}).get("runs", [timings[n]])
+                else:
+                    retries = []
+                    for _ in range(3):
+                        retries.append(
+                            round(_run(QUERIES[n], spark, sf_dir), 3)
+                        )
+                        _clear_session_state(spark)
+                med = sorted(retries)[len(retries) // 2]
                 best = min(timings[n], med)
                 r = best / prior[n]
                 if (

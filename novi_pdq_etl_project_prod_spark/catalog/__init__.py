@@ -28,6 +28,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round9_queries,
     round10_queries,
     round11_queries,
+    round12_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -53,6 +54,7 @@ for _mod in (
     round9_queries,
     round10_queries,
     round11_queries,
+    round12_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

@@ -52,11 +52,19 @@ def m70_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle computes all pairs and filters — different path, same set),
 # and the greedy canonical-first drop rule (both-new → larger id;
 # new-old → the increment endpoint).
-# The funnel CTE chain is shared by M70 (disposition report) and M76
-# (the span stage over the funnel's accepted set) — one definition so
-# the two oracles can never drift.
-_M70_FUNNEL_CTES = """inc AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
-standing AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+# The funnel CTE chain is shared by M70 (disposition report), M76 (the
+# span stage over the funnel's accepted set) and — via the
+# parameterized builder — m82's retraction variant (round 12): one
+# definition so the oracles can never drift. The %2 endpoint tests in
+# the pair CTEs require inc ⊆ odd ids and standing ⊆ even ids, which
+# every caller preserves.
+
+
+def funnel_ctes(inc_body: str, standing_body: str) -> str:
+    """The m70 ingest-funnel oracle chain with pluggable increment /
+    standing corpus CTE bodies (single-line SQL SELECTs)."""
+    return f"""inc AS ({inc_body}),
+standing AS ({standing_body}),
 quar AS (
   SELECT doc_id FROM inc
   WHERE NOT coalesce(length(trim(text)) >= 100, FALSE)
@@ -149,6 +157,12 @@ near_drop AS (
                        ELSE id_b END AS doc_id
   FROM pairs
 )"""
+
+
+_M70_FUNNEL_CTES = funnel_ctes(
+    "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1",
+    "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+)
 
 M70_SQL = f"""
 WITH {_M70_FUNNEL_CTES}
@@ -398,19 +412,28 @@ _M74_IN = ", ".join(f"'{t}'" for t in _M74_TERMS)
 
 # A..D from k1 = 6/5, b = 3/4 (bm25_scores defaults):
 #   A = (6+5)*4 = 44, B = 5*4 = 20, C = 6*(4-3) = 6, D = 6*3 = 18
-# The BM25 CTE chain is shared by M74 (scores) and M78 (the hybrid
-# fusion's lexical channel) — one definition so the two can't drift.
-_M74_CTES = f"""toks AS (
+# The BM25 CTE chain is shared by M74 (scores), M78 (the hybrid
+# fusion's lexical channel) and — via the parameterized builder —
+# m80's post-retraction variant (round 12, over the surviving corpus):
+# one definition so none can drift.
+
+
+def bm25_ctes(source: str, terms_in: str | None = None) -> str:
+    """The m74 BM25 oracle chain over a pluggable corpus relation
+    (``source`` — a table name or parenthesized subquery with
+    (doc_id, text)) and probe-term IN-list."""
+    tin = _M74_IN if terms_in is None else terms_in
+    return f"""toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
-  FROM documents
+  FROM {source}
 ),
 dl AS (SELECT doc_id, len(t) AS dl FROM toks),
 stats AS (SELECT count(*) AS n_docs, sum(dl) AS dl_sum FROM dl),
 tf AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id, unnest(t) AS term FROM toks)
-  WHERE term IN ({_M74_IN})
+  WHERE term IN ({tin})
   GROUP BY 1, 2
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
@@ -436,6 +459,9 @@ bm AS (
          CAST(sum(tq) AS DOUBLE) / 1e6 AS score
   FROM terms GROUP BY doc_id
 )"""
+
+
+_M74_CTES = bm25_ctes("documents")
 
 M74_SQL = f"""
 WITH {_M74_CTES}
@@ -648,7 +674,12 @@ def m77_incremental_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-M77_SQL = f"""
+# Parameterized over the STANDING raw corpus' WHERE clause so m81
+# (round 12) can certify the post-retraction distribution — from-scratch
+# over the surviving standing corpus — against the engine's
+# negative-delta sums, without a second copy of the chain.
+def dsir_incremental_sql(standing_where: str) -> str:
+    return f"""
 WITH tok_t AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -659,7 +690,7 @@ tok_s AS (
   SELECT doc_id,
          unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                             x -> x <> '')) AS tok
-  FROM documents WHERE lang <> 'en' AND doc_id % 2 = 0
+  FROM documents WHERE lang <> 'en' AND {standing_where}
 ),
 tok_i AS (
   SELECT doc_id,
@@ -712,6 +743,8 @@ FROM scored GROUP BY doc_id
 ORDER BY doc_id
 """
 
+
+M77_SQL = dsir_incremental_sql("doc_id % 2 = 0")
 
 QUERIES["m77_incremental_dsir"] = m77_incremental_dsir
 ORACLES["m77_incremental_dsir"] = M77_SQL

@@ -160,6 +160,13 @@ def test_no_cartesian_products_in_catalog(spark):
                                  # derived from the doclens index table
         "m78_hybrid_retrieval",  # m74's 1-row stats + the m7/m59
                                  # brute-force dense channel by design
+        "m80_retracted_bm25",    # the m79 1-row corpus-stats broadcast,
+                                 # post-retraction
+        "m83_bm25_probe_batch",  # same 1-row stats broadcast, batched
+        "m84_hybrid_batch_exact",  # m83's 1-row stats + the m7 brute
+                                   # dense channel (the exact GT twin)
+        "m85_hybrid_ann",        # m83's 1-row stats; dense channel is
+                                 # the IVF probed-list equi-join
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

@@ -94,6 +94,10 @@ def test_every_query_has_oracle_or_documented_exception():
         # spectral contract + partition independence)
         "m45_compression_signal",
         "m46_pca_project",
+        # r12: approximate IVF dense channel (numpy k-means centroids) —
+        # GT-recall-pinned against its exact oracled twin m84
+        # (test_round12_ops::test_m85_ann_hybrid_recall_pin)
+        "m85_hybrid_ann",
     }
     assert no_oracle <= documented, (
         f"undocumented no-oracle queries: {sorted(no_oracle - documented)}"
