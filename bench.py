@@ -390,16 +390,22 @@ def _isolated_main(name: str, sf_dir: str) -> None:
 
 def _run_isolated(name: str, sf_dir: str) -> dict | None:
     """Run one lane query in a dedicated subprocess; returns its JSON
-    record (None on failure — the main report then carries the error)."""
+    record (None on failure OR timeout — the caller falls back to an
+    in-session timing so the headline sum and regression gate never
+    silently lose the query)."""
     import subprocess
 
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--isolated-query", name],
-        capture_output=True,
-        text=True,
-        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
-        timeout=1800,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--isolated-query", name],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        return None
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
             doc = json.loads(line)
@@ -443,7 +449,13 @@ def main() -> None:
     for n in lane:
         rec = _run_isolated(n, sf_dir)
         if rec is None:
-            isolated[n] = {"error": "isolated run failed"}
+            # fall back to an in-session timing so the query neither
+            # vanishes from the headline sum nor escapes the gate (a
+            # crash in the timed query itself still raises loudly here,
+            # exactly like methodology 2)
+            isolated[n] = {"error": "isolated run failed; timed in-session"}
+            timings[n] = round(_run(QUERIES[n], spark, sf_dir), 3)
+            _clear_session_state(spark)
             continue
         isolated[n] = rec
         timings[n] = rec["median"]

@@ -1769,14 +1769,15 @@ def _gram_frame(sg) -> DataFrame | None:
 
 def gram_probe(
     df: DataFrame,
-    id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
 ) -> GramProbe:
     """A transient existence-probe over ``df``'s k-grams — the
     ``distinct``-free (pure map-side explode) twin of :func:`gram_set`,
     wrapped in :class:`GramProbe` so the skipped-shuffle trade is typed
-    rather than commented."""
+    rather than commented. Deliberately takes no id column: the probe
+    frame is id-free by design (doc attribution lives in
+    :func:`doc_gram_set`)."""
     return GramProbe(_gram_explode(df, text_col, k))
 
 

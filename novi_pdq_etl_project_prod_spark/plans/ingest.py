@@ -296,7 +296,6 @@ def ingest_increment_vs_standing(
         # (streaming sink) stays a true set.
         standing_grams = gram_probe(
             standing_docs,
-            id_col=id_col,
             text_col=text_col,
             k=span_k,
         )
@@ -428,7 +427,6 @@ def run_incremental_ingest(
     )
     from novi_pdq_etl_project_prod_spark.operators.quality import schema_drift
     from novi_pdq_etl_project_prod_spark.plans.retract import (
-        read_live_table,
         read_tombstones,
         retract_ids,
     )
@@ -492,7 +490,15 @@ def run_incremental_ingest(
                     extra_meta[f"schema_drift:{tables['corpus']}"] = drift
                 # standing state is read through the retraction contract:
                 # a retracted doc's hash must not exact-drop a re-arrival,
-                # its signature must not near-suppress (plans.retract)
+                # its signature must not near-suppress (plans.retract).
+                # ONE tombstone read serves all three anti-joins — this
+                # is the per-batch hot path (round-12 review).
+                tomb = read_tombstones(spark, root, layer)
+
+                def _live(table, idc):
+                    df = read_manifest_table(spark, root, layer, table)
+                    return df if df is None else retract_ids(df, tomb, idc)
+
                 standing_grams = None
                 if span_k is not None:
                     standing_grams = read_manifest_table(
@@ -504,26 +510,12 @@ def run_incremental_ingest(
                     ):
                         # doc-attributed (retractable) gram table
                         standing_grams = retract_ids(
-                            standing_grams,
-                            read_tombstones(spark, root, layer),
-                            "doc_id",
+                            standing_grams, tomb, "doc_id"
                         )
                 result = ingest_increment(
                     batch_df,
-                    read_live_table(
-                        spark,
-                        root,
-                        layer,
-                        tables["content_hashes"],
-                        id_col="canonical_id",
-                    ),
-                    read_live_table(
-                        spark,
-                        root,
-                        layer,
-                        tables["minhash_signatures"],
-                        id_col="id",
-                    ),
+                    _live(tables["content_hashes"], "canonical_id"),
+                    _live(tables["minhash_signatures"], "id"),
                     rules,
                     id_col,
                     text_col,

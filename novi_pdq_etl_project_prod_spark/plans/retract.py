@@ -199,6 +199,13 @@ def retract_docs(
 
     Exactly-once by ``retraction_id``: the marker rides the commit; a
     replay returns ``{"applied": False}`` without touching state.
+    DOC-level idempotence on top of that: duplicate rows within the
+    drop frame and docs ALREADY tombstoned (a doc retracted again under
+    a new retraction_id — e.g. once per near-dup partner it
+    canonicalized against) are filtered out BEFORE the negative deltas
+    are computed, so a re-dropped doc can never double-subtract its
+    bucket mass (the additive tables are not idempotent; this filter is
+    the correctness line the tombstone set alone doesn't give).
     Committed bytes and compute are O(drop).
     """
     marker = retraction_marker(retraction_id)
@@ -209,38 +216,60 @@ def retract_docs(
             "retraction_id": retraction_id,
             "reason": "already applied",
         }
-    ids = drop_docs.select(F.col(id_col).alias("id")).distinct()
-    n_drop = ids.count()
-    dfs: dict[str, DataFrame] = {tombstones_table: ids}
-    for tbl, n_buckets in sorted((dsir_counts or {}).items()):
-        recorded = meta.get(f"dsir_n_buckets:{tbl}")
-        if recorded is not None and int(recorded) != int(n_buckets):
-            raise ValueError(
-                f"{tbl} was committed with n_buckets={recorded}; a "
-                f"retraction delta at n_buckets={n_buckets} would skew "
-                "every weight (ADVICE r11 bucket-mismatch guard)"
-            )
-        if read_manifest(root, layer).get(tbl) is None:
-            raise ValueError(
-                f"DSIR count table {tbl!r} is not in the {layer!r} "
-                "manifest: a negative-only delta would seed the table "
-                "with negative counts"
-            )
-        dfs[tbl] = dsir_negative_deltas(
-            drop_docs, id_col, text_col, int(n_buckets)
+    manifest = read_manifest(root, layer)
+    spark = drop_docs.sparkSession
+    drop = drop_docs.dropDuplicates([id_col])
+    existing = read_tombstones(spark, root, layer, tombstones_table)
+    if existing is not None:
+        drop = retract_ids(drop, existing, id_col)
+    # the filtered drop frame feeds the tombstone ids AND one delta per
+    # registered count table — pin it so each consumer doesn't re-run
+    # the dedup + anti-join lineage
+    drop = drop.persist()
+    try:
+        n_drop = drop.count()
+        ids = drop.select(F.col(id_col).alias("id"))
+        dfs: dict[str, DataFrame] = {}
+        if n_drop:
+            dfs[tombstones_table] = ids
+        bucket_keys: dict[str, int] = {}
+        for tbl, n_buckets in sorted((dsir_counts or {}).items()):
+            recorded = meta.get(f"dsir_n_buckets:{tbl}")
+            if recorded is not None and int(recorded) != int(n_buckets):
+                raise ValueError(
+                    f"{tbl} was committed with n_buckets={recorded}; a "
+                    f"retraction delta at n_buckets={n_buckets} would skew "
+                    "every weight (ADVICE r11 bucket-mismatch guard)"
+                )
+            if manifest.get(tbl) is None:
+                raise ValueError(
+                    f"DSIR count table {tbl!r} is not in the {layer!r} "
+                    "manifest: a negative-only delta would seed the table "
+                    "with negative counts"
+                )
+            # record provenance even when the seeder didn't (closes the
+            # ADVICE r11 hole for batch-retraction-only layers: the NEXT
+            # mismatched run fails instead of silently re-bucketing)
+            bucket_keys[f"dsir_n_buckets:{tbl}"] = int(n_buckets)
+            if n_drop:
+                dfs[tbl] = dsir_negative_deltas(
+                    drop, id_col, text_col, int(n_buckets)
+                )
+        commit_tables(
+            dfs,
+            root,
+            layer,
+            meta={
+                marker: {
+                    "n_docs": n_drop,
+                    "dsir_tables": sorted(dsir_counts or {}),
+                },
+                **bucket_keys,
+            },
+            append_tables=tuple(dfs),
         )
-    commit_tables(
-        dfs,
-        root,
-        layer,
-        meta={
-            marker: {
-                "n_docs": n_drop,
-                "dsir_tables": sorted(dsir_counts or {}),
-            }
-        },
-        append_tables=tuple(dfs),
-    )
+    finally:
+        drop.unpersist()
     return {"applied": True, "retraction_id": retraction_id, "n_docs": n_drop}
 
 

@@ -1851,9 +1851,15 @@ def stream_retractions(
     like every sink here, which matters MORE for retraction than for
     ingest — a replayed negative delta would double-subtract (the
     additive tables are not idempotent), so the gate is the correctness
-    line, not just a hygiene line. Each batch additionally records a
-    ``retraction:<marker>:b<batch_id>`` marker so the batch shows up in
-    the layer's retraction ledger next to batch retractions.
+    line, not just a hygiene line. DOC-level idempotence on top:
+    duplicate drop rows within a batch and docs already tombstoned (an
+    at-least-once upstream re-emitting a drop, or one drop event per
+    near-dup partner) are filtered out before the deltas are computed —
+    the batch gate alone cannot see a re-emission under a NEW batch id.
+    Cumulative accounting rides ONE rolling
+    ``retraction_counts:<marker>`` meta key (the ingest-counts
+    convention) — per-batch ledger keys would grow the manifest doc
+    unboundedly, and every later commit on the layer rewrites it.
 
     The reference analogue is the delete half of its idempotent
     delete-month-then-append (``dags/pdq_etl_dag.py:183-187``) — there
@@ -1863,12 +1869,13 @@ def stream_retractions(
     from novi_pdq_etl_project_prod_spark.plans.retract import (
         TOMBSTONES_TABLE,
         dsir_negative_deltas,
-        retraction_marker,
+        retract_ids,
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
         read_manifest,
         read_manifest_meta,
+        read_manifest_table,
     )
 
     tomb_table = tombstones_table or TOMBSTONES_TABLE
@@ -1878,6 +1885,7 @@ def stream_retractions(
         f"dsir_n_buckets:{t}": int(b)
         for t, b in sorted((dsir_counts or {}).items())
     }
+    counts_key = f"retraction_counts:{marker}"
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1885,13 +1893,22 @@ def stream_retractions(
         last = _last_applied_batch(root, layer, marker)
         if last is not None and _batch_id <= last:
             return  # replayed batch: its tombstones/deltas are in
-        batch_df = batch_df.persist()
+        spark = batch_df.sparkSession
+        drop = batch_df.dropDuplicates([id_col])
+        existing = read_manifest_table(spark, root, layer, tomb_table)
+        if existing is not None:
+            drop = retract_ids(drop, existing, id_col)
+        drop = drop.persist()
         try:
             with cache.scope():
                 meta = read_manifest_meta(root, layer)
                 manifest = read_manifest(root, layer)
-                ids = batch_df.select(F.col(id_col).alias("id")).distinct()
-                dfs = {tomb_table: ids}
+                n_drop = drop.count()
+                dfs = {}
+                if n_drop:
+                    dfs[tomb_table] = drop.select(
+                        F.col(id_col).alias("id")
+                    )
                 for tbl, n_buckets in sorted((dsir_counts or {}).items()):
                     recorded = meta.get(f"dsir_n_buckets:{tbl}")
                     if recorded is not None and int(recorded) != int(
@@ -1908,29 +1925,32 @@ def stream_retractions(
                             f"{layer!r}: a negative-only delta would seed "
                             "negative counts"
                         )
-                    dfs[tbl] = dsir_negative_deltas(
-                        batch_df, id_col, text_col, int(n_buckets)
-                    )
+                    if n_drop:
+                        dfs[tbl] = dsir_negative_deltas(
+                            drop, id_col, text_col, int(n_buckets)
+                        )
+                prior = meta.get(counts_key) or {}
+                total = {
+                    "batches": int(prior.get("batches", 0)) + 1,
+                    "n_docs": int(prior.get("n_docs", 0)) + n_drop,
+                }
                 commit_tables(
                     dfs,
                     root,
                     layer,
                     meta={
                         marker: _batch_id,
-                        retraction_marker(f"{marker}:b{_batch_id}"): {
-                            "n_docs": ids.count(),
-                            "dsir_tables": sorted(dsir_counts or {}),
-                        },
+                        counts_key: total,
                         **bucket_keys,
                     },
                     append_tables=tuple(dfs),
                 )
             _maybe_maintenance(
-                batch_df.sparkSession, root, layer, _batch_id,
+                spark, root, layer, _batch_id,
                 maintenance_every, maintenance_kwargs,
             )
         finally:
-            batch_df.unpersist()
+            drop.unpersist()
 
     q = (
         stream.writeStream.foreachBatch(_ingest)

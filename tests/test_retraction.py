@@ -403,3 +403,52 @@ def test_retractable_grams_through_ingest_and_compaction(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_redropped_doc_never_double_subtracts(spark, tmp_path):
+    """Doc-level idempotence (round-12 review): duplicate rows within a
+    drop frame, and a doc retracted AGAIN under a NEW retraction_id,
+    are filtered before the negative deltas — the bucket mass is
+    subtracted exactly once, and the tombstone table holds one id set."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path / "wh")
+    b = 64
+    commit_tables(
+        {"dsir_raw_buckets": dsir_bucket_counts(_docs(spark), n_buckets=b)},
+        root,
+        "curated",
+        append_tables=("dsir_raw_buckets",),
+    )
+    # drop frame carries doc 2 TWICE (e.g. once per near-dup partner)
+    dup_rows = [r for r in DOCS if r[0] == 2] * 2 + [
+        r for r in DOCS if r[0] == 4
+    ]
+    retract_docs(
+        _docs(spark, dup_rows), root, "curated", "first",
+        dsir_counts={"dsir_raw_buckets": b},
+    )
+    # doc 2 re-dropped under a NEW retraction id alongside doc 7
+    rep = retract_docs(
+        _docs(spark, [r for r in DOCS if r[0] in (2, 7)]),
+        root, "curated", "second",
+        dsir_counts={"dsir_raw_buckets": b},
+    )
+    assert rep["applied"] is True and rep["n_docs"] == 1  # only doc 7
+    live = (
+        read_live_table(spark, root, "curated", "dsir_raw_buckets")
+        .groupBy("b").agg(F.sum("n").alias("n")).where(F.col("n") != 0)
+    )
+    want = dsir_bucket_counts(_survivors(spark), n_buckets=b)
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    tomb = read_live_table(spark, root, "curated", "retracted_ids")
+    assert sorted(r.id for r in tomb.collect()) == [2, 4, 7]
