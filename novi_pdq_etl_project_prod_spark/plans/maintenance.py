@@ -60,12 +60,62 @@ def run_maintenance_tick(
     max_small_segments: int | None = None,
     vacuum_retain: int | None = None,
     vacuum_grace_seconds: float | None = None,
+    retraction_id_cols: Mapping[str, str] | bool = False,
+    retraction_min_tombstones: int = 1,
 ) -> dict:
     """One maintenance pass over ``layer``; returns the full decision
     report ``{"compact": {table: decision}, "optimize": {table:
-    decision-or-skip}, "vacuum": removed-or-None}`` — every policy's
-    no-op is recorded, so an operator can diff ticks."""
-    report: dict = {"compact": {}, "optimize": {}, "vacuum": None}
+    decision-or-skip}, "retractions": decision-or-None, "vacuum":
+    removed-or-None}`` — every policy's no-op is recorded, so an
+    operator can diff ticks.
+
+    ``retraction_id_cols`` (round 12) schedules the retraction
+    physical-delete on the same cadence: ``True`` uses
+    :data:`plans.retract.RETRACT_ID_COLS`, a mapping overrides it; the
+    rewrite fires only when the layer's tombstone count reaches
+    ``retraction_min_tombstones`` (the amortization dial — the
+    tombstone anti-join is cheap, so batching many retractions into one
+    rewrite is usually right). Runs BEFORE segment compaction (the
+    whole-table rewrite resets segment lists anyway, so compacting
+    first would be wasted work on the same tick) and before vacuum (the
+    newly-unreferenced snapshot dirs age out on this same cadence). A
+    lost CAS against a concurrent ingest is reported, never retried
+    into the running stream — the next tick retries naturally.
+    """
+    report: dict = {
+        "compact": {},
+        "optimize": {},
+        "retractions": None,
+        "vacuum": None,
+    }
+    if retraction_id_cols:
+        from novi_pdq_etl_project_prod_spark.plans.retract import (
+            compact_retractions,
+            read_tombstones,
+        )
+
+        tomb = read_tombstones(spark, root, layer)
+        n_tomb = 0 if tomb is None else tomb.count()
+        if n_tomb >= retraction_min_tombstones and n_tomb > 0:
+            try:
+                report["retractions"] = compact_retractions(
+                    spark,
+                    root,
+                    layer,
+                    None if retraction_id_cols is True
+                    else retraction_id_cols,
+                )
+            except SnapshotConflictError as exc:
+                report["retractions"] = {
+                    "applied": False,
+                    "conflict": str(exc),
+                }
+        else:
+            report["retractions"] = {
+                "applied": False,
+                "tombstones": n_tomb,
+                "threshold": retraction_min_tombstones,
+            }
     manifest_tables = set(read_manifest(root, layer))
     for tbl in sorted(manifest_tables):
         try:

@@ -452,3 +452,96 @@ def test_redropped_doc_never_double_subtracts(spark, tmp_path):
     )
     tomb = read_live_table(spark, root, "curated", "retracted_ids")
     assert sorted(r.id for r in tomb.collect()) == [2, 4, 7]
+
+
+def test_curate_retract_maintain_composition(spark, tmp_path):
+    """End to end, the curate-then-keep-ingesting flow: near-dup
+    canonicalization over the live corpus drops the cluster losers
+    through ONE retraction commit; searches immediately see the
+    post-curation state; the maintenance tick (retraction_id_cols=True)
+    then makes the delete physical on its normal cadence."""
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+        retract_near_dup_drops,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest,
+        read_manifest_table,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),                      # near-dup cluster {1,2,3}:
+        (2, base + " lam"),             #   survivor = 3 (longest),
+        (3, base + " lam zup"),         #   drops = {1, 2}
+        (4, "wholly distinct text about joins and vectors and streams"),
+        (5, "another unique document mentioning join exactly once here"),
+    ]
+    docs = _docs(spark, rows)
+    root = str(tmp_path / "wh")
+    b = 64
+    idx = build_bm25_index(docs)
+    commit_tables(
+        {
+            "corpus": docs,
+            "bm25_postings": idx["postings"],
+            "bm25_doclens": idx["doclens"],
+            "dsir_raw_buckets": dsir_bucket_counts(docs, n_buckets=b),
+        },
+        root,
+        "curated",
+        append_tables=("bm25_postings", "bm25_doclens",
+                       "dsir_raw_buckets"),
+    )
+    rep = retract_near_dup_drops(
+        spark, root, "curated", "curation-2026-08",
+        dsir_counts={"dsir_raw_buckets": b},
+    )
+    assert rep["applied"] is True and rep["n_docs"] == 2
+    assert rep["n_clusters"] >= 1
+
+    survivors = _docs(spark, rows[2:])
+    # live reads (tombstone-filtered) == from-scratch on survivors
+    got = _bm25_rows(bm25_scores_from_index(
+        read_live_table(spark, root, "curated", "bm25_postings", "id"),
+        read_live_table(spark, root, "curated", "bm25_doclens", "id"),
+        ("join", "alpha"),
+    ))
+    want = _bm25_rows(bm25_scores(survivors, ("join", "alpha")))
+    assert got == want and len(got) > 0
+    live_corpus = read_live_table(
+        spark, root, "curated", "corpus", "doc_id"
+    )
+    assert {r.doc_id for r in live_corpus.collect()} == {3, 4, 5}
+
+    # the maintenance tick makes it physical on the normal cadence
+    tick = run_maintenance_tick(
+        spark, root, "curated", retraction_id_cols=True,
+    )
+    assert tick["retractions"]["applied"] is True
+    assert "corpus" in tick["retractions"]["rewritten"]
+    assert "retracted_ids" not in read_manifest(root, "curated")
+    raw = read_manifest_table(spark, root, "curated", "corpus")
+    assert {r.doc_id for r in raw.collect()} == {3, 4, 5}
+    # idempotent curation: a rerun finds the same clusters already
+    # resolved — nothing to drop (marker replay also guards)
+    rep2 = retract_near_dup_drops(
+        spark, root, "curated", "curation-2026-08-b",
+        dsir_counts={"dsir_raw_buckets": b},
+    )
+    assert rep2["n_docs"] == 0
+    # next tick: retraction lane reports a clean no-op
+    tick2 = run_maintenance_tick(
+        spark, root, "curated", retraction_id_cols=True,
+    )
+    assert tick2["retractions"]["applied"] is False
