@@ -185,6 +185,7 @@ HEADLINE = [
     "m83_bm25_probe_batch",
     "m84_hybrid_batch_exact",
     "m85_hybrid_ann",
+    "m86_rewrite_excised",
 ]
 
 #: Iterative heavies benched in DEDICATED fresh-JVM isolation (VERDICT

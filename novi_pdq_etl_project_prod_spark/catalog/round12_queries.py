@@ -471,3 +471,100 @@ def m85_hybrid_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["m85_hybrid_ann"] = m85_hybrid_ann
 # no ORACLES entry: approximate dense channel — GT-recall-pinned vs m84
+
+
+# ---------------------------------------------------------------------------
+# M86 — the REWRITE state algebra (the second shape VERDICT r11 #1
+# names: corpora that rewrite docs, not just shrink): span excision
+# (m72's chain) changes every doc carrying a repeated span; the old
+# identities are tombstoned out of the BM25 index and the cleaned
+# versions' postings appended under fresh ids — and the resulting index
+# must score EXACTLY like a from-scratch build over the rewritten
+# corpus. This is the frame-level algebra of plans.retract.rewrite_docs
+# (whose one-manifest atomicity is pytested); the oracle rebuilds
+# excision + rewrite + BM25 end to end.
+# ---------------------------------------------------------------------------
+
+_M86_K = 10
+_M86_SHIFT = 1_000_000
+
+
+def m86_rewrite_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores_from_index,
+        build_bm25_index,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import retract_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    ex = excise_repeated_spans(docs, k=_M86_K, min_count=2)
+    changed = ex.where(F.col("n_removed") > 0)
+    tomb = changed.select("doc_id")
+    rewritten = changed.select(
+        (F.col("doc_id") + _M86_SHIFT).alias("doc_id"), "text"
+    )
+    idx_o = build_bm25_index(docs)
+    idx_n = build_bm25_index(rewritten)
+    post = retract_ids(idx_o["postings"], tomb, "id").unionByName(
+        idx_n["postings"]
+    )
+    dl = retract_ids(idx_o["doclens"], tomb, "id").unionByName(
+        idx_n["doclens"]
+    )
+    out = bm25_scores_from_index(post, dl, _M74_TERMS)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_hit_terms", "score"
+    ).orderBy("doc_id")
+
+
+_M86_EXCISE_CTES = f"""etoks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+eg AS (
+  SELECT doc_id, i AS s,
+         md5(array_to_string(list_slice(t, i, i + {_M86_K} - 1), ' ')) AS gh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - {_M86_K} + 1)) AS i
+        FROM etoks WHERE len(t) >= {_M86_K})
+),
+erep AS (SELECT gh FROM eg GROUP BY gh HAVING count(*) >= 2),
+emarks AS (SELECT doc_id, s, s + {_M86_K} AS e FROM eg JOIN erep USING (gh)),
+ecov AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(s, e - 1)) AS pos
+  FROM emarks
+),
+etk AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(generate_series(1, len(t))) AS pos
+  FROM etoks
+),
+ekept AS (
+  SELECT k.doc_id,
+         string_agg(k.tok, ' ' ORDER BY k.pos) AS cleaned
+  FROM etk k
+  LEFT JOIN ecov c ON c.doc_id = k.doc_id AND c.pos = k.pos
+  WHERE c.pos IS NULL
+  GROUP BY k.doc_id
+),
+changed AS (SELECT DISTINCT doc_id FROM ecov),
+rewritten AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM changed)
+  UNION ALL
+  SELECT c.doc_id + {_M86_SHIFT} AS doc_id, coalesce(k.cleaned, '') AS text
+  FROM changed c LEFT JOIN ekept k ON k.doc_id = c.doc_id
+)"""
+
+M86_SQL = f"""
+WITH {_M86_EXCISE_CTES},
+{bm25_ctes("rewritten")}
+SELECT doc_id, n_hit_terms, score FROM bm
+ORDER BY doc_id
+"""
+
+QUERIES["m86_rewrite_excised"] = m86_rewrite_excised
+ORACLES["m86_rewrite_excised"] = M86_SQL

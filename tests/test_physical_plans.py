@@ -167,6 +167,8 @@ def test_no_cartesian_products_in_catalog(spark):
                                    # dense channel (the exact GT twin)
         "m85_hybrid_ann",        # m83's 1-row stats; dense channel is
                                  # the IVF probed-list equi-join
+        "m86_rewrite_excised",   # the m79 1-row corpus-stats broadcast
+                                 # over the rewritten corpus
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

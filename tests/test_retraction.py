@@ -545,3 +545,122 @@ def test_curate_retract_maintain_composition(spark, tmp_path):
         spark, root, "curated", retraction_id_cols=True,
     )
     assert tick2["retractions"]["applied"] is False
+
+
+def test_rewrite_docs_atomic_excision_roundtrip(spark, tmp_path):
+    """The REWRITE half of the retraction story: span excision changes
+    doc content; rewrite_docs retracts the old identities and re-ingests
+    the cleaned versions through the funnel in ONE manifest flip. A
+    rewrite that collapses into existing content is exact-dropped (its
+    old id still retracted); live BM25 and DSIR state equal a
+    from-scratch build over the final corpus; replay is a no-op."""
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        excise_repeated_spans,
+    )
+    from novi_pdq_etl_project_prod_spark.operators.text import (
+        bm25_scores,
+        bm25_scores_from_index,
+        build_bm25_index,
+        dsir_bucket_counts,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+        rewrite_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        manifest_history,
+    )
+
+    block = " ".join(f"s{i}" for i in range(10))  # 10-token repeat
+    p = "alpha beta gamma delta epsilon"
+    q = "zeta eta theta iota kappa lam"
+    rows = [
+        (1, p + " " + block),   # cleaned -> p (== doc 4's text: dup!)
+        (2, q + " " + block),   # cleaned -> q (unique: accepted)
+        (3, "wholly unrelated standing document with its own words"),
+        (4, p),                 # standing doc equal to 1's cleaned text
+    ]
+    docs = _docs(spark, rows)
+    b = 64
+    root = str(tmp_path / "wh")
+    idx = build_bm25_index(docs)
+    hashes = (
+        docs.selectExpr("md5(text) AS h", "doc_id")
+        .groupBy("h").agg(F.min("doc_id").alias("canonical_id"))
+    )
+    from novi_pdq_etl_project_prod_spark.operators.dedup import (
+        minhash_signatures_md5,
+    )
+
+    commit_tables(
+        {
+            "corpus": docs,
+            "content_hashes": hashes,
+            "minhash_signatures": minhash_signatures_md5(
+                docs, "doc_id", "text", 3, 64
+            ),
+            "bm25_postings": idx["postings"],
+            "bm25_doclens": idx["doclens"],
+            "dsir_raw_buckets": dsir_bucket_counts(docs, n_buckets=b),
+        },
+        root,
+        "curated",
+        append_tables=("bm25_postings", "bm25_doclens",
+                       "dsir_raw_buckets"),
+    )
+    n0 = len(manifest_history(root, "curated"))
+
+    ex = excise_repeated_spans(docs, k=10, min_count=2)
+    rewrites = (
+        ex.where(F.col("n_removed") > 0)
+        .select(F.col("doc_id").alias("old_id"),
+                F.col("text").alias("new_text"))
+        .join(docs.select(F.col("doc_id").alias("old_id"),
+                          F.col("text").alias("old_text")), "old_id")
+        .withColumn("new_id", F.col("old_id") + 100)
+    )
+    rep = rewrite_docs(
+        rewrites, root, "curated", "excise-2026-08",
+        rules={"nonempty": "length(trim(text)) > 0"},
+        bm25_tables={"postings": "bm25_postings",
+                     "doclens": "bm25_doclens"},
+        dsir_counts={"dsir_raw_buckets": b},
+    )
+    assert rep == {"applied": True, "retraction_id": "excise-2026-08",
+                   "n_rewrites": 2}
+    # ONE atomic commit for the whole rewrite
+    assert len(manifest_history(root, "curated")) == n0 + 1
+
+    final_rows = [(3, rows[2][1]), (4, p), (102, q)]
+    live_corpus = read_live_table(spark, root, "curated", "corpus",
+                                  "doc_id")
+    assert {r.doc_id for r in live_corpus.collect()} == {3, 4, 102}
+    dups = read_live_table(spark, root, "curated", "exact_dups", "doc_id")
+    assert [(r.doc_id, r.dup_of, r.dup_type) for r in dups.collect()] == [
+        (101, 4, "exact_old")
+    ]
+    got = _bm25_rows(bm25_scores_from_index(
+        read_live_table(spark, root, "curated", "bm25_postings", "id"),
+        read_live_table(spark, root, "curated", "bm25_doclens", "id"),
+        ("alpha", "zeta", "s0"),
+    ))
+    want = _bm25_rows(
+        bm25_scores(_docs(spark, final_rows), ("alpha", "zeta", "s0"))
+    )
+    assert got == want and len(got) > 0
+    live_counts = (
+        read_live_table(spark, root, "curated", "dsir_raw_buckets")
+        .groupBy("b").agg(F.sum("n").alias("n")).where(F.col("n") != 0)
+    )
+    want_counts = dsir_bucket_counts(_docs(spark, final_rows), n_buckets=b)
+    assert sorted(map(tuple, live_counts.collect())) == sorted(
+        map(tuple, want_counts.collect())
+    )
+    # replay: no-op
+    rep2 = rewrite_docs(
+        rewrites, root, "curated", "excise-2026-08",
+        rules={"nonempty": "length(trim(text)) > 0"},
+    )
+    assert rep2["applied"] is False
+    assert len(manifest_history(root, "curated")) == n0 + 1
