@@ -98,6 +98,11 @@ RETRACT_ID_COLS: dict[str, str] = {
     "content_hashes": "canonical_id",
     "minhash_signatures": "id",
     "standing_grams": "doc_id",
+    # span audit rows mirror the ACCEPTED corpus (like the signature
+    # table), so a retracted doc's spans leave with it; the
+    # quarantine/dup REPORT tables are deliberately absent — they log
+    # rejected arrivals, which retraction of corpus docs doesn't undo
+    "repeated_spans": "doc_id",
     "bm25_postings": "id",
     "bm25_doclens": "id",
     "dsir_weights": "doc_id",
