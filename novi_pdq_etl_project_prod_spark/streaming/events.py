@@ -1219,13 +1219,21 @@ def stream_incremental_near_dups(
     after verification) but which copy's signature scores a pair is
     then unspecified. Route revisions through new ids (the m69
     exact-dedup stage reports re-fetches of unchanged content).
+
+    Retraction-aware (round 12, same contract as the composed funnel):
+    the standing signature read is filtered against the layer's
+    tombstones, so a retracted doc's signature stops pairing against
+    (and suppressing) future arrivals the moment the retraction
+    commits.
     """
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
         minhash_signatures_md5,
     )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+    )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_table,
     )
 
     marker = batch_marker_key(checkpoint_dir)
@@ -1242,8 +1250,8 @@ def stream_incremental_near_dups(
         sigs_new = None
         pairs = None
         try:
-            existing_sigs = read_manifest_table(
-                spark, root, layer, signatures_table
+            existing_sigs = read_live_table(
+                spark, root, layer, signatures_table, id_col="id"
             )
             sigs_new = minhash_signatures_md5(
                 batch_df, id_col, text_col, n, num_hashes
@@ -1338,9 +1346,11 @@ def stream_incremental_exact_dups(
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
         broadcast_if_bounded,
     )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+    )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
-        read_manifest_table,
     )
 
     marker = batch_marker_key(checkpoint_dir)
@@ -1363,7 +1373,11 @@ def stream_incremental_exact_dups(
         )
         enriched = None
         try:
-            standing = read_manifest_table(spark, root, layer, hashes_table)
+            # retraction-aware standing read (round 12): a retracted
+            # doc's content hash must not exact-drop a re-arrival
+            standing = read_live_table(
+                spark, root, layer, hashes_table, id_col="canonical_id"
+            )
             new_min = h_new.groupBy("h").agg(F.min("id").alias("new_min"))
             # mega-batch guard (VERDICT r10 #6): an availableNow
             # catch-up can deliver one huge trigger; past the cap the
@@ -1517,6 +1531,22 @@ def stream_incremental_repeated_spans(
                 standing = read_manifest_table(
                     spark, root, layer, grams_table
                 )
+                if standing is not None and "doc_id" in standing.columns:
+                    # doc-attributed (retractable) gram table: filter
+                    # retracted contributors so their grams stop
+                    # flagging future spans (round 12; the set-shaped
+                    # default has no contributor to subtract — its
+                    # non-retractability is documented in plans.retract)
+                    from novi_pdq_etl_project_prod_spark.plans.retract import (  # noqa: E501
+                        read_tombstones,
+                        retract_ids,
+                    )
+
+                    standing = retract_ids(
+                        standing,
+                        read_tombstones(spark, root, layer),
+                        "doc_id",
+                    )
                 # spans AND the new-gram delta from ONE gram explode
                 # and ONE standing-set probe (round-11 review: the sink
                 # previously rebuilt both independently, doubling the
@@ -1526,8 +1556,20 @@ def stream_incremental_repeated_spans(
                 )
                 spans = cache.track(state["spans"])
                 # new_grams also runs twice (isEmpty + write): uncached
-                # it re-probes the standing gram set per extra action
-                new_grams = cache.track(state["new_grams"])
+                # it re-probes the standing gram set per extra action.
+                # A doc-attributed standing table stays doc-attributed:
+                # appending set-shaped (gh) rows into it would leave
+                # NULL-contributor rows no retraction could ever remove
+                if standing is not None and "doc_id" in standing.columns:
+                    from novi_pdq_etl_project_prod_spark.operators.dedup import (  # noqa: E501
+                        doc_gram_set,
+                    )
+
+                    new_grams = cache.track(
+                        doc_gram_set(batch_df, id_col, text_col, k)
+                    )
+                else:
+                    new_grams = cache.track(state["new_grams"])
                 tables = {
                     t: df
                     for t, df in (

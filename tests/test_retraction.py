@@ -664,3 +664,65 @@ def test_rewrite_docs_atomic_excision_roundtrip(spark, tmp_path):
     )
     assert rep2["applied"] is False
     assert len(manifest_history(root, "curated")) == n0 + 1
+
+
+def test_standalone_sinks_honor_retraction(spark, tmp_path):
+    """The standalone incremental sinks (not just the composed funnel)
+    read standing state through the tombstone filter: after retracting
+    a doc, a re-arrival of its exact content under a new id is NOT
+    reported exact_old, and a near-dup of it pairs with nothing."""
+    from novi_pdq_etl_project_prod_spark.plans.retract import retract_docs
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest,
+        read_manifest_tables,
+    )
+    from novi_pdq_etl_project_prod_spark.streaming.events import (
+        stream_incremental_exact_dups,
+        stream_incremental_near_dups,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def _feed(dirname, rows):
+        d = str(tmp_path / dirname)
+        _docs(spark, rows).coalesce(1).write.mode("append").parquet(d)
+        return (
+            spark.readStream.schema("doc_id long, text string").parquet(d)
+        )
+
+    root = str(tmp_path / "wh")
+    stream_incremental_exact_dups(
+        _feed("d1", [(1, base)]), root, "curated", str(tmp_path / "c1")
+    )
+    stream_incremental_near_dups(
+        _feed("d2", [(1, base)]), root, "curated", str(tmp_path / "c2")
+    )
+    retract_docs(_docs(spark, [(1, base)]), root, "curated", "drop-1")
+
+    # exact re-arrival under a new id: accepted as NEW content
+    stream_incremental_exact_dups(
+        _feed("d3", [(2, base)]), root, "curated", str(tmp_path / "c3")
+    )
+    tables = read_manifest_tables(spark, root, "curated")
+    dups = (
+        [] if "exact_dups" not in read_manifest(root, "curated")
+        else [(r.doc_id, r.dup_type) for r in tables["exact_dups"].collect()]
+    )
+    assert ("2", "exact_old") not in dups and (2, "exact_old") not in dups
+    # the new id's hash row landed (so FUTURE copies of it dedup again)
+    hashes = read_manifest_tables(spark, root, "curated")["content_hashes"]
+    assert 2 in {r.canonical_id for r in hashes.collect()}
+
+    # near-dup of the retracted doc: pairs with nothing standing
+    stream_incremental_near_dups(
+        _feed("d4", [(3, base + " lam")]), root, "curated",
+        str(tmp_path / "c4"),
+    )
+    manifest = read_manifest(root, "curated")
+    if "near_dup_pairs" in manifest:
+        pairs = read_manifest_tables(spark, root, "curated")[
+            "near_dup_pairs"
+        ]
+        assert pairs.where(
+            (F.col("id_a") == 1) | (F.col("id_b") == 1)
+        ).count() == 0

@@ -363,7 +363,12 @@ def test_kappas_and_confusion_null_on_degenerate_under_ansi(spark):
         fleiss_kappa,
     )
 
-    old = spark.conf.get("spark.sql.ansi.enabled", "false")
+    # EFFECTIVE value (no fallback arg): conf.get(key, "false") returns
+    # the fallback when the key was never explicitly set, so the
+    # finally-restore would force ANSI *off* for the rest of the shared
+    # session (Spark 4's built-in default is on) — a conf leak that made
+    # size(NULL) read -1 in whatever test ran next (round-12 catch)
+    old = spark.conf.get("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try:
         empty = spark.createDataFrame([], "a string, b string")
