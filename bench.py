@@ -453,8 +453,16 @@ def main() -> None:
             # fall back to an in-session timing so the query neither
             # vanishes from the headline sum nor escapes the gate (a
             # crash in the timed query itself still raises loudly here,
-            # exactly like methodology 2)
+            # exactly like methodology 2). Warm up first: the main
+            # warmup loop excluded lane queries and the subprocess's
+            # warmup died with it — a cold first run would charge
+            # codegen/class-loading to the gate.
             isolated[n] = {"error": "isolated run failed; timed in-session"}
+            try:
+                _run(QUERIES[n], spark, WARMUP_SF)
+            except Exception:
+                pass
+            _clear_session_state(spark)
             timings[n] = round(_run(QUERIES[n], spark, sf_dir), 3)
             _clear_session_state(spark)
             continue

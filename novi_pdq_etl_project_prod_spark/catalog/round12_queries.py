@@ -486,7 +486,6 @@ QUERIES["m85_hybrid_ann"] = m85_hybrid_ann
 # ---------------------------------------------------------------------------
 
 _M86_K = 10
-_M86_SHIFT = 1_000_000
 
 
 def m86_rewrite_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,11 +499,15 @@ def m86_rewrite_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novi_pdq_etl_project_prod_spark.plans.retract import retract_ids
 
     docs = _t(spark, sf_dir, "documents")
+    # fresh-id shift derived from the DATA (max id + 1), not a literal:
+    # a fixed shift collides with live ids once the corpus outgrows it
+    # (round-12 second review) — the oracle derives the same scalar
+    shift = docs.agg(F.max("doc_id")).first()[0] + 1
     ex = excise_repeated_spans(docs, k=_M86_K, min_count=2)
     changed = ex.where(F.col("n_removed") > 0)
     tomb = changed.select("doc_id")
     rewritten = changed.select(
-        (F.col("doc_id") + _M86_SHIFT).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text"
     )
     idx_o = build_bm25_index(docs)
     idx_n = build_bm25_index(rewritten)
@@ -551,11 +554,13 @@ ekept AS (
   GROUP BY k.doc_id
 ),
 changed AS (SELECT DISTINCT doc_id FROM ecov),
+shift AS (SELECT MAX(doc_id) + 1 AS s FROM documents),
 rewritten AS (
   SELECT doc_id, text FROM documents
   WHERE doc_id NOT IN (SELECT doc_id FROM changed)
   UNION ALL
-  SELECT c.doc_id + {_M86_SHIFT} AS doc_id, coalesce(k.cleaned, '') AS text
+  SELECT c.doc_id + (SELECT s FROM shift) AS doc_id,
+         coalesce(k.cleaned, '') AS text
   FROM changed c LEFT JOIN ekept k ON k.doc_id = c.doc_id
 )"""
 

@@ -1863,6 +1863,7 @@ def incremental_repeated_spans_state(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 50,
+    attributed: bool = False,
 ) -> dict[str, DataFrame]:
     """:func:`incremental_repeated_spans` plus the state delta a sink
     must persist: ``{"spans": ..., "new_grams": ...}`` where
@@ -1870,9 +1871,16 @@ def incremental_repeated_spans_state(
     standing — derived from the SAME gram explode and the SAME standing
     probe as the span detection (round-11 review: the sink previously
     rebuilt both independently, doubling the standing-side scan the
-    docstring promises happens once)."""
+    docstring promises happens once).
+
+    ``attributed=True`` adds ``"doc_grams"`` — the increment's
+    per-doc DISTINCT (doc_id, gh) rows (ALL of them, not just unseen:
+    retraction must know every contributor), the delta for a
+    RETRACTABLE gram table (:func:`doc_gram_set` shape). It comes from
+    the same cached gram explode as the spans, not a second tokenize
+    pass (round-12 second review)."""
     return _incremental_repeated_spans_impl(
-        new_df, standing_grams, id_col, text_col, k
+        new_df, standing_grams, id_col, text_col, k, attributed
     )
 
 
@@ -1917,6 +1925,7 @@ def _incremental_repeated_spans_impl(
     id_col: str,
     text_col: str,
     k: int,
+    attributed: bool = False,
 ) -> dict[str, DataFrame]:
     from pyspark.sql import Window
 
@@ -1940,6 +1949,11 @@ def _incremental_repeated_spans_impl(
             )
         ).alias("pos0", "gh"),
     ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gh")
+    if attributed:
+        # the positional gram frame feeds THREE consumers in attributed
+        # mode (counts, marks, doc_grams) — pin it so the explode runs
+        # once; batch-bounded rows
+        grams = cache.track(grams)
     inc_counts = cache.track(
         grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c"))
     )
@@ -1987,4 +2001,7 @@ def _incremental_repeated_spans_impl(
         )
     )
     new_grams = inc_counts.select("gh").join(bc(matched), "gh", "left_anti")
-    return {"spans": spans, "new_grams": new_grams}
+    out = {"spans": spans, "new_grams": new_grams}
+    if attributed:
+        out["doc_grams"] = grams.select("doc_id", "gh").distinct()
+    return out

@@ -79,6 +79,7 @@ def ingest_increment(
     threshold: float = 0.5,
     standing_grams: DataFrame | GramProbe | None = None,
     span_k: int | None = None,
+    retractable_grams: bool = False,
 ) -> dict[str, DataFrame]:
     """One increment through the full funnel, frame-in/frame-out — the
     shared core of the batch twin (:func:`ingest_increment_vs_standing`,
@@ -237,7 +238,8 @@ def ingest_increment(
         )
 
         span_state = incremental_repeated_spans_state(
-            accepted, standing_grams, id_col, text_col, span_k
+            accepted, standing_grams, id_col, text_col, span_k,
+            attributed=retractable_grams,
         )
         # pinned: the sink consumes each span frame several times
         # (span_docs count, isEmpty probe, commit write) — uncached,
@@ -245,7 +247,10 @@ def ingest_increment(
         # the accepted docs (round-11 review; the standalone span sink
         # learned the same lesson)
         result["repeated_spans"] = cache.track(span_state["spans"])
-        result["new_grams"] = cache.track(span_state["new_grams"])
+        result["new_grams"] = cache.track(
+            span_state["doc_grams"] if retractable_grams
+            else span_state["new_grams"]
+        )
     return result
 
 
@@ -525,6 +530,7 @@ def run_incremental_ingest(
                     threshold,
                     standing_grams=standing_grams,
                     span_k=span_k,
+                    retractable_grams=retractable_grams,
                 )
                 fresh = {
                     "n_rows": batch_df.count(),
@@ -567,25 +573,16 @@ def run_incremental_ingest(
                     candidates[tables["repeated_spans"]] = result[
                         "repeated_spans"
                     ]
-                    if retractable_grams:
-                        # doc-attributed (doc_id, gh) rows — one row per
-                        # accepted doc's distinct gram, ALL of them (not
-                        # just unseen ones): retraction must know every
-                        # contributor, and the existence readers dedup
-                        # downstream either way. Still O(batch).
-                        from novi_pdq_etl_project_prod_spark.operators import (  # noqa: E501
-                            dedup as _dedup,
-                        )
-
-                        candidates[tables["standing_grams"]] = (
-                            _dedup.doc_gram_set(
-                                result["accepted"], id_col, text_col, span_k
-                            )
-                        )
-                    else:
-                        candidates[tables["standing_grams"]] = result[
-                            "new_grams"
-                        ]
+                    # with retractable_grams, new_grams IS the
+                    # doc-attributed (doc_id, gh) delta — one row per
+                    # accepted doc's distinct gram, ALL of them (not
+                    # just unseen ones): retraction must know every
+                    # contributor, and the existence readers dedup
+                    # downstream either way. Same cached gram explode
+                    # as the span detection; still O(batch).
+                    candidates[tables["standing_grams"]] = result[
+                        "new_grams"
+                    ]
                 committed = {
                     t: df for t, df in candidates.items() if not df.isEmpty()
                 }

@@ -88,12 +88,22 @@ def run_maintenance_tick(
         "retractions": None,
         "vacuum": None,
     }
-    if retraction_id_cols:
+    if retraction_id_cols is not False:
         from novi_pdq_etl_project_prod_spark.plans.retract import (
             compact_retractions,
             read_tombstones,
         )
 
+        if not retraction_id_cols and retraction_id_cols is not True:
+            # an explicitly-passed EMPTY mapping is a configuration
+            # error, not "feature off": running compact_retractions
+            # with it would drop the tombstones while rewriting nothing
+            # — retracted rows would silently resurface
+            raise ValueError(
+                "retraction_id_cols={} would clear tombstones without "
+                "rewriting any table; pass False to disable the lane "
+                "or True for RETRACT_ID_COLS"
+            )
         tomb = read_tombstones(spark, root, layer)
         n_tomb = 0 if tomb is None else tomb.count()
         if n_tomb >= retraction_min_tombstones and n_tomb > 0:

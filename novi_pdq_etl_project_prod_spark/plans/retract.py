@@ -210,10 +210,17 @@ def retract_docs(
     canonicalized against) are filtered out BEFORE the negative deltas
     are computed, so a re-dropped doc can never double-subtract its
     bucket mass (the additive tables are not idempotent; this filter is
-    the correctness line the tombstone set alone doesn't give).
+    the correctness line the tombstone set alone doesn't give). The
+    filter is made race-proof by CAS-pinning the commit to the manifest
+    version the tombstones were read at: a CONCURRENT retraction (or
+    any other commit) landing in between raises
+    ``SnapshotConflictError`` instead of letting two writers each pass
+    the anti-join and land two negative segments — retry on conflict;
+    the retry re-reads the tombstones, so the filter holds.
     Committed bytes and compute are O(drop).
     """
     marker = retraction_marker(retraction_id)
+    base = current_manifest_version(root, layer)
     meta = read_manifest_meta(root, layer)
     if meta.get(marker) is not None:
         return {
@@ -237,26 +244,9 @@ def retract_docs(
         dfs: dict[str, DataFrame] = {}
         if n_drop:
             dfs[tombstones_table] = ids
-        bucket_keys: dict[str, int] = {}
-        for tbl, n_buckets in sorted((dsir_counts or {}).items()):
-            recorded = meta.get(f"dsir_n_buckets:{tbl}")
-            if recorded is not None and int(recorded) != int(n_buckets):
-                raise ValueError(
-                    f"{tbl} was committed with n_buckets={recorded}; a "
-                    f"retraction delta at n_buckets={n_buckets} would skew "
-                    "every weight (ADVICE r11 bucket-mismatch guard)"
-                )
-            if manifest.get(tbl) is None:
-                raise ValueError(
-                    f"DSIR count table {tbl!r} is not in the {layer!r} "
-                    "manifest: a negative-only delta would seed the table "
-                    "with negative counts"
-                )
-            # record provenance even when the seeder didn't (closes the
-            # ADVICE r11 hole for batch-retraction-only layers: the NEXT
-            # mismatched run fails instead of silently re-bucketing)
-            bucket_keys[f"dsir_n_buckets:{tbl}"] = int(n_buckets)
-            if n_drop:
+        bucket_keys = _dsir_guard(meta, manifest, dsir_counts, layer)
+        if n_drop:
+            for tbl, n_buckets in sorted((dsir_counts or {}).items()):
                 dfs[tbl] = dsir_negative_deltas(
                     drop, id_col, text_col, int(n_buckets)
                 )
@@ -264,6 +254,7 @@ def retract_docs(
             dfs,
             root,
             layer,
+            expected_base=base,
             meta={
                 marker: {
                     "n_docs": n_drop,
@@ -276,6 +267,40 @@ def retract_docs(
     finally:
         drop.unpersist()
     return {"applied": True, "retraction_id": retraction_id, "n_docs": n_drop}
+
+
+def _dsir_guard(
+    meta: Mapping,
+    manifest: Mapping,
+    dsir_counts: Mapping[str, int] | None,
+    layer,
+) -> dict[str, int]:
+    """The shared DSIR provenance guard (one definition — retract_docs,
+    rewrite_docs and stream_retractions previously carried drifting
+    copies): every registered count table must exist in the manifest
+    (a delta-only commit would seed bogus counts) and must not have
+    been committed under a DIFFERENT n_buckets (ADVICE r11 — md5%B1 and
+    md5%B2 bucket the same token differently, silently skewing every
+    weight). Returns the ``dsir_n_buckets:<table>`` provenance keys to
+    stamp into the commit meta, recording the value even when the
+    seeder didn't so the NEXT mismatched run fails loudly."""
+    bucket_keys: dict[str, int] = {}
+    for tbl, n_buckets in sorted((dsir_counts or {}).items()):
+        recorded = meta.get(f"dsir_n_buckets:{tbl}")
+        if recorded is not None and int(recorded) != int(n_buckets):
+            raise ValueError(
+                f"{tbl} was committed with n_buckets={recorded}; a "
+                f"delta at n_buckets={n_buckets} would skew every "
+                "weight (ADVICE r11 bucket-mismatch guard)"
+            )
+        if manifest.get(tbl) is None:
+            raise ValueError(
+                f"DSIR count table {tbl!r} is not in the {layer!r} "
+                "manifest: a delta-only commit would seed the table "
+                "with bogus counts"
+            )
+        bucket_keys[f"dsir_n_buckets:{tbl}"] = int(n_buckets)
+    return bucket_keys
 
 
 def compact_retractions(
@@ -307,6 +332,14 @@ def compact_retractions(
     its appended segments.
     """
     id_cols = dict(RETRACT_ID_COLS if id_cols is None else id_cols)
+    if not id_cols:
+        # dropping the tombstones while rewriting nothing would
+        # resurface every retracted row — an empty mapping is a
+        # configuration error, never a no-op
+        raise ValueError(
+            "compact_retractions with an empty id_cols mapping would "
+            "clear tombstones without rewriting any table"
+        )
     base = current_manifest_version(root, layer)
     tomb = read_manifest_table(spark, root, layer, tombstones_table)
     if tomb is None:
@@ -473,6 +506,7 @@ def rewrite_docs(
 
     tables = dict(INGEST_TABLES if tables is None else tables)
     marker = retraction_marker(retraction_id)
+    base = current_manifest_version(root, layer)
     meta = read_manifest_meta(root, layer)
     if meta.get(marker) is not None:
         return {
@@ -494,6 +528,36 @@ def rewrite_docs(
     try:
         with cache.scope():
             n_rewrites = rw.count()
+            # enforce the fresh-identity contract loudly (round-12
+            # second review): duplicate new_ids within the batch, or a
+            # new_id colliding with a LIVE corpus id, would commit
+            # duplicate-id rows every downstream reader assumes away
+            n_new = rw.select("new_id").distinct().count()
+            if n_new != n_rewrites:
+                raise ValueError(
+                    f"rewrites carry {n_rewrites} old_ids but only "
+                    f"{n_new} distinct new_ids — new_id must be a fresh "
+                    "identity per rewrite"
+                )
+            corpus_live = read_manifest_table(
+                spark, root, layer, tables["corpus"]
+            )
+            if corpus_live is not None:
+                clash = (
+                    corpus_live.select(F.col(id_col).alias("new_id"))
+                    .join(
+                        F.broadcast(rw.select("new_id").distinct()),
+                        "new_id",
+                    )
+                    .limit(5)
+                    .collect()
+                )
+                if clash:
+                    raise ValueError(
+                        "new_id values collide with live corpus ids "
+                        f"(e.g. {[r.new_id for r in clash]}): new_id "
+                        "must be a fresh identity"
+                    )
             tomb_new = rw.select(F.col("old_id").alias("id"))
             old_docs = rw.select(
                 F.col("old_id").alias(id_col), F.col("old_text").alias(text_col)
@@ -539,20 +603,8 @@ def rewrite_docs(
                     frame = accepted if out_key == "accepted" else result[out_key]
                     if not frame.isEmpty():
                         dfs[tables[t_key]] = frame
-                bucket_keys: dict[str, int] = {}
+                bucket_keys = _dsir_guard(meta, manifest, dsir_counts, layer)
                 for tbl, n_buckets in sorted((dsir_counts or {}).items()):
-                    recorded = meta.get(f"dsir_n_buckets:{tbl}")
-                    if recorded is not None and int(recorded) != int(n_buckets):
-                        raise ValueError(
-                            f"{tbl} was committed with n_buckets={recorded}; "
-                            f"a rewrite delta at n_buckets={n_buckets} would "
-                            "skew every weight"
-                        )
-                    if manifest.get(tbl) is None:
-                        raise ValueError(
-                            f"DSIR count table {tbl!r} is not in the "
-                            f"{layer!r} manifest"
-                        )
                     delta = dsir_negative_deltas(
                         old_docs, id_col, text_col, int(n_buckets)
                     ).unionByName(
@@ -560,7 +612,6 @@ def rewrite_docs(
                             accepted, id_col, text_col, int(n_buckets)
                         )
                     )
-                    bucket_keys[f"dsir_n_buckets:{tbl}"] = int(n_buckets)
                     if n_rewrites and not delta.isEmpty():
                         dfs[tbl] = delta
                 if bm25_tables:
@@ -571,10 +622,14 @@ def rewrite_docs(
                     ):
                         if not frame.isEmpty():
                             dfs[bm25_tables[part]] = frame
+                # CAS-pinned like retract_docs: a concurrent commit
+                # between the tombstone read and this flip conflicts
+                # loudly instead of double-subtracting (retry re-reads)
                 commit_tables(
                     dfs,
                     root,
                     layer,
+                    expected_base=base,
                     meta={
                         marker: {
                             "n_rewrites": n_rewrites,

@@ -1547,29 +1547,28 @@ def stream_incremental_repeated_spans(
                         read_tombstones(spark, root, layer),
                         "doc_id",
                     )
-                # spans AND the new-gram delta from ONE gram explode
-                # and ONE standing-set probe (round-11 review: the sink
+                attributed = (
+                    standing is not None and "doc_id" in standing.columns
+                )
+                # spans AND the gram delta from ONE gram explode and
+                # ONE standing-set probe (round-11 review: the sink
                 # previously rebuilt both independently, doubling the
                 # standing-side scan cost per trigger)
                 state = incremental_repeated_spans_state(
-                    batch_df, standing, id_col, text_col, k
+                    batch_df, standing, id_col, text_col, k,
+                    attributed=attributed,
                 )
                 spans = cache.track(state["spans"])
-                # new_grams also runs twice (isEmpty + write): uncached
-                # it re-probes the standing gram set per extra action.
-                # A doc-attributed standing table stays doc-attributed:
-                # appending set-shaped (gh) rows into it would leave
-                # NULL-contributor rows no retraction could ever remove
-                if standing is not None and "doc_id" in standing.columns:
-                    from novi_pdq_etl_project_prod_spark.operators.dedup import (  # noqa: E501
-                        doc_gram_set,
-                    )
-
-                    new_grams = cache.track(
-                        doc_gram_set(batch_df, id_col, text_col, k)
-                    )
-                else:
-                    new_grams = cache.track(state["new_grams"])
+                # the gram delta also runs twice (isEmpty + write):
+                # uncached it re-probes the standing gram set per extra
+                # action. A doc-attributed standing table stays
+                # doc-attributed (set-shaped (gh) rows in it would be
+                # NULL-contributor rows no retraction could remove);
+                # doc_grams comes from the SAME cached explode as the
+                # spans, not a second tokenize (round-12 second review)
+                new_grams = cache.track(
+                    state["doc_grams"] if attributed else state["new_grams"]
+                )
                 tables = {
                     t: df
                     for t, df in (
@@ -1910,11 +1909,13 @@ def stream_retractions(
     from novi_pdq_etl_project_prod_spark import cache
     from novi_pdq_etl_project_prod_spark.plans.retract import (
         TOMBSTONES_TABLE,
+        _dsir_guard,
         dsir_negative_deltas,
         retract_ids,
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         commit_tables,
+        current_manifest_version,
         read_manifest,
         read_manifest_meta,
         read_manifest_table,
@@ -1923,10 +1924,6 @@ def stream_retractions(
     tomb_table = tombstones_table or TOMBSTONES_TABLE
     marker = batch_marker_key(checkpoint_dir)
     _maybe_migrate_legacy(root, layer, checkpoint_dir)
-    bucket_keys = {
-        f"dsir_n_buckets:{t}": int(b)
-        for t, b in sorted((dsir_counts or {}).items())
-    }
     counts_key = f"retraction_counts:{marker}"
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
@@ -1936,6 +1933,11 @@ def stream_retractions(
         if last is not None and _batch_id <= last:
             return  # replayed batch: its tombstones/deltas are in
         spark = batch_df.sparkSession
+        # CAS pin (round-12 second review): the doc-level anti-join
+        # below is only race-proof if the commit conflicts when ANY
+        # writer lands between the tombstone read and the flip — a
+        # conflict fails the batch and the stream's retry re-reads
+        base = current_manifest_version(root, layer)
         drop = batch_df.dropDuplicates([id_col])
         existing = read_manifest_table(spark, root, layer, tomb_table)
         if existing is not None:
@@ -1951,23 +1953,13 @@ def stream_retractions(
                     dfs[tomb_table] = drop.select(
                         F.col(id_col).alias("id")
                     )
-                for tbl, n_buckets in sorted((dsir_counts or {}).items()):
-                    recorded = meta.get(f"dsir_n_buckets:{tbl}")
-                    if recorded is not None and int(recorded) != int(
-                        n_buckets
+                bucket_keys = _dsir_guard(
+                    meta, manifest, dsir_counts, layer
+                )
+                if n_drop:
+                    for tbl, n_buckets in sorted(
+                        (dsir_counts or {}).items()
                     ):
-                        raise ValueError(
-                            f"dsir_n_buckets:{tbl} recorded as {recorded} "
-                            f"but this sink retracts at n_buckets="
-                            f"{n_buckets} (ADVICE r11 bucket guard)"
-                        )
-                    if manifest.get(tbl) is None:
-                        raise ValueError(
-                            f"DSIR count table {tbl!r} absent from "
-                            f"{layer!r}: a negative-only delta would seed "
-                            "negative counts"
-                        )
-                    if n_drop:
                         dfs[tbl] = dsir_negative_deltas(
                             drop, id_col, text_col, int(n_buckets)
                         )
@@ -1980,6 +1972,7 @@ def stream_retractions(
                     dfs,
                     root,
                     layer,
+                    expected_base=base,
                     meta={
                         marker: _batch_id,
                         counts_key: total,
