@@ -11,17 +11,17 @@ Composes, per layer:
    small-segment-bytes policy (VERDICT r10 #1) that bounds append-table
    read amplification (measured: 1,000 accumulated segments cost 6.4×
    the 10-segment scan; one compaction restores base — SCALE.md r11);
-2. :func:`~novi_pdq_etl_project_prod_spark.sources.skipping.maybe_optimize`
-   for the POINTER-LAYOUT tables the caller names in ``zorder_cols`` —
-   the clustering-health policy from r06/r07. Deliberately NOT applied
-   to manifest-committed tables: ``maybe_optimize`` commits through the
-   per-table ``_CURRENT`` pointer, and a pointer-only rewrite of a
-   manifest table diverges the two commit layers (manifest readers keep
-   the old layout, the z-ordered snapshot is invisible to them and
-   orphaned at the next roll-forward). Z-ordering a manifest table
-   needs a manifest-level rewrite — commit it via ``commit_tables``
-   with pre-sorted data instead; the tick SKIPS such requests loudly in
-   its report rather than silently splitting the table's identity.
+2. the clustering-health policy from r06/r07 for every table the
+   caller names in ``zorder_cols`` — routed by COMMIT LAYER (round 12):
+   pointer-layout tables go through
+   :func:`~novi_pdq_etl_project_prod_spark.sources.skipping.maybe_optimize`
+   (per-table ``_CURRENT`` CAS), manifest-committed tables through
+   :func:`~novi_pdq_etl_project_prod_spark.sources.skipping.maybe_optimize_manifest`
+   — a ``commit_tables`` whole-snapshot rewrite that audits the UNION
+   of the table's segments, resets its segment list (doubling as a
+   compaction) and CAS-pins against concurrent sinks. A pointer-only
+   rewrite of a manifest table would diverge the two commit layers,
+   which is why the pre-round-12 tick skipped these loudly instead.
 3. optional :func:`~novi_pdq_etl_project_prod_spark.sources.layers.vacuum`
    when ``vacuum_retain`` is given — GC runs AFTER compaction so the
    just-unreferenced segment dirs age out on the same tick cadence.
@@ -47,7 +47,10 @@ from novi_pdq_etl_project_prod_spark.sources.layers import (
     read_manifest,
     vacuum,
 )
-from novi_pdq_etl_project_prod_spark.sources.skipping import maybe_optimize
+from novi_pdq_etl_project_prod_spark.sources.skipping import (
+    maybe_optimize,
+    maybe_optimize_manifest,
+)
 
 
 def run_maintenance_tick(
@@ -150,13 +153,12 @@ def run_maintenance_tick(
             }
     for tbl, cols in sorted((zorder_cols or {}).items()):
         if tbl in manifest_tables:
-            report["optimize"][tbl] = {
-                "table": tbl,
-                "fired": False,
-                "skipped": "manifest-committed table: a pointer-level "
-                "z-order rewrite would diverge the manifest and pointer "
-                "commit layers; rewrite via commit_tables instead",
-            }
+            # manifest-committed table: the z-order rewrite goes through
+            # commit_tables (round 12 — previously a loud skip): a
+            # pointer-level rewrite would diverge the two commit layers
+            report["optimize"][tbl] = maybe_optimize_manifest(
+                spark, root, layer, tbl, cols
+            )
             continue
         report["optimize"][tbl] = maybe_optimize(
             spark, root, layer, tbl, cols

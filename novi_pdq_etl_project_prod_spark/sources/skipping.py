@@ -68,6 +68,28 @@ def zorder_sql(x: str, y: str, bits: int = 12) -> str:
     return zorder_sql_multi([x, y], bits)
 
 
+def zorder_frame(
+    df: DataFrame,
+    cols: list[str],
+    n_files: int,
+    bits: int = 12,
+) -> DataFrame:
+    """The z-ordered SHAPE of ``df`` as a frame: range-partitioned on
+    the Morton code (contiguous curve segments per output file → tight
+    per-file min/max hyper-rectangles on EVERY dimension), sorted within
+    partitions so page-level stats are tight too, helper column
+    dropped. For commit paths that own the write themselves —
+    :func:`write_zordered` for pointer-snapshot tables, and the
+    manifest-level rewrite (:func:`maybe_optimize_manifest`), whose
+    atomic write happens inside ``commit_tables``."""
+    zdf = df.withColumn("__z", zorder_col_multi(cols, bits))
+    return (
+        zdf.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -76,18 +98,10 @@ def write_zordered(
     bits: int = 12,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered on the z-order
-    of ``cols``: range-partition by z-value (contiguous curve segments
-    per file → tight per-file min/max hyper-rectangles on EVERY
-    dimension), sort within each file so page-level stats are tight too.
-    The helper column is dropped before write; the layout survives in
-    the file boundaries."""
-    zdf = df.withColumn("__z", zorder_col_multi(cols, bits))
-    (
-        zdf.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode("overwrite")
-        .parquet(path)
+    of ``cols`` (:func:`zorder_frame`); the layout survives in the file
+    boundaries."""
+    zorder_frame(df, cols, n_files, bits).write.mode("overwrite").parquet(
+        path
     )
 
 
@@ -265,7 +279,19 @@ def clustering_report(path: str, cols: list[str]) -> dict:
     Footer-only: O(files) metadata reads, no data scan. Numeric columns
     only (span arithmetic).
     """
-    stats = file_minmax_stats(path, cols)
+    return _report_from_stats(file_minmax_stats(path, cols), cols)
+
+
+def clustering_report_paths(paths: list[str], cols: list[str]) -> dict:
+    """:func:`clustering_report` over the UNION of several parquet dirs
+    — the audit shape for a manifest table's segment list, where layout
+    health is a property of what a reader actually scans (all segments
+    together), not of any one segment."""
+    stats = [st for p in paths for st in file_minmax_stats(p, cols)]
+    return _report_from_stats(stats, cols)
+
+
+def _report_from_stats(stats: list[dict], cols: list[str]) -> dict:
     report: dict = {"n_files": len(stats), "columns": {}}
     for col in cols:
         iv = [st[col] for st in stats if st[col][0] is not None]
@@ -290,3 +316,100 @@ def clustering_report(path: str, cols: list[str]) -> dict:
             "max_overlap": max(overlaps),
         }
     return report
+
+
+def maybe_optimize_manifest(
+    spark: SparkSession,
+    root: str,
+    layer,
+    table: str,
+    cols: list[str],
+    overlap_threshold: float = 0.5,
+    n_files: int | None = None,
+    bits: int = 12,
+) -> dict:
+    """:func:`maybe_optimize` for MANIFEST-committed tables — closing
+    the gap the maintenance tick previously skipped loudly: a
+    pointer-level z-order rewrite of a manifest table would diverge the
+    two commit layers (manifest readers keep the old layout; the
+    z-ordered snapshot is orphaned at the next roll-forward), so the
+    rewrite here goes through ``commit_tables`` itself.
+
+    Audits the UNION of the table's live segments (what a manifest
+    reader actually scans); past the threshold, commits ONE z-ordered
+    whole-snapshot entry — which also resets the segment list, so the
+    rewrite doubles as a segment compaction. CAS-pinned to the manifest
+    version read with the audit: a concurrent committer (an ingest
+    sink's append, a retraction) wins and the optimize reports
+    ``conflict`` instead of clobbering their segments — re-audited next
+    tick. Rows are preserved verbatim (layout-only): tombstone-filtered
+    readers and a later ``compact_retractions`` behave identically
+    before and after.
+
+    Same cost model and normalized clustering factor as
+    :func:`maybe_optimize`; the decision record adds ``"segments"``.
+    """
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        _read_manifest_entry,
+        _segments,
+        commit_tables,
+        current_manifest_version,
+        read_manifest,
+        table_path,
+    )
+
+    def _factors(report: dict) -> dict[str, float]:
+        denom = max(report["n_files"] - 1, 1)
+        return {
+            c: r["avg_overlap"] / denom
+            for c, r in report["columns"].items()
+            if r
+        }
+
+    base = current_manifest_version(root, layer)
+    entry = read_manifest(root, layer).get(table)
+    if entry is None:
+        return {"table": table, "fired": False, "reason": "not in manifest"}
+    dirs = [
+        os.path.join(table_path(root, layer, table), seg)
+        for seg in _segments(entry)
+    ]
+    report = clustering_report_paths(dirs, cols)
+    factors = _factors(report)
+    decision: dict = {
+        "table": table,
+        "n_files": report["n_files"],
+        "segments": len(dirs),
+        "clustering": factors,
+        "threshold": overlap_threshold,
+        "fired": False,
+    }
+    if report["n_files"] <= 1 or not factors:
+        return decision
+    if max(factors.values()) <= overlap_threshold:
+        return decision
+    df = _read_manifest_entry(spark, root, layer, table, entry)
+    nf = n_files or report["n_files"]
+    try:
+        commit_tables(
+            {table: zorder_frame(df, cols, nf, bits)},
+            root,
+            layer,
+            expected_base=base,
+        )
+    except SnapshotConflictError:
+        decision["conflict"] = True
+        return decision
+    decision["fired"] = True
+    new_entry = read_manifest(root, layer)[table]
+    decision["after"] = _factors(
+        clustering_report_paths(
+            [
+                os.path.join(table_path(root, layer, table), seg)
+                for seg in _segments(new_entry)
+            ],
+            cols,
+        )
+    )
+    return decision

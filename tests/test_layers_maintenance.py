@@ -660,9 +660,10 @@ def test_gc_under_segment_churn(spark, tmp_path, monkeypatch):
 def test_run_maintenance_tick_composes_policies(spark, tmp_path, monkeypatch):
     """The layer maintenance tick: compacts every over-threshold
     manifest table, z-orders the pointer-layout table it's told about,
-    SKIPS a z-order request for a manifest table (pointer-level rewrite
-    would diverge the two commit layers), vacuums last, and no-ops on
-    an immediate second tick."""
+    AUDITS a z-order request for a manifest table through the
+    manifest-level route (round 12 — previously a loud skip; here the
+    range-loaded segments are already well-clustered so it no-ops),
+    vacuums last, and no-ops on an immediate second tick."""
     from pyspark.sql import functions as F
 
     from novi_pdq_etl_project_prod_spark.plans.maintenance import (
@@ -705,7 +706,11 @@ def test_run_maintenance_tick_composes_policies(spark, tmp_path, monkeypatch):
     assert report["compact"]["a"]["segment_count_after"] == 1
     assert report["compact"]["b"]["fired"] is False
     assert report["optimize"]["zt"]["fired"] is True
-    assert "manifest-committed" in report["optimize"]["a"]["skipped"]
+    # manifest table: audited via the manifest-level route; the
+    # sequentially-loaded (and just-compacted) segments are already
+    # clustered, so the policy correctly declines to rewrite
+    assert report["optimize"]["a"]["fired"] is False
+    assert "clustering" in report["optimize"]["a"]
     assert report["vacuum"] is not None
 
     # data intact everywhere
@@ -733,3 +738,58 @@ def test_run_maintenance_tick_composes_policies(spark, tmp_path, monkeypatch):
     assert not r2["compact"]["a"]["fired"]
     assert not r2["compact"]["b"]["fired"]
     assert not r2["optimize"]["zt"]["fired"]
+
+
+def test_maybe_optimize_manifest_rewrites_segmented_table(spark, tmp_path):
+    """Round 12: z-ordering a MANIFEST table is a commit_tables
+    whole-snapshot rewrite, not a skip — the audit runs over the union
+    of the table's segments, the rewrite resets the segment list
+    (doubling as a compaction), rows are preserved verbatim, the
+    clustering factor drops under the threshold, and an immediate
+    second tick no-ops."""
+    from pyspark.sql import functions as F
+
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.sources import layers
+
+    root = str(tmp_path)
+    # 4 hash-shuffled (x, y) segments: every file's [min, max] spans the
+    # whole space -> clustering factor ~1
+    full = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").alias("payload"),
+    ).orderBy(F.xxhash64("payload"))
+    for i in range(4):
+        seg = full.where(F.col("payload") % 4 == i).repartition(8)
+        layers.commit_tables(
+            {"mz": seg}, root, "curated", append_tables=("mz",)
+        )
+    entry = layers.read_manifest(root, "curated")["mz"]
+    assert isinstance(entry, list) and len(entry) == 4
+
+    report = run_maintenance_tick(
+        spark, root, "curated",
+        zorder_cols={"mz": ["x", "y"]},
+        max_segments=100,  # compaction must not be what fixes it
+    )
+    dec = report["optimize"]["mz"]
+    assert dec["fired"] is True and dec["segments"] == 4
+    assert max(dec["clustering"].values()) > 0.5
+    assert max(dec["after"].values()) < 0.5
+    # whole-snapshot entry: segment list reset by the rewrite
+    entry2 = layers.read_manifest(root, "curated")["mz"]
+    assert isinstance(entry2, str)
+    # rows preserved verbatim
+    live = layers.read_manifest_tables(spark, root, "curated")["mz"]
+    assert sorted(r.payload for r in live.collect()) == list(range(4096))
+
+    # second tick: clustered now -> no churn
+    r2 = run_maintenance_tick(
+        spark, root, "curated",
+        zorder_cols={"mz": ["x", "y"]},
+        max_segments=100,
+    )
+    assert r2["optimize"]["mz"]["fired"] is False
