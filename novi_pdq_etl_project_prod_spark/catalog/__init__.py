@@ -29,6 +29,7 @@ from novi_pdq_etl_project_prod_spark.catalog import (
     round10_queries,
     round11_queries,
     round12_queries,
+    round13_queries,
     surface_queries,
     temporal_queries,
     tpch_queries,
@@ -55,6 +56,7 @@ for _mod in (
     round10_queries,
     round11_queries,
     round12_queries,
+    round13_queries,
 ):
     QUERIES.update(_mod.QUERIES)
     ORACLES.update(_mod.ORACLES)

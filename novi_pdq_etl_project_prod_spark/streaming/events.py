@@ -1480,6 +1480,7 @@ def stream_incremental_repeated_spans(
     k: int = 50,
     grams_table: str = "standing_grams",
     spans_table: str = "repeated_spans",
+    retractable_grams: bool | None = None,
 ) -> None:
     """Streaming long-substring dedup — the production form of
     ``operators.dedup.incremental_repeated_spans`` and the third
@@ -1501,6 +1502,15 @@ def stream_incremental_repeated_spans(
     distinct hashes probe the standing set via ONE map-side scan
     (broadcast-guarded); committed bytes are O(batch's new grams +
     spans). The standing gram set is never shuffled or rewritten.
+
+    ``retractable_grams`` (ADVICE r12 #2): the gram-table SHAPE to
+    bootstrap when the standing table does not exist yet — True commits
+    doc-attributed (doc_id, gh) rows (``doc_gram_set`` shape,
+    retraction-capable) from the FIRST trigger; False/None the set
+    shape. Once the table exists its schema is inferred and wins;
+    passing an explicit flag that CONTRADICTS the standing shape raises
+    before anything commits (the mixed-segment hazard ADVICE r12 #1
+    names).
     """
     from novi_pdq_etl_project_prod_spark import cache
     from novi_pdq_etl_project_prod_spark.operators.dedup import (
@@ -1531,7 +1541,25 @@ def stream_incremental_repeated_spans(
                 standing = read_manifest_table(
                     spark, root, layer, grams_table
                 )
-                if standing is not None and "doc_id" in standing.columns:
+                if standing is None:
+                    # bootstrap (ADVICE r12 #2): the first trigger fixes
+                    # the table's shape — without the parameter a
+                    # retractable table could never be born here
+                    attributed = bool(retractable_grams)
+                else:
+                    attributed = "doc_id" in standing.columns
+                    if (
+                        retractable_grams is not None
+                        and retractable_grams != attributed
+                    ):
+                        raise ValueError(
+                            f"{grams_table} is "
+                            f"{'doc-attributed' if attributed else 'set-shaped'}"
+                            f" but retractable_grams={retractable_grams}: "
+                            "the standing table's shape wins — drop the "
+                            "flag or migrate the table explicitly"
+                        )
+                if standing is not None and attributed:
                     # doc-attributed (retractable) gram table: filter
                     # retracted contributors so their grams stop
                     # flagging future spans (round 12; the set-shaped
@@ -1547,9 +1575,6 @@ def stream_incremental_repeated_spans(
                         read_tombstones(spark, root, layer),
                         "doc_id",
                     )
-                attributed = (
-                    standing is not None and "doc_id" in standing.columns
-                )
                 # spans AND the gram delta from ONE gram explode and
                 # ONE standing-set probe (round-11 review: the sink
                 # previously rebuilt both independently, doubling the

@@ -98,6 +98,10 @@ def test_every_query_has_oracle_or_documented_exception():
         # GT-recall-pinned against its exact oracled twin m84
         # (test_round12_ops::test_m85_ann_hybrid_recall_pin)
         "m85_hybrid_ann",
+        # r13: the persisted-index form of m85 — pinned ROW-IDENTICAL to
+        # m85 (test_round13_ops::test_m88_identical_to_m85), which
+        # carries the correctness weight the missing SQL oracle can't
+        "m88_hybrid_ann_persisted",
     }
     assert no_oracle <= documented, (
         f"undocumented no-oracle queries: {sorted(no_oracle - documented)}"

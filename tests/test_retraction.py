@@ -628,7 +628,7 @@ def test_rewrite_docs_atomic_excision_roundtrip(spark, tmp_path):
         dsir_counts={"dsir_raw_buckets": b},
     )
     assert rep == {"applied": True, "retraction_id": "excise-2026-08",
-                   "n_rewrites": 2}
+                   "n_rewrites": 2, "n_quarantined": 0}
     # ONE atomic commit for the whole rewrite
     assert len(manifest_history(root, "curated")) == n0 + 1
 
