@@ -186,6 +186,9 @@ HEADLINE = [
     "m84_hybrid_batch_exact",
     "m85_hybrid_ann",
     "m86_rewrite_excised",
+    # round-13 additions
+    "m87_retracted_grams",
+    "m88_hybrid_ann_persisted",
 ]
 
 #: Iterative heavies benched in DEDICATED fresh-JVM isolation (VERDICT

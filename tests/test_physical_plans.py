@@ -169,6 +169,9 @@ def test_no_cartesian_products_in_catalog(spark):
                                  # the IVF probed-list equi-join
         "m86_rewrite_excised",   # the m79 1-row corpus-stats broadcast
                                  # over the rewritten corpus
+        "m88_hybrid_ann_persisted",  # m85's shape with the dense
+                                     # channel reading the persisted
+                                     # index (same 1-row stats bcast)
     }
     skipped = {
         "m13_near_dup_clusters",  # iterative: builds many plans

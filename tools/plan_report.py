@@ -55,6 +55,63 @@ JOIN_KINDS = (
 )
 
 
+def net_exchanges(plan: str) -> int:
+    """Exchanges NET of cached-subtree re-prints (VERDICT r12 item 7):
+    explain prints every persisted intermediate's FULL child plan at
+    each InMemoryTableScan reference, so a composed funnel's raw
+    exchange count sums the same cached subtree many times even though
+    the runtime executes it once. Collapse: each DISTINCT
+    InMemoryRelation subtree (matched by its stripped-text signature)
+    is counted the first time it appears; later re-prints are skipped.
+    Subtree extent = the following lines with deeper tree-prefix
+    indentation (Spark's `+-`/`:-`/`:  ` prefixes grow monotonically
+    down a branch)."""
+    lines = plan.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.match(r"^[\s:+|-]*", ln)
+        return len(m.group(0))
+
+    seen: set[str] = set()
+    net = 0
+    i = 0
+    while i < len(lines):
+        ln = lines[i]
+        if "InMemoryRelation" in ln:
+            d = depth(ln)
+            j = i + 1
+            while j < len(lines) and depth(lines[j]) > d:
+                j += 1
+            # expression ids (col#123, [id=#45], plan_id=67) and
+            # whole-stage-codegen span ids (*(8)) differ across
+            # re-prints of the SAME cached subtree — normalize them out
+            # of the signature or nothing ever collapses. The signature
+            # is the head + a bounded child-plan prefix (not the full
+            # extent): re-prints of one cache are line-identical until
+            # the printer truncates the deeper one, so full-extent
+            # signatures spuriously separate them (measured on m70:
+            # 52 "distinct" relations from ~10 actual caches).
+            # ... and the tree-drawing prefix (':  +-' etc.) differs by
+            # call-site depth, so it must go too (plain strip() leaves
+            # ':'/'+-' in place and every re-print looks unique)
+            sig = re.sub(
+                r"#\d+|plan_id=\d+|\*\(\d+\)",
+                "#",
+                "\n".join(
+                    re.sub(r"^[\s:+|-]*", "", x)
+                    for x in lines[i:min(j, i + 40)]
+                ),
+            )
+            if sig in seen:
+                i = j
+                continue
+            seen.add(sig)
+        if re.search(r"Exchange (hash|range)partitioning", ln):
+            net += 1
+        i += 1
+    return net
+
+
 def summarize(plan: str) -> dict:
     joins = {k: plan.count(k + " ") + plan.count(k + "\n") for k in JOIN_KINDS}
     joins = {k: v for k, v in joins.items() if v}
@@ -62,6 +119,7 @@ def summarize(plan: str) -> dict:
         "joins": joins,
         "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
         "range_shuffles": len(re.findall(r"Exchange rangepartitioning", plan)),
+        "net_shuffles": net_exchanges(plan),
         "codegen_spans": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "pushed": bool(re.search(r"PushedFilters: \[[^\]]", plan)),
         "python_eval": ("ArrowEvalPython" in plan)
@@ -81,10 +139,16 @@ def main() -> None:
     print("# PLANS — physical-plan audit of the query catalog")
     print()
     print("Auto-generated by `tools/plan_report.py` at sf0.01. Signals:")
-    print("**joins** (strategy × count), **shx** (hash exchanges = shuffles),")
-    print("**cg** (distinct whole-stage-codegen spans), **push** (filters")
-    print("pushed into a parquet scan), **py** (Arrow/Pandas evaluation —")
-    print("expected only in the vectorized similarity/multimodal operators).")
+    print("**joins** (strategy × count), **shx** (hash+range exchanges as")
+    print("explain prints them), **net** (exchanges net of cached-subtree")
+    print("re-prints — explain re-prints every persisted intermediate's full")
+    print("child plan at each InMemoryTableScan reference, so composed-funnel")
+    print("rows read as hundreds of shuffles when the runtime executes each")
+    print("cached stage once; net collapses duplicate InMemoryRelation")
+    print("subtrees, so it is the runtime-shaped number), **cg** (distinct")
+    print("whole-stage-codegen spans), **push** (filters pushed into a")
+    print("parquet scan), **py** (Arrow/Pandas evaluation — expected only in")
+    print("the vectorized similarity/multimodal operators).")
     print()
     print("Skipped (iterative — the plan can't be built without running")
     print("the loop; each row names where its per-round plan IS audited):")
@@ -92,19 +156,13 @@ def main() -> None:
     for name in sorted(SKIP):
         print(f"- `{name}` — {SKIP[name]}")
     print()
-    print("Composed-plan note: `m70_ingest_funnel` (and `m76_ingest_spans`,")
-    print("which runs the same funnel plus the span stage) audits the WHOLE")
-    print("ingest funnel in one explain, and explain prints each persisted")
-    print("intermediate's full child plan at every reference — the shx/join")
-    print("counts are the SUM over re-printed cached subtrees (exact stage,")
-    print("signature build, pair join, four disposition branches), not")
-    print("runtime exchanges. At runtime the eager caches execute once and")
-    print("the branches read InMemoryTableScans; the per-stage runtime")
-    print("shapes are the individually-audited m69 (3 shx) and m66 (5 shx)")
-    print("rows plus dq11's row-local tagging.")
+    print("Composed-plan footnote: for composed funnels (m70/m76/m82) the")
+    print("raw shx sums re-printed cached subtrees; read the **net** column")
+    print("for the runtime shape (the per-stage shapes are also audited")
+    print("individually: m69, m66, dq11).")
     print()
-    print("| query | oracle | joins | shx | cg | push | py |")
-    print("|---|---|---|---|---|---|---|")
+    print("| query | oracle | joins | shx | net | cg | push | py |")
+    print("|---|---|---|---|---|---|---|---|")
     for name in sorted(QUERIES):
         if name in SKIP:
             continue
@@ -120,7 +178,8 @@ def main() -> None:
         )
         print(
             f"| {name} | {'✓' if name in ORACLES else '—'} | {joins}"
-            f" | {s['shuffles'] + s['range_shuffles']} | {s['codegen_spans']}"
+            f" | {s['shuffles'] + s['range_shuffles']} | {s['net_shuffles']}"
+            f" | {s['codegen_spans']}"
             f" | {'✓' if s['pushed'] else '—'} | {'✓' if s['python_eval'] else '—'} |"
         )
 

@@ -241,6 +241,87 @@ def main_embeddings(k: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def main_hybrid(k: int) -> None:
+    """×k-embedding-density probe for the ANN HYBRID family (VERDICT
+    r12 #4): time the exact multi-probe hybrid m84, the in-query IVF
+    hybrid m85, and the persisted-index hybrid m88 at k× vectors, and
+    re-measure m85's FUSED recall@10 against m84 recomputed AT THAT
+    density (ANN recall must be re-proven where neighborhoods densify,
+    not extrapolated — the m10/m17 lesson). The lexical channel reads
+    the (copied) base documents either way, so the delta isolates the
+    dense channel: m84's exact cosine goes linear in corpus size while
+    m85/m88 scan only the probed nprobe/n_lists fraction.
+
+    Output row appended to SPARK_GRAFT_HYBRID_OUT (default
+    tools/hybrid_probe_r13.json)."""
+    from collections import defaultdict
+
+    spark = get_spark(app_name="scale_probe_hybrid")
+    out_dir = tempfile.mkdtemp(prefix=f"hybx{k}_")
+    t0 = time.perf_counter()
+    replicate_embeddings_isometric(spark, out_dir, k)
+    n = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
+    print(f"replicated embeddings x{k} ({n} vectors) in "
+          f"{time.perf_counter()-t0:.1f}s")
+
+    probe = ["m84_hybrid_batch_exact", "m85_hybrid_ann",
+             "m88_hybrid_ann_persisted"]
+    results = {}
+    for sf_label, sf_dir in (("sf0.1", SRC), (f"emb x{k}", out_dir)):
+        timings = {}
+        for name in probe:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            timings[name] = round(time.perf_counter() - t0, 2)
+        results[sf_label] = timings
+        print(sf_label, json.dumps(timings))
+    for name in probe:
+        a, b = results["sf0.1"][name], results[f"emb x{k}"][name]
+        print(f"  {name}: {a}s -> {b}s  ({b/max(a,0.01):.1f}x wall "
+              f"for {k}x vectors)")
+
+    # fused recall at density: m85 (and the identical-by-construction
+    # m88) vs the exact hybrid recomputed over the SCALED corpus
+    exact, ann = defaultdict(set), defaultdict(set)
+    for r in QUERIES["m84_hybrid_batch_exact"](spark, out_dir).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    for r in QUERIES["m85_hybrid_ann"](spark, out_dir).collect():
+        ann[r.query_id].add(r.neighbor_id)
+    recalls = {
+        int(q): round(len(exact[q] & ann[q]) / len(exact[q]), 3)
+        for q in exact
+    }
+    mean_recall = round(sum(recalls.values()) / len(recalls), 3)
+    print(f"  m85 fused recall@10 vs m84 at x{k}: mean {mean_recall} "
+          f"per-probe {recalls}")
+
+    out_path = os.environ.get(
+        "SPARK_GRAFT_HYBRID_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "hybrid_probe_r13.json"),
+    )
+    doc = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            doc = {}
+    doc[f"x{k}"] = {
+        "n_vectors": n,
+        "walls": results,
+        "m85_fused_recall_at_10_vs_m84": {
+            "mean": mean_recall, "per_probe": recalls,
+        },
+    }
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh, indent=1)
+    print(f"wrote {out_path}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main_embpairs(k: int) -> None:
     """Related-pair mining probe (VERDICT r04 item 7 / SCALE.md's open
     edge): at k× isometric embedding density, measure the IVF-routed pair
@@ -1546,6 +1627,9 @@ def main() -> None:
         return
     if "--embpairs" in sys.argv:
         main_embpairs(int(sys.argv[sys.argv.index("--embpairs") + 1]))
+        return
+    if "--hybrid" in sys.argv:
+        main_hybrid(int(sys.argv[sys.argv.index("--hybrid") + 1]))
         return
     if "--skewjoin" in sys.argv:
         idx = sys.argv.index("--skewjoin")
