@@ -65,12 +65,23 @@ def run_maintenance_tick(
     vacuum_grace_seconds: float | None = None,
     retraction_id_cols: Mapping[str, str] | bool = False,
     retraction_min_tombstones: int = 1,
+    fold_markers_min: int | None = None,
 ) -> dict:
     """One maintenance pass over ``layer``; returns the full decision
     report ``{"compact": {table: decision}, "optimize": {table:
-    decision-or-skip}, "retractions": decision-or-None, "vacuum":
-    removed-or-None}`` — every policy's no-op is recorded, so an
-    operator can diff ticks.
+    decision-or-skip}, "retractions": decision-or-None,
+    "marker_fold": decision-or-None, "vacuum": removed-or-None}`` —
+    every policy's no-op is recorded, so an operator can diff ticks.
+
+    ``fold_markers_min`` (round 13, VERDICT r12 #3): when the layer's
+    ``retraction:<id>`` meta-marker count reaches the threshold, fold
+    the markers into the ``applied_retractions`` table
+    (:func:`plans.retract.fold_retraction_markers` — exactly-once
+    membership preserved, manifest doc bounded; measured ~76 B/marker,
+    ``tools/retraction_marker_probe_r13.json``). Audit cost below the
+    threshold is one meta read. Runs AFTER the retraction rewrite (both
+    are CAS commits; ordering only affects which conflicts first) and
+    before vacuum.
 
     ``retraction_id_cols`` (round 12) schedules the retraction
     physical-delete on the same cadence: ``True`` uses
@@ -89,6 +100,7 @@ def run_maintenance_tick(
         "compact": {},
         "optimize": {},
         "retractions": None,
+        "marker_fold": None,
         "vacuum": None,
     }
     if retraction_id_cols is not False:
@@ -128,6 +140,35 @@ def run_maintenance_tick(
                 "applied": False,
                 "tombstones": n_tomb,
                 "threshold": retraction_min_tombstones,
+            }
+    if fold_markers_min is not None:
+        from novi_pdq_etl_project_prod_spark.plans.retract import (
+            fold_retraction_markers,
+        )
+        from novi_pdq_etl_project_prod_spark.sources.layers import (
+            read_manifest_meta,
+        )
+
+        n_markers = sum(
+            1
+            for k in read_manifest_meta(root, layer)
+            if isinstance(k, str) and k.startswith("retraction:")
+        )
+        if n_markers >= fold_markers_min and n_markers > 0:
+            try:
+                report["marker_fold"] = fold_retraction_markers(
+                    spark, root, layer
+                )
+            except SnapshotConflictError as exc:
+                report["marker_fold"] = {
+                    "applied": False,
+                    "conflict": str(exc),
+                }
+        else:
+            report["marker_fold"] = {
+                "applied": False,
+                "markers": n_markers,
+                "threshold": fold_markers_min,
             }
     manifest_tables = set(read_manifest(root, layer))
     for tbl in sorted(manifest_tables):

@@ -256,6 +256,54 @@ def test_rewrite_docs_folded_marker_replay_noop(spark, tmp_path):
     assert len(manifest_history(root, "curated")) == n
 
 
+def test_maintenance_tick_folds_markers_on_cadence(spark, tmp_path):
+    """The tick's marker-fold lane: below fold_markers_min the audit is
+    a recorded no-op (one meta read); at the threshold the markers move
+    to the table and exactly-once survives, composed with the
+    retraction rewrite on the same tick."""
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        APPLIED_RETRACTIONS_TABLE,
+        read_live_table,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+    )
+
+    root = str(tmp_path / "wh")
+    docs = _docs(spark)
+    commit_tables({"corpus": docs}, root, "curated")
+    retract_docs(_docs(spark, DOCS[1:2]), root, "curated", "ra")
+    tick = run_maintenance_tick(
+        spark, root, "curated", retraction_id_cols=True,
+        fold_markers_min=2,
+    )
+    assert tick["marker_fold"] == {
+        "applied": False, "markers": 1, "threshold": 2,
+    }
+    retract_docs(_docs(spark, DOCS[3:4]), root, "curated", "rb")
+    tick2 = run_maintenance_tick(
+        spark, root, "curated", retraction_id_cols=True,
+        fold_markers_min=2,
+    )
+    assert tick2["marker_fold"]["applied"] is True
+    assert tick2["marker_fold"]["n_folded"] == 2
+    meta = read_manifest_meta(root, "curated")
+    assert not any(k.startswith("retraction:") for k in meta)
+    applied = read_live_table(
+        spark, root, "curated", APPLIED_RETRACTIONS_TABLE
+    )
+    assert sorted(r.retraction_id for r in applied.collect()) == ["ra", "rb"]
+    # exactly-once across tick-driven fold: replay still a no-op
+    assert retract_docs(
+        _docs(spark, DOCS[1:2]), root, "curated", "ra"
+    )["applied"] is False
+
+
 # ---------------------------------------------------------------------------
 # quarantined rewrites keep the old version (ADVICE r12 #3)
 # ---------------------------------------------------------------------------
