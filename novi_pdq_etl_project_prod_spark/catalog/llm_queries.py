@@ -942,8 +942,14 @@ ORDER BY p.id_a, p.id_b
 
 def m25_quantization_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantize → dequantize every embedding and report per-vector cosine
-    fidelity vs the original. No oracle (round-half modes differ across
-    engines); the ≥0.999 fidelity floor is pinned in test_llm_ops."""
+    fidelity vs the original. ORACLED exactly since round 13: both
+    engines round the SAME IEEE double half-away-from-zero (Spark's
+    BigDecimal HALF_UP on the double's exact expansion == DuckDB's
+    std::round) and both fold the dot/norm sums LEFT-TO-RIGHT over the
+    row-local array (`F.aggregate` vs `list_reduce` — element order is
+    the array's, never partition-dependent), so the raw doubles match
+    bitwise — verified at sf0.01 AND sf0.1 before graduation. The
+    ≥0.999 fidelity floor stays pinned in test_llm_ops."""
     from novi_pdq_etl_project_prod_spark.operators.similarity import (
         _as_double,
         cosine,
@@ -961,6 +967,34 @@ def m25_quantization_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id", cosine(F.col("orig"), F.col("v")).alias("cos_fidelity"))
         .orderBy("id")
     )
+
+
+# int8 range bound makes the tinyint cast lossless (|x/scale| <= 127 by
+# construction), so the oracle skips it; list_reduce's seeded fold
+# ((x1+x2)+x3... vs Spark's ((0+x1)+x2)...) differs only by the exact
+# identity 0.0+x1 == x1.
+M25_SQL = """
+WITH q AS (
+  SELECT vec_id AS id,
+         greatest(list_max(list_transform(embedding::DOUBLE[],
+                                          x -> abs(x))) / 127.0,
+                  1e-12) AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), deq AS (
+  SELECT id, v, list_transform(v, x -> round(x / scale) * scale) AS dv
+  FROM q
+), folds AS (
+  SELECT id,
+    list_reduce(list_transform(list_zip(v, dv), s -> s[1] * s[2]),
+                (a, b) -> a + b) AS dot_vd,
+    list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b) AS dot_vv,
+    list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b) AS dot_dd
+  FROM deq
+)
+SELECT id, dot_vd / (sqrt(dot_vv) * sqrt(dot_dd)) AS cos_fidelity
+FROM folds ORDER BY id
+"""
 
 
 QUERIES = {
@@ -994,6 +1028,7 @@ ORACLES = {
     "m22_boilerplate_ngrams": M22_SQL,
     "m23_corpus_report": M23_SQL,
     "m24_embedding_lsh_pairs": M24_SQL,
+    "m25_quantization_fidelity": M25_SQL,
     "m8_minhash_near_dups": M8_SQL,
     "m9_simhash_near_dups": M9_SQL,
     "m13_near_dup_clusters": M13_SQL,
