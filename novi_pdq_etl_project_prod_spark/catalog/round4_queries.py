@@ -683,10 +683,20 @@ ORACLES["f9_variant_extract"] = F9_SQL
 
 
 # ---------------------------------------------------------------------------
-# M35 — distributed Lloyd's k-means (iterative — rows-only driver check;
-# convergence/reproducibility ground truth in test_round4_ops, the same
-# verification tier as m13's connected-components clustering).
+# M35 — distributed Lloyd's k-means. ORACLED exactly since round 13 (the
+# m63 unrolled-iteration pattern): every arithmetic step is the integer
+# micro-unit path (round(v·1e6) BIGINTs, pmod round-half-up centroid
+# means, BIGINT squared-distance argmin with ties to the smaller label)
+# and the seeds are deterministic (k lowest ids), so an unrolled
+# max_iter-round DuckDB CTE chain reproduces the labels bit-exactly.
+# The engine's early stop needs no SQL twin: convergence is a FIXED
+# POINT (same assignments → same centroids → same assignments), so the
+# oracle's extra rounds past convergence are no-ops. Convergence/
+# reproducibility ground truth stays in test_round4_ops.
 # ---------------------------------------------------------------------------
+
+_M35_K, _M35_ITERS = 8, 5
+
 
 def m35_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from novi_pdq_etl_project_prod_spark.operators.similarity import (
@@ -694,14 +704,75 @@ def m35_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = kmeans_fit_assign(emb, k=8, max_iter=5)
+    out = kmeans_fit_assign(emb, k=_M35_K, max_iter=_M35_ITERS)
     return out.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
         F.min("id").alias("min_vec_id"),
     )
 
 
+def _m35_sql(k: int = _M35_K, rounds: int = _M35_ITERS,
+             micro: int = 1_000_000) -> str:
+    """The unrolled Lloyd oracle, generated from the SAME iteration
+    count the engine runs (the m63/m64 house pattern for integer-only
+    iterative ops). Per round: per-(label, dim) BIGINT sums → the pmod
+    round-half-up integer mean (DuckDB's sign-of-dividend % bridged to
+    Spark's pmod via ((x % m) + m) % m; the numerator is then an exact
+    multiple of 2n, so floor-div == truncating div — the d43 bridge) →
+    cross-join argmin by (d2, label) row_number."""
+    def one_round(src: str, r: int) -> str:
+        return f"""cent{r} AS (
+  SELECT label, dim, count(*) AS n, sum(val) AS s
+  FROM (SELECT label, unnest(v) AS val,
+               unnest(generate_series(0, len(v) - 1)) AS dim
+        FROM {src})
+  GROUP BY label, dim
+),
+carr{r} AS (
+  SELECT label,
+         list((2*s + n - ((2*s + n) % (2*n) + 2*n) % (2*n)) // (2*n)
+              ORDER BY dim) AS c
+  FROM cent{r} GROUP BY label
+),
+a{r} AS (
+  SELECT id, v, label FROM (
+    SELECT m.id, m.v, c.label,
+           row_number() OVER (PARTITION BY m.id ORDER BY
+             list_reduce(list_transform(list_zip(m.v, c.c),
+                                        s -> (s[1]-s[2])*(s[1]-s[2])),
+                         (a, b) -> a + b) ASC,
+             c.label ASC) AS rn
+    FROM mv m CROSS JOIN carr{r} c
+  ) WHERE rn = 1
+)"""
+
+    parts = [f"""mv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {micro}) AS BIGINT)) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT id, v, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS label
+  FROM mv ORDER BY id LIMIT {k}
+)"""]
+    src = "seeds"
+    for r in range(1, rounds + 1):
+        parts.append(one_round(src, r))
+        src = f"a{r}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"""
+SELECT label AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(id) AS BIGINT) AS min_vec_id
+FROM {src} GROUP BY label ORDER BY cluster"""
+    )
+
+
+M35_SQL = _m35_sql()
+
 QUERIES["m35_kmeans_clusters"] = m35_kmeans_clusters
+ORACLES["m35_kmeans_clusters"] = M35_SQL
 
 
 # ---------------------------------------------------------------------------

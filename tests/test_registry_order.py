@@ -86,9 +86,9 @@ def test_every_query_has_oracle_or_documented_exception():
         "d5_approx_percentiles",
         "m10_lsh_embedding_topk",
         "m17_ivf_embedding_topk",
-        # m25 graduated to an exact oracle in round 13 (bitwise round +
-        # left-to-right fold parity, verified at sf0.01 AND sf0.1)
-        "m35_kmeans_clusters",
+        # m25 and m35 graduated to exact oracles in round 13 (bitwise
+        # round/fold parity and the unrolled integer-Lloyd CTE chain,
+        # both verified at sf0.01 AND sf0.1)
         "m37_ivf_related_pairs",
         # r05 fourth wave: DEFLATE isn't SQL (pytest byte-identity vs a
         # local zlib reference); eigendecomposition isn't SQL (pytest
