@@ -212,6 +212,15 @@ WARMUP_SF = "/root/testdata/sf0.001"
 #: the most recent prior round's recorded timing.
 REGRESSION_THRESHOLD = 1.20
 
+#: Ceiling on the lane-median drift (round-13 self-review): the lane
+#: has only 3 queries, so an uncapped lane median would let a
+#: regression hitting 2 of 3 normalize itself away. Lane-to-lane
+#: comparisons (both sides 3x-isolated fresh-JVM medians) have little
+#: legitimate systematic drift — r13 measured 1.04-1.12 on a box whose
+#: in-session drift was 0.70 — so anything past this cap is judged as a
+#: suspect rather than absorbed as environment.
+LANE_DRIFT_CAP = 1.20
+
 #: Queries whose timing deliberately moved this round because of a
 #: documented plan reshape — the gate still measures and reports them,
 #: but annotates each flag with the explanation so the artifact reads as
@@ -499,13 +508,19 @@ def main() -> None:
             # wide drift scalar does not apply to them (r13: a 0.70-
             # drift box flagged all three lane queries at raw ratios of
             # 1.03-1.18 — flat). Judge lane queries against the median
-            # of their OWN ratios when there are enough lane samples;
-            # fall back to the global drift otherwise.
+            # of their OWN ratios — CAPPED (round-13 self-review): with
+            # only 2-3 lane samples a real regression hitting most of
+            # the lane would otherwise become its own drift and
+            # self-mask (and the n=2 len//2 "median" picks the larger
+            # ratio). Lane-to-lane baselines share the fresh-JVM shape,
+            # so legitimate lane drift is small; anything above the cap
+            # is treated as suspect, not environment. No floor: a
+            # faster-box lane median below 1 only flags MORE.
             lane_ratios = sorted(
                 r for n, r in ratios.items() if n in ISOLATED_LANE
             )
             lane_drift = (
-                lane_ratios[len(lane_ratios) // 2]
+                min(lane_ratios[len(lane_ratios) // 2], LANE_DRIFT_CAP)
                 if len(lane_ratios) >= 2
                 else drift
             )

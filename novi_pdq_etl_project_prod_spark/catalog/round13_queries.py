@@ -170,10 +170,19 @@ def m88_hybrid_ann_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         rrf_fuse,
     )
 
+    from novi_pdq_etl_project_prod_spark.sources.layers import vacuum
+
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
     root = _m88_root(sf_dir)
     build_ivf_index(emb, root, table="m88", n_lists=_M85_NLISTS)
+    # the scratch index is corpus-sized and rebuilt per invocation —
+    # without GC every bench/pytest/probe run would leave another full
+    # snapshot under /tmp forever (round-13 self-review). retain=2
+    # keeps the just-built version plus one predecessor (a reader
+    # holding last run's lazy frame stays valid); the default grace
+    # window protects any concurrent builder.
+    vacuum(root, "curated", retain=2)
     lex = _lex_channel(spark, docs)
     dense = ivf_index_topk(
         spark,

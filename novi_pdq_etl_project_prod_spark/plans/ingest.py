@@ -381,7 +381,7 @@ def run_incremental_ingest(
     span_k: int | None = None,
     maintenance_every: int | None = None,
     maintenance_kwargs: Mapping | None = None,
-    retractable_grams: bool = False,
+    retractable_grams: bool | None = None,
 ) -> None:
     """The composed streaming ingest: one foreachBatch, one funnel, ONE
     atomic manifest commit per trigger across all six table families
@@ -417,8 +417,11 @@ def run_incremental_ingest(
 
     ``retractable_grams`` (span stage only): True persists the gram
     state DOC-ATTRIBUTED (``doc_gram_set`` rows — retraction-capable);
-    False the set shape. The flag must agree with an EXISTING standing
-    gram table's shape — a flipped restart fails the batch loudly
+    False the set shape; None (default) INFERS the shape from an
+    existing standing gram table and bootstraps set-shaped — the same
+    semantics as the standalone span sink, so a restart never has to
+    restate the choice (round-13 self-review). An EXPLICIT flag that
+    contradicts the standing table's shape fails the batch loudly
     (ADVICE r12 #1) instead of committing mixed-schema segments whose
     mergeSchema reads would yield NULL-contributor rows no retraction
     could ever remove.
@@ -513,20 +516,26 @@ def run_incremental_ingest(
                     return df if df is None else retract_ids(df, tomb, idc)
 
                 standing_grams = None
+                attributed = bool(retractable_grams)
                 if span_k is not None:
                     standing_grams = read_manifest_table(
                         spark, root, layer, tables["standing_grams"]
                     )
                     if standing_grams is not None:
-                        # the flag must AGREE with the standing table's
-                        # shape (ADVICE r12 #1): a restart with the flag
-                        # flipped would commit mixed-schema segments —
+                        # an EXPLICIT flag must AGREE with the standing
+                        # table's shape (ADVICE r12 #1): a flipped
+                        # restart would commit mixed-schema segments —
                         # mergeSchema reads then yield NULL-contributor
                         # rows no retraction anti-join can ever remove
                         # (or doc_id rows a set-shaped reader ignores).
-                        # Fail the batch BEFORE anything commits.
+                        # Fail the batch BEFORE anything commits. With
+                        # the flag unset (None) the table's shape wins —
+                        # a restart never restates the choice.
                         attributed = "doc_id" in standing_grams.columns
-                        if attributed != retractable_grams:
+                        if (
+                            retractable_grams is not None
+                            and retractable_grams != attributed
+                        ):
                             raise ValueError(
                                 f"{tables['standing_grams']} is "
                                 f"{'doc-attributed' if attributed else 'set-shaped'}"
@@ -552,7 +561,7 @@ def run_incremental_ingest(
                     threshold,
                     standing_grams=standing_grams,
                     span_k=span_k,
-                    retractable_grams=retractable_grams,
+                    retractable_grams=attributed,
                 )
                 fresh = {
                     "n_rows": batch_df.count(),

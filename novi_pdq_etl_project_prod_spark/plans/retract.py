@@ -133,18 +133,26 @@ def retraction_applied(
     root: str,
     layer: MedallionLayer | str,
     retraction_id: str,
-    applied_table: str = APPLIED_RETRACTIONS_TABLE,
 ) -> bool:
     """Whether ``retraction_id`` has already been applied — the
     exactly-once membership check behind every retraction writer. Meta
     marker first (no Spark job — the common case for recent
     retractions), then the folded :data:`APPLIED_RETRACTIONS_TABLE`
     (one bounded id-column scan, paid only on layers that have folded
-    and only per retraction CALL — never on a read path)."""
+    and only per retraction CALL — never on a read path).
+
+    The folded table name is deliberately a PROTOCOL CONSTANT, not a
+    parameter (round-13 self-review): every retraction writer's replay
+    check must agree with every fold on where the membership set lives
+    — a configurable name that one caller sets and another doesn't
+    would silently re-open the double-subtract window for every folded
+    id."""
     meta = read_manifest_meta(root, layer)
     if meta.get(retraction_marker(retraction_id)) is not None:
         return True
-    folded = read_manifest_table(spark, root, layer, applied_table)
+    folded = read_manifest_table(
+        spark, root, layer, APPLIED_RETRACTIONS_TABLE
+    )
     if folded is None:
         return False
     return bool(
@@ -158,11 +166,11 @@ def fold_retraction_markers(
     spark: SparkSession,
     root: str,
     layer: MedallionLayer | str,
-    applied_table: str = APPLIED_RETRACTIONS_TABLE,
 ) -> dict:
     """Bound retraction-marker growth (VERDICT r12 #3): move every
     ``retraction:<id>`` manifest-meta marker into the append-shaped
-    ``applied_table`` in ONE CAS commit (marker keys nulled out and the
+    :data:`APPLIED_RETRACTIONS_TABLE` in ONE CAS commit (marker keys
+    nulled out and the
     id rows appended atomically — no window where a replay could slip
     through). Exactly-once stays EXACT: :func:`retraction_applied`
     consults the table whenever the meta key is gone, so a late replay
@@ -187,12 +195,12 @@ def fold_retraction_markers(
     rows = [(k.split(":", 1)[1],) for k in markers]
     df = spark.createDataFrame(rows, "retraction_id string")
     commit_tables(
-        {applied_table: df},
+        {APPLIED_RETRACTIONS_TABLE: df},
         root,
         layer,
         expected_base=base,
         meta={k: None for k in markers},
-        append_tables=(applied_table,),
+        append_tables=(APPLIED_RETRACTIONS_TABLE,),
     )
     return {"applied": True, "n_folded": len(rows)}
 
@@ -705,14 +713,16 @@ def rewrite_docs(
                 df = retract_ids(df, existing, idc) if existing is not None else df
                 return retract_ids(df, tomb_new, idc)
 
-            # the funnel re-runs only the dedup stages: good_new already
-            # passed the rules, and its quarantine output is replaced by
-            # the gating split's rows so failed rewrites are audited
+            # the funnel runs only the dedup stages (rules={}): good_new
+            # already passed the gating split above, so re-evaluating
+            # the expectation expressions would be pure waste; the
+            # quarantine output is the split's rows, so failed rewrites
+            # are audited
             result = ingest_increment(
                 good_new,
                 _standing(tables["content_hashes"], "canonical_id"),
                 _standing(tables["minhash_signatures"], "id"),
-                rules,
+                {},
                 id_col,
                 text_col,
                 n,

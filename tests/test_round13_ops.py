@@ -465,6 +465,20 @@ def test_ingest_retractable_flag_mismatch_raises(spark, tmp_path):
         )
     assert "retractable_grams" in str(excinfo.value)
 
+    # flag OMITTED on restart: the standing shape is inferred — the
+    # attributed table keeps growing attributed, no NULL contributors
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        read_manifest_table,
+    )
+
+    run_incremental_ingest(
+        _feed(spark, tmp_path, "d2b", _ROWS_B), root, "curated",
+        str(tmp_path / "c2b"), _RULES, span_k=4,
+    )
+    grams = read_manifest_table(spark, root, "curated", "standing_grams")
+    assert set(grams.columns) == {"doc_id", "gh"}
+    assert grams.where(F.col("doc_id").isNull()).count() == 0
+
     # set-shaped table, then a True restart
     root2 = str(tmp_path / "wh2")
     run_incremental_ingest(
