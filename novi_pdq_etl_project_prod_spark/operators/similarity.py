@@ -958,13 +958,31 @@ def ivf_index_topk(
     vec_col: str = "embedding",
     k: int = 10,
     nprobe: int = 4,
+    tombstones: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k search against a PERSISTED IVF index (:func:`build_ivf_index`)
     — no training, no corpus assignment: read the n_lists-row centroid
     table to the driver (bounded by list count, never corpus size),
     route queries, and probe the stored inverted lists. Output schema
     matches ``ivf_topk``/``brute_force_topk``.
+
+    ``tombstones`` joins the ANN family to the retraction contract
+    (``plans.retract``, round 13): a persisted index is a DERIVED
+    doc-keyed table, so without this filter a retracted doc's embedding
+    keeps being RETURNED by searches until the index is rebuilt — the
+    one reader the tombstone anti-join didn't cover. Pass the layer's
+    tombstone set (``read_tombstones``; first column = retracted id in
+    the index's id space) and dropped vectors are anti-joined out of
+    the stored lists BEFORE the top-k window, so results still carry k
+    live neighbors and every surviving candidate's score is unchanged
+    (pytest-pinned). Same cost shape as every retraction reader: one
+    broadcast anti-join bounded by drops-since-compaction. The
+    PHYSICAL path stays the rebuild: re-running ``build_ivf_index``
+    over the post-compaction corpus is the atomic-swap refresh (and
+    retrains centroids on the survivors, which a reader-side filter
+    deliberately does not).
     """
+    from novi_pdq_etl_project_prod_spark.plans.retract import retract_ids
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         MedallionLayer,
         resolve_table_path,
@@ -986,6 +1004,7 @@ def ivf_index_topk(
             table_path(root, MedallionLayer.CURATED, f"{table}_vectors")
         )
     )
+    assigned = retract_ids(assigned, tombstones, "neighbor_id")
     return _ivf_probe_topk(assigned, queries, cents, id_col, vec_col, k, nprobe)
 
 

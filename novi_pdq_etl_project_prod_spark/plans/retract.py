@@ -65,7 +65,12 @@ exception is SET-shaped gram state without doc attribution
 undefined); persist :func:`operators.dedup.doc_gram_set` rows instead
 (``run_incremental_ingest(retractable_grams=True)``) to make gram state
 retractable too — :func:`compact_retractions` skips non-attributed gram
-tables loudly rather than guessing.
+tables loudly rather than guessing. The persisted ANN index
+(``build_ivf_index``'s pointer-committed vectors table) joins the
+contract on the READER side: ``ivf_index_topk(tombstones=...)``
+anti-joins dropped vectors out of the stored lists before the top-k
+window (round 13); its physical path is the atomic-swap rebuild, which
+also retrains centroids on the survivors.
 
 Id contract (tightened, stated not hidden): a retracted ID stays dead
 until :func:`compact_retractions` physically removes its rows — rows

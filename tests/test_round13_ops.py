@@ -256,6 +256,50 @@ def test_rewrite_docs_folded_marker_replay_noop(spark, tmp_path):
     assert len(manifest_history(root, "curated")) == n
 
 
+def test_ivf_index_topk_honors_tombstones(spark, tmp_path):
+    """The persisted ANN index joins the retraction contract: a
+    retracted doc's vector is anti-joined out of the stored lists
+    BEFORE the top-k window — dropped ids never returned, results still
+    carry k live neighbors, and every surviving candidate's score is
+    bit-identical to the unfiltered search (re-ranked)."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from novi_pdq_etl_project_prod_spark.session import read_table
+
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "wh")
+    build_ivf_index(emb, root, table="t", n_lists=8)
+    probes = emb.where(F.col("vec_id") < 2)
+    k = 5
+    base = ivf_index_topk(
+        spark, root, probes, table="t", k=k + 3, nprobe=3
+    ).collect()
+    # tombstone ids that actually appear in the unfiltered top-k so the
+    # filter provably bites
+    drop_ids = sorted({r.neighbor_id for r in base if r.rank <= 2})
+    tomb = spark.createDataFrame([(i,) for i in drop_ids], "doc_id long")
+    got = ivf_index_topk(
+        spark, root, probes, table="t", k=k, nprobe=3, tombstones=tomb
+    ).collect()
+    assert all(r.neighbor_id not in drop_ids for r in got)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.neighbor_id, r.score))
+    # expected: unfiltered candidates minus the drops, re-ranked, top k
+    want_q = {}
+    for r in base:
+        if r.neighbor_id not in drop_ids:
+            want_q.setdefault(r.query_id, []).append((r.score, r.neighbor_id))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [rk for rk, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) == k  # k LIVE neighbors, not k minus drops
+        want = sorted(want_q[q], key=lambda s: (-s[0], s[1]))[:k]
+        assert [(n, s) for _, n, s in rows] == [(n, s) for s, n in want]
+
+
 def test_maintenance_tick_folds_markers_on_cadence(spark, tmp_path):
     """The tick's marker-fold lane: below fold_markers_min the audit is
     a recorded no-op (one meta read); at the threshold the markers move
