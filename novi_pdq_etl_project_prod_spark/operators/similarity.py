@@ -1008,6 +1008,91 @@ def ivf_index_topk(
     return _ivf_probe_topk(assigned, queries, cents, id_col, vec_col, k, nprobe)
 
 
+def maybe_rebuild_ivf(
+    spark,
+    root: str,
+    layer,
+    source_table: str,
+    index_table: str = "ann",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    sample_size: int = 2048,
+    seed: int = 42,
+    sample_by_hash: bool = False,
+    staleness_threshold: float = 0.1,
+) -> dict:
+    """Threshold-gated refresh of a persisted IVF index — the ANN
+    family's maintenance policy, completing the ingest↔ANN composition
+    (round 13): streaming ingest appends embedding rows (and curation
+    retracts them), the persisted index drifts stale, and this lane
+    rebuilds it on the normal tick cadence the way ``maybe_compact``
+    bounds segment growth.
+
+    Staleness audit (cheap — two metadata-priced counts, no vector
+    read): the LIVE row count of ``source_table`` (manifest read
+    through the tombstone filter, so retractions count as staleness)
+    vs the indexed vector count (parquet footer count of the stored
+    ``<index_table>_vectors``). Past ``staleness_threshold`` (relative
+    drift, |live − indexed| / max(indexed, 1)) — or when no index
+    exists yet — the rebuild runs :func:`build_ivf_index` over the
+    live corpus: ONE corpus pass, centroids retrained on exactly the
+    surviving rows, published as the atomic ``_CURRENT`` swap (live
+    searches keep the old index until the flip). Below threshold the
+    lane is a recorded no-op. Reader-side correctness never waits for
+    this lane — ``ivf_index_topk(tombstones=...)`` already filters
+    dropped ids; the rebuild is the amortized physical path, exactly
+    like ``compact_retractions`` for manifest state.
+    """
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        read_live_table,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        MedallionLayer,
+        resolve_table_path,
+        table_path,
+    )
+
+    live = read_live_table(spark, root, layer, source_table, id_col)
+    if live is None:
+        return {"fired": False, "reason": f"{source_table} not in manifest"}
+    n_live = live.count()
+    vec_dir = table_path(root, MedallionLayer.CURATED, f"{index_table}_vectors")
+    resolved = resolve_table_path(vec_dir)
+    if resolved == vec_dir:
+        n_indexed = None  # never built
+        staleness = float("inf")
+    else:
+        n_indexed = spark.read.parquet(resolved).count()
+        staleness = abs(n_live - n_indexed) / max(n_indexed, 1)
+    if staleness < staleness_threshold:
+        return {
+            "fired": False,
+            "n_live": n_live,
+            "n_indexed": n_indexed,
+            "staleness": round(staleness, 4),
+            "threshold": staleness_threshold,
+        }
+    report = build_ivf_index(
+        live,
+        root,
+        table=index_table,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_lists=n_lists,
+        sample_size=sample_size,
+        seed=seed,
+        sample_by_hash=sample_by_hash,
+    )
+    return {
+        "fired": True,
+        "n_live": n_live,
+        "n_indexed": n_indexed,
+        "staleness": None if staleness == float("inf") else round(staleness, 4),
+        **report,
+    }
+
+
 def label_centroid_sums(
     df: DataFrame,
     label_col: str = "label",

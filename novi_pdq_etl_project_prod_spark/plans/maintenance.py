@@ -66,6 +66,7 @@ def run_maintenance_tick(
     retraction_id_cols: Mapping[str, str] | bool = False,
     retraction_min_tombstones: int = 1,
     fold_markers_min: int | None = None,
+    ivf_rebuild: Mapping | None = None,
 ) -> dict:
     """One maintenance pass over ``layer``; returns the full decision
     report ``{"compact": {table: decision}, "optimize": {table:
@@ -82,6 +83,15 @@ def run_maintenance_tick(
     threshold is one meta read. Runs AFTER the retraction rewrite (both
     are CAS commits; ordering only affects which conflicts first) and
     before vacuum.
+
+    ``ivf_rebuild`` (round 13): kwargs for
+    :func:`operators.similarity.maybe_rebuild_ivf` (at minimum
+    ``source_table``; plus index/training params) — the ANN index
+    refresh joins the tick, so ingest appends and curation retractions
+    physically reach the persisted index on the same cadence as every
+    other layout policy. Ordered AFTER the retraction rewrite (the
+    rebuild then reads the already-compacted corpus) and before vacuum
+    (superseded index snapshots age out on this same tick).
 
     ``retraction_id_cols`` (round 12) schedules the retraction
     physical-delete on the same cadence: ``True`` uses
@@ -101,6 +111,7 @@ def run_maintenance_tick(
         "optimize": {},
         "retractions": None,
         "marker_fold": None,
+        "ann_rebuild": None,
         "vacuum": None,
     }
     if retraction_id_cols is not False:
@@ -170,6 +181,14 @@ def run_maintenance_tick(
                 "markers": n_markers,
                 "threshold": fold_markers_min,
             }
+    if ivf_rebuild is not None:
+        from novi_pdq_etl_project_prod_spark.operators.similarity import (
+            maybe_rebuild_ivf,
+        )
+
+        report["ann_rebuild"] = maybe_rebuild_ivf(
+            spark, root, layer, **dict(ivf_rebuild)
+        )
     manifest_tables = set(read_manifest(root, layer))
     for tbl in sorted(manifest_tables):
         try:

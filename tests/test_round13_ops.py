@@ -300,6 +300,74 @@ def test_ivf_index_topk_honors_tombstones(spark, tmp_path):
         assert [(n, s) for _, n, s in rows] == [(n, s) for s, n in want]
 
 
+def test_maintenance_tick_rebuilds_stale_ivf_index(spark, tmp_path):
+    """The ANN refresh lane: no index -> the tick builds one; below the
+    staleness threshold -> recorded no-op; appends past the threshold
+    -> rebuild whose persisted search equals the in-query IVF route
+    over the live corpus (two paths, one answer); a retraction drives
+    staleness and the next rebuild physically drops the vector."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import retract_docs
+    from novi_pdq_etl_project_prod_spark.session import read_table
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    emb = read_table(spark, SF, "embeddings")
+    root = str(tmp_path / "wh")
+    first = emb.where(F.col("vec_id") < 400)
+    commit_tables(
+        {"embeddings": first}, root, "curated",
+        append_tables=("embeddings",),
+    )
+    cfg = {"source_table": "embeddings", "index_table": "ann",
+           "n_lists": 8, "staleness_threshold": 0.1}
+    t1 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert t1["ann_rebuild"]["fired"] is True  # never built -> builds
+    t2 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert t2["ann_rebuild"]["fired"] is False
+    assert t2["ann_rebuild"]["staleness"] == 0.0
+
+    # append 25% more vectors: past threshold -> rebuild
+    commit_tables(
+        {"embeddings": emb.where(
+            (F.col("vec_id") >= 400) & (F.col("vec_id") < 500))},
+        root, "curated", append_tables=("embeddings",),
+    )
+    t3 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert t3["ann_rebuild"]["fired"] is True
+    assert t3["ann_rebuild"]["n_live"] == 500
+
+    # two paths, one answer on the refreshed index
+    probes = emb.where(F.col("vec_id") < 2)
+    live = emb.where(F.col("vec_id") < 500)
+    got = sorted(map(tuple, ivf_index_topk(
+        spark, root, probes, table="ann", k=5, nprobe=3).collect()))
+    want = sorted(map(tuple, ivf_topk(
+        live, probes, k=5, n_lists=8, nprobe=3).collect()))
+    assert got == want and len(got) > 0
+
+    # retraction counts as staleness; the rebuild drops the vectors
+    drop_rows = [(int(i), "x") for i in range(60)]
+    retract_docs(
+        spark.createDataFrame(drop_rows, "vec_id long, text string"),
+        root, "curated", "ann-drop", id_col="vec_id",
+    )
+    t4 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert t4["ann_rebuild"]["fired"] is True
+    assert t4["ann_rebuild"]["n_live"] == 440
+    refreshed = ivf_index_topk(
+        spark, root, probes.unionByName(emb.where(F.col("vec_id") == 70)),
+        table="ann", k=5, nprobe=3,
+    ).collect()
+    assert len(refreshed) > 0
+    assert all(r.neighbor_id >= 60 for r in refreshed)
+
+
 def test_maintenance_tick_folds_markers_on_cadence(spark, tmp_path):
     """The tick's marker-fold lane: below fold_markers_min the audit is
     a recorded no-op (one meta read); at the threshold the markers move
