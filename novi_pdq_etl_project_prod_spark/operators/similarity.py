@@ -905,6 +905,7 @@ def build_ivf_index(
     sample_size: int = 2048,
     seed: int = 42,
     sample_by_hash: bool = False,
+    layer=None,
 ) -> dict:
     """Materialize an IVF index as snapshot-committed TABLES — train the
     centroids and route every corpus vector ONCE, then let any number of
@@ -927,6 +928,7 @@ def build_ivf_index(
         overwrite_snapshot,
     )
 
+    layer = MedallionLayer.CURATED if layer is None else layer
     spark = corpus.sparkSession
     cents = train_ivf_centroids(
         corpus, id_col, vec_col, n_lists, sample_size, seed=seed,
@@ -936,7 +938,7 @@ def build_ivf_index(
     vec_path = overwrite_snapshot(
         assigned.repartition(F.col("list_id")).sortWithinPartitions("list_id"),
         root,
-        MedallionLayer.CURATED,
+        layer,
         f"{table}_vectors",
     )
     cent_df = spark.createDataFrame(
@@ -944,7 +946,7 @@ def build_ivf_index(
         "list_id int, centroid array<double>",
     )
     cent_path = overwrite_snapshot(
-        cent_df, root, MedallionLayer.CURATED, f"{table}_centroids"
+        cent_df, root, layer, f"{table}_centroids"
     )
     return {"vectors": vec_path, "centroids": cent_path, "n_lists": n_lists}
 
@@ -959,6 +961,7 @@ def ivf_index_topk(
     k: int = 10,
     nprobe: int = 4,
     tombstones: DataFrame | None = None,
+    layer=None,
 ) -> DataFrame:
     """Top-k search against a PERSISTED IVF index (:func:`build_ivf_index`)
     — no training, no corpus assignment: read the n_lists-row centroid
@@ -989,10 +992,11 @@ def ivf_index_topk(
         table_path,
     )
 
+    layer = MedallionLayer.CURATED if layer is None else layer
     cent_rows = (
         spark.read.parquet(
             resolve_table_path(
-                table_path(root, MedallionLayer.CURATED, f"{table}_centroids")
+                table_path(root, layer, f"{table}_centroids")
             )
         )
         .orderBy("list_id")
@@ -1001,7 +1005,7 @@ def ivf_index_topk(
     cents = np.vstack([np.asarray(r["centroid"]) for r in cent_rows])
     assigned = spark.read.parquet(
         resolve_table_path(
-            table_path(root, MedallionLayer.CURATED, f"{table}_vectors")
+            table_path(root, layer, f"{table}_vectors")
         )
     )
     assigned = retract_ids(assigned, tombstones, "neighbor_id")
@@ -1021,6 +1025,8 @@ def maybe_rebuild_ivf(
     seed: int = 42,
     sample_by_hash: bool = False,
     staleness_threshold: float = 0.1,
+    index_layer=None,
+    force: bool = False,
 ) -> dict:
     """Threshold-gated refresh of a persisted IVF index — the ANN
     family's maintenance policy, completing the ingest↔ANN composition
@@ -1029,47 +1035,83 @@ def maybe_rebuild_ivf(
     rebuilds it on the normal tick cadence the way ``maybe_compact``
     bounds segment growth.
 
-    Staleness audit (cheap — two metadata-priced counts, no vector
-    read): the LIVE row count of ``source_table`` (manifest read
-    through the tombstone filter, so retractions count as staleness)
-    vs the indexed vector count (parquet footer count of the stored
-    ``<index_table>_vectors``). Past ``staleness_threshold`` (relative
-    drift, |live − indexed| / max(indexed, 1)) — or when no index
-    exists yet — the rebuild runs :func:`build_ivf_index` over the
-    live corpus: ONE corpus pass, centroids retrained on exactly the
-    surviving rows, published as the atomic ``_CURRENT`` swap (live
-    searches keep the old index until the flip). Below threshold the
-    lane is a recorded no-op. Reader-side correctness never waits for
-    this lane — ``ivf_index_topk(tombstones=...)`` already filters
-    dropped ids; the rebuild is the amortized physical path, exactly
-    like ``compact_retractions`` for manifest state.
+    Staleness audit: churn = |appends since build| + live tombstones —
+    computed as ``|n_live + n_tomb − n_indexed| + n_tomb``, which is
+    exact when every tombstoned row was indexed and remains a sane
+    bound otherwise (second round-13 review: a plain count delta is
+    BLIND to symmetric churn — equal appends and retractions cancel to
+    zero drift while the index serves neither). Cost: one id-column
+    scan of the live source (the tombstone anti-join is a real scan
+    when tombstones exist, not a footer read) plus a parquet footer
+    count of the stored vectors. Past ``staleness_threshold``
+    (churn / max(indexed, 1)), when no index exists yet, or under
+    ``force`` (the tick passes it on the tick that PHYSICALLY clears
+    tombstones — see below), the rebuild runs :func:`build_ivf_index`
+    over the live corpus: ONE corpus pass, centroids retrained on
+    exactly the surviving rows, published as the atomic ``_CURRENT``
+    swap (live searches keep the old index until the flip). Below
+    threshold the lane is a recorded no-op.
+
+    The ``force`` contract closes the reader-guard hole (second
+    round-13 review): ``ivf_index_topk(tombstones=...)`` is only
+    correct while the tombstones EXIST, and ``compact_retractions``
+    drops them — so the tick forces this lane on any tick whose
+    retraction lane fired, making physical-delete day also rebuild
+    day. With no compaction on the tick, tombstones persist and the
+    reader filter covers the below-threshold window.
+
+    An EMPTY live corpus never fires (an IVF index needs at least one
+    vector; wiping the index would also be wrong while readers hold
+    its path) — the stale index stays, the report says so loudly, and
+    searches must keep passing tombstones.
+
+    ``index_layer`` defaults to ``layer`` so per-layer ticks keep
+    per-layer indexes (a hardcoded shared location would let two
+    layers' ticks thrash one index — second round-13 review); pass it
+    explicitly only to pin an index somewhere else deliberately.
     """
     from novi_pdq_etl_project_prod_spark.plans.retract import (
         read_live_table,
+        read_tombstones,
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
-        MedallionLayer,
         resolve_table_path,
         table_path,
     )
 
+    index_layer = layer if index_layer is None else index_layer
     live = read_live_table(spark, root, layer, source_table, id_col)
     if live is None:
         return {"fired": False, "reason": f"{source_table} not in manifest"}
     n_live = live.count()
-    vec_dir = table_path(root, MedallionLayer.CURATED, f"{index_table}_vectors")
+    tomb = read_tombstones(spark, root, layer)
+    n_tomb = 0 if tomb is None else tomb.count()
+    vec_dir = table_path(root, index_layer, f"{index_table}_vectors")
     resolved = resolve_table_path(vec_dir)
     if resolved == vec_dir:
         n_indexed = None  # never built
         staleness = float("inf")
     else:
         n_indexed = spark.read.parquet(resolved).count()
-        staleness = abs(n_live - n_indexed) / max(n_indexed, 1)
-    if staleness < staleness_threshold:
+        staleness = (
+            abs(n_live + n_tomb - n_indexed) + n_tomb
+        ) / max(n_indexed, 1)
+    if n_live == 0:
+        return {
+            "fired": False,
+            "reason": (
+                "live corpus empty — index retained; searches must "
+                "keep passing tombstones"
+            ),
+            "n_live": 0,
+            "n_indexed": n_indexed,
+        }
+    if not force and staleness < staleness_threshold:
         return {
             "fired": False,
             "n_live": n_live,
             "n_indexed": n_indexed,
+            "n_tombstones": n_tomb,
             "staleness": round(staleness, 4),
             "threshold": staleness_threshold,
         }
@@ -1083,11 +1125,14 @@ def maybe_rebuild_ivf(
         sample_size=sample_size,
         seed=seed,
         sample_by_hash=sample_by_hash,
+        layer=index_layer,
     )
     return {
         "fired": True,
+        "forced": force,
         "n_live": n_live,
         "n_indexed": n_indexed,
+        "n_tombstones": n_tomb,
         "staleness": None if staleness == float("inf") else round(staleness, 4),
         **report,
     }

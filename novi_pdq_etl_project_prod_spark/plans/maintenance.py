@@ -186,9 +186,40 @@ def run_maintenance_tick(
             maybe_rebuild_ivf,
         )
 
-        report["ann_rebuild"] = maybe_rebuild_ivf(
-            spark, root, layer, **dict(ivf_rebuild)
+        cfg = dict(ivf_rebuild)
+        for k in ("spark", "root", "force"):
+            if k in cfg:
+                # spark/root are the tick's own; force is the tick's
+                # compaction-coupling decision — a user value here
+                # would silently re-open the reader-guard hole
+                raise ValueError(
+                    f"ivf_rebuild may not override {k!r} — it is set "
+                    "by the maintenance tick"
+                )
+        # COMPACTION COUPLING (second round-13 review): the reader-side
+        # tombstone filter (ivf_index_topk(tombstones=...)) is only
+        # correct while tombstones exist, and the retraction lane above
+        # just physically cleared them when it fired — so that same
+        # tick FORCES the index rebuild regardless of the staleness
+        # threshold. Below-threshold retractions stay covered by the
+        # reader filter until their compaction day.
+        force = bool(
+            isinstance(report["retractions"], dict)
+            and report["retractions"].get("applied")
         )
+        try:
+            report["ann_rebuild"] = maybe_rebuild_ivf(
+                spark, root, cfg.pop("layer", layer), force=force, **cfg
+            )
+        except SnapshotConflictError as exc:
+            report["ann_rebuild"] = {"fired": False, "conflict": str(exc)}
+        except Exception as exc:  # noqa: BLE001 — lane isolation: one
+            # failing policy must not abort the tick or lose the report
+            # (the compact lane's convention)
+            report["ann_rebuild"] = {
+                "fired": False,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
     manifest_tables = set(read_manifest(root, layer))
     for tbl in sorted(manifest_tables):
         try:

@@ -367,6 +367,41 @@ def test_maintenance_tick_rebuilds_stale_ivf_index(spark, tmp_path):
     assert len(refreshed) > 0
     assert all(r.neighbor_id >= 60 for r in refreshed)
 
+    # COMPACTION COUPLING (second round-13 review): a BELOW-threshold
+    # retraction whose tombstones get physically cleared on this tick
+    # must force the rebuild — otherwise the reader guard loses its
+    # tombstone source while the index still holds the dropped vectors
+    retract_docs(
+        spark.createDataFrame(
+            [(int(i), "x") for i in range(60, 80)],
+            "vec_id long, text string",
+        ),
+        root, "curated", "ann-drop-2", id_col="vec_id",
+    )
+    t5 = run_maintenance_tick(
+        spark, root, "curated",
+        retraction_id_cols={"embeddings": "vec_id"},
+        ivf_rebuild=cfg,
+    )
+    assert t5["retractions"]["applied"] is True
+    # churn 20/440 = 0.045 < 0.1: only the coupling fires the rebuild
+    assert t5["ann_rebuild"]["fired"] is True
+    assert t5["ann_rebuild"]["forced"] is True
+    assert t5["ann_rebuild"]["n_live"] == 420
+    after = ivf_index_topk(
+        spark, root, emb.where(F.col("vec_id") == 100),
+        table="ann", k=5, nprobe=3,
+    ).collect()
+    assert len(after) > 0
+    assert all(r.neighbor_id >= 80 for r in after)
+
+    # config-key guard: the tick owns force
+    with pytest.raises(ValueError, match="force"):
+        run_maintenance_tick(
+            spark, root, "curated",
+            ivf_rebuild={**cfg, "force": True},
+        )
+
 
 def test_maintenance_tick_folds_markers_on_cadence(spark, tmp_path):
     """The tick's marker-fold lane: below fold_markers_min the audit is
