@@ -145,11 +145,18 @@ _DRIVER_CERTIFIED_FALLBACK = (
 
 def _derive_driver_certified(repo=None):
     """Latest-wins union of CORRECTNESS_r*.json rows whose most recent
-    driver outcome is successful (hash/rows green, or the documented
-    ``no_oracle`` class). Mirrors tests/test_registry_order.py exactly so
-    the ledger can never drift from the artifacts again (VERDICT r05 item
-    1). Returns None when no artifacts are present (installed package
-    outside the build repo) so the caller falls back to the literal.
+    driver outcome is successful: hash/rows green, or the documented
+    ``no_oracle`` class — the latter only while the query is STILL
+    oracle-less. A query whose ORACLES membership changed since its
+    latest driver row (a round-13-style graduation from no_oracle to an
+    exact DuckDB oracle) is UNcertified: the stale no_oracle row never
+    verified the new oracle surface, so the query re-enters the driver's
+    first-50 window automatically until a hash-green row lands
+    (VERDICT r13 item 1 — the m35 window gap). Mirrors
+    tests/test_registry_order.py exactly so the ledger can never drift
+    from the artifacts again (VERDICT r05 item 1). Returns None when no
+    artifacts are present (installed package outside the build repo) so
+    the caller falls back to the literal.
 
     ``repo`` overrides the artifact root (tests exercise future-round
     artifact sets in a tmp dir — VERDICT r06 item 1)."""
@@ -169,9 +176,9 @@ def _derive_driver_certified(repo=None):
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            latest[name] = (
-                bool(row.get("hash_match") or row.get("rows_match"))
-                or row.get("err") == "no_oracle"
+            green = bool(row.get("hash_match") or row.get("rows_match"))
+            latest[name] = green or (
+                row.get("err") == "no_oracle" and name not in ORACLES
             )
     if not latest:
         return None

@@ -17,15 +17,19 @@ DRIVER_BUDGET = 50
 
 def _driver_rows() -> set:
     """Names whose *latest* driver row is successful: green (hash/rows
-    match) or the documented ``no_oracle`` outcome. Latest-wins: a crashed
-    row in a later round (r03's six events-schema crashes) revokes an
-    earlier green and re-enters the query into the window."""
+    match) or the documented ``no_oracle`` outcome — the latter only
+    while the query is STILL oracle-less (VERDICT r13 #1: a query that
+    graduates into ORACLES outgrows its stale no_oracle row and must
+    re-enter the window until the driver hash-greens the new oracle).
+    Latest-wins: a crashed row in a later round (r03's six events-schema
+    crashes) revokes an earlier green and re-enters the query into the
+    window."""
     latest = {}
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
         for name, row in json.loads(f.read_text()).items():
-            latest[name] = (
-                bool(row.get("hash_match") or row.get("rows_match"))
-                or row.get("err") == "no_oracle"
+            green = bool(row.get("hash_match") or row.get("rows_match"))
+            latest[name] = green or (
+                row.get("err") == "no_oracle" and name not in ORACLES
             )
     return {name for name, ok in latest.items() if ok}
 
@@ -87,8 +91,9 @@ def test_every_query_has_oracle_or_documented_exception():
         "m10_lsh_embedding_topk",
         "m17_ivf_embedding_topk",
         # m25 and m35 graduated to exact oracles in round 13 (bitwise
-        # round/fold parity and the unrolled integer-Lloyd CTE chain,
-        # both verified at sf0.01 AND sf0.1)
+        # round/fold parity and the unrolled integer-Lloyd CTE chain;
+        # committed evidence at sf0.01 AND sf0.1 in
+        # tools/m35_parity_r14.json — ADVICE r13 low #4)
         "m37_ivf_related_pairs",
         # r05 fourth wave: DEFLATE isn't SQL (pytest byte-identity vs a
         # local zlib reference); eigendecomposition isn't SQL (pytest
