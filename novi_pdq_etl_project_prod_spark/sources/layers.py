@@ -755,6 +755,8 @@ def commit_tables(
     meta: dict | None = None,
     drop_tables: tuple[str, ...] = (),
     append_tables: tuple[str, ...] = (),
+    rowcount_deltas: dict[str, int] | None = None,
+    rowcount_absolute: dict[str, int] | None = None,
 ) -> dict[str, str]:
     """All-or-nothing publish of several tables — a star-schema's fact and
     dims move together, the way the reference's per-run Postgres
@@ -831,6 +833,23 @@ def commit_tables(
     183-187`` delete+append) is this same append-a-slice contract,
     expressed at the manifest layer.
 
+    ROW COUNTS (round 14, VERDICT r13 #2): writers that already know how
+    many rows they are committing can maintain a per-table physical row
+    count in manifest meta — ``rowcount_deltas`` adds (append commits),
+    ``rowcount_absolute`` sets (whole-snapshot rewrites) — so policies
+    like the ANN staleness audit read corpus size from the manifest
+    (O(manifest)) instead of scanning the corpus id column every tick.
+    The count is SELF-VALIDATING: each ``rowcount:<table>`` meta value
+    records the manifest entry it was computed against, and it rides the
+    same atomic flip as that entry, so a rewrite by a non-cooperating
+    writer (no rowcount argument) makes the recorded entry mismatch the
+    live one and readers fall back to the exact scan rather than trust a
+    stale number. A delta against a table with no valid prior count
+    records rows=None (unknown) — except the table's FIRST commit, which
+    seeds the count at the delta. Deltas are applied against the base
+    re-read inside each CAS attempt, so concurrent counted appends
+    compose correctly. ``drop_tables`` prunes their rowcount keys.
+
     Returns the committed ``{table: snapshot_name}`` manifest (the new
     segment's name for append tables).
     """
@@ -844,6 +863,16 @@ def commit_tables(
         raise ValueError(
             f"append_tables not in dfs: {sorted(unknown_appends)}"
         )
+    for arg_name, arg in (
+        ("rowcount_deltas", rowcount_deltas),
+        ("rowcount_absolute", rowcount_absolute),
+    ):
+        unknown_counts = set(arg or {}) - set(dfs)
+        if unknown_counts:
+            raise ValueError(
+                f"{arg_name} names tables not in dfs: "
+                f"{sorted(unknown_counts)}"
+            )
     mpath = _manifest_path(root, layer)
     os.makedirs(mpath, exist_ok=True)
     # heal any interrupted previous commit before layering a new one
@@ -883,6 +912,30 @@ def commit_tables(
             # carry the live meta forward and overlay this commit's keys
             merged_meta = {**read_manifest_meta(root, layer), **(meta or {})}
             merged_meta = {k: v for k, v in merged_meta.items() if v is not None}
+            # self-validating row counts (round 14): each value pins the
+            # manifest entry it was computed against; deltas compose
+            # against the base RE-READ per CAS attempt
+            for tbl in (rowcount_absolute or {}):
+                merged_meta[f"rowcount:{tbl}"] = {
+                    "rows": int(rowcount_absolute[tbl]),
+                    "entry": doc.get(tbl),
+                }
+            for tbl, delta in (rowcount_deltas or {}).items():
+                key = f"rowcount:{tbl}"
+                prior = merged_meta.get(key)
+                if base.get(tbl) is None and prior is None:
+                    rows = int(delta)  # the table's first commit seeds it
+                elif (
+                    isinstance(prior, dict)
+                    and prior.get("rows") is not None
+                    and prior.get("entry") == base.get(tbl)
+                ):
+                    rows = int(prior["rows"]) + int(delta)
+                else:
+                    rows = None  # no valid prior to add against: unknown
+                merged_meta[key] = {"rows": rows, "entry": doc.get(tbl)}
+            for tbl in set(drop_tables):
+                merged_meta.pop(f"rowcount:{tbl}", None)
             if merged_meta:
                 doc[MANIFEST_META_KEY] = merged_meta
             with open(target, "w", encoding="utf-8") as fh:
