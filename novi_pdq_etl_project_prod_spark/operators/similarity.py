@@ -913,8 +913,8 @@ def build_ivf_index(
     table: str = "ann",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int | None = 16,
-    sample_size: int | None = 2048,
+    n_lists: int | None = None,
+    sample_size: int | None = None,
     seed: int = 42,
     sample_by_hash: bool = False,
     layer=None,
@@ -935,15 +935,21 @@ def build_ivf_index(
     :func:`sources.layers.read_table_at_version` can pin a search to a
     prior index version for reproducibility.
 
-    ``n_lists=None`` sizes the geometry to the corpus
-    (:func:`default_n_lists`, ~sqrt(N); one count action) instead of
-    freezing fixture geometry at every density — the round-13 ×100
-    probe's 25%-of-corpus-per-query regime was the fixed list count
-    saturating, not IVF's scale shape (VERDICT r13 #3). The explicit
-    fixture value stays the default so determinism-pinned callers (m88's
-    row-identity to m85) keep their geometry. ``sample_size=None``
-    floats the training sample at ``max(2048, 8·n_lists)`` the way
-    ``embedding_related_pairs_ivf`` does.
+    The DEFAULT geometry is density-scaled (``n_lists=None`` →
+    :func:`default_n_lists`, ~sqrt(N); one count action) instead of
+    frozen fixture geometry — the round-13 ×100 probe's
+    25%-of-corpus-per-query regime was a fixed list count saturating,
+    not IVF's scale shape (VERDICT r13 #3). Measured at 200k vectors
+    (``tools/ivf_geometry_probe_r14.json``): sqrt(N)-scale lists with
+    ``nprobe ≈ n_lists/8`` reach BETTER dense recall@10 than the
+    fixture geometry (0.69–0.72 vs 0.61 mean) while scanning HALF the
+    corpus fraction (12.5% vs 25%) — pair the default geometry with
+    ``nprobe = max(4, n_lists // 8)`` at search time (pytest-pinned at
+    fixture scale, ``test_round14_ops``). Determinism-pinned callers
+    (m88's row-identity to m85) pass their explicit fixture value.
+    ``sample_size=None`` floats the training sample at
+    ``max(2048, 8·n_lists)`` the way ``embedding_related_pairs_ivf``
+    does.
     """
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         MedallionLayer,
@@ -993,7 +999,11 @@ def ivf_index_topk(
     — no training, no corpus assignment: read the n_lists-row centroid
     table to the driver (bounded by list count, never corpus size),
     route queries, and probe the stored inverted lists. Output schema
-    matches ``ivf_topk``/``brute_force_topk``.
+    matches ``ivf_topk``/``brute_force_topk``. Against an index built
+    with the density-scaled default geometry (~sqrt(N) lists), pair
+    ``nprobe = max(4, n_lists // 8)`` — measured at 200k vectors to
+    beat the frozen fixture geometry's recall at half its scanned
+    corpus fraction (``tools/ivf_geometry_probe_r14.json``).
 
     ``tombstones`` joins the ANN family to the retraction contract
     (``plans.retract``, round 13): a persisted index is a DERIVED
@@ -1046,8 +1056,8 @@ def maybe_rebuild_ivf(
     index_table: str = "ann",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int | None = 16,
-    sample_size: int | None = 2048,
+    n_lists: int | None = None,
+    sample_size: int | None = None,
     seed: int = 42,
     sample_by_hash: bool = False,
     staleness_threshold: float = 0.1,

@@ -322,6 +322,100 @@ def main_hybrid(k: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def main_ivf_geometry(k: int, lists: list[int] | None = None) -> None:
+    """IVF geometry sweep at ×k embedding density (VERDICT r13 #3): the
+    round-13 ×100 probe kept the fixture geometry (n_lists=16), so
+    nprobe 4/16 searched 25% of the corpus per query — the 1.2× wall
+    growth undersold what sqrt(N) geometry shows. For each n_lists on
+    the axis (default 16 / 64 / 256 / default_n_lists(N)≈sqrt(N)) and
+    nprobe in {4, n_lists//16, n_lists//8}, build the persisted index
+    and measure build wall, probe-batch search wall, probed corpus
+    fraction, and DENSE recall@10 against exact brute force over the
+    scaled corpus. Output: tools/ivf_geometry_probe_r14.json (override
+    via SPARK_GRAFT_IVFGEO_OUT)."""
+    from collections import defaultdict
+
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        default_n_lists,
+        ivf_index_topk,
+    )
+
+    spark = get_spark(app_name="scale_probe_ivfgeo")
+    out_dir = tempfile.mkdtemp(prefix=f"ivfgeo{k}_")
+    t0 = time.perf_counter()
+    replicate_embeddings_isometric(spark, out_dir, k)
+    emb = spark.read.parquet(f"{out_dir}/embeddings.parquet")
+    n = emb.count()
+    print(f"replicated embeddings x{k} ({n} vectors) in "
+          f"{time.perf_counter()-t0:.1f}s")
+    probes = emb.where(F.col("vec_id") < 10)
+
+    t0 = time.perf_counter()
+    gt = defaultdict(set)
+    for r in brute_force_topk(emb, probes, k=10).collect():
+        gt[r.query_id].add(r.neighbor_id)
+    exact_wall = round(time.perf_counter() - t0, 2)
+    print(f"exact GT wall {exact_wall}s")
+
+    axis = lists or sorted({16, 64, 256, default_n_lists(n)})
+    results = {}
+    for n_lists in axis:
+        for nprobe in sorted({4, max(4, n_lists // 16),
+                              max(4, n_lists // 8)}):
+            root = tempfile.mkdtemp(prefix="ivfgeo_idx_")
+            t0 = time.perf_counter()
+            build_ivf_index(
+                emb, root, table="geo", n_lists=n_lists, sample_size=None
+            )
+            build_wall = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            got = defaultdict(set)
+            for r in ivf_index_topk(
+                spark, root, probes, table="geo", k=10, nprobe=nprobe
+            ).collect():
+                got[r.query_id].add(r.neighbor_id)
+            search_wall = round(time.perf_counter() - t0, 2)
+            recalls = [
+                len(gt[q] & got[q]) / max(len(gt[q]), 1) for q in gt
+            ]
+            row = {
+                "n_lists": n_lists,
+                "nprobe": nprobe,
+                "probed_fraction": round(nprobe / n_lists, 4),
+                "build_wall_sec": build_wall,
+                "search_wall_sec": search_wall,
+                "dense_recall_at_10_mean": round(
+                    sum(recalls) / len(recalls), 3
+                ),
+                "dense_recall_at_10_min": round(min(recalls), 3),
+            }
+            results[f"L{n_lists}_p{nprobe}"] = row
+            print(json.dumps(row))
+            shutil.rmtree(root, ignore_errors=True)
+
+    out_path = os.environ.get(
+        "SPARK_GRAFT_IVFGEO_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "ivf_geometry_probe_r14.json"),
+    )
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(
+            {
+                "n_vectors": n,
+                "replication": k,
+                "exact_gt_wall_sec": exact_wall,
+                "default_n_lists": default_n_lists(n),
+                "geometries": results,
+            },
+            fh,
+            indent=1,
+        )
+    print(f"wrote {out_path}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
 def main_embpairs(k: int) -> None:
     """Related-pair mining probe (VERDICT r04 item 7 / SCALE.md's open
     edge): at k× isometric embedding density, measure the IVF-routed pair
@@ -1630,6 +1724,12 @@ def main() -> None:
         return
     if "--hybrid" in sys.argv:
         main_hybrid(int(sys.argv[sys.argv.index("--hybrid") + 1]))
+        return
+    if "--ivf-geometry" in sys.argv:
+        idx = sys.argv.index("--ivf-geometry")
+        main_ivf_geometry(
+            int(sys.argv[idx + 1]) if len(sys.argv) > idx + 1 else 100
+        )
         return
     if "--skewjoin" in sys.argv:
         idx = sys.argv.index("--skewjoin")
