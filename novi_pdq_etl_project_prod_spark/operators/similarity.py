@@ -1140,8 +1140,6 @@ def maybe_rebuild_ivf(
         read_tombstones,
     )
     from novi_pdq_etl_project_prod_spark.sources.layers import (
-        SnapshotConflictError,
-        commit_tables,
         current_snapshot,
         read_manifest,
         read_manifest_meta,
@@ -1155,8 +1153,8 @@ def maybe_rebuild_ivf(
         return {"fired": False, "reason": f"{source_table} not in manifest"}
     meta = read_manifest_meta(root, layer)
     owed = meta.get(ANN_REBUILD_OWED_KEY)
-    wm = meta.get(f"ann_watermark:{index_table}")
     wm_key = f"ann_watermark:{index_table}"
+    wm = meta.get(wm_key)
 
     vec_dir = table_path(root, index_layer, f"{index_table}_vectors")
     resolved = resolve_table_path(vec_dir)
@@ -1209,6 +1207,56 @@ def maybe_rebuild_ivf(
             abs(n_live + new_tomb - n_indexed) + new_tomb
         ) / max(n_indexed, 1)
     if n_live == 0:
+        if (force or owed is not None) and n_indexed:
+            # fully-retracted corpus on COMPACTION day (round-14
+            # self-review #2): the tombstones the reader guard needs
+            # are gone (or going), yet every indexed vector is
+            # retracted — "retain the index" here would serve ONLY
+            # retracted vectors forever. Publish an EMPTY vectors
+            # snapshot instead (atomic swap; centroids kept so probe
+            # routing stays well-formed and readers holding the old
+            # snapshot age out through GC as usual): searches return
+            # no rows, which is the correct answer over an empty live
+            # corpus. The first future append drives staleness to inf
+            # over n_indexed=0 and rebuilds a real index.
+            from novi_pdq_etl_project_prod_spark.sources.layers import (
+                overwrite_snapshot,
+            )
+
+            # `live` is always materialized here: an n_live == 0
+            # estimate is re-verified via the exact scan above
+            empty = live.select(
+                F.col(id_col).alias("neighbor_id"),
+                _as_double(vec_col).alias("cv"),
+                F.lit(0).cast("int").alias("list_id"),
+            )
+            overwrite_snapshot(
+                empty, root, index_layer, f"{index_table}_vectors"
+            )
+            wm_commit = _commit_ann_watermark(
+                spark, root, layer, wm_key,
+                {
+                    "vectors_snapshot": current_snapshot(vec_dir),
+                    "n_indexed": 0,
+                    "n_tomb_build": n_tomb,
+                },
+                owed,
+            )
+            return {
+                "fired": True,
+                "forced": True,
+                "owed": owed is not None,
+                "reason": (
+                    "live corpus empty with tombstones cleared — "
+                    "published an EMPTY index (retaining it would "
+                    "serve only retracted vectors)"
+                ),
+                "n_live": 0,
+                "n_indexed": n_indexed,
+                "n_tombstones": n_tomb,
+                "count_source": count_source,
+                "watermark_commit": wm_commit,
+            }
         return {
             "fired": False,
             "reason": (
@@ -1235,14 +1283,22 @@ def maybe_rebuild_ivf(
         # exact count for the watermark (the build scans the corpus
         # anyway; a drifted estimate must not poison future audits)
         n_live = live.count()
+    # resolve the density-scaled defaults HERE from the exact count —
+    # otherwise build_ivf_index would re-count the live corpus (a
+    # second full scan + tombstone anti-join per rebuild; round-14
+    # self-review #5)
+    eff_lists = default_n_lists(n_live) if n_lists is None else n_lists
+    eff_sample = (
+        max(2048, 8 * eff_lists) if sample_size is None else sample_size
+    )
     report = build_ivf_index(
         live,
         root,
         table=index_table,
         id_col=id_col,
         vec_col=vec_col,
-        n_lists=n_lists,
-        sample_size=sample_size,
+        n_lists=eff_lists,
+        sample_size=eff_sample,
         seed=seed,
         sample_by_hash=sample_by_hash,
         layer=index_layer,
@@ -1250,27 +1306,15 @@ def maybe_rebuild_ivf(
     # watermark the build and clear the obligation AFTER the swap: a
     # build that failed never reaches this commit, so the owed flag
     # survives to retry on the next tick
-    wm_commit = "ok"
-    try:
-        commit_tables(
-            {},
-            root,
-            layer,
-            meta={
-                wm_key: {
-                    "vectors_snapshot": current_snapshot(vec_dir),
-                    "n_indexed": n_live,
-                    "n_tomb_build": n_tomb,
-                },
-                ANN_REBUILD_OWED_KEY: None,
-            },
-        )
-    except SnapshotConflictError as exc:
-        # the index IS swapped; only the audit metadata lost its CAS
-        # race — the next tick's fallback paths stay correct (invalid
-        # watermark -> absolute bound; uncleared obligation -> one
-        # extra forced rebuild)
-        wm_commit = f"conflict: {exc}"
+    wm_commit = _commit_ann_watermark(
+        spark, root, layer, wm_key,
+        {
+            "vectors_snapshot": current_snapshot(vec_dir),
+            "n_indexed": n_live,
+            "n_tomb_build": n_tomb,
+        },
+        owed,
+    )
     return {
         "fired": True,
         "forced": force,
@@ -1283,6 +1327,54 @@ def maybe_rebuild_ivf(
         "watermark_commit": wm_commit,
         **report,
     }
+
+
+def _commit_ann_watermark(
+    spark, root, layer, wm_key: str, wm_val: dict, owed_at_audit
+) -> str:
+    """Post-swap metadata commit for :func:`maybe_rebuild_ivf`: write
+    the build watermark and clear the rebuild obligation — but ONLY the
+    obligation that was read at audit time. An obligation recorded by a
+    compaction that landed WHILE the build was running covers
+    retractions the just-built index never saw; clearing it
+    unconditionally would strand that index serving retracted vectors
+    with nothing left to retry (round-14 self-review #1). CAS-pinned
+    read-compare-commit: each attempt re-reads the live obligation,
+    keeps it unless it still equals the audited one, and pins the flip
+    to the version it read — a racing commit fails the flip and the
+    loop re-reads. Returns "ok", "ok (obligation superseded...)", or a
+    conflict string (watermark lost, fallbacks stay correct: invalid
+    watermark -> absolute churn bound; uncleared obligation -> one
+    extra forced rebuild)."""
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        ANN_REBUILD_OWED_KEY,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        SnapshotConflictError,
+        commit_tables,
+        current_manifest_version,
+        read_manifest_meta,
+    )
+
+    last = "conflict: CAS retries exhausted"
+    for _ in range(5):
+        base_now = current_manifest_version(root, layer)
+        owed_now = read_manifest_meta(root, layer).get(ANN_REBUILD_OWED_KEY)
+        meta = {wm_key: wm_val}
+        superseded = owed_now is not None and owed_now != owed_at_audit
+        if not superseded:
+            meta[ANN_REBUILD_OWED_KEY] = None
+        try:
+            commit_tables({}, root, layer, expected_base=base_now, meta=meta)
+            return (
+                "ok (obligation superseded mid-build — kept for retry)"
+                if superseded
+                else "ok"
+            )
+        except SnapshotConflictError as exc:
+            last = f"conflict: {exc}"
+            continue
+    return last
 
 
 def label_centroid_sums(

@@ -873,6 +873,16 @@ def commit_tables(
                 f"{arg_name} names tables not in dfs: "
                 f"{sorted(unknown_counts)}"
             )
+    non_append_deltas = set(rowcount_deltas or {}) - set(append_tables)
+    if non_append_deltas:
+        # a whole-snapshot rewrite REPLACES the table: prior + delta is
+        # fiction, and it would be stamped against the new entry where
+        # the mismatch detector can't catch it (round-14 self-review
+        # #4) — rewrites must state their count absolutely
+        raise ValueError(
+            "rowcount_deltas only applies to append_tables; use "
+            f"rowcount_absolute for rewrites of {sorted(non_append_deltas)}"
+        )
     mpath = _manifest_path(root, layer)
     os.makedirs(mpath, exist_ok=True)
     # heal any interrupted previous commit before layering a new one
@@ -1291,10 +1301,31 @@ def compact_segments(
         if segment_count(root, layer, table) < max(2, int(min_segments)):
             return False
         merged = read_manifest_tables(spark, root, layer)[table]
+        # segment compaction is ROW-PRESERVING: a valid maintained
+        # rowcount stays correct across the rewrite, so carry it
+        # forward re-stamped against the new entry — otherwise the
+        # first compaction would permanently self-disable the
+        # metadata-priced audits the counts exist for (round-14
+        # self-review #3: every later delta would find an invalid
+        # prior and record rows=None forever)
+        prior_rc = read_manifest_meta(root, layer).get(f"rowcount:{table}")
+        carry = (
+            {table: int(prior_rc["rows"])}
+            if isinstance(prior_rc, dict)
+            and prior_rc.get("rows") is not None
+            and prior_rc.get("entry") == read_manifest(root, layer).get(table)
+            else None
+        )
         try:
             # one whole-snapshot commit (NOT in append_tables) resets
             # the list; CAS pins the exact version the union was read at
-            commit_tables({table: merged}, root, layer, expected_base=base)
+            commit_tables(
+                {table: merged},
+                root,
+                layer,
+                expected_base=base,
+                rowcount_absolute=carry,
+            )
             return True
         except SnapshotConflictError:
             continue  # a sink appended mid-rewrite: re-read and retry

@@ -247,6 +247,134 @@ def test_failed_forced_rebuild_is_retried_next_tick(
     assert got and all(r.neighbor_id != 5 for r in got)
 
 
+def test_obligation_superseded_mid_build_is_kept(
+    spark, tmp_path, monkeypatch
+):
+    """Round-14 self-review #1: an obligation recorded by a compaction
+    that lands WHILE the rebuild is running covers retractions the
+    just-built index never saw — the post-build meta commit must keep
+    it (so the next tick force-rebuilds over the post-compaction
+    corpus), not clear it blindly."""
+    from novi_pdq_etl_project_prod_spark.operators import similarity
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        compact_retractions,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        read_manifest_meta,
+    )
+
+    root = str(tmp_path / "wh")
+    commit_tables(
+        {"embeddings": _vectors(spark, range(100))}, root, "curated",
+        append_tables=("embeddings",),
+    )
+    cfg = {"source_table": "embeddings", "index_table": "ann",
+           "n_lists": 4, "staleness_threshold": 0.05}
+    run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+
+    real_build = similarity.build_ivf_index
+
+    def _racing_build(*a, **kw):
+        # a retraction + direct compaction lands mid-build: the new
+        # obligation must survive this build's meta commit
+        retract_docs(
+            spark.createDataFrame([(7, "x")], "vec_id long, text string"),
+            root, "curated", "r14-race", id_col="vec_id",
+        )
+        compact_retractions(
+            spark, root, "curated", {"embeddings": "vec_id"}
+        )
+        return real_build(*a, **kw)
+
+    monkeypatch.setattr(similarity, "build_ivf_index", _racing_build)
+    # drive an append past the threshold so the lane fires
+    commit_tables(
+        {"embeddings": _vectors(spark, range(100, 120))}, root, "curated",
+        append_tables=("embeddings",),
+    )
+    tick = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    monkeypatch.setattr(similarity, "build_ivf_index", real_build)
+    assert tick["ann_rebuild"]["fired"] is True
+    assert "superseded" in tick["ann_rebuild"]["watermark_commit"]
+    # the mid-build obligation survived ...
+    assert "ann_rebuild_owed" in read_manifest_meta(root, "curated")
+    # ... and the next tick services it over the post-compaction corpus
+    tick2 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert tick2["ann_rebuild"]["fired"] is True
+    assert tick2["ann_rebuild"]["forced"] is True
+    assert "ann_rebuild_owed" not in read_manifest_meta(root, "curated")
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        ivf_index_topk,
+    )
+
+    got = ivf_index_topk(
+        spark, root, _vectors(spark, range(100)).where(
+            F.col("vec_id") == 10),
+        table="ann", k=100, nprobe=4,
+    ).collect()
+    assert got and all(r.neighbor_id != 7 for r in got)
+
+
+def test_fully_retracted_corpus_publishes_empty_index(spark, tmp_path):
+    """Round-14 self-review #2: retract EVERY doc and compact — the
+    tombstones the reader guard needs are gone, so 'retain the index'
+    would serve only retracted vectors forever. The lane publishes an
+    EMPTY index instead: searches correctly return no rows."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        ivf_index_topk,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.maintenance import (
+        run_maintenance_tick,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import retract_docs
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path / "wh")
+    emb = _vectors(spark, range(30))
+    commit_tables(
+        {"embeddings": emb}, root, "curated",
+        append_tables=("embeddings",),
+    )
+    cfg = {"source_table": "embeddings", "index_table": "ann",
+           "n_lists": 4, "staleness_threshold": 0.1}
+    run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+
+    retract_docs(
+        emb.select("vec_id", F.lit("x").alias("text")),
+        root, "curated", "r14-all", id_col="vec_id",
+    )
+    tick = run_maintenance_tick(
+        spark, root, "curated",
+        retraction_id_cols={"embeddings": "vec_id"},
+        ivf_rebuild=cfg,
+    )
+    assert tick["retractions"]["applied"] is True
+    assert tick["ann_rebuild"]["fired"] is True
+    assert "EMPTY index" in tick["ann_rebuild"]["reason"]
+    got = ivf_index_topk(
+        spark, root, emb.where(F.col("vec_id") < 3), table="ann",
+        k=5, nprobe=4,
+    ).collect()
+    assert got == []  # no retracted vector is ever served
+    # a later append resurrects a real index via normal staleness
+    commit_tables(
+        {"embeddings": _vectors(spark, range(100, 110))}, root, "curated",
+        append_tables=("embeddings",),
+    )
+    tick2 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert tick2["ann_rebuild"]["fired"] is True
+    got2 = ivf_index_topk(
+        spark, root, emb.where(F.col("vec_id") < 3), table="ann",
+        k=5, nprobe=4,
+    ).collect()
+    assert got2 and all(r.neighbor_id >= 100 for r in got2)
+
+
 # ---------------------------------------------------------------------------
 # metadata-priced staleness audit (VERDICT r13 #2)
 # ---------------------------------------------------------------------------
@@ -352,6 +480,54 @@ def test_rowcount_meta_invalidated_by_uncooperating_rewrite(spark, tmp_path):
     assert tick["ann_rebuild"]["count_source"] == "scan"
     assert tick["ann_rebuild"]["n_live"] == 48
     assert rc["rows"] == 50  # the stale record was not trusted
+
+
+def test_rowcount_survives_segment_compaction(spark, tmp_path):
+    """Round-14 self-review #3: segment compaction is row-preserving,
+    so it re-stamps a valid maintained count against the new manifest
+    entry instead of silently invalidating it (which would degrade the
+    audit back to corpus scans forever in exactly the streaming
+    deployment the counts were built for)."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import (
+        commit_tables,
+        compact_segments,
+        read_manifest_meta,
+        segment_count,
+    )
+
+    root = str(tmp_path / "wh")
+    for lo in (0, 40, 80):
+        commit_tables(
+            {"embeddings": _vectors(spark, range(lo, lo + 40))},
+            root, "curated", append_tables=("embeddings",),
+            rowcount_deltas={"embeddings": 40},
+        )
+    assert segment_count(root, "curated", "embeddings") == 3
+    assert compact_segments(spark, root, "curated", "embeddings") is True
+    rc = read_manifest_meta(root, "curated")["rowcount:embeddings"]
+    assert rc["rows"] == 120  # carried forward, still valid
+    # and later counted appends keep composing
+    commit_tables(
+        {"embeddings": _vectors(spark, range(120, 130))},
+        root, "curated", append_tables=("embeddings",),
+        rowcount_deltas={"embeddings": 10},
+    )
+    assert read_manifest_meta(root, "curated")["rowcount:embeddings"][
+        "rows"] == 130
+
+
+def test_rowcount_delta_rejected_for_rewrites(spark, tmp_path):
+    """Round-14 self-review #4: prior + delta is fiction for a
+    whole-snapshot rewrite, and it would stamp a trusted-but-wrong
+    count — rewrites must use rowcount_absolute."""
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path / "wh")
+    with pytest.raises(ValueError, match="rowcount_absolute"):
+        commit_tables(
+            {"t": _vectors(spark, range(5))}, root, "curated",
+            rowcount_deltas={"t": 5},
+        )
 
 
 def test_rowcount_delta_on_missing_base_starts_fresh(spark, tmp_path):

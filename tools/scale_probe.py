@@ -362,14 +362,16 @@ def main_ivf_geometry(k: int, lists: list[int] | None = None) -> None:
     axis = lists or sorted({16, 64, 256, default_n_lists(n)})
     results = {}
     for n_lists in axis:
+        # ONE build per n_lists — the index is nprobe-independent
+        # (round-14 self-review #6)
+        root = tempfile.mkdtemp(prefix="ivfgeo_idx_")
+        t0 = time.perf_counter()
+        build_ivf_index(
+            emb, root, table="geo", n_lists=n_lists, sample_size=None
+        )
+        build_wall = round(time.perf_counter() - t0, 2)
         for nprobe in sorted({4, max(4, n_lists // 16),
                               max(4, n_lists // 8)}):
-            root = tempfile.mkdtemp(prefix="ivfgeo_idx_")
-            t0 = time.perf_counter()
-            build_ivf_index(
-                emb, root, table="geo", n_lists=n_lists, sample_size=None
-            )
-            build_wall = round(time.perf_counter() - t0, 2)
             t0 = time.perf_counter()
             got = defaultdict(set)
             for r in ivf_index_topk(
@@ -393,7 +395,7 @@ def main_ivf_geometry(k: int, lists: list[int] | None = None) -> None:
             }
             results[f"L{n_lists}_p{nprobe}"] = row
             print(json.dumps(row))
-            shutil.rmtree(root, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
 
     out_path = os.environ.get(
         "SPARK_GRAFT_IVFGEO_OUT",
