@@ -1107,19 +1107,23 @@ def maybe_rebuild_ivf(
     Past ``staleness_threshold`` (churn / max(indexed, 1)), when no
     index exists yet, or under force — the ``force`` argument (the
     tick passes it on the tick whose retraction lane just cleared
-    tombstones) or the PERSISTED rebuild obligation
+    tombstones) or an UNSERVICED rebuild obligation
     (:data:`plans.retract.ANN_REBUILD_OWED_KEY`, written by
     ``compact_retractions`` in the same atomic commit that drops the
     tombstones; ADVICE r13 medium #2) — the rebuild runs
     :func:`build_ivf_index` over the live corpus: ONE corpus pass,
     centroids retrained on exactly the surviving rows, published as
     the atomic ``_CURRENT`` swap (live searches keep the old index
-    until the flip). The watermark-and-clear-obligation meta commit
-    follows the swap, so a rebuild that FAILS leaves the obligation in
-    place and the next tick retries — a failed forced rebuild can no
-    longer strand a stale index serving retracted vectors after the
-    tombstones are gone. Below threshold (and with no obligation) the
-    lane is a recorded no-op.
+    until the flip). The obligation record is layer-wide and NEVER
+    cleared; this index marks it serviced by stamping it into its own
+    watermark (``serviced_obligation``), in the meta commit that
+    follows the swap — so a rebuild that FAILS leaves the stamp
+    unwritten and the next tick retries, a compaction landing
+    MID-BUILD differs from the stamp and re-fires, and on a
+    multi-index layer every index services the obligation
+    independently (a cleared-flag design let the first rebuild strand
+    its siblings — round-14 second review #1/#2). Below threshold
+    (and with no unserviced obligation) the lane is a recorded no-op.
 
     An EMPTY live corpus never fires (an IVF index needs at least one
     vector; wiping the index would also be wrong while readers hold
@@ -1171,6 +1175,11 @@ def maybe_rebuild_ivf(
             if wm_valid
             else spark.read.parquet(resolved).count()
         )
+    # layer-wide obligation, judged per-index: pending unless THIS
+    # index's live watermark already stamps this exact record
+    obligation = owed is not None and (
+        not wm_valid or wm.get("serviced_obligation") != owed
+    )
     tomb = read_tombstones(spark, root, layer)
     n_tomb = 0 if tomb is None else tomb.count()
 
@@ -1207,7 +1216,7 @@ def maybe_rebuild_ivf(
             abs(n_live + new_tomb - n_indexed) + new_tomb
         ) / max(n_indexed, 1)
     if n_live == 0:
-        if (force or owed is not None) and n_indexed:
+        if (force or obligation) and n_indexed is not None:
             # fully-retracted corpus on COMPACTION day (round-14
             # self-review #2): the tombstones the reader guard needs
             # are gone (or going), yet every indexed vector is
@@ -1218,38 +1227,45 @@ def maybe_rebuild_ivf(
             # snapshot age out through GC as usual): searches return
             # no rows, which is the correct answer over an empty live
             # corpus. The first future append drives staleness to inf
-            # over n_indexed=0 and rebuilds a real index.
+            # over n_indexed=0 and rebuilds a real index. An
+            # ALREADY-empty index (n_indexed == 0) skips the redundant
+            # snapshot write but still stamps the obligation serviced
+            # (round-14 second review #2: the falsy-zero check left a
+            # permanently re-forcing no-op with a misleading report).
             from novi_pdq_etl_project_prod_spark.sources.layers import (
                 overwrite_snapshot,
             )
 
-            # `live` is always materialized here: an n_live == 0
-            # estimate is re-verified via the exact scan above
-            empty = live.select(
-                F.col(id_col).alias("neighbor_id"),
-                _as_double(vec_col).alias("cv"),
-                F.lit(0).cast("int").alias("list_id"),
-            )
-            overwrite_snapshot(
-                empty, root, index_layer, f"{index_table}_vectors"
-            )
-            wm_commit = _commit_ann_watermark(
-                spark, root, layer, wm_key,
-                {
+            if n_indexed > 0:
+                # empty frame derived from the real assignment path so
+                # the schema can never drift from rebuilt indexes
+                # (round-14 second review #4); `live` is always
+                # materialized here (a 0 estimate is scan-verified)
+                overwrite_snapshot(
+                    _ivf_assign(live, np.zeros((1, 1)), id_col, vec_col),
+                    root,
+                    index_layer,
+                    f"{index_table}_vectors",
+                )
+            wm_commit = _commit_ann_meta(root, layer, {
+                wm_key: {
                     "vectors_snapshot": current_snapshot(vec_dir),
                     "n_indexed": 0,
                     "n_tomb_build": n_tomb,
+                    "serviced_obligation": owed,
                 },
-                owed,
-            )
+            })
             return {
-                "fired": True,
+                "fired": n_indexed > 0,
                 "forced": True,
-                "owed": owed is not None,
+                "owed": obligation,
                 "reason": (
                     "live corpus empty with tombstones cleared — "
                     "published an EMPTY index (retaining it would "
                     "serve only retracted vectors)"
+                    if n_indexed > 0
+                    else "live corpus empty — index already empty; "
+                    "obligation stamped serviced"
                 ),
                 "n_live": 0,
                 "n_indexed": n_indexed,
@@ -1266,7 +1282,7 @@ def maybe_rebuild_ivf(
             "n_live": 0,
             "n_indexed": n_indexed,
         }
-    force = force or owed is not None
+    force = force or obligation
     if not force and staleness < staleness_threshold:
         return {
             "fired": False,
@@ -1303,22 +1319,22 @@ def maybe_rebuild_ivf(
         sample_by_hash=sample_by_hash,
         layer=index_layer,
     )
-    # watermark the build and clear the obligation AFTER the swap: a
-    # build that failed never reaches this commit, so the owed flag
-    # survives to retry on the next tick
-    wm_commit = _commit_ann_watermark(
-        spark, root, layer, wm_key,
-        {
+    # watermark the build AFTER the swap, stamping the audited
+    # obligation serviced: a build that failed never reaches this
+    # commit (next tick retries), and an obligation recorded MID-BUILD
+    # differs from the stamp and re-fires — no clearing, no race
+    wm_commit = _commit_ann_meta(root, layer, {
+        wm_key: {
             "vectors_snapshot": current_snapshot(vec_dir),
             "n_indexed": n_live,
             "n_tomb_build": n_tomb,
+            "serviced_obligation": owed,
         },
-        owed,
-    )
+    })
     return {
         "fired": True,
         "forced": force,
-        "owed": owed is not None,
+        "owed": obligation,
         "n_live": n_live,
         "n_indexed": n_indexed,
         "n_tombstones": n_tomb,
@@ -1329,52 +1345,23 @@ def maybe_rebuild_ivf(
     }
 
 
-def _commit_ann_watermark(
-    spark, root, layer, wm_key: str, wm_val: dict, owed_at_audit
-) -> str:
-    """Post-swap metadata commit for :func:`maybe_rebuild_ivf`: write
-    the build watermark and clear the rebuild obligation — but ONLY the
-    obligation that was read at audit time. An obligation recorded by a
-    compaction that landed WHILE the build was running covers
-    retractions the just-built index never saw; clearing it
-    unconditionally would strand that index serving retracted vectors
-    with nothing left to retry (round-14 self-review #1). CAS-pinned
-    read-compare-commit: each attempt re-reads the live obligation,
-    keeps it unless it still equals the audited one, and pins the flip
-    to the version it read — a racing commit fails the flip and the
-    loop re-reads. Returns "ok", "ok (obligation superseded...)", or a
-    conflict string (watermark lost, fallbacks stay correct: invalid
-    watermark -> absolute churn bound; uncleared obligation -> one
-    extra forced rebuild)."""
-    from novi_pdq_etl_project_prod_spark.plans.retract import (
-        ANN_REBUILD_OWED_KEY,
-    )
+def _commit_ann_meta(root, layer, meta: dict) -> str:
+    """Merge ``meta`` into the layer manifest (a data-less
+    ``commit_tables`` — pure manifest-file I/O, internally CAS-retried
+    against concurrent committers). Returns "ok" or a conflict string;
+    a lost watermark is benign (the audit falls back to the absolute
+    churn bound and an unstamped obligation just re-forces one
+    rebuild)."""
     from novi_pdq_etl_project_prod_spark.sources.layers import (
         SnapshotConflictError,
         commit_tables,
-        current_manifest_version,
-        read_manifest_meta,
     )
 
-    last = "conflict: CAS retries exhausted"
-    for _ in range(5):
-        base_now = current_manifest_version(root, layer)
-        owed_now = read_manifest_meta(root, layer).get(ANN_REBUILD_OWED_KEY)
-        meta = {wm_key: wm_val}
-        superseded = owed_now is not None and owed_now != owed_at_audit
-        if not superseded:
-            meta[ANN_REBUILD_OWED_KEY] = None
-        try:
-            commit_tables({}, root, layer, expected_base=base_now, meta=meta)
-            return (
-                "ok (obligation superseded mid-build — kept for retry)"
-                if superseded
-                else "ok"
-            )
-        except SnapshotConflictError as exc:
-            last = f"conflict: {exc}"
-            continue
-    return last
+    try:
+        commit_tables({}, root, layer, meta=meta)
+        return "ok"
+    except SnapshotConflictError as exc:
+        return f"conflict: {exc}"
 
 
 def label_centroid_sums(

@@ -105,17 +105,20 @@ TOMBSTONES_TABLE = "retracted_ids"
 #: tombstones, never doc-keyed user state.
 APPLIED_RETRACTIONS_TABLE = "applied_retractions"
 
-#: Manifest-meta flag recording that a tombstone-clearing compaction ran
-#: and derived doc-keyed indexes (the persisted ANN index) still owe a
-#: rebuild. Set by :func:`compact_retractions` in the same atomic commit
-#: that drops the tombstones; cleared only by a SUCCESSFUL
-#: ``operators.similarity.maybe_rebuild_ivf`` build — so a forced
-#: rebuild that fails (or a compaction run outside the tick) is retried
-#: on every later tick instead of leaving a stale index serving
-#: retracted vectors with nothing left to retry it (ADVICE r13 medium
-#: #2, low #3). One flag per layer: a multi-index layer's first
-#: successful rebuild clears it, so co-located indexes must share the
-#: tick's rebuild lane (the tick rebuilds on cadence either way).
+#: Manifest-meta record of the LATEST tombstone-clearing compaction —
+#: derived doc-keyed indexes (the persisted ANN index) owe a rebuild
+#: after it. Written by :func:`compact_retractions` in the same atomic
+#: commit that drops the tombstones (tick-invoked or direct — ADVICE
+#: r13 medium #2, low #3) and NEVER cleared: each index marks the
+#: obligation serviced by stamping this record into its own build
+#: watermark (``ann_watermark:<index_table>.serviced_obligation``), so
+#: on a multi-index layer every index force-rebuilds exactly once per
+#: compaction (a cleared-flag design let the first index's rebuild
+#: strand its siblings — round-14 second review #1), a rebuild that
+#: FAILS leaves its stamp unwritten and retries on every later tick,
+#: and an obligation recorded mid-build differs from the stamped one
+#: and re-fires. The value's ``base`` (the CAS token of the compacted
+#: manifest version) makes successive compactions distinct.
 ANN_REBUILD_OWED_KEY = "ann_rebuild_owed"
 
 #: Default id column per standard doc-keyed state table, for
@@ -509,8 +512,9 @@ def compact_retractions(
         # obligation here — in the same atomic flip that drops the
         # tombstones, whether invoked by the tick or directly — means a
         # failed/missing forced rebuild is retried on every later
-        # maintenance tick (maybe_rebuild_ivf force-fires on the flag
-        # and clears it only after a SUCCESSFUL rebuild).
+        # maintenance tick (maybe_rebuild_ivf force-fires until its
+        # index's watermark carries this record's serviced stamp; see
+        # ANN_REBUILD_OWED_KEY).
         meta={
             ANN_REBUILD_OWED_KEY: {
                 "set_by": "compact_retractions",

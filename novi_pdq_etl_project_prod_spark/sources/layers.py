@@ -1298,7 +1298,14 @@ def compact_segments(
     attempts = 5
     for _ in range(attempts):
         base = current_manifest_version(root, layer)
-        if segment_count(root, layer, table) < max(2, int(min_segments)):
+        # ONE manifest-doc snapshot serves the segment check, the
+        # rowcount-validity check, and the entry it validates against —
+        # self-consistent by construction (round-14 second review #3:
+        # reading meta and entry at different instants depended on the
+        # CAS flip to catch mid-read drift)
+        doc = _read_manifest_doc(root, layer)
+        entry = doc.get(table)
+        if len(_segments(entry)) < max(2, int(min_segments)):
             return False
         merged = read_manifest_tables(spark, root, layer)[table]
         # segment compaction is ROW-PRESERVING: a valid maintained
@@ -1308,12 +1315,14 @@ def compact_segments(
         # metadata-priced audits the counts exist for (round-14
         # self-review #3: every later delta would find an invalid
         # prior and record rows=None forever)
-        prior_rc = read_manifest_meta(root, layer).get(f"rowcount:{table}")
+        prior_rc = (doc.get(MANIFEST_META_KEY) or {}).get(
+            f"rowcount:{table}"
+        )
         carry = (
             {table: int(prior_rc["rows"])}
             if isinstance(prior_rc, dict)
             and prior_rc.get("rows") is not None
-            and prior_rc.get("entry") == read_manifest(root, layer).get(table)
+            and prior_rc.get("entry") == entry
             else None
         )
         try:

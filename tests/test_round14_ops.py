@@ -162,12 +162,17 @@ def test_compact_retractions_records_rebuild_obligation(spark, tmp_path):
     compact_retractions(spark, root, "curated", {"embeddings": "vec_id"})
     assert "ann_rebuild_owed" in read_manifest_meta(root, "curated")
 
-    # staleness 2/100 is far below 0.5 — only the owed flag fires it
+    # staleness 2/100 is far below 0.5 — only the obligation fires it
     tick = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
     assert tick["ann_rebuild"]["fired"] is True
     assert tick["ann_rebuild"]["forced"] is True
-    # obligation cleared by the successful rebuild
-    assert "ann_rebuild_owed" not in read_manifest_meta(root, "curated")
+    # the obligation record stays (layer-wide, never cleared) but THIS
+    # index stamped it serviced — the next tick is a recorded no-op
+    meta = read_manifest_meta(root, "curated")
+    assert meta["ann_watermark:ann"]["serviced_obligation"] == meta[
+        "ann_rebuild_owed"]
+    tick2 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert tick2["ann_rebuild"]["fired"] is False
     # dropped vectors are physically out of the rebuilt index
     from novi_pdq_etl_project_prod_spark.operators.similarity import (
         ivf_index_topk,
@@ -179,6 +184,65 @@ def test_compact_retractions_records_rebuild_obligation(spark, tmp_path):
         k=90, nprobe=4,
     ).collect()
     assert got and all(r.neighbor_id not in (3, 4) for r in got)
+
+
+def test_obligation_serviced_per_index_on_multi_index_layer(
+    spark, tmp_path
+):
+    """Round-14 second review #1: the obligation is layer-wide but
+    serviced PER INDEX (each stamps it into its own watermark) — on a
+    layer with two persisted indexes, the first index's rebuild must
+    not strand the second one serving retracted vectors."""
+    from novi_pdq_etl_project_prod_spark.operators.similarity import (
+        ivf_index_topk,
+        maybe_rebuild_ivf,
+    )
+    from novi_pdq_etl_project_prod_spark.plans.retract import (
+        compact_retractions,
+        retract_docs,
+    )
+    from novi_pdq_etl_project_prod_spark.sources.layers import commit_tables
+
+    root = str(tmp_path / "wh")
+    emb = _vectors(spark, range(100))
+    commit_tables(
+        {"embeddings": emb}, root, "curated",
+        append_tables=("embeddings",),
+    )
+    common = {"source_table": "embeddings", "n_lists": 4,
+              "staleness_threshold": 0.5}
+    for t in ("ann_a", "ann_b"):
+        r = maybe_rebuild_ivf(
+            spark, root, "curated", index_table=t, **common
+        )
+        assert r["fired"] is True  # never built
+
+    # below-threshold retraction, compacted directly: one obligation
+    retract_docs(
+        spark.createDataFrame([(11, "x"), (12, "x")],
+                              "vec_id long, text string"),
+        root, "curated", "r14-multi", id_col="vec_id",
+    )
+    compact_retractions(spark, root, "curated", {"embeddings": "vec_id"})
+
+    ra = maybe_rebuild_ivf(spark, root, "curated", index_table="ann_a",
+                           **common)
+    assert ra["fired"] is True and ra["owed"] is True
+    # ann_a's rebuild must NOT have serviced ann_b's obligation
+    rb = maybe_rebuild_ivf(spark, root, "curated", index_table="ann_b",
+                           **common)
+    assert rb["fired"] is True and rb["owed"] is True
+    for t in ("ann_a", "ann_b"):
+        got = ivf_index_topk(
+            spark, root, emb.where(F.col("vec_id") == 50), table=t,
+            k=90, nprobe=4,
+        ).collect()
+        assert got and all(r_.neighbor_id not in (11, 12) for r_ in got)
+        # and both are now serviced: repeat calls are no-ops
+        again = maybe_rebuild_ivf(
+            spark, root, "curated", index_table=t, **common
+        )
+        assert again["fired"] is False
 
 
 def test_failed_forced_rebuild_is_retried_next_tick(
@@ -226,14 +290,16 @@ def test_failed_forced_rebuild_is_retried_next_tick(
     )
     assert tick["retractions"]["applied"] is True  # tombstones GONE
     assert "error" in tick["ann_rebuild"]  # lane isolated the failure
-    # the obligation survived the failure
+    # the obligation survived the failure (no serviced stamp written)
     assert "ann_rebuild_owed" in read_manifest_meta(root, "curated")
 
     monkeypatch.setattr(similarity, "build_ivf_index", real_build)
     tick2 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
     assert tick2["ann_rebuild"]["fired"] is True
     assert tick2["ann_rebuild"]["forced"] is True
-    assert "ann_rebuild_owed" not in read_manifest_meta(root, "curated")
+    # serviced: a further tick is a recorded no-op
+    tick3 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert tick3["ann_rebuild"]["fired"] is False
     # and the retried rebuild physically dropped the vector
     from novi_pdq_etl_project_prod_spark.operators.similarity import (
         ivf_index_topk,
@@ -300,14 +366,17 @@ def test_obligation_superseded_mid_build_is_kept(
     tick = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
     monkeypatch.setattr(similarity, "build_ivf_index", real_build)
     assert tick["ann_rebuild"]["fired"] is True
-    assert "superseded" in tick["ann_rebuild"]["watermark_commit"]
-    # the mid-build obligation survived ...
-    assert "ann_rebuild_owed" in read_manifest_meta(root, "curated")
+    # the watermark stamped the AUDIT-time obligation (None here), so
+    # the mid-build record reads as unserviced ...
+    meta = read_manifest_meta(root, "curated")
+    assert meta["ann_watermark:ann"]["serviced_obligation"] != meta[
+        "ann_rebuild_owed"]
     # ... and the next tick services it over the post-compaction corpus
     tick2 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
     assert tick2["ann_rebuild"]["fired"] is True
     assert tick2["ann_rebuild"]["forced"] is True
-    assert "ann_rebuild_owed" not in read_manifest_meta(root, "curated")
+    tick3 = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert tick3["ann_rebuild"]["fired"] is False
     from novi_pdq_etl_project_prod_spark.operators.similarity import (
         ivf_index_topk,
     )
@@ -361,6 +430,10 @@ def test_fully_retracted_corpus_publishes_empty_index(spark, tmp_path):
         k=5, nprobe=4,
     ).collect()
     assert got == []  # no retracted vector is ever served
+    # the empty publish stamped the obligation serviced: a tick with no
+    # new data is a recorded no-op, not a re-forcing loop
+    tick_idle = run_maintenance_tick(spark, root, "curated", ivf_rebuild=cfg)
+    assert tick_idle["ann_rebuild"]["fired"] is False
     # a later append resurrects a real index via normal staleness
     commit_tables(
         {"embeddings": _vectors(spark, range(100, 110))}, root, "curated",
@@ -718,7 +791,9 @@ def test_funnel_composed_with_ann_and_fold_lanes(spark, tmp_path):
     assert ids == set(range(1, 13)) - {2, 5}
     meta = read_manifest_meta(root, "curated")
     assert not any(k.startswith("retraction:") for k in meta)  # folded
-    assert "ann_rebuild_owed" not in meta  # rebuild succeeded
+    # the forced rebuild stamped the compaction's obligation serviced
+    assert meta["ann_watermark:ann"]["serviced_obligation"] == meta[
+        "ann_rebuild_owed"]
     assert read_manifest_table(  # tombstones compacted away
         spark, root, "curated", "retracted_ids") is None
 

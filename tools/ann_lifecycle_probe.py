@@ -173,7 +173,9 @@ def main(k: int = 1000) -> None:
     )
     assert t2["retractions"]["applied"] is True
     assert t2["ann_rebuild"]["fired"] is True and t2["ann_rebuild"]["forced"]
-    assert "ann_rebuild_owed" not in read_manifest_meta(root, "curated")
+    meta = read_manifest_meta(root, "curated")
+    assert meta["ann_watermark:ann"]["serviced_obligation"] == meta[
+        "ann_rebuild_owed"]  # obligation stamped serviced by this index
     report["rebuild_report"] = {
         kk: t2["ann_rebuild"][kk]
         for kk in ("n_live", "count_source", "staleness")
