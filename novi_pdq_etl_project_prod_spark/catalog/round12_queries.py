@@ -166,6 +166,8 @@ def m82_retracted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from novi_pdq_etl_project_prod_spark.plans.retract import retract_ids
 
+    from novi_pdq_etl_project_prod_spark import cache
+
     docs = _t(spark, sf_dir, "documents")
     evens = docs.where(
         (F.col("doc_id") % 2 == 0) & F.col("text").isNotNull()
@@ -175,7 +177,10 @@ def m82_retracted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    standing = evens.join(reps, "doc_id")
+    # persisted (lazily) — optimization r14: the derived standing corpus
+    # feeds the hash table, the signature build AND the tombstone list;
+    # without the persist each consumer re-runs the dedup join
+    standing = cache.track(evens.join(reps, "doc_id"))
     # the ACCUMULATED state a prior ingest left behind...
     hashes = (
         standing.select(F.md5("text").alias("h"), "doc_id")
@@ -185,10 +190,13 @@ def m82_retracted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures_md5(standing, "doc_id", "text", 3, 64)
     # ...then the curation drop, applied as the tombstone filter
     tomb = standing.where(F.col("doc_id") % 10 == 0).select("doc_id")
+    # the retracted signature relation is referenced three times by the
+    # band join; persist it (lazily — the funnel's fused count job
+    # fills it) so the minhash doesn't run per reference
     res = ingest_increment(
         docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text"),
         retract_ids(hashes, tomb, "canonical_id"),
-        retract_ids(sigs, tomb, "id"),
+        cache.track(retract_ids(sigs, tomb, "id")),
         _M70_RULES,
     )
     return ingest_disposition(res).orderBy("doc_id")

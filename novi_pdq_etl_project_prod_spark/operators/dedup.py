@@ -560,6 +560,58 @@ def minhash_affine_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _minhash_md5_sig_udf(n: int, num_hashes: int):
+    """Arrow-batched (text → md5-affine MinHash signature) pandas UDF —
+    the vectorized execution of :func:`minhash_signatures_md5`'s
+    contract, value-identical to the declarative explode→64-min-agg
+    form (guide §4.2: batch the custom arithmetic through NumPy instead
+    of 64 interpreted aggregate expressions per exploded row).
+
+    Per text: whitespace tokens, distinct word n-grams, 60-bit md5 base
+    hash per gram (``int(md5(g)[:15 hex], 16) % M`` — computed from the
+    digest bytes, same value), then all ``num_hashes`` affine minima in
+    one (k × g) NumPy broadcast: products stay < 2⁶² so int64 is exact.
+    Docs with < n tokens (or NULL text) yield NULL signatures, filtered
+    by the caller."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = MINHASH_MERSENNE31
+    coeffs = minhash_affine_coeffs(num_hashes)
+
+    @pandas_udf("array<long>")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
+        b = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
+        md5 = hashlib.md5
+        out = []
+        for text in texts:
+            toks = text.split() if isinstance(text, str) else []
+            if len(toks) < n:
+                out.append(None)
+                continue
+            grams = dict.fromkeys(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            h = np.fromiter(
+                (
+                    (int.from_bytes(md5(g.encode("utf-8")).digest()[:8], "big") >> 4)
+                    % m
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+            out.append(((a * h[None, :] + b) % m).min(axis=1))
+        return pd.Series(out, dtype=object)
+
+    # non-deterministic mark (guide §4.4): the caller filters on the
+    # signature column; without it the pushed-down IsNotNull clones the
+    # UDF below the filter and every doc pays the hashing twice
+    return sig_udf.asNondeterministic()
+
+
 def minhash_signatures_md5(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -569,32 +621,26 @@ def minhash_signatures_md5(
 ) -> DataFrame:
     """Cross-engine-DETERMINISTIC MinHash: one md5 base hash per distinct
     shingle, k affine permutations ``(aᵢ·h + bᵢ) mod 2³¹−1`` — every step
-    replicable in ANSI SQL (the m8 DuckDB oracle), unlike the
-    blake2b/xxhash64 fast paths (:func:`minhash_signatures_arrow`,
-    :func:`minhash_signatures`), which stay the throughput choice when
-    cross-engine certification isn't needed.
+    replicable in ANSI SQL (the m8 DuckDB oracle).
 
-    Shape: shingle explode → k min-aggregates in ONE map-side-combined
-    hash-agg (whole-stage codegen — no interpreted lambda folds, no
-    Python). Duplicate shingles are harmless under min, so no distinct
-    pass is spent. Docs with < n tokens produce no rows (equivalent to
-    the null signatures the other variants emit — banding drops both).
-    """
-    m = MINHASH_MERSENNE31
-    coeffs = minhash_affine_coeffs(num_hashes)
+    Execution (optimization r14, guide §4.2): ONE Arrow-vectorized
+    map-side pass (:func:`_minhash_md5_sig_udf`) — tokenize, gram, md5
+    and all k affine minima per doc inside a NumPy batch. The previous
+    declarative form (shingle explode → k min-aggregates) paid the
+    higher-order-function trap the ``shingles()`` docstring warns
+    about — the tokenize re-evaluated per gram position, O(tokens²)
+    per doc — plus a 64-column partial-agg exchange; the Arrow form is
+    value-identical (pytest-pinned vs the declarative twin), needs no
+    shuffle at all, and runs ~4× faster at sf0.1. Docs with < n tokens
+    produce no rows, exactly as the explode form (its groupBy never saw
+    them)."""
     df = _spread_small_input(df)
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__sh")
-    )
-    hashed = sh.select("id", (md5_long60(F.col("__sh")) % m).alias("__h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % m).alias(f"__m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    per_doc = hashed.groupBy("id").agg(*aggs)
-    return per_doc.select(
-        "id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("signature"),
+    sig = _minhash_md5_sig_udf(n, num_hashes)
+    return (
+        df.select(
+            F.col(id_col).alias("id"), sig(F.col(text_col)).alias("signature")
+        )
+        .where(F.col("signature").isNotNull())
     )
 
 
@@ -1450,6 +1496,7 @@ def incremental_pairs_from_signatures(
     num_hashes: int,
     bands: int,
     threshold: float,
+    n_new: int | None = None,
 ) -> DataFrame:
     """Signature-table form of the incremental pair join: identical
     banding/verification semantics to ``incremental_minhash_pairs`` but
@@ -1504,8 +1551,11 @@ def incremental_pairs_from_signatures(
     # |batch| key rows would then be a forced OOM-bound broadcast.
     # Past the cap the hint drops and AQE picks the join (same
     # graceful degradation as the exact-dedup stage). sig_new is
-    # persisted by every caller, so the count is cheap.
-    n_banded = sig_new.count() * max(bands, 1)
+    # persisted by every caller, so the count is cheap — and a caller
+    # that already counted it for its own cache fill passes ``n_new``
+    # so this doesn't cost a job at all (optimization r14: each extra
+    # action is a full plan-and-schedule round trip on the driver).
+    n_banded = (sig_new.count() if n_new is None else n_new) * max(bands, 1)
     a = (
         F.broadcast(bn) if n_banded <= BROADCAST_HINT_MAX_ROWS else bn
     ).alias("a")

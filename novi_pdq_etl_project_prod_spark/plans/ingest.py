@@ -114,8 +114,22 @@ def ingest_increment(
     ).where(F.col("h").isNotNull())
     new_min = h_new.groupBy("h").agg(F.min("id").alias("new_min"))
     # mega-batch guard (VERDICT r10 #6): past the cap the forced
-    # broadcasts drop and AQE picks a shuffle join — graceful, not OOM
-    n_hashes = new_min.count()
+    # broadcasts drop and AQE picks a shuffle join — graceful, not OOM.
+    # Optimization r14 (guide §2.6): the count action doubles as the
+    # cache fill for a persisted-but-unfilled standing signature
+    # relation (the batch twin persists it lazily) — two independent
+    # subtrees under ONE job instead of two serial driver round trips.
+    # The streaming path's standing_sigs is a bare table read
+    # (storageLevel NONE), so it never pays an extra scan here.
+    cnt = new_min.agg(F.count(F.lit(1)).alias("__n"))
+    if (
+        standing_sigs is not None
+        and standing_sigs.storageLevel.useMemory
+    ):
+        cnt = cnt.crossJoin(
+            standing_sigs.agg(F.count(F.lit(1)).alias("__n_standing"))
+        )
+    n_hashes = cnt.collect()[0]["__n"]
     bc = lambda d: broadcast_if_bounded(d, n_hashes)  # noqa: E731
     if standing_hashes is None:
         matched = new_min.select("h", F.col("new_min").alias("old_min")).limit(0)
@@ -127,9 +141,11 @@ def ingest_increment(
             .groupBy("h")
             .agg(F.min("canonical_id").alias("old_min"))
         )
-    enriched = cache.track(
-        new_min.join(bc(matched), "h", "left"), eager=True
-    )
+    # lazy persist (optimization r14): the first consumer is the
+    # broadcast build for the survivors anti-join — a single driver-side
+    # collect, so the fill cannot race; an eager fill here was one more
+    # serial job per increment for nothing
+    enriched = cache.track(new_min.join(bc(matched), "h", "left"))
     exact_dups = (
         h_new.join(bc(enriched), "h")
         .where(
@@ -154,9 +170,11 @@ def ingest_increment(
 
     # --- near-dup stage (the stream_incremental_near_dups shape) ------
     sigs_new = cache.track(
-        minhash_signatures_md5(survivors, id_col, text_col, n, num_hashes),
-        eager=True,
+        minhash_signatures_md5(survivors, id_col, text_col, n, num_hashes)
     )
+    # the fill count doubles as the band-join broadcast bound — one job,
+    # two purposes (optimization r14)
+    n_new = sigs_new.count()
     pairs = cache.track(
         incremental_pairs_from_signatures(
             sigs_new,
@@ -164,6 +182,7 @@ def ingest_increment(
             num_hashes,
             bands,
             threshold,
+            n_new=n_new,
         ),
         eager=True,
     )
@@ -282,12 +301,14 @@ def ingest_increment_vs_standing(
     # cached: the pair join references the standing signature relation
     # three times (banding + two candidate join-backs); in the streaming
     # sink that relation is a parquet TABLE scan (cheap to re-scan), but
-    # here it is a full minhash computation — compute it once
+    # here it is a full minhash computation — compute it once. LAZY
+    # persist (optimization r14): ingest_increment's hint-bound count
+    # job fills any persisted-but-unfilled standing_sigs alongside its
+    # own aggregate, so an eager fill here would serialize an extra job
     standing_sigs = cache.track(
         minhash_signatures_md5(
             standing_docs, id_col, text_col, n, num_hashes
-        ),
-        eager=True,
+        )
     )
     standing_grams = None
     if span_k is not None:
