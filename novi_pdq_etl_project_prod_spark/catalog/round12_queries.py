@@ -511,8 +511,14 @@ def m86_rewrite_excised(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a fixed shift collides with live ids once the corpus outgrows it
     # (round-12 second review) — the oracle derives the same scalar
     shift = docs.agg(F.max("doc_id")).first()[0] + 1
+    from novi_pdq_etl_project_prod_spark import cache
+
     ex = excise_repeated_spans(docs, k=_M86_K, min_count=2)
-    changed = ex.where(F.col("n_removed") > 0)
+    # persisted (optimization r14): `changed` feeds both the tombstone
+    # list and the rewritten-index build — since the excision became
+    # row-local (no exchange for ReuseExchange to dedupe), an unpersisted
+    # frame would run span detection once per consumer
+    changed = cache.track(ex.where(F.col("n_removed") > 0))
     tomb = changed.select("doc_id")
     rewritten = changed.select(
         (F.col("doc_id") + F.lit(shift)).alias("doc_id"), "text"

@@ -1727,50 +1727,61 @@ def excise_repeated_spans(
     from novi_pdq_etl_project_prod_spark.operators.text import tokens
 
     spans = repeated_spans(df, id_col, text_col, k, min_count)
-    covered = spans.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end") - 1)
-        ).alias("pos"),
+    # Row-local rebuild (optimization r14, guide §2.3 — shuffle the span
+    # METADATA, never the tokens): spans are merged non-overlapping
+    # intervals, a handful per doc, so collect them into one array per
+    # doc and excise with per-row higher-order functions. The previous
+    # shape exploded every token to (doc, pos, tok) rows, anti-joined
+    # them against an exploded position cover, and re-assembled the
+    # text through a sort_array(collect_list(...)) aggregate — three
+    # token-grain exchanges carrying the corpus text; this shape's only
+    # exchange is the doc-grain span-array join (span-doc-sized side).
+    spans_per_doc = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
     )
     base = df.select(
         F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
     )
-    toks = base.select(
-        "doc_id", F.posexplode("t").alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    # per-doc token count comes row-locally from the array itself (no
-    # explode+count pass), which also keeps token-LESS docs in the
-    # output: size() of an empty/NULL token array coalesces to 0
+    sp = F.coalesce(F.col("__sp"), F.array().cast(
+        "array<struct<span_start:int,span_end:int>>"
+    ))
+    # 1-based token positions via the transform index (never
+    # sequence(1, size) — sequence's auto-negative step turns an empty
+    # doc into [1, 0])
+    indexed = F.transform(
+        F.col("t"),
+        lambda tok, i: F.struct((i + 1).alias("pos"), tok.alias("tok")),
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda x: (s["pos"] >= x["span_start"])
+            & (s["pos"] < x["span_end"]),
+        ),
+    )
     return (
-        base.select(
+        base.join(spans_per_doc, "doc_id", "left")
+        .select(
             "doc_id",
-            F.coalesce(F.size("t"), F.lit(0))
-            .cast("long")
-            .alias("n_tokens"),
-        )
-        .join(
-            kept.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.array_join(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                        lambda s: s["tok"],
-                    ),
-                    " ",
-                ).alias("text"),
-            ),
-            "doc_id",
-            "left",
+            F.coalesce(F.size("t"), F.lit(0)).cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            (
+                F.col("n_tokens")
+                - F.coalesce(F.size("__kept"), F.lit(0))
+            )
             .cast("long")
             .alias("n_removed"),
-            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(
+                F.array_join(
+                    F.transform(F.col("__kept"), lambda s: s["tok"]), " "
+                ),
+                F.lit(""),
+            ).alias("text"),
         )
     )
 

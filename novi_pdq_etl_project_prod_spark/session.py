@@ -43,6 +43,21 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-optimize (coalesce) the partitioning of plans that
+        # READ cached relations (optimization r14, guide §2.2/§2.4): off
+        # by default only to keep cached output partitioning stable for
+        # consumers that rely on it — nothing here does (partitioning
+        # invariance is pytested catalog-wide), and without it every
+        # subtree over a cached frame inherits the full
+        # shuffle-partition fan-out however small the cached data is
+        # (m53's final pass: five 64-task stages over a 3.6k-row edge
+        # cache → with AQE, single-digit tasks; coalescing is by
+        # advisory bytes, so TB-scale cached relations keep their width
+        # on a real cluster)
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
