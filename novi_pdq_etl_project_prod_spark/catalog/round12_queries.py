@@ -198,6 +198,7 @@ def m82_retracted_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         retract_ids(hashes, tomb, "canonical_id"),
         cache.track(retract_ids(sigs, tomb, "id")),
         _M70_RULES,
+        truncate_lineage=True,
     )
     return ingest_disposition(res).orderBy("doc_id")
 

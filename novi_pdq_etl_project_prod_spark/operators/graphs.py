@@ -154,49 +154,72 @@ def pagerank_integer(
 
     from novi_pdq_etl_project_prod_spark import cache
 
-    und = canonical_edges(edges, src, dst)
-    sym0 = (
-        und.select(F.col("u").alias("s"), F.col("v").alias("t"))
-        .unionAll(und.select(F.col("v").alias("s"), F.col("u").alias("t")))
-    )
-    deg = sym0.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    # attach each source's degree to its edges ONCE: the per-round loop
-    # then needs a single join + one agg instead of two joins + a
-    # backfill join (the degree is round-invariant, and in the
-    # symmetrized graph every node has ≥1 incoming edge, so the
-    # contribution agg already covers the full node set — no left-join
-    # backfill needed; measured ~40% of the fixed per-round wall)
-    sym = cache.track(
-        sym0.join(deg, "s").repartition("s"), eager=True
-    )
-    base = (unit * (damping_den - damping_num)) // damping_den
-    r = deg.select(
-        F.col("s").alias("node"), F.lit(unit).cast("long").alias("r")
-    ).localCheckpoint()
-    for _i in range(iterations):
-        _t0 = _time.perf_counter()
-        r = (
-            sym.join(r.withColumnRenamed("node", "s"), "s")
-            .groupBy(F.col("t").alias("node"))
-            .agg(
-                (
-                    F.lit(base).cast("long")
-                    + F.sum(
-                        F.expr(
-                            f"(r * {damping_num}L) div ({damping_den}L * deg)"
-                        )
-                    )
-                ).alias("r")
-            )
+    # Pin cached-plan output partitioning for the loop (optimization
+    # r14): the session default lets AQE re-partition subtrees that
+    # read cached relations (a broad win for one-shot cache readers —
+    # see session.py), but THIS loop pre-partitions `sym` on the join
+    # key precisely so every round's contribution join reuses the
+    # cached layout; letting AQE coalesce it re-plans (and can
+    # re-exchange) the edge side every round — A/B at sf0.1: ~9.2-13.6 s
+    # with re-partitioning allowed vs ~8.5 s pinned. Restored in the
+    # finally; the conf is session-global, so concurrent-query drivers
+    # should run pagerank in its own session (same caveat as any
+    # conf-scoped operator).
+    spark = edges.sparkSession
+    _conf_key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    try:
+        _conf_prior = spark.conf.get(_conf_key)
+    except Exception:
+        _conf_prior = None
+    spark.conf.set(_conf_key, "false")
+    try:
+        und = canonical_edges(edges, src, dst)
+        sym0 = (
+            und.select(F.col("u").alias("s"), F.col("v").alias("t"))
+            .unionAll(und.select(F.col("v").alias("s"), F.col("u").alias("t")))
         )
-        # checkpoint EVERY round: A/B-measured 9.4 s (per-round) vs
-        # 12.9 s (every 3rd) vs 16.4 s (every 8th) at sf0.1×10 rounds —
-        # Catalyst analysis/AQE cost grows superlinearly with chained
-        # join depth, so cutting the plan each round beats saving the
-        # per-job overhead, even though the chain is single-consumer
-        # and would never recompute
-        r = r.localCheckpoint()
-        if on_round is not None:
-            on_round(_i, _time.perf_counter() - _t0)
-    sym.unpersist()
+        deg = sym0.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+        # attach each source's degree to its edges ONCE: the per-round
+        # loop then needs a single join + one agg instead of two joins +
+        # a backfill join (the degree is round-invariant, and in the
+        # symmetrized graph every node has ≥1 incoming edge, so the
+        # contribution agg already covers the full node set — no
+        # left-join backfill needed; measured ~40% of the fixed
+        # per-round wall)
+        sym = cache.track(
+            sym0.join(deg, "s").repartition("s"), eager=True
+        )
+        base = (unit * (damping_den - damping_num)) // damping_den
+        r = deg.select(
+            F.col("s").alias("node"), F.lit(unit).cast("long").alias("r")
+        ).localCheckpoint()
+        for _i in range(iterations):
+            _t0 = _time.perf_counter()
+            r = (
+                sym.join(r.withColumnRenamed("node", "s"), "s")
+                .groupBy(F.col("t").alias("node"))
+                .agg(
+                    (
+                        F.lit(base).cast("long")
+                        + F.sum(
+                            F.expr(
+                                f"(r * {damping_num}L) div ({damping_den}L * deg)"
+                            )
+                        )
+                    ).alias("r")
+                )
+            )
+            # checkpoint EVERY round: A/B-measured 9.4 s (per-round) vs
+            # 12.9 s (every 3rd) vs 16.4 s (every 8th) at sf0.1×10
+            # rounds — Catalyst analysis/AQE cost grows superlinearly
+            # with chained join depth, so cutting the plan each round
+            # beats saving the per-job overhead, even though the chain
+            # is single-consumer and would never recompute
+            r = r.localCheckpoint()
+            if on_round is not None:
+                on_round(_i, _time.perf_counter() - _t0)
+        sym.unpersist()
+    finally:
+        if _conf_prior is not None:
+            spark.conf.set(_conf_key, _conf_prior)
     return r.select("node", F.col("r").alias("rank_micro"))

@@ -80,12 +80,26 @@ def ingest_increment(
     standing_grams: DataFrame | GramProbe | None = None,
     span_k: int | None = None,
     retractable_grams: bool = False,
+    truncate_lineage: bool = False,
 ) -> dict[str, DataFrame]:
     """One increment through the full funnel, frame-in/frame-out — the
     shared core of the batch twin (:func:`ingest_increment_vs_standing`,
     oracled as m70) and the streaming sink (:func:`run_incremental_ingest`),
     which is what makes the stream==batch metamorphic certification
     meaningful: both paths run literally this function.
+
+    ``truncate_lineage`` (optimization r14, guide §5/§3.3): the batch
+    twin sets True — the tiny mid-funnel frames (signatures, candidate
+    pairs, near-drops) are pinned with ``localCheckpoint`` instead of
+    ``persist``, truncating the composed logical plan so every later
+    action replans a short tree (the m76-shaped queries spent more
+    driver wall in Catalyst re-planning the full funnel lineage than
+    executors spent computing — measured ~11 s of inter-job gaps in a
+    16.8 s run). The STREAMING sink keeps the default False: checkpoint
+    blocks are not tracked by the cache scope, so per-trigger
+    checkpoints would accumulate for the session lifetime, and lineage
+    truncation trades away recompute-on-block-loss fault tolerance the
+    long-lived sink wants.
 
     ``standing_hashes``: (h, canonical_id) or None (first increment);
     ``standing_sigs``: (id, signature) or None. Caller persists
@@ -169,13 +183,26 @@ def ingest_increment(
     )
 
     # --- near-dup stage (the stream_incremental_near_dups shape) ------
-    sigs_new = cache.track(
-        minhash_signatures_md5(survivors, id_col, text_col, n, num_hashes)
+    # pin = materialize a multiply-consumed frame: localCheckpoint for
+    # the batch twin (truncates the composed plan every later action
+    # would otherwise replan), persist for the streaming sink (scope-
+    # tracked, recompute-tolerant)
+    if truncate_lineage:
+        pin = lambda df: df.localCheckpoint()  # noqa: E731
+    else:
+        pin = lambda df: cache.track(df, eager=True)  # noqa: E731
+    sigs_raw = minhash_signatures_md5(survivors, id_col, text_col, n, num_hashes)
+    # batch twin: the checkpoint is the (eager) materialization and the
+    # count over its blocks is cheap; streaming: lazy persist whose fill
+    # rides the count — either way the count doubles as the band-join
+    # broadcast bound (one job, two purposes)
+    sigs_new = (
+        sigs_raw.localCheckpoint()
+        if truncate_lineage
+        else cache.track(sigs_raw)
     )
-    # the fill count doubles as the band-join broadcast bound — one job,
-    # two purposes (optimization r14)
     n_new = sigs_new.count()
-    pairs = cache.track(
+    pairs = pin(
         incremental_pairs_from_signatures(
             sigs_new,
             standing_sigs if standing_sigs is not None else sigs_new.limit(0),
@@ -183,8 +210,7 @@ def ingest_increment(
             bands,
             threshold,
             n_new=n_new,
-        ),
-        eager=True,
+        )
     )
     # which endpoint of a pair is the NEW doc: both for new_new (drop
     # the larger, canonical-first), the increment-side one for new_old.
@@ -222,7 +248,7 @@ def ingest_increment(
             F.col("__p.est_jaccard").alias("est_jaccard"),
         )
     )
-    near_drops = cache.track(near_drops, eager=True)
+    near_drops = pin(near_drops)
     accepted = survivors.join(
         bc(near_drops.select(F.col("doc_id").alias(id_col))),
         id_col,
@@ -338,6 +364,7 @@ def ingest_increment_vs_standing(
         threshold,
         standing_grams=standing_grams,
         span_k=span_k,
+        truncate_lineage=True,
     )
 
 
