@@ -148,7 +148,8 @@ def main() -> None:
     print("subtrees, so it is the runtime-shaped number), **cg** (distinct")
     print("whole-stage-codegen spans), **push** (filters pushed into a")
     print("parquet scan), **py** (Arrow/Pandas evaluation — expected only in")
-    print("the vectorized similarity/multimodal operators).")
+    print("the vectorized similarity/multimodal operators and, since")
+    print("optimization r14, the Arrow MinHash pass in operators.dedup).")
     print()
     print("Skipped (iterative — the plan can't be built without running")
     print("the loop; each row names where its per-round plan IS audited):")
