@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
@@ -531,6 +532,13 @@ def minhash_near_duplicates(
 #: signature quality.
 MINHASH_MERSENNE31 = (1 << 31) - 1
 
+#: Python-side twin of the JVM/RE2 ``\s+`` tokenizer split: with
+#: ``re.ASCII``, ``\s`` is exactly ``[ \t\n\x0b\f\r]`` — the same class
+#: Java regex and DuckDB's RE2 match — so vectorized UDFs tokenize
+#: identically to :func:`operators.text.tokens` on any input, including
+#: non-ASCII whitespace (which Python's ``str.split()`` would eat).
+_ASCII_WS = re.compile(r"\s+", re.ASCII)
+
 
 def _md5_long60_py(s: str) -> int:
     """Driver-side twin of the certified cross-engine md5→int idiom:
@@ -585,9 +593,20 @@ def _minhash_md5_sig_udf(n: int, num_hashes: int):
         a = np.array([c[0] for c in coeffs], dtype=np.int64)[:, None]
         b = np.array([c[1] for c in coeffs], dtype=np.int64)[:, None]
         md5 = hashlib.md5
+        # ASCII \s ≡ Java \s ≡ RE2 \s == [ \t\n\x0b\f\r] — the JVM
+        # twin splits on Java \s+ and the DuckDB oracles on RE2 \s+,
+        # neither of which matches Unicode whitespace (NBSP, U+2028),
+        # while Python str.split() does (ADVICE r14): tokenize with the
+        # same ASCII class so non-ASCII-whitespace docs keep the
+        # cross-engine-identical signature contract.
+        ws = _ASCII_WS.split
         out = []
         for text in texts:
-            toks = text.split() if isinstance(text, str) else []
+            toks = ws(text) if isinstance(text, str) else []
+            if toks and toks[0] == "":
+                toks.pop(0)
+            if toks and toks[-1] == "":
+                toks.pop()
             if len(toks) < n:
                 out.append(None)
                 continue

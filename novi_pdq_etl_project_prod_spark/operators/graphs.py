@@ -222,4 +222,13 @@ def pagerank_integer(
     finally:
         if _conf_prior is not None:
             spark.conf.set(_conf_key, _conf_prior)
+        else:
+            # conf.get raised (no value resolvable): leaving the pin in
+            # place would permanently override the session default set in
+            # session.py — unset restores default-resolution semantics
+            # (ADVICE r14)
+            try:
+                spark.conf.unset(_conf_key)
+            except Exception:
+                pass
     return r.select("node", F.col("r").alias("rank_micro"))

@@ -99,7 +99,13 @@ def ingest_increment(
     blocks are not tracked by the cache scope, so per-trigger
     checkpoints would accumulate for the session lifetime, and lineage
     truncation trades away recompute-on-block-loss fault tolerance the
-    long-lived sink wants.
+    long-lived sink wants. Reclamation note (ADVICE r14): localCheckpoint
+    blocks are freed either by ``cache.clear_session_state`` (which
+    unpersists every persistent RDD — the bench does this between
+    queries) or by driver GC of the checkpointed RDDs (ContextCleaner);
+    a long-lived session that neither clears state nor drops references
+    to the returned frames will hold the blocks until collection, so
+    harnesses should release their references at funnel exit.
 
     ``standing_hashes``: (h, canonical_id) or None (first increment);
     ``standing_sigs``: (id, signature) or None. Caller persists

@@ -78,6 +78,11 @@ _DOCS = [
     (6, "a b c a b c a b c a b c"),
     (7, "  leading   and   trailing   spaces  "),
     (8, "punct, marks! stay? attached. to-tokens"),
+    # non-ASCII whitespace (ADVICE r14): NBSP / U+2028 / U+2029 are NOT
+    # token separators under Java \s+ or RE2 \s+ — they must stay glued
+    # inside tokens; a Python str.split() tokenizer would break here
+    (9, "alpha\u00a0beta gamma\u2028delta epsilon\u2029zeta\u3000eta"),
+    (10, "\u00a0lead nbsp\u00a0\u00a0and para\u2028sep mixed\ttabs\nnewlines"),
 ]
 
 
@@ -117,6 +122,35 @@ def test_arrow_minhash_matches_declarative_fixture(spark):
         for r in _declarative_minhash(d, "doc_id", "text", 3, 64).collect()
     }
     assert new == old
+
+
+def test_null_text_docs_pass_through_ingest_undropped(spark):
+    """Pin the NULL-text disposition of the funnel on the Arrow MinHash
+    path (ADVICE r14): the OLD declarative tree gave every NULL-text doc
+    an identical md5('')-derived signature, so NULL-text survivors
+    near-dup-dropped each other; the Arrow path emits no signature for
+    them (matching the documented contract and the DuckDB oracles), so
+    they pass through un-dropped. Asserted here rather than implied by
+    fixture absence: production streaming input is arbitrary."""
+    from novi_pdq_etl_project_prod_spark.plans.ingest import ingest_increment
+
+    rows = [
+        (1, None),
+        (2, None),
+        (3, "shared near duplicate text body one two three four five"),
+        (4, "shared near duplicate text body one two three four five six"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = ingest_increment(df, None, None, {})
+    accepted = {r.doc_id for r in res["accepted"].collect()}
+    near_drops = {r.doc_id for r in res["near_drops"].collect()}
+    exact = {r.doc_id for r in res["exact_dups"].collect()}
+    # both NULL-text docs survive: no md5 hash row (isNotNull-filtered),
+    # no signature, therefore neither exact- nor near-dup disposition
+    assert {1, 2} <= accepted
+    assert not ({1, 2} & (near_drops | exact))
+    # the sanity pair still behaves: larger-id near-dup drops
+    assert 4 in near_drops and 3 in accepted
 
 
 def test_pairs_n_new_hint_is_pure_optimization(spark, docs):

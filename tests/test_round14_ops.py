@@ -56,13 +56,37 @@ def test_ledger_graduation_reenters_window(tmp_path):
     assert grad in _derive_driver_certified(tmp_path)
 
 
-def test_m35_is_inside_the_driver_window():
-    """The concrete round-14 deliverable: m35's graduated oracle sits in
-    the first-50 sampling window so CORRECTNESS_r14 records a hash row."""
-    from novi_pdq_etl_project_prod_spark.catalog import QUERIES
+def test_m35_window_reentry_delivered():
+    """The concrete round-14 deliverable: m35's graduated oracle re-enters
+    the first-50 sampling window UNTIL a driver hash row lands, then
+    graduates out (latest-wins ledger). Before CORRECTNESS_r14 existed
+    this asserted window membership; the driver then recorded m35
+    hash-green (CORRECTNESS_r14.json), so the delivered state is either
+    a certified ledger row or continued window residence — asserting
+    bare membership after certification would pin the transient."""
+    import json
+    import pathlib
 
-    window = list(QUERIES)[:50]
-    assert "m35_kmeans_clusters" in window
+    from novi_pdq_etl_project_prod_spark.catalog import (
+        DRIVER_CERTIFIED,
+        ORACLES,
+        QUERIES,
+    )
+
+    name = "m35_kmeans_clusters"
+    assert name in ORACLES  # the graduation itself
+    if name in DRIVER_CERTIFIED:
+        # graduated out of the window because a driver round hash-greened
+        # the new oracle surface — verify that row really exists
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        green = False
+        for f in sorted(repo.glob("CORRECTNESS_r*.json")):
+            row = json.loads(f.read_text()).get(name)
+            if row is not None:
+                green = bool(row.get("hash_match"))
+        assert green, "certified without a hash-green driver row"
+    else:
+        assert name in list(QUERIES)[:50]
 
 
 # ---------------------------------------------------------------------------
