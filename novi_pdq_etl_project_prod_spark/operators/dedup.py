@@ -239,6 +239,11 @@ def _gram_pair_counts(
         sh = sh.withColumn(
             "_df", F.count(F.lit(1)).over(Window.partitionBy("sh"))
         ).where(F.col("_df") <= df_cap)
+    # NOTE (optimization r15): an int64 xxhash64 join key AHEAD of the
+    # gram string (string equality kept in-join, so exact) was measured
+    # at ×10 and REJECTED — m39 median 6.4 s vs 5.5 s, m42 10.3 s vs
+    # ~7.9 s: the equi-join already hashes the string once per row, so
+    # the extra column only widened the shuffle and the cache.
     sh = cache.track(sh, eager=True)  # self-join sides race a lazy cache
     a = sh.alias("a")
     b = sh.alias("b")
@@ -951,6 +956,67 @@ def simhash_near_duplicates(
     )
 
 
+def _simhash_md5_sig_udf(bits: int):
+    """Arrow-batched (text → 60-bit md5 SimHash) pandas UDF — the
+    vectorized execution of :func:`simhash_signatures_md5`'s contract,
+    value-identical to the declarative explode→``bits``-sum-agg form
+    (optimization r15, guide §4.2 — the same move the r14 round made
+    for MinHash: one NumPy batch pass instead of ``bits`` interpreted
+    aggregate expressions per exploded token row).
+
+    Per text: ASCII-``\\s+`` tokens (multiset — term frequency
+    weighting), one 60-bit md5 base hash per DISTINCT token weighted by
+    its count, the ``bits`` signed bit-sums in one (bits × T) NumPy
+    broadcast, then the sign bits pack into one long. Docs with no
+    tokens yield NULL, filtered by the caller (the explode form's
+    groupBy never saw them)."""
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(bits, dtype=np.int64)[:, None]
+
+    @pandas_udf("long")
+    def sig_udf(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        ws = _ASCII_WS.split
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        out = []
+        for text in texts:
+            toks = ws(text) if isinstance(text, str) else []
+            if toks and toks[0] == "":
+                toks.pop(0)
+            if toks and toks[-1] == "":
+                toks.pop()
+            if not toks:
+                out.append(None)
+                continue
+            counts = Counter(toks)
+            h = np.fromiter(
+                (
+                    int.from_bytes(md5(t.encode("utf-8")).digest()[:8], "big")
+                    >> 4
+                    for t in counts
+                ),
+                dtype=np.int64,
+                count=len(counts),
+            )
+            c = np.fromiter(
+                counts.values(), dtype=np.int64, count=len(counts)
+            )
+            n_tok = int(c.sum())
+            # bit i sum over the multiset: Σ c_t·bit_i(h_t)·2 − n_tok
+            ones = (((h[None, :] >> shifts) & 1) * c[None, :]).sum(axis=1)
+            sig = int(weights[(2 * ones - n_tok) > 0].sum())
+            out.append(sig)
+        return pd.Series(out, dtype=object)
+
+    # non-deterministic mark (guide §4.4): the caller filters on the
+    # signature column; without it the pushed-down IsNotNull clones the
+    # UDF below the filter and every doc pays the hashing twice
+    return sig_udf.asNondeterministic()
+
+
 def simhash_signatures_md5(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -965,30 +1031,26 @@ def simhash_signatures_md5(
     with the same pigeonhole guarantee. :func:`simhash_signatures`
     (xxhash64, interpreted fold) remains the no-oracle alternative.
 
-    Shape: token explode → ``bits`` signed bit-sums in ONE map-side
-    combined hash-agg (codegen — term frequency weighting falls out of
-    summing over the token multiset), then one projection packs the
-    sign bits. Docs with no tokens produce no rows (equivalent to the
-    null signatures the other variant emits)."""
-    from novi_pdq_etl_project_prod_spark.operators.text import tokens
-
+    Execution (optimization r15, guide §4.2): ONE Arrow-vectorized
+    map pass (:func:`_simhash_md5_sig_udf`) — tokenize, md5, all
+    ``bits`` signed bit-sums and the sign packing per doc inside a
+    NumPy batch. The previous declarative form (token explode →
+    ``bits`` sum-aggregates) shuffled a 61-column partial-agg row per
+    (partition × doc) and evaluated 60 interpreted shift/mask sums per
+    exploded token; the Arrow form is value-identical (pytest-pinned
+    against the declarative twin in tests/test_optimization_r15.py),
+    needs no shuffle at all, and the md5 hashing itself is shared per
+    DISTINCT token instead of per occurrence. Docs with no tokens
+    produce no rows, exactly as the explode form (its groupBy never
+    saw them)."""
     df = _spread_small_input(df)
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("__t")
+    sig = _simhash_md5_sig_udf(bits)
+    return (
+        df.select(
+            F.col(id_col).alias("id"), sig(F.col(text_col)).alias("simhash")
+        )
+        .where(F.col("simhash").isNotNull())
     )
-    hashed = tok.select("id", md5_long60(F.col("__t")).alias("__h"))
-    aggs = [
-        F.sum(
-            F.shiftrightunsigned(F.col("__h"), i).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"__b{i}")
-        for i in range(bits)
-    ]
-    per_doc = hashed.groupBy("id").agg(*aggs)
-    sig: Column | None = None
-    for i in range(bits):
-        term = F.when(F.col(f"__b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    return per_doc.select("id", sig.cast("long").alias("simhash"))
 
 
 def repeated_ngram_stats(
@@ -1683,6 +1745,12 @@ def repeated_spans(
             )
         ).alias("pos0", "gh"),
     ).select("doc_id", (F.col("pos0") + 1).alias("s"), "gh")
+    # The gram pass is the dominant cost (O(n·k) slice-concat + md5 per
+    # token position) and BOTH the repeat filter and the mark join read
+    # it — unpersisted, the plan ran the whole generation twice
+    # (optimization r15; two Generate nodes in the r14 plan). One lazy
+    # persist: the filter side fills it, the mark side reads blocks.
+    grams = cache.track(grams)
     rep = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -1764,19 +1832,37 @@ def excise_repeated_spans(
     sp = F.coalesce(F.col("__sp"), F.array().cast(
         "array<struct<span_start:int,span_end:int>>"
     ))
-    # 1-based token positions via the transform index (never
-    # sequence(1, size) — sequence's auto-negative step turns an empty
-    # doc into [1, 0])
-    indexed = F.transform(
-        F.col("t"),
-        lambda tok, i: F.struct((i + 1).alias("pos"), tok.alias("tok")),
-    )
-    kept = F.filter(
-        indexed,
-        lambda s: ~F.exists(
-            sp,
-            lambda x: (s["pos"] >= x["span_start"])
-            & (s["pos"] < x["span_end"]),
+    # Gap-slice assembly (optimization r15): the spans are sorted,
+    # disjoint intervals, so the kept text is exactly the concatenation
+    # of the inter-span gaps — one aggregate over the (few) spans whose
+    # step is a JVM array slice+concat, O(tokens + spans·copy) instead
+    # of the previous per-token indexed filter with an exists() lambda
+    # per position (interpreted, O(tokens × spans), and it built a
+    # (pos, tok) struct per token besides). span_start is 1-based
+    # inclusive, span_end exclusive: the gap before span x is
+    # [prev+1, span_start-1] with prev = previous span_end − 1 (the
+    # last covered position), and slice() with length 0 at touching
+    # spans yields the empty gap exactly.
+    kept = F.aggregate(
+        F.array_sort(sp),
+        F.struct(
+            F.lit(0).alias("prev"),
+            F.array().cast("array<string>").alias("acc"),
+        ),
+        lambda st, x: F.struct(
+            (x["span_end"] - 1).alias("prev"),
+            F.concat(
+                st["acc"],
+                F.slice(
+                    F.col("t"),
+                    st["prev"] + 1,
+                    x["span_start"] - st["prev"] - 1,
+                ),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.slice(F.col("t"), st["prev"] + 1, F.size("t") - st["prev"]),
         ),
     )
     return (
@@ -1795,12 +1881,7 @@ def excise_repeated_spans(
             )
             .cast("long")
             .alias("n_removed"),
-            F.coalesce(
-                F.array_join(
-                    F.transform(F.col("__kept"), lambda s: s["tok"]), " "
-                ),
-                F.lit(""),
-            ).alias("text"),
+            F.coalesce(F.array_join("__kept", " "), F.lit("")).alias("text"),
         )
     )
 
