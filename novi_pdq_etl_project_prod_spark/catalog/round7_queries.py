@@ -535,39 +535,79 @@ def m60_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= _M60_MIN_DF)
         .select("g")
     )
-    covered = (
-        occ.join(F.broadcast(frequent), "g")
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + 2)
-            ).alias("pos"),
-        )
-        .distinct()
+    # Row-local excision (optimization r15, guide §2.3 — the same move
+    # r14 made for excise_repeated_spans): the OLD shape exploded every
+    # token to (doc, pos, tok) rows, anti-joined an exploded position
+    # cover and reassembled text via sort_array(collect_list) — three
+    # token-grain exchanges whose shuffle volume grew with corpus TEXT
+    # (×10 sweep ratio 5.4, the worst superlinear untouched query).
+    # Only the frequent-occurrence START positions shuffle now (span
+    # metadata), MERGED into disjoint [s, e] intervals first with the
+    # gaps-and-islands window repeated_spans uses (boilerplate starts
+    # overlap heavily — an unmerged exists() over raw starts was
+    # measured 7% SLOWER than the old shape; over merged intervals the
+    # per-token membership scan is a handful of comparisons). The
+    # excision and reassembly run row-locally with indexed
+    # filter/transform, so order is positional by construction (no
+    # sort, no collect_list, no token-grain join).
+    from pyspark.sql import Window
+
+    hits = occ.join(F.broadcast(frequent), "g").select("doc_id", "start")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_e = F.max(F.col("start") + 2).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    toks = base.select(
-        "doc_id",
-        F.posexplode("t").alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("cleaned"),
+    islands = hits.withColumn(
+        "__brk",
+        F.when(F.col("start") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = (
+        islands.groupBy("doc_id", "__isl")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + 2).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("__sp"))
+    )
+    # gap-slice assembly (same move as excise_repeated_spans r15): the
+    # merged spans are sorted disjoint [s, e]-inclusive intervals, so
+    # the kept text is the concatenation of inter-span gaps — JVM
+    # slice+concat per span instead of an interpreted exists() per token
+    sp = F.coalesce(
+        F.col("__sp"), F.array().cast("array<struct<s:int,e:int>>")
+    )
+    kept_arr = F.aggregate(
+        F.array_sort(sp),
+        F.struct(
+            F.lit(0).alias("prev"),
+            F.array().cast("array<string>").alias("acc"),
+        ),
+        lambda st, x: F.struct(
+            x["e"].alias("prev"),
+            F.concat(
+                st["acc"],
+                F.slice(F.col("t"), st["prev"] + 1, x["s"] - st["prev"] - 1),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.slice(F.col("t"), st["prev"] + 1, F.size("t") - st["prev"]),
+        ),
     )
     return (
-        base.select("doc_id", F.size("t").alias("n_tokens"))
-        .join(cleaned, "doc_id", "left")
+        base.join(spans, "doc_id", "left")
+        .withColumn("__kept", kept_arr)
         .select(
             "doc_id",
-            "n_tokens",
-            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-            F.md5(F.coalesce("cleaned", F.lit(""))).alias("cleaned_md5"),
+            F.size("t").alias("n_tokens"),
+            F.coalesce(F.size("__kept").cast("long"), F.lit(0).cast("long"))
+            .alias("n_kept"),
+            F.md5(F.coalesce(F.array_join("__kept", " "), F.lit("")))
+            .alias("cleaned_md5"),
         )
         .orderBy("doc_id")
     )
@@ -640,6 +680,14 @@ def d35_monthly_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("yyyymm"),
         F.col("l_extendedprice").cast("double").alias("x"),
     )
+    # NOTE (optimization r15, guide §1): folding the cut fit into the
+    # binning job as a 1-row broadcast cut frame with a
+    # size(filter(cuts, c -> c < x)) bin was measured at ×10 and
+    # REJECTED — 6.7 s vs 4.6 s same-session A/B: the per-row
+    # higher-order filter over the broadcast array is interpreted,
+    # while the collected cuts inline as 9 codegen'd literal
+    # comparisons; the saved driver round-trip is worth far less than
+    # the lost codegen. The two-action shape stays.
     cut_vals = fit_quantile_cuts(li, "x", _D35_BINS)
     bin_expr = None
     for v in cut_vals:

@@ -1215,22 +1215,35 @@ def spearman_correlation(
         partitioned_cumulative,
     )
 
-    def _rank_table(col: str, alias: str) -> DataFrame:
-        per_value = df.groupBy(
-            *keys, F.col(col).cast("double").alias(f"__v_{alias}")
-        ).agg(F.count(F.lit(1)).alias("__m"))
-        cum = partitioned_cumulative(
-            per_value, list(keys), f"__v_{alias}", sums={"__cum": "__m"}
-        )
-        return cum.select(
+    # ONE fused cumulative for both measures (optimization r15, guide
+    # §2.4 — shared fit-once machinery): the x- and y-rank tables used
+    # to pay a range exchange + local pass + offset pass EACH; tagging
+    # the two per-value relations and unioning them runs the identical
+    # per-(keys, tag) cumulative in one pass — bit-identical ranks
+    # (bucket boundaries only balance work, and the tag is part of the
+    # cumulative's grouping key).
+    def _per_value(col: str, tag: int) -> DataFrame:
+        return df.groupBy(
+            *keys, F.col(col).cast("double").alias("__v")
+        ).agg(F.count(F.lit(1)).alias("__m")).withColumn("__t", F.lit(tag))
+
+    fused = partitioned_cumulative(
+        _per_value(x_col, 0).unionByName(_per_value(y_col, 1)),
+        [*keys, "__t"],
+        "__v",
+        sums={"__cum": "__m"},
+    )
+    r2 = (F.lit(2) * F.col("__cum") - F.col("__m") + 1)
+
+    def _rank_table(tag: int, alias: str) -> DataFrame:
+        return fused.where(F.col("__t") == tag).select(
             *keys,
-            f"__v_{alias}",
-            (F.lit(2) * F.col("__cum") - F.col("__m") + 1).alias(
-                f"__r2_{alias}"
-            ),
+            F.col("__v").alias(f"__v_{alias}"),
+            r2.alias(f"__r2_{alias}"),
         )
-    rx = _rank_table(x_col, "x")
-    ry = _rank_table(y_col, "y")
+
+    rx = _rank_table(0, "x")
+    ry = _rank_table(1, "y")
     ranked = (
         df.select(
             *keys,
