@@ -189,14 +189,42 @@ _DRIVER_CERTIFIED = _derive_driver_certified()
 if _DRIVER_CERTIFIED is None:
     _DRIVER_CERTIFIED = _DRIVER_CERTIFIED_FALLBACK
 
-#: Queries whose ORACLE SURFACE changed this round — the round-8
-#: graduation moved these from documented no_oracle to exact DuckDB SQL
-#: (VERDICT r07 item 1) — forced into the driver's first-50 sampling
-#: window so CORRECTNESS_r08 records fresh HASH rows instead of
-#: inheriting the stale no_oracle outcome. Clear once re-certified.
-#: (r08's four graduated queries were re-certified by the driver in
-#: CORRECTNESS_r08 — cleared per the protocol.)
-RECERTIFY = frozenset()
+#: Queries forced into the driver's first-50 sampling window although a
+#: green driver row exists. Two triggers use this (clear entries once
+#: the driver re-certifies them):
+#:
+#: 1. ORACLE SURFACE changed (the round-8/round-13 graduations from
+#:    documented no_oracle to exact DuckDB SQL) — handled automatically
+#:    by ``_derive_driver_certified`` since r14; this literal is for the
+#:    residual manual cases.
+#: 2. EXECUTION REWRITTEN since the last driver row (VERDICT r14 item
+#:    1): the optimization rounds 14/15 rewrote how these queries
+#:    compute (Arrow MinHash/SimHash, row-local span excision/scrub,
+#:    fused funnel actions, cached-plan AQE, cumulative-machinery and
+#:    cut-fitting reshapes, gram-join keys) without changing any
+#:    declared result — the in-repo exact-value parity suite re-proves
+#:    them, but the DRIVER's own oracle sample never re-ran any of
+#:    them, so their driver rows predate their current execution.
+#:    Re-entering them makes CORRECTNESS_r15 carry fresh hash rows for
+#:    exactly the paths the optimizer touched.
+RECERTIFY = frozenset((
+    # r14 execution rewrites (Arrow MinHash + funnel fusion + lineage
+    # truncation + row-local excision + cached-plan AQE consumers)
+    "m8_minhash_near_dups m65_minhash_calibration "
+    "m66_incremental_near_dups m67_dedup_canonicalize "
+    "m13_near_dup_clusters m70_ingest_funnel m76_ingest_spans "
+    "m82_retracted_funnel m87_retracted_grams m72_span_excision "
+    "m71_repeated_spans m73_incremental_spans m86_rewrite_excised "
+    "m53_copurchase_triangles m43_pair_components "
+    "m55_component_size_histogram m63_supplier_pagerank d29_spearman "
+    # r15 execution rewrites (Arrow SimHash, row-local scrub, shared
+    # cut-fitting / cumulative reshapes, gram-join key)
+    "m9_simhash_near_dups m60_boilerplate_scrub m42_curation_v2 "
+    "d35_monthly_drift d24_weighted_median d19_mad_outliers "
+    "d23_sample_quantiles d38_winsorized_mean m54_zipf_coverage "
+    "d25_gini_spend d27_ks_statistic d28_mann_whitney "
+    "w12_distributed_rank m39_containment_pairs m64_bpe_train"
+).split())
 
 #: Uncertified (never driver-green) queries lead the registry so they fall
 #: inside the driver's first-50 sampling window. The budget check in

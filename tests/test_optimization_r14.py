@@ -31,6 +31,8 @@ from novi_pdq_etl_project_prod_spark.operators.dedup import (
 )
 from novi_pdq_etl_project_prod_spark.operators.text import shingles
 
+pytestmark = pytest.mark.fastverify
+
 
 def _declarative_minhash(df, id_col, text_col, n, num_hashes):
     """The pre-r14 reference implementation: shingle explode → k

@@ -24,6 +24,10 @@ import pytest
 
 from novi_pdq_etl_project_prod_spark.catalog import ORACLES, QUERIES
 from tests.conftest import SF_ORACLE
+
+#: the fast verify lane (VERDICT r14 #1): exact-value parity is the
+#: core certification — `pytest tests/ -m fastverify` runs in <5 min
+pytestmark = pytest.mark.fastverify
 from tests.oracle_harness import compare_query
 
 ORACLED = sorted(ORACLES)

@@ -9,7 +9,11 @@ must not push an uncertified query out of it.
 import json
 import pathlib
 
+import pytest
+
 from novi_pdq_etl_project_prod_spark.catalog import DRIVER_CERTIFIED, ORACLES, QUERIES
+
+pytestmark = pytest.mark.fastverify
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 DRIVER_BUDGET = 50
@@ -43,6 +47,27 @@ def test_uncertified_queries_lead_the_registry():
         f"{len(uncertified)} uncertified queries but these fall outside the "
         f"driver's first-{DRIVER_BUDGET} window: {missing}"
     )
+
+
+def test_recertify_entries_lead_the_window():
+    """VERDICT r14 item 1: queries whose EXECUTION the optimization
+    rounds rewrote re-enter the driver's first-50 sampling window (via
+    the RECERTIFY literal) even though green driver rows exist — their
+    rows predate the current execution. Budget check: the re-entry set
+    plus any genuinely-uncertified queries must fit the window."""
+    from novi_pdq_etl_project_prod_spark.catalog import RECERTIFY
+
+    first_window = set(list(QUERIES)[:DRIVER_BUDGET])
+    uncertified = {q for q in QUERIES if q not in DRIVER_CERTIFIED}
+    assert len(RECERTIFY | uncertified) <= DRIVER_BUDGET, (
+        "re-entry set no longer fits the driver budget — trim RECERTIFY"
+    )
+    outside = sorted((RECERTIFY | uncertified) - first_window)
+    assert not outside, f"re-entry queries outside the window: {outside}"
+    # every RECERTIFY entry is a real, oracled catalog query (a no_oracle
+    # entry would burn a window slot to record no_oracle again)
+    assert RECERTIFY <= set(QUERIES)
+    assert RECERTIFY <= set(ORACLES)
 
 
 def test_certified_list_matches_correctness_files():
